@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness compare.
+
+Reads each <outDir>/<name> parquet written by graft.Verify, runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sf
+tables, sorts columns by name and rows by all columns, and compares
+values (exact for ints/strings/decimals, 1e-9 relative for floats).
+
+Usage: scripts/check.py [sfDir] [outDir]
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{SF}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if (pd.isna(a) is True) != (pd.isna(b) is True):
+            return False
+    except (TypeError, ValueError):
+        pass
+    try:
+        return float(a) == float(b)
+    except (TypeError, ValueError):
+        return str(a) == str(b)
+
+n_pass = n_fail = n_noorc = 0
+for d in sorted(glob.glob(f"{OUT}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    got = pd.read_parquet(d)
+    if name not in oracle:
+        print(f"  ~ {name}: no oracle, rows={len(got)}")
+        n_noorc += 1
+        continue
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+        n_fail += 1
+        continue
+    g, e = norm(got), norm(exp)
+    if list(g.columns) != list(e.columns):
+        print(f"  ✗ {name}: column mismatch {list(g.columns)} vs {list(e.columns)}")
+        n_fail += 1
+        continue
+    if len(g) != len(e):
+        print(f"  ✗ {name}: row count {len(g)} vs {len(e)}")
+        n_fail += 1
+        continue
+    bad = None
+    for c in g.columns:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        for i, (x, y) in enumerate(zip(gv, ev)):
+            if not values_equal(x, y):
+                bad = (c, i, x, y)
+                break
+        if bad:
+            break
+    if bad:
+        c, i, x, y = bad
+        print(f"  ✗ {name}: value mismatch col={c} row={i}: spark={x!r} duckdb={y!r}")
+        n_fail += 1
+    else:
+        print(f"  ✓ {name}: {len(g)} rows, {len(g.columns)} cols")
+        n_pass += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail, {n_noorc} rows-only")
+sys.exit(1 if n_fail else 0)

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables.table
+
+/** Join variants from SURVEY.md §2.3 beyond the wide combine:
+  * J5 equi-join enrichment, J6/K3 nearest-neighbor join via broadcast +
+  * windowed rank (ref: collectors/pm25/pm25_pipeline.py:166-189), J8
+  * sample-split left join with null-defaulting (ref:
+  * sample/imputation_sampler.py:98-105), plus semi/anti variants the
+  * engine supports as first-class (expressed as EXISTS in the oracle).
+  */
+object JoinPack extends QueryPack {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J5: plain equi-join enrichment (measurements ⨝ station map shape).
+    "j5_equi_enrich" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // J6/K3: 1-NN join — for each customer the nearest supplier in account-
+    // balance space; broadcast the small side, rank by distance. The same
+    // plan shape implements the reference's station→grid haversine KNN.
+    "j6_knn_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val sup = table(s, dir, "supplier")
+      val w = Window.partitionBy("c_custkey")
+        .orderBy(col("dist"), col("s_suppkey"))
+      c.crossJoin(broadcast(sup))
+        .withColumn("dist", abs(col("c_acctbal") - col("s_acctbal")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("c_custkey"), col("s_suppkey"), round(col("dist"), 2).as("dist"))
+        .orderBy("c_custkey")
+    }),
+
+    // J8 + F10: split assignment — deterministically sampled keys become
+    // "training", everything else defaults to "test" via coalesce.
+    "j8_split_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val sampled = c
+        .filter(pmod(col("c_custkey") * lit(2654435761L), lit(1000)) < 300)
+        .select(col("c_custkey"), lit("training").as("split"))
+      c.join(sampled, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("split"), lit("test")).as("split"))
+        .orderBy("c_custkey")
+    }),
+
+    // Semi join: customers having at least one open order.
+    "j_semi_exists" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Anti join: customers with no orders at all.
+    "j_anti_not_exists" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "j5_equi_enrich" ->
+      """SELECT c_custkey, c_name, n_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""",
+    "j6_knn_join" ->
+      """WITH d AS (SELECT c_custkey, s_suppkey,
+             ABS(c_acctbal - s_acctbal) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY ABS(c_acctbal - s_acctbal), s_suppkey) AS rk
+           FROM customer CROSS JOIN supplier)
+         SELECT c_custkey, s_suppkey, ROUND(dist, 2) AS dist
+         FROM d WHERE rk = 1 ORDER BY c_custkey""",
+    "j8_split_join" ->
+      """SELECT c.c_custkey,
+         COALESCE(s.split, 'test') AS split
+         FROM customer c
+         LEFT JOIN (SELECT c_custkey, 'training' AS split FROM customer
+                    WHERE (c_custkey * 2654435761) % 1000 < 300) s
+         ON c.c_custkey = s.c_custkey
+         ORDER BY 1""",
+    "j_semi_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+         ORDER BY c_custkey""",
+    "j_anti_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""")
+}

@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A coherent group of SparkEntry queries plus their DuckDB oracle SQL.
+  *
+  * Conventions for oracle hash-parity (driver sorts columns by name, then
+  * hashes values — see the builder contract):
+  *   - every computed column is aliased identically in Spark and SQL;
+  *   - SUMs of doubles go through DECIMAL(18,2) so arithmetic is exact and
+  *     order-independent on both engines;
+  *   - AVG/STDDEV/quantiles are rounded (4 decimals) — their error is
+  *     O(sum_err / n), far below the rounding quantum;
+  *   - timestamps are reduced to DATE or formatted strings (the testdata
+  *     events.ts is nanosecond-precision, which Spark truncates to micros);
+  *   - results carry an explicit ORDER BY on both sides for determinism.
+  */
+trait QueryPack {
+  def defs: Map[String, (SparkSession, String) => DataFrame]
+  /** DuckDB SQL per query key; keys absent here get a rows-only check. */
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables.table
+
+/** Core relational operators from SURVEY.md §2.2–§2.4, §2.7, re-expressed
+  * over the harness star schema.
+  *
+  * Coverage: A1 group-by mean, A2 group quantiles+IQR, A6 distinct,
+  * A7 count, A8 deterministic stratified per-group sampling, J1 N-way wide
+  * combine (ref: combiners/archive/combiner.py:132-179), J2 full-outer
+  * recombine with key coalescing (ref: combiners/recombiner/recombiner.py:143-178),
+  * J3 scaffold completion (ref: collectors/gee/gee_export_pipeline.py:157-176),
+  * J5 equi-join, P5/P6/P7 filters (ref: collectors/pm25/pm25_pipeline.py:120-138),
+  * U1 union.
+  */
+object RelationalPack extends QueryPack {
+  private val DEC = "decimal(18,2)"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A7/F11: grouped aggregation with exact decimal sums (TPC-H Q1 shape).
+    "q1_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DEC)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DEC)).as("sum_base_price"),
+          // decimal-factor arithmetic: casting a *product* of doubles to
+          // decimal diverges between engines (JVM shortest-string rounding
+          // vs binary-value rounding); casting each source column first
+          // keeps everything exact on both sides.
+          sum(col("l_extendedprice").cast(DEC) *
+              (lit(1) - col("l_discount").cast(DEC))).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J1: N-way inner combine on shared keys; small dims broadcast
+    // (ref: combiners/archive/combiner.py:132-179 joins on key intersection).
+    "j1_wide_combine" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DEC)).as("sum_total"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J2: full-outer join with coalesced keys + null-defaulting
+    // (ref: recombiner.py:143-178, coalesce=True semantics of the Seq join).
+    "j2_full_outer_coalesce" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchase"),
+             sum(col("value").cast(DEC)).as("purchase_total"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id").agg(count(lit(1)).as("n_error"))
+      purchases.join(errors, Seq("user_id"), "full")
+        .select(
+          col("user_id"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+          col("purchase_total"),
+          coalesce(col("n_error"), lit(0L)).as("n_error"))
+        .orderBy("user_id")
+    }),
+
+    // J3/J4: cross-join scaffold (every user × every day) completed with a
+    // left join; gaps stay null (ref: gee_export_pipeline.py:157-176,
+    // pm25_pipeline.py:140-164).
+    "j3_scaffold_complete" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val users = ev.select("user_id").distinct()
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DEC)).as("total"))
+      users.crossJoin(days)
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+                col("total"))
+        .orderBy("user_id", "day_s")
+    }),
+
+    // A2: per-group exact quantiles + IQR (ref: collectors/pm25/data_source.py:63-78).
+    "a2_group_quantiles" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 4).as("q1"),
+          round(expr("percentile(value, 0.75)"), 4).as("q3"),
+          round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 4)
+            .as("iqr"))
+        .orderBy("user_id")
+    }),
+
+    // A8: deterministic per-stratum fraction sampling — multiplicative-hash
+    // order + exact per-group ceil(fraction·count) cutoff. Replaces the
+    // reference's opaque seeded sample with a portable deterministic rule
+    // (ref: sample/imputation_sampler.py:75-96).
+    "a8_stratified_sample" -> ((s, dir) => {
+      val h = table(s, dir, "customer")
+        .withColumn("hk", pmod(col("c_custkey") * lit(2654435761L), lit(1000000007L)))
+      val w = Window.partitionBy("c_nationkey").orderBy("hk", "c_custkey")
+      val wc = Window.partitionBy("c_nationkey")
+      h.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") <= ceil(lit(0.1) * col("cnt")))
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    }),
+
+    // P7/P8: label-marker filter chain — max-value, IQR-anomaly and
+    // repeating-value (5-row rolling mean) markers, then filter label=="keep"
+    // (ref: setup/pm25_filters.py:7-82, pm25_pipeline.py:120-138).
+    "p7_label_filter_chain" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val stats = ev.groupBy("user_id")
+        .agg(expr("percentile(value, 0.75)").as("q3"),
+             expr("percentile(value, 0.75) - percentile(value, 0.25)").as("iqr"))
+      val w5 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+      ev.join(stats, Seq("user_id"))
+        .withColumn("rmean5",
+          when(count(col("value")).over(w5) === 5, avg(col("value")).over(w5)))
+        .withColumn("label", lit("keep"))
+        .withColumn("label",
+          when(col("value") >= 999.99, lit("drop")).otherwise(col("label")))
+        .withColumn("label",
+          when(col("value") > col("q3") + lit(15) * col("iqr"), lit("drop"))
+            .otherwise(col("label")))
+        .withColumn("label",
+          when(abs(col("value") - col("rmean5")) < 0.05, lit("drop"))
+            .otherwise(col("label")))
+        .filter(col("label") === "keep")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // U1: vertical concat of same-schema slices (ref: ned_export_pipeline.py:217-218).
+    "u1_union_all" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "event_type")
+      val b = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "event_type")
+      a.unionByName(b).orderBy("event_id")
+    }),
+
+    // A6/P6: distinct over a date-range predicate (ref: pm25_pipeline.py:131-137).
+    "a6_distinct_daterange" -> ((s, dir) => {
+      table(s, dir, "events")
+        .filter(col("ts") >= lit("2024-02-01").cast("timestamp") &&
+                col("ts") < lit("2024-04-01").cast("timestamp"))
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"))
+        .orderBy("user_id", "day_s")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         ROUND(AVG(l_quantity), 4) AS avg_qty,
+         ROUND(AVG(l_discount), 4) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "j1_wide_combine" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "j2_full_outer_coalesce" ->
+      """SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+         COALESCE(p.n_purchase, 0) AS n_purchase,
+         p.purchase_total AS purchase_total,
+         COALESCE(e.n_error, 0) AS n_error
+         FROM (SELECT user_id, COUNT(*) AS n_purchase,
+                      SUM(CAST(value AS DECIMAL(18,2))) AS purchase_total
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+         FULL OUTER JOIN
+              (SELECT user_id, COUNT(*) AS n_error
+               FROM events WHERE event_type = 'error' GROUP BY user_id) e
+         ON p.user_id = e.user_id
+         ORDER BY user_id""",
+    "j3_scaffold_complete" ->
+      """SELECT u.user_id AS user_id, CAST(d.day AS VARCHAR) AS day_s, t.total AS total
+         FROM (SELECT DISTINCT user_id FROM events) u
+         CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+         LEFT JOIN (SELECT user_id, CAST(ts AS DATE) AS day,
+                           SUM(CAST(value AS DECIMAL(18,2))) AS total
+                    FROM events GROUP BY 1, 2) t
+         ON t.user_id = u.user_id AND t.day = d.day
+         ORDER BY user_id, day_s""",
+    "a2_group_quantiles" ->
+      """SELECT user_id,
+         ROUND(QUANTILE_CONT(value, 0.25), 4) AS q1,
+         ROUND(QUANTILE_CONT(value, 0.75), 4) AS q3,
+         ROUND(QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25), 4) AS iqr
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a8_stratified_sample" ->
+      """WITH h AS (SELECT c_custkey, c_nationkey,
+                (c_custkey * 2654435761) % 1000000007 AS hk FROM customer),
+         r AS (SELECT c_custkey, c_nationkey,
+                ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY hk, c_custkey) AS rn,
+                COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt FROM h)
+         SELECT c_custkey, c_nationkey FROM r
+         WHERE rn <= CEIL(0.1 * cnt) ORDER BY c_custkey""",
+    "p7_label_filter_chain" ->
+      """WITH stats AS (SELECT user_id, QUANTILE_CONT(value, 0.75) AS q3,
+                QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25) AS iqr
+               FROM events GROUP BY user_id),
+         marked AS (
+           SELECT e.event_id, e.user_id, e.value, s.q3, s.iqr,
+             CASE WHEN COUNT(e.value) OVER w = 5 THEN AVG(e.value) OVER w END AS rmean5
+           FROM events e JOIN stats s ON e.user_id = s.user_id
+           WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+         labeled AS (
+           SELECT event_id, user_id, value,
+             CASE WHEN ABS(value - rmean5) < 0.05 THEN 'drop'
+                  WHEN value > q3 + 15 * iqr THEN 'drop'
+                  WHEN value >= 999.99 THEN 'drop'
+                  ELSE 'keep' END AS label
+           FROM marked)
+         SELECT event_id, user_id, value FROM labeled
+         WHERE label = 'keep' ORDER BY event_id""",
+    "u1_union_all" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
+         ORDER BY event_id""",
+    "a6_distinct_daterange" ->
+      """SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-02-01' AND ts < TIMESTAMP '2024-04-01'
+         ORDER BY user_id, day_s""")
+}

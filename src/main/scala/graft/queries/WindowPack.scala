@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables.table
+
+/** Window operators from SURVEY.md §2.5 (the heart of the reference's
+  * feature generation) on the harness tables.
+  *
+  * Rolling means are decomposed into (exact decimal rolling SUM, rolling
+  * COUNT of non-nulls) so the oracle hash-compare is order- and
+  * precision-independent; mean = sum/cnt is recoverable and the window
+  * machinery (frames, null skipping, ordering) is exercised identically.
+  *
+  * Coverage: W1 7-row rolling mean w/ min_samples=1 (ref:
+  * feature_generation/generate.py:71-79), W2 long rolling window
+  * (generate.py:81-89), W3/A3 group mean over (key, year)
+  * (generate.py:91-92), W5 cross-chunk rolling (regression_model_predictor
+  * .py:187-229 — a plain multi-month window here, no concat trick needed),
+  * W6 "null until window full" (setup/pm25_filters.py:28-35), W7
+  * backward/forward fill (generate.py:76-77), O1 multi-key sort, A9 stride
+  * sampling (setup/dependency_injection.py:340-345).
+  */
+object WindowPack extends QueryPack {
+  private val DEC = "decimal(18,2)"
+
+  /** Daily per-user value totals with gaps — the scaffolded long table all
+    * window queries run over (one row per (user, day) with data).
+    */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DEC)).as("total"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1 (+W5): 7-row rolling window per key ordered by day.
+    "w1_rolling_7" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+      daily(s, dir)
+        .withColumn("roll_sum", sum(col("total")).over(w))
+        .withColumn("roll_cnt", count(col("total")).over(w))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+                col("roll_sum"), col("roll_cnt"))
+        .orderBy("user_id", "day_s")
+    }),
+
+    // W2: long (30-row) rolling window — same machinery, wider frame.
+    "w2_rolling_long" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-29, 0)
+      daily(s, dir)
+        .withColumn("roll_sum", sum(col("total")).over(w))
+        .withColumn("roll_cnt", count(col("total")).over(w))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+                col("roll_sum"), col("roll_cnt"))
+        .orderBy("user_id", "day_s")
+    }),
+
+    // W3/A3/A4: unbounded group aggregate broadcast back to rows.
+    "w3_group_mean" -> ((s, dir) => {
+      val wy = Window.partitionBy(col("user_id"), month(col("day")))
+      val wa = Window.partitionBy("user_id")
+      daily(s, dir)
+        .withColumn("month_sum", sum(col("total")).over(wy))
+        .withColumn("month_cnt", count(col("total")).over(wy))
+        .withColumn("all_sum", sum(col("total")).over(wa))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+                col("month_sum"), col("month_cnt"), col("all_sum"))
+        .orderBy("user_id", "day_s")
+    }),
+
+    // W6: rolling aggregate that is null until the frame holds 5 rows
+    // (polars rolling_mean(5) default min_samples semantics).
+    "w6_full_window_only" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+      table(s, dir, "events")
+        .withColumn("roll5_sum",
+          when(count(lit(1)).over(w) === 5, sum(col("value").cast(DEC)).over(w)))
+        .select("event_id", "user_id", "roll5_sum")
+        .orderBy("event_id")
+    }),
+
+    // W7: forward fill then backward fill over a gappy scaffold.
+    "w7_fill_directions" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val users = ev.select("user_id").distinct()
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      val scaffold = users.crossJoin(days)
+        .join(daily(s, dir), Seq("user_id", "day"), "left")
+      val wf = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wb = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      scaffold
+        .withColumn("ffill", last(col("total"), ignoreNulls = true).over(wf))
+        .withColumn("bfill", first(col("total"), ignoreNulls = true).over(wb))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+                col("total"), col("ffill"), col("bfill"))
+        .orderBy("user_id", "day_s")
+    }),
+
+    // O1/O2: deterministic multi-key sort of a projection.
+    "o1_multikey_sort" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity"))
+        .orderBy(col("l_returnflag").desc, col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // A9: stride ("gather_every(10)") sampling over a deterministic order.
+    "a9_stride_sample" -> ((s, dir) => {
+      val w = Window.orderBy("event_id")
+      table(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(pmod(col("rn") - 1, lit(10)) === 0)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "w1_rolling_7" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2)
+         SELECT user_id, CAST(day AS VARCHAR) AS day_s,
+           SUM(total) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_sum,
+           COUNT(total) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_cnt
+         FROM daily ORDER BY user_id, day_s""",
+    "w2_rolling_long" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2)
+         SELECT user_id, CAST(day AS VARCHAR) AS day_s,
+           SUM(total) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS roll_sum,
+           COUNT(total) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS roll_cnt
+         FROM daily ORDER BY user_id, day_s""",
+    "w3_group_mean" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2)
+         SELECT user_id, CAST(day AS VARCHAR) AS day_s,
+           SUM(total) OVER (PARTITION BY user_id, MONTH(day)) AS month_sum,
+           COUNT(total) OVER (PARTITION BY user_id, MONTH(day)) AS month_cnt,
+           SUM(total) OVER (PARTITION BY user_id) AS all_sum
+         FROM daily ORDER BY user_id, day_s""",
+    "w6_full_window_only" ->
+      """SELECT event_id, user_id,
+           CASE WHEN COUNT(*) OVER w = 5
+                THEN SUM(CAST(value AS DECIMAL(18,2))) OVER w END AS roll5_sum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "w7_fill_directions" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2),
+         scaffold AS (
+           SELECT u.user_id, d.day, t.total
+           FROM (SELECT DISTINCT user_id FROM events) u
+           CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+           LEFT JOIN daily t ON t.user_id = u.user_id AND t.day = d.day)
+         SELECT user_id, CAST(day AS VARCHAR) AS day_s, total,
+           LAST_VALUE(total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+           FIRST_VALUE(total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+         FROM scaffold ORDER BY user_id, day_s""",
+    "o1_multikey_sort" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+         FROM lineitem
+         ORDER BY l_returnflag DESC, l_orderkey, l_linenumber""",
+    "a9_stride_sample" ->
+      """WITH r AS (SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events)
+         SELECT event_id, user_id, event_type FROM r
+         WHERE (rn - 1) % 10 = 0 ORDER BY event_id""")
+}
