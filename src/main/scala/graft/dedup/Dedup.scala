@@ -1,0 +1,165 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.expressions.TextExpressions
+import graft.text.TextFunctions
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * All stages are declarative DataFrame transforms: shingling, hashing and
+  * signatures are codegen'd column expressions; candidate generation is a
+  * shuffle on (band, bucket) keys — the standard MinHash-LSH layout that
+  * scales linearly with corpus size instead of O(n²) pairwise compare.
+  * Exact-jaccard verification touches only LSH candidates.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by full-content hash: one surviving (minimum) id per
+    * distinct text; `n_dups` counts the group. At scale the groupBy
+    * shuffles on a 64-bit hash of the content, not the content itself.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word k-shingles (k consecutive whitespace tokens joined by a space) —
+    * distinct per document.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = TextFunctions.wsTokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => when(i + k <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(k))))),
+        s => s.isNotNull))
+  }
+
+  /** Exact Jaccard similarity of two string-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    when(uni === 0, 0.0).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature (array of `numHashes` longs) of a string-array
+    * shingle column. Pure column composition: hash function i is
+    * xxhash64 with a per-function salt suffix (overflow-free — Spark 4
+    * runs ANSI mode by default, so a·x+b style permutations on raw 64-bit
+    * hashes would raise ARITHMETIC_OVERFLOW); the signature entry is the
+    * min over the shingle set.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** LSH band keys: the signature split into `bands` rows of
+    * `numHashes/bands` values, each band hashed to one bucket key.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+             xxhash64(concat_ws(",",
+               slice(signature, bIdx * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+    }: _*)
+
+  /** Candidate near-duplicate pairs (idA < idB) whose exact word-shingle
+    * Jaccard ≥ `threshold`, found via MinHash-LSH banding:
+    *
+    *  1. signature per doc (map-side, codegen'd);
+    *  2. explode band keys → shuffle on (band, bucket);
+    *  3. self-join within buckets → candidate pairs (deduplicated);
+    *  4. verify candidates with exact Jaccard on the shingle sets.
+    *
+    * With numHashes=128 and bands=32 (r=4), P[candidate | s=0.8] ≈ 1−5·10⁻⁸,
+    * so recall at the 0.8 threshold is effectively exact while the shuffle
+    * stays linear in corpus size.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sh = docs
+      .select(col(idCol).as("doc"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = sh
+      .select(col("doc"), col("sh"),
+        explode(bandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand))
+          .as("bk"))
+    val l = banded.select(col("bk"), col("doc").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("bk"), col("doc").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** SimHash near-duplicate pairs within a Hamming-distance bound. Buckets
+    * by splitting the 64-bit fingerprint into `maxHamming+1` chunks — by
+    * pigeonhole, any pair within the bound shares at least one exact chunk,
+    * so candidate generation is a shuffle on (chunk index, chunk value),
+    * never O(n²).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val fp = docs.select(col(idCol).as("doc"),
+      TextExpressions.simhash64(TextFunctions.wsTokens(col(textCol))).as("fp"))
+    val keyed = fp.select(col("doc"), col("fp"),
+      explode(array((0 until chunks).map { i =>
+        struct(lit(i).as("chunk"),
+          (shiftrightunsigned(col("fp"), i * bits) bitwiseAND
+            lit((1L << bits) - 1)).as("v"))
+      }: _*)).as("ck"))
+    val l = keyed.select(col("ck"), col("doc").as("id_a"), col("fp").as("fp_a"))
+    val r = keyed.select(col("ck"), col("doc").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("ck"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a") bitwiseXOR col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------- pairwise n-gram path
+
+  /** Brute n-gram Jaccard pairs via a shingle inverted index (shares the
+    * SQL-oracle semantics exactly): candidate pairs are docs sharing ≥1
+    * shingle; integer cross-multiplication keeps the threshold compare
+    * exact.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+        wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("doc"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+    val l = inv.select(col("g"), col("doc").as("id_a"), col("n").as("n_a"))
+    val r = inv.select(col("g"), col("doc").as("id_b"), col("n").as("n_b"))
+    l.join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text/dedup kernels. Each generates a
+  * single static-method call so whole-stage codegen stays intact (the same
+  * pattern Spark's own hash expressions use) — no Scala-closure UDF
+  * serialization, no codegen fallback in the hot path.
+  */
+
+/** Winnowing fingerprint of a string column → array<bigint>
+  * (see [[graft.text.Winnow]]).
+  */
+case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      graft.text.Winnow.fingerprint(input.asInstanceOf[UTF8String].toString, k, w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.text.Winnow.fingerprint($c.toString(), $k, $w));""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprint"
+}
+
+/** 64-bit SimHash of an array<string> token column → bigint
+  * (see [[graft.dedup.SimHash]]).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val it = (0 until arr.numElements()).iterator
+      .map(i => arr.getUTF8String(i).toString)
+    graft.dedup.SimHash.simhash64(it)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExprHelpers.simhashArray($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Static helpers the generated code calls. */
+object TextExprHelpers {
+  def simhashArray(arr: ArrayData): Long = {
+    val it = (0 until arr.numElements()).iterator
+      .map(i => arr.getUTF8String(i).toString)
+    graft.dedup.SimHash.simhash64(it)
+  }
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graftbridge.Bridge._
+  def winnow_fingerprint(c: Column, k: Int = graft.text.Winnow.KDefault,
+                         w: Int = graft.text.Winnow.WDefault): Column =
+    toColumn(WinnowFingerprintExpr(toExpr(c), k, w))
+
+  def simhash64(tokens: Column): Column = toColumn(SimHash64Expr(toExpr(tokens)))
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.table
+import graft.dedup.Dedup
+
+/** Deduplication operators over the `documents` table.
+  *
+  * `dedup_minhash_lsh` is the interesting one: the implementation goes
+  * through MinHash signatures + LSH banding + exact-jaccard verification,
+  * while the oracle brute-forces exact jaccard in SQL — with 128 hashes /
+  * 32 bands, LSH recall at the 0.8 threshold is 1 − O(10⁻⁸), so the two
+  * must agree (and a banding bug shows up as a hash mismatch).
+  */
+object DedupPack extends QueryPack {
+
+  /** Shared oracle CTE: distinct word 3-shingles per document. */
+  private val ShingleCte =
+    """toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS a FROM documents),
+      |idx AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a)-2)) AS i FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g FROM idx),
+      |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+      |          FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT a, b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+      |        FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)
+      |""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by content hash (keep min doc_id per distinct text).
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id")
+    }),
+
+    // MinHash + LSH near-dup pairs, verified with exact jaccard.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Inverted-index n-gram jaccard pairs (threshold low enough to yield
+    // non-planted pairs too).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (pigeonhole-bucketed). Hash-function-specific
+    // — rows-only check here; golden-tested in DedupSpec.
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_minhash_lsh" ->
+      s"""WITH $ShingleCte
+         SELECT a AS id_a, b AS id_b, ROUND(jaccard, 6) AS jaccard
+         FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $ShingleCte
+         SELECT a AS id_a, b AS id_b, ROUND(jaccard, 6) AS jaccard
+         FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")
+}

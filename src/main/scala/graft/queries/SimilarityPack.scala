@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.table
+import graft.similarity.Ann
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64).
+  * Dot products fold in index order on both engines (Spark `aggregate`
+  * left-fold vs DuckDB ordered `SUM(... ORDER BY i)`), so cosines are
+  * bit-identical and the oracle compare is exact.
+  */
+object SimilarityPack extends QueryPack {
+
+  /** Oracle CTE: (vec_id, i, x) exploded double view + per-vector norms. */
+  private val VecCte =
+    """e AS (SELECT vec_id, embedding,
+      |       UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i FROM embeddings),
+      |v AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM e),
+      |nrm AS (SELECT vec_id, SQRT(SUM(x * x ORDER BY i)) AS nm FROM v GROUP BY vec_id)
+      |""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact cosine top-k (k=3) for query vectors vec_id < 10.
+    "ann_topk_brute" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.bruteForceTopK(
+          emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+          emb, k = 3)
+        .orderBy("query_id", "rk")
+    }),
+
+    // All pairs with cosine ≥ 0.4 (the corpus' near-dup band).
+    "ann_cosine_neardup" -> ((s, dir) => {
+      Ann.cosineNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // LSH-bucketed ANN (scale path) — approximate recall by construction,
+    // so rows-only here; recall measured against brute force in AnnSpec.
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Ann.lshTopK(
+          emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+          emb, k = 3, planes = 8)
+        .orderBy("query_id", "rk")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "ann_topk_brute" ->
+      s"""WITH $VecCte,
+         dots AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  SUM(a.x * b.x ORDER BY a.i) AS dot
+           FROM v a JOIN v b ON a.i = b.i
+           WHERE a.vec_id < 10 GROUP BY 1, 2),
+         cos AS (
+           SELECT query_id, neighbor_id,
+                  CASE WHEN na.nm * nb.nm = 0 THEN 0.0
+                       ELSE dot / (na.nm * nb.nm) END AS c
+           FROM dots JOIN nrm na ON na.vec_id = query_id
+                     JOIN nrm nb ON nb.vec_id = neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, c,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, neighbor_id) AS rk
+           FROM cos)
+         SELECT query_id, rk, neighbor_id, ROUND(c, 6) AS cos
+         FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""",
+    "ann_cosine_neardup" ->
+      s"""WITH $VecCte,
+         dots AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  SUM(a.x * b.x ORDER BY a.i) AS dot
+           FROM v a JOIN v b ON a.i = b.i
+           WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+         cos AS (
+           SELECT id_a, id_b,
+                  CASE WHEN na.nm * nb.nm = 0 THEN 0.0
+                       ELSE dot / (na.nm * nb.nm) END AS c
+           FROM dots JOIN nrm na ON na.vec_id = id_a
+                     JOIN nrm nb ON nb.vec_id = id_b)
+         SELECT id_a, id_b, ROUND(c, 6) AS cos
+         FROM cos WHERE c >= 0.4 ORDER BY id_a, id_b""")
+}

@@ -1,0 +1,130 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * score the corpus in one codegen'd map stage, rank per query. Scale
+  * path: random-hyperplane LSH bucketing — deterministic hyperplanes,
+  * bucket join instead of full cross product; recall is tunable by the
+  * number of planes / probes.
+  *
+  * All arithmetic is element-order-deterministic (`aggregate` over
+  * `zip_with` folds left in index order), which keeps results bit-stable
+  * across engines and runs.
+  */
+object Ann {
+
+  /** Element-wise double view of a float embedding. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Index-order dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Index-order L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity; 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Brute-force exact cosine top-k: for each row of `queries`, the k
+    * highest-cosine rows of `corpus` (ties broken by corpus id). The query
+    * side is broadcast — the corpus is scanned once, no shuffle of the
+    * corpus itself; the only exchange is the per-query top-k rank.
+    *
+    * At cluster scale, replace the rank window with a per-partition
+    * top-k + merge (TakeOrdered) if k·|queries| is large.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     queryId: String = "query_id", corpusId: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `planes` vectors of `dim`
+    * components in [-1, 1), derived with a splitmix64 mixer — no RNG
+    * state, reproducible across runs and executors.
+    */
+  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(planes, dim) { (p, d) =>
+      (mix(p.toLong * 10007L + d).toDouble / Long.MaxValue.toDouble)
+    }
+  }
+
+  /** Sign-bucket key: one bit per hyperplane (1 iff v·r ≥ 0), packed into a
+    * long. Cosine-close vectors collide with high probability (random
+    * hyperplane LSH, Charikar 2002).
+    */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (r, i) =>
+      when(dot(v, array(r.map(lit): _*)) >= 0.0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN top-k: corpus and queries bucketed by hyperplane
+    * signs; candidates are same-bucket rows only, then exact cosine + rank.
+    * The corpus-side bucket map can be written once (partitioned by
+    * bucket) and reused across query batches at scale.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 12,
+              dim: Int = 64, queryId: String = "query_id",
+              corpusId: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val q = queries.select(col(queryId).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), hp))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), hp))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
+    * threshold. Exact O(n²) variant for modest n; swap the cross join for
+    * `lshBucket` equality at scale (same downstream verify).
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val l = v.select(col("id").as("id_a"), col("v").as("va"))
+    val r = v.select(col("id").as("id_b"), col("v").as("vb"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

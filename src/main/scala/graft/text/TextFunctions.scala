@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristics.
+  *
+  * All are pure `Column` compositions over built-in (codegen'd) functions —
+  * no UDFs — so they survive whole-stage codegen and push down cleanly at
+  * 100 TB. Document fingerprinting (stateful winnowing) lives in
+  * [[graft.text.Winnow]] as a native Catalyst expression.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed document. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count; 0 for empty/blank documents. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(wsTokens(text)))
+
+  /** BPE-style pre-tokenization (GPT-2-like): runs of letters, runs of
+    * digits, runs of other non-space symbols, each with an optional leading
+    * space. Approximates subword-tokenizer input segmentation.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(" ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"), lit(0))
+
+  /** Character count. */
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of punctuation characters to all characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(length(text) === 0, 0.0).otherwise(punct.cast("double") / length(text))
+  }
+
+  /** Mean whitespace-token length in characters. */
+  def meanWordLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(length(trim(text)) === 0, 0.0)
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks))
+  }
+
+  /** English stopword ratio over whitespace tokens. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val stops = filter(toks, t => t.isInCollection(EnglishStopwords))
+    when(length(trim(text)) === 0, 0.0)
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Composite document quality score in [0,1]: rewards moderate length,
+    * some stopwords (natural language), and low punctuation density.
+    * Heuristic in the spirit of C4/Gopher quality filters (public).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthScore = least(n.cast("double") / 64.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    (lengthScore + stopScore + punctPenalty) / 3.0
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Deterministic and engine-portable.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Marker-hit count for one language's word list. */
+  def langHits(text: Column, markers: Seq[String]): Column = {
+    val toks = wsTokens(lower(text))
+    size(filter(toks, t => t.isInCollection(markers)))
+  }
+
+  /** Predicted language: argmax of marker hits, ties and all-zero falling
+    * back to "en". Pure column expression (a chain of whens), portable to
+    * the SQL oracle.
+    */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, ms) => lang -> langHits(text, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("en"): Column) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

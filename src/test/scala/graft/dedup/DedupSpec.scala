@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer rules"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (5L, "one two"), // too short for 3-shingles
+    (6L, "completely different content about spark catalyst optimizer rules")  // exact dup of 3
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct content") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 5L))
+    val byId = got.toMap
+    assert(byId(1L) === 2L) // docs 1 and 4
+    assert(byId(3L) === 2L) // docs 3 and 6
+    assert(byId(2L) === 1L)
+    assert(byId(5L) === 1L)
+  }
+
+  test("minhash LSH finds near and exact dup pairs, skips distinct docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1
+    assert(pairs.contains((3L, 6L))) // exact dup
+    assert(pairs.contains((1L, 2L))) // near dup (one token differs)
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b) != Set(3L, 6L) })
+  }
+
+  test("minhash jaccard estimate matches exact jaccard on planted pair") {
+    val j = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").as[Double].head()
+    // 13 tokens → 11 shingles each, 10 shared, union 12 → 10/12
+    assert(math.abs(j - 10.0 / 12.0) < 1e-6)
+  }
+
+  test("simhash: exact dups at hamming 0; distinct docs not paired") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((1L, 4L)) === 0)
+    assert(got((3L, 6L)) === 0)
+    assert(!got.keySet.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard pairs agree with hand-computed value") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").as[Double].head()
+    assert(math.abs(got - 10.0 / 12.0) < 1e-12)
+  }
+
+  test("word shingles: short docs yield empty, no phantom shingles") {
+    val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(sh(5L) === 0)
+    assert(sh(1L) === 11)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media = Seq(
+    Multimodal.MediaRow(1L, "image", "fake image bytes".getBytes("UTF-8")),
+    Multimodal.MediaRow(2L, "audio", ("a" * 640).getBytes("UTF-8")),
+    Multimodal.MediaRow(3L, "video", ("v" * 4096).getBytes("UTF-8"))
+  ).toDS()
+
+  test("decode is deterministic and preserves byte lengths") {
+    val a = Multimodal.decode(media).collect().sortBy(_.media_id)
+    val b = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(a.map(_.byteLen).toSeq === Seq(16L, 640L, 4096L))
+    assert(a.map(r => (r.media_id, r.width, r.height, r.nFrames)).toSeq ===
+           b.map(r => (r.media_id, r.width, r.height, r.nFrames)).toSeq)
+    val img = a.find(_.kind == "image").get
+    assert(img.channels === 3 && img.width >= 64 && img.height >= 64)
+    val aud = a.find(_.kind == "audio").get
+    assert(aud.sampleRateHz === 16000 && aud.nFrames === 20)
+  }
+
+  test("feature vectors have fixed width and fold all bytes") {
+    val feats = Multimodal.decode(media).collect().map(_.features)
+    assert(feats.forall(_.length === 8))
+    assert(feats.forall(_.sum > 0f))
+  }
+
+  test("frame sampling explodes only video rows at the given stride") {
+    val dec = Multimodal.decode(media).toDF()
+    val frames = Multimodal.sampleFrames(dec, stride = 2)
+      .groupBy("media_id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(frames.length === 1)
+    val (id, n, mx) = frames.head
+    assert(id === 3L)
+    assert(n === 2L && mx === 2) // nFrames=4 → idx 0, 2
+  }
+
+  test("resize plan computes scales for image rows only") {
+    val dec = Multimodal.decode(media).toDF()
+    val plan = Multimodal.resizePlan(dec, 224, 224).collect()
+    assert(plan.length === 1)
+    val r = plan.head
+    assert(r.getAs[Long]("media_id") === 1L)
+    assert(math.abs(r.getAs[Double]("scale_x") -
+      r.getAs[Int]("width").toDouble / 224) < 1e-12)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.similarity
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.0f, 0.0f, 0.0f))    // zero vector
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identity, orthogonal, opposite, zero-norm guard") {
+    val q = vecs.filter(col("vec_id") === 0).withColumnRenamed("vec_id", "query_id")
+    val got = Ann.bruteForceTopK(q, vecs, k = 5)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got(0L) === 1.0)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === -1.0)
+    assert(got(4L) === 0.0) // zero vector guarded, not NaN
+    assert(got(1L) > 0.99 && got(1L) < 1.0)
+  }
+
+  test("top-k ranks by cosine desc with id tie-break") {
+    val q = vecs.filter(col("vec_id") === 0).withColumnRenamed("vec_id", "query_id")
+    val got = Ann.bruteForceTopK(q, vecs, k = 3)
+      .orderBy("rk").collect().map(_.getLong(2)).toSeq
+    assert(got === Seq(0L, 1L, 2L)) // cos: 1.0, 0.993..., then tie 0.0/0.0 → min id
+  }
+
+  test("LSH top-k achieves high recall vs brute force on real embeddings") {
+    val emb = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    val brute = Ann.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(queries, emb, k = 5, planes = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall") // 4 planes ≈ 1/16 of corpus probed
+    // self-match always survives bucketing (identical vector, same bucket)
+    assert((0L until 20L).forall(q => lsh.contains((q, q))))
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    assert(Ann.hyperplanes(4, 8).map(_.toSeq).toSeq ===
+           Ann.hyperplanes(4, 8).map(_.toSeq).toSeq)
+  }
+}
