@@ -1,0 +1,92 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+import graft.functions.{Physics, Rolling}
+
+/** Feature generation — the reference's richest single query
+  * (ref: src/pm25ml/feature_generation/generate.py:34-151; SURVEY.md §3.2).
+  *
+  * For a target year Y over the combined wide table:
+  *  1. take the months of {Y, Y−1} (so 365-day windows see history);
+  *  2. derive year / day-of-year / relative humidity / wind degree;
+  *  3. per base column: rolling 7-day and 365-day means (min_samples=1,
+  *     back/forward-filled), per-(grid, year) mean, per-grid mean — note
+  *     the reference's slicing: "mean_all" is the mean over the ≤24 loaded
+  *     months, not the whole archive (generate.py:99 within the 2-year
+  *     slice), reproduced exactly;
+  *  4. cyclic/cal features (cos day-of-year, month, monsoon flag);
+  *  5. keep only year Y rows.
+  *
+  * Execution shape at scale: one shuffle on grid_id partitions all four
+  * window families (same partitioning reused across frames); the month
+  * filter prunes partitions at the scan.
+  */
+object FeatureGenerator {
+
+  /** Base columns rolled by the reference (generate.py:122-137) — here
+    * parameterized; defaults cover the ERA5/satellite names.
+    */
+  final case class Config(
+      baseColumns: Seq[String],
+      tempCol: Option[String] = None, // Kelvin 2m temperature
+      dewCol: Option[String] = None, // Kelvin 2m dew point
+      windUCol: Option[String] = None,
+      windVCol: Option[String] = None)
+
+  def monthsOf(year: Int): Seq[String] =
+    (1 to 12).map(m => f"$year-$m%02d")
+
+  /** Generate features for target year `year` from a frame holding months
+    * of {year-1, year} with columns (grid_id, date string, month, values…).
+    */
+  def generate(slice: DataFrame, year: Int, cfg: Config): DataFrame = {
+    val part = Seq(col("grid_id"))
+    val order = Seq(col("date"))
+
+    var df = slice
+      .withColumn("date", to_date(col("date")))
+      .withColumn("year", functions_year(col("date")))
+      .withColumn("day_of_year", dayofyear(col("date")))
+
+    // physics-derived columns (generate.py:47-69)
+    for (t <- cfg.tempCol; d <- cfg.dewCol)
+      df = df.withColumn(s"${t}_relative_humidity_computed",
+        Physics.relativeHumidityK(col(t), col(d)).cast(FloatType))
+    for (u <- cfg.windUCol; v <- cfg.windVCol)
+      df = df.withColumn(s"wind_degree_computed",
+        Physics.windDegree(col(u), col(v)).cast(FloatType))
+
+    // rolling + grouped means per base column (generate.py:71-100)
+    for (c <- cfg.baseColumns) {
+      df = Rolling.withRollingMeanFilled(df, c, s"${c}__mean_r7d", 7, part, order)
+      df = Rolling.withRollingMeanFilled(df, c, s"${c}__mean_r365d", 365, part, order)
+      df = df.withColumn(s"${c}__mean_year",
+        Rolling.groupMean(col(c), Seq(col("grid_id"), col("year"))))
+      df = df.withColumn(s"${c}__mean_all",
+        Rolling.groupMean(col(c), Seq(col("grid_id"))))
+    }
+
+    // calendar features (generate.py:114-140)
+    df = df
+      .withColumn("cos_day_of_year",
+        Physics.cosDayOfYear(col("day_of_year")).cast(FloatType))
+      .withColumn("month_of_year", month(col("date")))
+      .withColumn("monsoon_season", Physics.monsoonSeason(month(col("date"))))
+
+    // trim the warm-up year back off (generate.py:143-145)
+    val out = df.filter(col("year") === year)
+      .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
+
+    // generated value columns stored float32 like the rest of the table
+    val genCols = cfg.baseColumns.flatMap(c => Seq(
+      s"${c}__mean_r7d", s"${c}__mean_r365d", s"${c}__mean_year", s"${c}__mean_all"))
+    genCols.foldLeft(out)((d, c) => d.withColumn(c, col(c).cast(FloatType)))
+  }
+
+  // avoid shadowing by the local `year` parameter
+  private def functions_year(c: Column): Column =
+    org.apache.spark.sql.functions.year(c)
+}

@@ -1,0 +1,115 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K6 — gradient-boosted-tree training with grouped cross-validation and
+  * hard R² quality gates (ref: src/pm25ml/training/imputation_model_pipeline
+  * .py:47-241, setup/training.py:68-139, training_full.py:11-91).
+  *
+  * The reference trains XGBoost/LightGBM; the engine uses MLlib's
+  * `GBTRegressor` (the Spark-native estimator) with the hyperparameters
+  * mapped, and keeps the reference's *acceptance contract* — mean CV R²
+  * within declared bounds — rather than chasing bit-parity with another
+  * library's trees (SURVEY.md §7 risk 4).
+  *
+  * Group k-fold: every group (50 km cell) lands in exactly one fold, so
+  * spatially-correlated rows never straddle train/validation — fold =
+  * xxhash64(group) mod k, deterministic and cluster-stable (no RNG state,
+  * no collect of group lists).
+  */
+object ImputationModel {
+
+  /** Mapped subset of the reference's GBT hyperparameters
+    * (ref: setup/training.py:68-139).
+    */
+  final case class Hyperparams(
+      maxDepth: Int = 6,
+      maxIter: Int = 50,
+      stepSize: Double = 0.1,
+      subsamplingRate: Double = 0.8,
+      minInstancesPerNode: Int = 10,
+      seed: Long = 42L)
+
+  final case class CvMetrics(foldR2: Seq[Double], meanR2: Double, stdR2: Double)
+
+  final case class Trained(model: GBTRegressionModel, features: Seq[String],
+                           target: String, cv: CvMetrics, testR2: Double)
+
+  final case class QualityGate(minR2: Double, maxR2: Double) {
+    /** Hard assertion like the reference's
+      * (ref: regression_model_predictor.py:104-130).
+      */
+    def check(meanR2: Double): Unit =
+      require(meanR2 >= minR2 && meanR2 <= maxR2,
+        f"mean CV R² $meanR2%.4f outside gate [$minR2, $maxR2]")
+  }
+
+  private def assembler(features: Seq[String]) = new VectorAssembler()
+    .setInputCols(features.toArray)
+    .setOutputCol("__features")
+    .setHandleInvalid("keep")
+
+  private def gbt(target: String, hp: Hyperparams) = new GBTRegressor()
+    .setLabelCol(target)
+    .setFeaturesCol("__features")
+    .setMaxDepth(hp.maxDepth)
+    .setMaxIter(hp.maxIter)
+    .setStepSize(hp.stepSize)
+    .setSubsamplingRate(hp.subsamplingRate)
+    .setMinInstancesPerNode(hp.minInstancesPerNode)
+    .setSeed(hp.seed)
+
+  def r2(predictions: DataFrame, target: String): Double =
+    new RegressionEvaluator()
+      .setLabelCol(target).setPredictionCol("__prediction")
+      .setMetricName("r2")
+      .evaluate(predictions)
+
+  /** Deterministic group fold assignment. */
+  def withFold(df: DataFrame, groupCol: String, k: Int): DataFrame =
+    df.withColumn("__fold", pmod(xxhash64(col(groupCol)), lit(k.toLong)).cast("int"))
+
+  /** Grouped k-fold CV + final fit on all of `train`, evaluated on `test`.
+    * Feature columns must be numeric; rows with null/NaN target are the
+    * caller's to filter ([[graft.operators.Sampling.filterTargetPresent]]).
+    */
+  def train(train: DataFrame, test: DataFrame, features: Seq[String],
+            target: String, groupCol: String, k: Int = 10,
+            hp: Hyperparams = Hyperparams()): Trained = {
+    val asm = assembler(features)
+    val est = gbt(target, hp).setPredictionCol("__prediction")
+
+    val folded = withFold(train, groupCol, k).cache()
+    try {
+      val foldScores = (0 until k).flatMap { f =>
+        val tr = folded.filter(col("__fold") =!= f)
+        val va = folded.filter(col("__fold") === f)
+        if (va.isEmpty || tr.isEmpty) None
+        else {
+          val m = est.fit(asm.transform(tr))
+          Some(r2(m.transform(asm.transform(va)), target))
+        }
+      }
+      val mean = foldScores.sum / foldScores.size
+      val std = math.sqrt(
+        foldScores.map(s => (s - mean) * (s - mean)).sum / foldScores.size)
+
+      val finalModel = est.fit(asm.transform(folded))
+      val testR2 = r2(finalModel.transform(asm.transform(test)), target)
+      Trained(finalModel, features, target, CvMetrics(foldScores, mean, std), testR2)
+    } finally folded.unpersist()
+  }
+
+  /** Score a frame: adds `outCol` with the model's prediction. */
+  def predict(df: DataFrame, trained: Trained, outCol: String): DataFrame = {
+    val asm = assembler(trained.features)
+    trained.model.setPredictionCol("__prediction")
+    trained.model.transform(asm.transform(df))
+      .withColumn(outCol, col("__prediction").cast("float"))
+      .drop("__features", "__prediction")
+  }
+}

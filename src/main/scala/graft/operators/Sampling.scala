@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-sample construction (ref: src/pm25ml/sample/imputation_sampler.py
+  * and full_model_sampler.py).
+  *
+  * The reference samples `fraction` of the (grid_id, date) keys per 50 km
+  * stratum with polars' seeded sampler. Polars' RNG is not portable, so the
+  * engine defines its own deterministic rule — multiplicative-hash order
+  * with an exact per-group ceil(fraction·count) cutoff — which keeps the
+  * reference's properties (exact per-stratum fraction, reproducibility)
+  * with a documented, engine-independent definition (SURVEY.md §7 "A8").
+  */
+object Sampling {
+
+  /** Deterministic sort key for sampling: multiplicative hash of the row
+    * key columns. Stable across runs, partitionings and engines.
+    */
+  def hashKey(keys: Seq[Column]): Column =
+    pmod(xxhash64(keys: _*), lit(1000000007L))
+
+  /** Mark `fraction` of rows per stratum as "training", the rest "test"
+    * (ref: imputation_sampler.py:75-105 incl. the J8 left join + default).
+    */
+  def stratifiedSplit(df: DataFrame, stratumCol: String, fraction: Double,
+                      keyCols: Seq[String]): DataFrame = {
+    val hk = hashKey(keyCols.map(col))
+    val w = Window.partitionBy(stratumCol).orderBy(hk, col(keyCols.head))
+    val wc = Window.partitionBy(stratumCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .withColumn("split",
+        when(col("__rn") <= ceil(lit(fraction) * col("__cnt")), lit("training"))
+          .otherwise(lit("test")))
+      .drop("__rn", "__cnt")
+  }
+
+  /** Rows eligible for model training: target present and finite
+    * (ref: imputation_sampler.py:69-73, full_model_sampler.py:58-62 —
+    * mind NaN: Spark's isNotNull alone would keep NaNs).
+    */
+  def filterTargetPresent(df: DataFrame, targetCol: String): DataFrame =
+    df.filter(col(targetCol).isNotNull && !isnan(col(targetCol)))
+
+  /** Stride sampling — every `n`-th row of a deterministic order
+    * ("mini" pipeline mode, ref: setup/dependency_injection.py:340-345).
+    */
+  def strideSample(df: DataFrame, orderCols: Seq[String], n: Int): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(pmod(col("__rn") - 1, lit(n)) === 0)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{StageRef, StageStorage}
+import graft.features.FeatureGenerator
+import graft.ml.{ImputationModel, ModelStore, PredictorStats}
+import graft.operators._
+import graft.orchestration.StageRunner
+import graft.spatial.DailySpatialInterpolator
+
+/** End-to-end pipeline facade mirroring the reference's stages s01→s09
+  * (ref: src/pm25ml/run/s01..s09, setup/dependency_injection.py:172-461):
+  *
+  *   combine           → stage=combined_monthly
+  *   spatialImpute     → stage=era5_spatially_imputed
+  *   recombine         → stage=combined_with_spatial_interpolation
+  *   generateFeatures  → stage=generated_features
+  *   sample            → stage=sampled+<model>
+  *   trainImputation   → model store
+  *   imputePredict     → stage=imputed+<model> / stage=imputed
+  *   finalPredict      → stage=final_prediction
+  *   pivot (terminal)  → (time, y, x) cube
+  *
+  * Stage boundaries, names and idempotent skip semantics match the
+  * reference; execution inside each stage is one declarative Spark plan.
+  */
+final class Pm25Pipeline(spark: SparkSession, storage: StageStorage,
+                         grid: DataFrame, nGrids: Long) {
+  import Pm25Pipeline._
+
+  private val runner = new StageRunner(storage)
+
+  /** s01 combine: per month, scaffold each dataset and wide-combine. The
+    * planner resolves which partition each dataset contributes.
+    */
+  def runCombine(months: Seq[String], specs: Seq[CombinePlanner.DatasetSpec],
+                 available: Map[String, Seq[String]],
+                 readDataset: (String, String) => DataFrame): Unit = {
+    val plans = CombinePlanner.plan(months, specs, available, nGrids)
+    plans.foreach { p =>
+      runner.runMonths(CombinedMonthly, Seq(p.month), _ => p.expectedRows, { month =>
+        val tables = p.inputs.map { in =>
+          val raw = readDataset(in.dataset, in.partition)
+          val scaffolded =
+            if (raw.columns.contains("date"))
+              Scaffold.completeForMonth(WideCombiner.normalizeDate(raw), grid, month)
+            else raw
+          in.dataset -> scaffolded
+        }
+        WideCombiner.combine(tables)
+      })
+    }
+  }
+
+  /** s01 spatial imputation of the ERA5 column family (K1). */
+  def runSpatialImpute(months: Seq[String], valueColPattern: String): Unit =
+    runner.runMonths(Era5SpatiallyImputed, months, _ => -1L, { month =>
+      val df = storage.readMonth(CombinedMonthly, month)
+      val valueCols = df.columns.filter(_.matches(valueColPattern)).toSeq
+      val withXy = df.join(
+        broadcast(grid.select(col("grid_id"), col("original_x").as("__x"),
+          col("original_y").as("__y"))), Seq("grid_id"), "left")
+      DailySpatialInterpolator
+        .interpolate(withXy, "date", "__x", "__y", valueCols)
+        .drop("__x", "__y")
+    })
+
+  /** s01 recombine: imputed columns overwrite the originals. */
+  def runRecombine(months: Seq[String]): Unit =
+    runner.runMonths(CombinedWithSpatial, months, _ => -1L, { month =>
+      Recombiner.recombine(Seq(
+        storage.readMonth(CombinedMonthly, month),
+        storage.readMonth(Era5SpatiallyImputed, month)), overwriteColumns = true)
+    })
+
+  /** s02 feature generation per year (two-year slice semantics). Dynamic
+    * partition overwrite replaces only the months of the target year, so
+    * re-running a year is idempotent without clobbering the others.
+    */
+  def runGenerateFeatures(years: Seq[Int], cfg: FeatureGenerator.Config): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    years.foreach { y =>
+      val months = storage.months(CombinedWithSpatial)
+        .filter(m => m.take(4).toInt == y || m.take(4).toInt == y - 1)
+      val slice = storage.scanStage(CombinedWithSpatial)
+        .filter(col("month").isin(months: _*))
+      val out = FeatureGenerator.generate(slice, y, cfg)
+      out.withColumn("month", substring(col("date"), 1, 7))
+        .write.mode("overwrite").partitionBy("month")
+        .parquet(storage.stagePath(GeneratedFeatures))
+    }
+  }
+
+  def scanGeneratedFeatures(): DataFrame =
+    storage.scanStage(GeneratedFeatures)
+
+  /** s03/s06 sampling → stage=sampled+<model>. */
+  def runSample(model: String, targetCol: String, fraction: Double): Unit = {
+    val features = scanGeneratedFeatures()
+    val eligible = Sampling.filterTargetPresent(features, targetCol)
+    val sampled = Sampling.stratifiedSplit(eligible, "grid__id_50km", fraction,
+      Seq("grid_id", "date"))
+    sampled.write.mode("overwrite")
+      .parquet(storage.stagePath(StageRef("sampled", Some(model))))
+  }
+
+  def readSampled(model: String): DataFrame =
+    spark.read.parquet(storage.stagePath(StageRef("sampled", Some(model))))
+
+  /** s04 train: grouped CV + gates, persisted to the model store. */
+  def runTrain(store: ModelStore, model: String, features: Seq[String],
+               target: String, gate: ImputationModel.QualityGate,
+               hp: ImputationModel.Hyperparams, k: Int = 10): ImputationModel.Trained = {
+    val sampled = readSampled(model)
+    val trained = ImputationModel.train(
+      sampled.filter(col("split") === "training"),
+      sampled.filter(col("split") === "test"),
+      features, target, "grid__id_50km", k, hp)
+    gate.check(trained.cv.meanR2)
+    store.save(model, runId(), trained)
+    trained
+  }
+
+  /** s05 impute: predict + K7 stats over all months, write imputed+model. */
+  def runImpute(model: String, trained: ImputationModel.Trained,
+                target: String): Unit = {
+    val features = scanGeneratedFeatures()
+    val predicted = ImputationModel.predict(features, trained, s"${target}__predicted")
+    val withStats = PredictorStats.attach(predicted, target,
+      s"${target}__predicted", trained.cv.meanR2)
+    withStats
+      .select((Seq("grid_id", "date", "month") ++
+        withStats.columns.filter(_.startsWith(s"${target}__"))).map(col): _*)
+      .write.mode("overwrite").partitionBy("month")
+      .parquet(storage.stagePath(StageRef("imputed", Some(model))))
+  }
+
+  private def runId(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd+HH-mm-ss")
+      .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+}
+
+object Pm25Pipeline {
+  val CombinedMonthly: StageRef = StageRef("combined_monthly")
+  val Era5SpatiallyImputed: StageRef = StageRef("era5_spatially_imputed")
+  val CombinedWithSpatial: StageRef = StageRef("combined_with_spatial_interpolation")
+  val GeneratedFeatures: StageRef = StageRef("generated_features")
+  val FinalPrediction: StageRef = StageRef("final_prediction")
+}

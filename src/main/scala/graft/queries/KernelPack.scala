@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.table
+import graft.raster.Regrid
+import graft.spatial.DailySpatialInterpolator
+
+/** The out-of-relational kernels (SURVEY.md §2.9) driven through the
+  * harness tables. Delaunay-barycentric interpolation is not portably
+  * SQL-expressible, so these are rows-only checks; exact numeric behavior
+  * is golden-tested in SpatialSpec / RasterSpec.
+  */
+object KernelPack extends QueryPack {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K1: scatter the part table onto a synthetic 2-D plane, punch
+    // deterministic holes, fill them with linear+nearest interpolation.
+    "k1_spatial_interpolate" -> ((s, dir) => {
+      val pts = table(s, dir, "part")
+        .select(col("p_partkey"),
+          (col("p_partkey") % 25).cast("double").as("x"),
+          (col("p_partkey") / 25).cast("double").as("y"),
+          when(col("p_size") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("p_retailprice")).as("v"))
+        .withColumn("date", lit("2024-01-01"))
+      DailySpatialInterpolator.interpolate(pts, "date", "x", "y", Seq("v"))
+        .select(col("p_partkey"), round(col("v"), 4).as("v_filled"))
+        .orderBy("p_partkey")
+    }),
+
+    // K2: regrid a coarse raster (built from the region table) onto
+    // customer "coordinates" by bilinear interpolation.
+    "k2_regrid_bilinear" -> ((s, dir) => {
+      val rasterDf = s.range(0, 25).select(
+        ((col("id") % 5) * 10).cast("double").as("lat"),
+        (floor(col("id") / 5) * 10).cast("double").as("lon"),
+        ((col("id") % 5) * 10 + floor(col("id") / 5) * 10 * 2).cast("double").as("value"))
+      val raster = Regrid.toRaster(rasterDf)
+      val targets = table(s, dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_custkey") % 40).cast("double").as("lat"),
+          (col("c_custkey") % 35).cast("double").as("lon"))
+      Regrid.interpolateAt(targets, raster, "linear")
+        .select(col("c_custkey"), round(col("value"), 4).as("value"))
+        .orderBy("c_custkey")
+    }))
+
+  // K2 on a bilinear field is exact → the oracle computes the plane
+  // directly (lat + 2·lon; all targets fall inside the raster extent).
+  def oracles: Map[String, String] = Map(
+    "k2_regrid_bilinear" ->
+      """SELECT c_custkey,
+         ROUND(CAST(c_custkey % 40 AS DOUBLE)
+             + 2 * CAST(c_custkey % 35 AS DOUBLE), 4) AS value
+         FROM customer ORDER BY c_custkey""")
+}

@@ -1,0 +1,172 @@
+package graft.spatial
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Delaunay triangulation via Bowyer–Watson with an x-sweep completion
+  * optimization (public classic algorithm; cf. Bowyer 1981 / Watson 1981
+  * and the s-hull variant): points are inserted in x order and triangles
+  * whose circumcircle lies entirely left of the sweep line are retired,
+  * keeping the active set small — near O(n log n) in practice.
+  *
+  * Used by [[DailySpatialInterpolator]] to reproduce scipy
+  * `griddata(method="linear")` semantics (barycentric interpolation inside
+  * the convex hull) as in
+  * ref: src/pm25ml/imputation/spatial/daily_spatial_interpolator.py:31-114.
+  */
+object Delaunay {
+
+  /** Triangle by point indices, with cached circumcircle. */
+  final case class Tri(a: Int, b: Int, c: Int, cx: Double, cy: Double, r2: Double)
+
+  final class Triangulation(val px: Array[Double], val py: Array[Double],
+                            val triangles: Array[Tri]) {
+
+    private val cell = buildIndex()
+    private def buildIndex(): (Double, Double, Double, Int, Array[ArrayBuffer[Int]]) = {
+      if (triangles.isEmpty) return (0, 0, 1, 1, Array(ArrayBuffer.empty[Int]))
+      var minX = Double.MaxValue; var minY = Double.MaxValue
+      var maxX = Double.MinValue; var maxY = Double.MinValue
+      var i = 0
+      while (i < px.length) {
+        if (px(i) < minX) minX = px(i); if (px(i) > maxX) maxX = px(i)
+        if (py(i) < minY) minY = py(i); if (py(i) > maxY) maxY = py(i)
+        i += 1
+      }
+      val n = math.max(1, math.sqrt(triangles.length.toDouble).toInt)
+      val w = math.max(1e-12, math.max(maxX - minX, maxY - minY) / n)
+      val buckets = Array.fill(n * n)(ArrayBuffer.empty[Int])
+      def clamp(v: Int) = math.min(n - 1, math.max(0, v))
+      triangles.zipWithIndex.foreach { case (t, ti) =>
+        val xs = Array(px(t.a), px(t.b), px(t.c))
+        val ys = Array(py(t.a), py(t.b), py(t.c))
+        val c0 = clamp(((xs.min - minX) / w).toInt); val c1 = clamp(((xs.max - minX) / w).toInt)
+        val r0 = clamp(((ys.min - minY) / w).toInt); val r1 = clamp(((ys.max - minY) / w).toInt)
+        var cc = c0
+        while (cc <= c1) {
+          var rr = r0
+          while (rr <= r1) { buckets(rr * n + cc) += ti; rr += 1 }
+          cc += 1
+        }
+      }
+      (minX, minY, w, n, buckets)
+    }
+
+    /** Barycentric weights of (x,y) in triangle t; None if degenerate. */
+    def barycentric(t: Tri, x: Double, y: Double): Option[(Double, Double, Double)] = {
+      val x1 = px(t.a); val y1 = py(t.a)
+      val x2 = px(t.b); val y2 = py(t.b)
+      val x3 = px(t.c); val y3 = py(t.c)
+      val det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+      if (math.abs(det) < 1e-300) return None
+      val w1 = ((y2 - y3) * (x - x3) + (x3 - x2) * (y - y3)) / det
+      val w2 = ((y3 - y1) * (x - x3) + (x1 - x3) * (y - y3)) / det
+      Some((w1, w2, 1.0 - w1 - w2))
+    }
+
+    /** Find the triangle containing (x,y) and its barycentric weights, via
+      * the bucket index. Tolerance admits points on edges/vertices.
+      */
+    def locate(x: Double, y: Double): Option[(Tri, (Double, Double, Double))] = {
+      val (minX, minY, w, n, buckets) = cell
+      def clamp(v: Int) = math.min(n - 1, math.max(0, v))
+      val bucket = buckets(clamp(((y - minY) / w).toInt) * n + clamp(((x - minX) / w).toInt))
+      val eps = 1e-9
+      var i = 0
+      while (i < bucket.length) {
+        val t = triangles(bucket(i))
+        barycentric(t, x, y) match {
+          case Some((w1, w2, w3)) if w1 >= -eps && w2 >= -eps && w3 >= -eps =>
+            return Some((t, (w1, w2, w3)))
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    }
+  }
+
+  /** Triangulate the given points. Returns an empty triangulation for
+    * fewer than 3 points or fully collinear input.
+    */
+  def triangulate(pxIn: Array[Double], pyIn: Array[Double]): Triangulation = {
+    val n = pxIn.length
+    if (n < 3) return new Triangulation(pxIn, pyIn, Array.empty)
+
+    val order = (0 until n).sortBy(i => (pxIn(i), pyIn(i))).toArray
+
+    // super-triangle enclosing everything
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = Double.MinValue; var maxY = Double.MinValue
+    var i = 0
+    while (i < n) {
+      if (pxIn(i) < minX) minX = pxIn(i); if (pxIn(i) > maxX) maxX = pxIn(i)
+      if (pyIn(i) < minY) minY = pyIn(i); if (pyIn(i) > maxY) maxY = pyIn(i)
+      i += 1
+    }
+    val dmax = math.max(maxX - minX, maxY - minY).max(1e-9)
+    val midX = (minX + maxX) / 2; val midY = (minY + maxY) / 2
+    val px = pxIn ++ Array(midX - 20 * dmax, midX, midX + 20 * dmax)
+    val py = pyIn ++ Array(midY - dmax, midY + 20 * dmax, midY - dmax)
+    val s1 = n; val s2 = n + 1; val s3 = n + 2
+
+    def circum(a: Int, b: Int, c: Int): Option[Tri] = {
+      val ax = px(a); val ay = py(a)
+      val bx = px(b); val by = py(b)
+      val cx0 = px(c); val cy0 = py(c)
+      val d = 2 * (ax * (by - cy0) + bx * (cy0 - ay) + cx0 * (ay - by))
+      if (math.abs(d) < 1e-300) return None
+      val ux = ((ax * ax + ay * ay) * (by - cy0) + (bx * bx + by * by) * (cy0 - ay) +
+        (cx0 * cx0 + cy0 * cy0) * (ay - by)) / d
+      val uy = ((ax * ax + ay * ay) * (cx0 - bx) + (bx * bx + by * by) * (ax - cx0) +
+        (cx0 * cx0 + cy0 * cy0) * (bx - ax)) / d
+      val r2 = (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)
+      Some(Tri(a, b, c, ux, uy, r2))
+    }
+
+    var active = ArrayBuffer(circum(s1, s2, s3).get)
+    val done = ArrayBuffer.empty[Tri]
+
+    var oi = 0
+    while (oi < order.length) {
+      val p = order(oi)
+      val x = px(p); val y = py(p)
+
+      // retire triangles whose circumcircle cannot contain any later point
+      var k = 0
+      while (k < active.length) {
+        val t = active(k)
+        if (t.cx + math.sqrt(t.r2) < x - 1e-12) {
+          done += t
+          active(k) = active.last
+          active.remove(active.length - 1)
+        } else k += 1
+      }
+
+      // bad triangles: circumcircle contains p
+      val edges = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      k = 0
+      while (k < active.length) {
+        val t = active(k)
+        val dx = x - t.cx; val dy = y - t.cy
+        if (dx * dx + dy * dy <= t.r2 * (1 + 1e-12)) {
+          // record boundary edges of the cavity
+          Seq((t.a, t.b), (t.b, t.c), (t.c, t.a)).foreach { case (u, v) =>
+            val key = if (u < v) (u, v) else (v, u)
+            edges(key) = edges.getOrElse(key, 0) + 1
+          }
+          active(k) = active.last
+          active.remove(active.length - 1)
+        } else k += 1
+      }
+      edges.foreach { case ((u, v), cnt) =>
+        if (cnt == 1) circum(u, v, p).foreach(active += _)
+      }
+      oi += 1
+    }
+    done ++= active
+
+    val tris = done.filter(t =>
+      t.a < n && t.b < n && t.c < n).toArray
+    new Triangulation(pxIn, pyIn, tris)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class MlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // learnable synthetic target: y = 3*x1 - 2*x2 + small deterministic noise
+  private def synth(n: Int) = {
+    val rnd = new scala.util.Random(42)
+    (1 to n).map { i =>
+      val x1 = rnd.nextDouble() * 10
+      val x2 = rnd.nextDouble() * 10
+      val y = 3 * x1 - 2 * x2 + rnd.nextGaussian() * 0.1
+      (i.toLong, (i % 20).toLong, x1, x2, y)
+    }.toDF("id", "group50km", "x1", "x2", "y")
+  }
+
+  test("grouped CV train reaches high R² and respects fold grouping") {
+    val df = synth(2000)
+    val trained = ImputationModel.train(
+      df.filter(col("id") % 5 =!= 0), df.filter(col("id") % 5 === 0),
+      features = Seq("x1", "x2"), target = "y", groupCol = "group50km",
+      k = 5, ImputationModel.Hyperparams(maxIter = 20))
+    assert(trained.cv.meanR2 > 0.9, s"cv=${trained.cv.meanR2}")
+    assert(trained.testR2 > 0.9, s"test=${trained.testR2}")
+    // every group hashes to exactly one fold
+    val folds = ImputationModel.withFold(df, "group50km", 5)
+      .groupBy("group50km").agg(countDistinct("__fold").as("nf"))
+      .select(max("nf")).as[Long].head()
+    assert(folds === 1L)
+    // quality gate: passes in range, throws outside
+    ImputationModel.QualityGate(0.8, 1.0).check(trained.cv.meanR2)
+    assertThrows[IllegalArgumentException] {
+      ImputationModel.QualityGate(0.99999, 1.0).check(0.5)
+    }
+  }
+
+  test("predictor stats columns (K7) incl. per-date share and rolling") {
+    val df = Seq(
+      (1L, "2023-01-01", Some(10.0), 11.0f),
+      (1L, "2023-01-02", None, 12.0f),      // imputed
+      (1L, "2023-01-03", Some(14.0), 13.0f),
+      (2L, "2023-01-01", None, 20.0f),      // imputed
+      (2L, "2023-01-02", Some(21.0), 22.0f),
+      (2L, "2023-01-03", Some(23.0), 24.0f)
+    ).toDF("grid_id", "date", "aod", "pred")
+    val out = PredictorStats.attach(df, "aod", "pred", meanCvR2 = 0.85)
+      .orderBy("grid_id", "date").collect()
+
+    def f(r: org.apache.spark.sql.Row, c: String) = r.getAs[Float](c)
+    val r12 = out(1) // grid 1, day 2 (imputed)
+    assert(r12.getAs[Int]("aod__imputed_flag") === 1)
+    assert(f(r12, "aod__imputed") === 12.0f)
+    assert(math.abs(f(r12, "aod__score") - 12.0f * 0.85f) < 1e-4)
+    val r11 = out(0) // grid 1 day 1 (original)
+    assert(r11.getAs[Int]("aod__imputed_flag") === 0)
+    assert(f(r11, "aod__imputed") === 10.0f)
+    assert(f(r11, "aod__score") === 10.0f)
+    // share imputed on 01-01: grids {1:orig, 2:imputed} → 0.5
+    assert(f(r11, "aod__share_imputed_across_all_grids") === 0.5f)
+    // rolling 7d of __imputed for grid 1 day 3: mean(10, 12, 14)
+    assert(math.abs(f(out(2), "aod__imputed_r7d") - 12.0f) < 1e-4)
+  }
+
+  test("model store: save, latest-run resolution, round-trip load") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-models").toString
+    val store = new ModelStore(spark, tmp)
+    val df = synth(300)
+    val trained = ImputationModel.train(df, df, Seq("x1", "x2"), "y",
+      "group50km", k = 3, ImputationModel.Hyperparams(maxIter = 5))
+    store.save("aod", "2023-01-01+00-00-00", trained)
+    store.save("aod", "2023-06-01+00-00-00", trained)
+    assert(store.latestRun("aod") === Some("2023-06-01+00-00-00"))
+    assert(store.latestRun("nope") === None)
+    val loaded = store.loadModel("aod", "2023-06-01+00-00-00")
+    assert(loaded.getNumTrees === trained.model.getNumTrees)
+    assert(store.loadMetricsJson("aod", "2023-06-01+00-00-00").contains("mean_r2"))
+  }
+}
