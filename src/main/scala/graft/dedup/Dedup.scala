@@ -30,15 +30,13 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** Word k-shingles (k consecutive whitespace tokens joined by a space) —
-    * distinct per document.
+    * distinct per document, first-occurrence order. Native one-pass kernel
+    * ([[graft.functions.expressions.WordShinglesExpr]]); the composed
+    * transform/slice version re-ran the regex split per lambda element.
     */
   def wordShingles(text: Column, k: Int): Column = {
-    val toks = TextFunctions.wsTokens(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => when(i + k <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(k))))),
-        s => s.isNotNull))
+    import org.apache.spark.sql.graftbridge.Bridge._
+    toColumn(graft.functions.expressions.WordShinglesExpr(toExpr(text), k))
   }
 
   /** Exact Jaccard similarity of two string-array columns. */
@@ -51,16 +49,15 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature (array of `numHashes` longs) of a string-array
-    * shingle column. Pure column composition: hash function i is
-    * xxhash64 with a per-function salt suffix (overflow-free — Spark 4
-    * runs ANSI mode by default, so a·x+b style permutations on raw 64-bit
-    * hashes would raise ARITHMETIC_OVERFLOW); the signature entry is the
-    * min over the shingle set.
+    * shingle column — one-pass native kernel
+    * ([[graft.functions.expressions.MinHashSignatureExpr]]): per shingle,
+    * all salted XXH64 hashes; per hash function, the min. The composed
+    * `transform`/`array_min` alternative overflows codegen at 128 hashes
+    * and falls back to interpreted eval (~150× slower measured).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(i))))
-    }: _*)
+    graft.functions.expressions.MinHashExpressions
+      .minhash_signature(shingles, numHashes)
 
   /** LSH band keys: the signature split into `bands` rows of
     * `numHashes/bands` values, each band hashed to one bucket key.
@@ -92,15 +89,24 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("doc"), wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+    // candidates first, ids only — the banded self-join must not drag the
+    // shingle arrays through the shuffle (bands × |docs| rows). Band keys
+    // come from one native pass (signature + per-band chain hash) and are
+    // flattened to primitive (band, bucket) join columns.
     val banded = sh
-      .select(col("doc"), col("sh"),
-        explode(bandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand))
-          .as("bk"))
-    val l = banded.select(col("bk"), col("doc").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("bk"), col("doc").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("bk"))
+      .select(col("doc"), posexplode(
+        graft.functions.expressions.MinHashExpressions
+          .minhash_bands(col("sh"), numHashes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val candidates = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    // verification joins fetch the (small relative to candidates) sets back
+    candidates
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -126,9 +132,11 @@ object Dedup {
           (shiftrightunsigned(col("fp"), i * bits) bitwiseAND
             lit((1L << bits) - 1)).as("v"))
       }: _*)).as("ck"))
-    val l = keyed.select(col("ck"), col("doc").as("id_a"), col("fp").as("fp_a"))
-    val r = keyed.select(col("ck"), col("doc").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("ck"))
+      // primitive join keys — struct keys degrade to a non-hashable join
+      .select(col("doc"), col("fp"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
+    val l = keyed.select(col("chunk"), col("v"), col("doc").as("id_a"), col("fp").as("fp_a"))
+    val r = keyed.select(col("chunk"), col("v"), col("doc").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("chunk", "v"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("fp_a") bitwiseXOR col("fp_b")))
@@ -148,8 +156,10 @@ object Dedup {
     val sh = docs.select(col(idCol).as("doc"),
         wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+    // join on 64-bit shingle hashes, not the strings — far narrower shuffle
     val inv = sh.select(col("doc"), size(col("sh")).as("n"),
-      explode(col("sh")).as("g"))
+      explode(col("sh")).as("g0"))
+      .select(col("doc"), col("n"), xxhash64(col("g0")).as("g"))
     val l = inv.select(col("g"), col("doc").as("id_a"), col("n").as("n_a"))
     val r = inv.select(col("g"), col("doc").as("id_b"), col("n").as("n_b"))
     l.join(r, Seq("g"))

@@ -30,16 +30,34 @@ object KnnJoin {
 
   /** For each left row, the k nearest right rows by haversine distance.
     * `right` must be dimension-sized (it is broadcast whole).
+    *
+    * k=1 avoids the rank window entirely: a lexicographic `min(struct)`
+    * aggregation with map-side partial combine — the |left|×|right|
+    * candidate rows never shuffle, only one row per left key does.
     */
   def nearest(left: DataFrame, right: DataFrame, k: Int,
               leftKey: String, leftLat: String, leftLon: String,
               rightKey: String, rightLat: String, rightLon: String): DataFrame = {
     val dist = haversineKm(col(leftLat), col(leftLon), col(rightLat), col(rightLon))
-    val w = Window.partitionBy(leftKey).orderBy(col("dist_km"), col(rightKey))
-    left.crossJoin(broadcast(right))
-      .withColumn("dist_km", dist)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    val crossed = left.crossJoin(broadcast(right)).withColumn("dist_km", dist)
+    if (k == 1) {
+      val rightCols = right.columns.toSeq :+ "dist_km"
+      val leftCols = left.columns.filterNot(_ == leftKey).toSeq
+      val best = crossed
+        .groupBy(col(leftKey))
+        .agg(min(struct((Seq("dist_km", rightKey) ++ leftCols ++
+          rightCols.filterNot(c => c == rightKey || c == "dist_km"))
+          .map(col): _*)).as("__best"))
+      (Seq("dist_km", rightKey) ++ leftCols ++
+        rightCols.filterNot(c => c == rightKey || c == "dist_km"))
+        .foldLeft(best)((d, c) => d.withColumn(c, col("__best").getField(c)))
+        .drop("__best")
+    } else {
+      val w = Window.partitionBy(leftKey).orderBy(col("dist_km"), col(rightKey))
+      crossed
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .drop("__rk")
+    }
   }
 }

@@ -25,18 +25,19 @@ object JoinPack extends QueryPack {
     }),
 
     // J6/K3: 1-NN join — for each customer the nearest supplier in account-
-    // balance space; broadcast the small side, rank by distance. The same
-    // plan shape implements the reference's station→grid haversine KNN.
+    // balance space. Broadcast the small side; k=1 resolves with a
+    // lexicographic min(struct) aggregate (map-side combine — the cross
+    // candidates never shuffle), not a rank window. Same plan shape as the
+    // reference's station→grid haversine KNN.
     "j6_knn_join" -> ((s, dir) => {
       val c = table(s, dir, "customer")
       val sup = table(s, dir, "supplier")
-      val w = Window.partitionBy("c_custkey")
-        .orderBy(col("dist"), col("s_suppkey"))
       c.crossJoin(broadcast(sup))
         .withColumn("dist", abs(col("c_acctbal") - col("s_acctbal")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("c_custkey"), col("s_suppkey"), round(col("dist"), 2).as("dist"))
+        .groupBy("c_custkey")
+        .agg(min(struct(col("dist"), col("s_suppkey"))).as("best"))
+        .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
+          round(col("best.dist"), 2).as("dist"))
         .orderBy("c_custkey")
     }),
 

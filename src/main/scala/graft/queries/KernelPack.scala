@@ -14,16 +14,20 @@ import graft.spatial.DailySpatialInterpolator
 object KernelPack extends QueryPack {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // K1: scatter the part table onto a synthetic 2-D plane, punch
-    // deterministic holes, fill them with linear+nearest interpolation.
+    // K1: scatter the part table onto a synthetic 2-D plane (hash-scattered
+    // coordinates — regular lattices are the Delaunay worst case), punch
+    // deterministic holes, fill them per "date" group with linear+nearest
+    // interpolation. Four date groups exercise the per-day parallelism.
     "k1_spatial_interpolate" -> ((s, dir) => {
       val pts = table(s, dir, "part")
         .select(col("p_partkey"),
-          (col("p_partkey") % 25).cast("double").as("x"),
-          (col("p_partkey") / 25).cast("double").as("y"),
+          (pmod(col("p_partkey") * 2654435761L, lit(100000L)).cast("double") / 100.0)
+            .as("x"),
+          (pmod(col("p_partkey") * 40503L + 7L, lit(100000L)).cast("double") / 100.0)
+            .as("y"),
           when(col("p_size") % 7 === 0, lit(null).cast("double"))
-            .otherwise(col("p_retailprice")).as("v"))
-        .withColumn("date", lit("2024-01-01"))
+            .otherwise(col("p_retailprice")).as("v"),
+          concat(lit("2024-01-0"), (col("p_partkey") % 4 + 1)).as("date"))
       DailySpatialInterpolator.interpolate(pts, "date", "x", "y", Seq("v"))
         .select(col("p_partkey"), round(col("v"), 4).as("v_filled"))
         .orderBy("p_partkey")

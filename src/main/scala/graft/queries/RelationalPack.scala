@@ -94,13 +94,16 @@ object RelationalPack extends QueryPack {
 
     // A2: per-group exact quantiles + IQR (ref: collectors/pm25/data_source.py:63-78).
     "a2_group_quantiles" -> ((s, dir) => {
+      // one percentile pass per bound; iqr derived, not recomputed
       table(s, dir, "events")
         .groupBy("user_id")
         .agg(
-          round(expr("percentile(value, 0.25)"), 4).as("q1"),
-          round(expr("percentile(value, 0.75)"), 4).as("q3"),
-          round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 4)
-            .as("iqr"))
+          expr("percentile(value, 0.25)").as("__q1"),
+          expr("percentile(value, 0.75)").as("__q3"))
+        .select(col("user_id"),
+          round(col("__q1"), 4).as("q1"),
+          round(col("__q3"), 4).as("q3"),
+          round(col("__q3") - col("__q1"), 4).as("iqr"))
         .orderBy("user_id")
     }),
 
@@ -126,8 +129,9 @@ object RelationalPack extends QueryPack {
     "p7_label_filter_chain" -> ((s, dir) => {
       val ev = table(s, dir, "events")
       val stats = ev.groupBy("user_id")
-        .agg(expr("percentile(value, 0.75)").as("q3"),
-             expr("percentile(value, 0.75) - percentile(value, 0.25)").as("iqr"))
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+             expr("percentile(value, 0.75)").as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
       val w5 = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(-4, 0)
       ev.join(stats, Seq("user_id"))

@@ -22,13 +22,16 @@ object Ann {
   /** Element-wise double view of a float embedding. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Index-order dot product of two double arrays. */
+  /** Index-order dot product of two double arrays — native kernel (the
+    * `aggregate(zip_with(...))` composition pays per-element lambda
+    * dispatch; see [[graft.functions.expressions.DotProductExpr]]).
+    * Identical left-to-right summation order either way.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.VectorExpressions.dot_product(a, b)
 
   /** Index-order L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0 when either side has zero norm. */
   def cosine(a: Column, b: Column): Column = {
@@ -48,14 +51,20 @@ object Ann {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      queryId: String = "query_id", corpusId: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    // norms hoisted to the per-vector frames: computing them inside the
+    // pair expression would re-traverse both arrays for every pair
     val q = queries.select(col(queryId).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(corpusId).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"))
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -99,13 +108,17 @@ object Ann {
     val q = queries.select(col(queryId).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), hp))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(corpusId).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), hp))
+      .withColumn("cn", norm(col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("bucket"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -119,11 +132,14 @@ object Ann {
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val l = v.select(col("id").as("id_a"), col("v").as("va"))
-    val r = v.select(col("id").as("id_b"), col("v").as("vb"))
+      .withColumn("n", norm(col("v")))
+    val l = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val r = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     l.crossJoin(r)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
