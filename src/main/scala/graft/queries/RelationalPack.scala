@@ -161,6 +161,19 @@ object RelationalPack extends QueryPack {
       a.unionByName(b).orderBy("event_id")
     }),
 
+    // A10: CV-metric style aggregation — mean/stddev/min/max of per-group
+    // scores (ref: training/imputation_model_pipeline.py:188-198).
+    "a10_metric_summary" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy("event_type")
+        .agg(round(avg("n"), 4).as("mean_n"),
+             round(stddev_samp(col("n")), 4).as("std_n"),
+             min("n").as("min_n"), max("n").as("max_n"))
+        .orderBy("event_type")
+    }),
+
     // A6/P6: distinct over a date-range predicate (ref: pm25_pipeline.py:131-137).
     "a6_distinct_daterange" -> ((s, dir) => {
       table(s, dir, "events")
@@ -252,6 +265,13 @@ object RelationalPack extends QueryPack {
          UNION ALL
          SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
          ORDER BY event_id""",
+    "a10_metric_summary" ->
+      """WITH d AS (SELECT user_id, event_type, COUNT(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, ROUND(AVG(n), 4) AS mean_n,
+           ROUND(STDDEV_SAMP(n), 4) AS std_n,
+           MIN(n) AS min_n, MAX(n) AS max_n
+         FROM d GROUP BY event_type ORDER BY event_type""",
     "a6_distinct_daterange" ->
       """SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s
          FROM events

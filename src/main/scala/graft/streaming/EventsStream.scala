@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events table.
+  *
+  * The reference has no unbounded sources (SURVEY.md §2.10) — its
+  * incremental behavior is idempotent batch re-entrancy, reproduced by
+  * [[graft.orchestration.StageRunner]]. This module covers the engine's
+  * streaming surface for event-log workloads: watermarked windowed
+  * aggregation and stateful sessionization, the two canonical shapes.
+  * `Trigger.AvailableNow` turns any of these into an incremental batch
+  * job over a growing directory — the streaming-native equivalent of the
+  * reference's skip logic.
+  */
+object EventsStream {
+
+  /** Schema of the harness events table once nanos are read as long. */
+  val eventsDdl: String =
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** File-streaming source over a directory of events parquet files.
+    * ts arrives as TIMESTAMP(NANOS) → read as long, converted to micros.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(eventsDdl))
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation: per (window, event_type)
+    * counts and exact decimal sums. Late events beyond the watermark are
+    * dropped; state is bounded by watermark horizon × window count.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  // ------------------------------------------------------- sessionization
+
+  final case class SessionUpdate(userId: Long, sessionStart: Long,
+                                 sessionEnd: Long, nEvents: Int, closed: Boolean)
+  /** Per-user session accumulator (public: the state encoder's generated
+    * code must reach the constructor/accessors).
+    */
+  final case class SessionState(start: Long, last: Long, n: Int)
+
+  /** Gap-based sessionization with explicit state: a user's session closes
+    * after `gapMs` of inactivity (processing-time timeout drives closure
+    * between batches). Demonstrates KeyValueGroupedDataset +
+    * flatMapGroupsWithState for semantics windows can't express.
+    */
+  def sessionize(events: DataFrame, gapMs: Long): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long],
+        (col("ts").cast("double") * 1000).cast("long").as[Long])
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.start, s.last, s.n, closed = true))
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  out += SessionUpdate(userId, s.start, s.last, s.n, closed = true)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+              out += SessionUpdate(userId, s.start, s.last, s.n, closed = false)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Run a streaming frame over currently-available data and return the
+    * result: Trigger.AvailableNow processes everything then terminates the
+    * query itself — the streaming-native incremental batch run (stateful
+    * operators with processing-time timeouts never settle under
+    * processAllAvailable, which would block forever).
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: String = "append"): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(300000) finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

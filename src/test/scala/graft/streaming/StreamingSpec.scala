@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Stage the harness events file into a streaming source directory. */
+  private def stageEventsDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/part-0.parquet"))
+    dir
+  }
+
+  test("windowed counts over the stream match the batch equivalent") {
+    val dir = stageEventsDir()
+    val stream = EventsStream.readEvents(spark, dir)
+    val got = EventsStream.runToMemory(
+      EventsStream.windowedCounts(stream, "1 hour", "2 hours"),
+      "win_counts", mode = "complete")
+
+    val batch = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+    val g = got.orderBy("window_start", "event_type").collect()
+    val b = batch.orderBy("window_start", "event_type").collect()
+    assert(g.length === b.length && g.length > 0)
+    assert(g.toSeq === b.toSeq)
+  }
+
+  test("incremental arrival: second file extends the aggregation") {
+    val dir = stageEventsDir()
+    val stream = EventsStream.windowedCounts(
+      EventsStream.readEvents(spark, dir), "1 hour", "2 hours")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("inc_counts").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("inc_counts").agg(sum("n")).as[Long].head()
+      // drop a second copy of the file in → counts double
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+      val n2 = spark.table("inc_counts").agg(sum("n")).as[Long].head()
+      assert(n1 === 1000L && n2 === 2000L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions at the inactivity gap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    // two users; user 1 has two bursts separated by > gap, user 2 one burst
+    val nanos = (ms: Long) => ms * 1000000L
+    Seq(
+      (1L, nanos(0L), 1L, "click", 1.0, "{}"),
+      (2L, nanos(60000L), 1L, "click", 1.0, "{}"),
+      (3L, nanos(10000000L), 1L, "click", 1.0, "{}"), // new session
+      (4L, nanos(30000L), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/batch0")
+    val stream = EventsStream.readEvents(spark, s"$dir/batch0")
+    val out = EventsStream.runToMemory(
+      EventsStream.sessionize(stream, gapMs = 30 * 60 * 1000).toDF(), "sessions")
+      .collect()
+    // user 1: one closed session (2 events) + one open (1 event); user 2: open (1)
+    val closed = out.filter(_.getAs[Boolean]("closed"))
+    val open = out.filter(!_.getAs[Boolean]("closed"))
+    assert(closed.length === 1)
+    assert(closed.head.getAs[Long]("userId") === 1L)
+    assert(closed.head.getAs[Int]("nEvents") === 2)
+    assert(open.map(r => r.getAs[Long]("userId")).toSet === Set(1L, 2L))
+  }
+}
