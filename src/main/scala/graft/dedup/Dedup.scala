@@ -144,6 +144,29 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ----------------------------------------------------------- winnowing
+
+  /** Fingerprint-overlap near-duplicate pairs: docs sharing at least
+    * `minShared` winnowed k-gram hashes ([[graft.text.Winnow]] — the
+    * MOSS-style containment detector, robust to reordering/insertion at
+    * character level where shingle jaccard is word-level). Inverted-index
+    * join on fingerprint hashes, like the n-gram path.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  minShared: Int = 10): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(
+        graft.functions.expressions.TextExpressions.winnow_fingerprint(col(textCol))))
+        .as("h"))
+    val l = fp.select(col("h"), col("doc").as("id_a"))
+    val r = fp.select(col("h"), col("doc").as("id_b"))
+    l.join(r, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ------------------------------------------------- pairwise n-gram path
 
   /** Brute n-gram Jaccard pairs via a shingle inverted index (shares the

@@ -1,0 +1,77 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.KnnJoin
+
+/** The ground-measurement ingest chain
+  * (ref: src/pm25ml/collectors/pm25/data_source.py and pm25_pipeline.py):
+  * station metadata with python-dict coordinate strings, per-station
+  * robust statistics, quality-filter markers, nearest-grid attachment,
+  * and the daily per-cell mean.
+  */
+object Pm25Source {
+
+  /** F13 — parse `"{'longitude': 77.2, 'latitude': 28.6}"`-style coordinate
+    * strings (python dict repr; ref: data_source.py:99-113) without a UDF.
+    */
+  def parseLongitude(c: Column): Column =
+    regexp_extract(c, "'longitude'\\s*:\\s*(-?[0-9.]+)", 1).cast("double")
+  def parseLatitude(c: Column): Column =
+    regexp_extract(c, "'latitude'\\s*:\\s*(-?[0-9.]+)", 1).cast("double")
+
+  /** A2/F15 — per-station exact quartiles + IQR (ref: data_source.py:63-78). */
+  def stationStats(measurements: DataFrame): DataFrame =
+    measurements.groupBy("location_id")
+      .agg(expr("percentile(value, 0.25)").as("station_q1"),
+           expr("percentile(value, 0.75)").as("station_q3"))
+      .withColumn("station_iqr", col("station_q3") - col("station_q1"))
+
+  /** P7/P8/W6 — the marker filter chain (ref: setup/pm25_filters.py:7-82):
+    * max-value, IQR-anomaly and repeating-value (full-5-window rolling
+    * mean) markers; rows marked drop are removed.
+    */
+  def applyQualityFilters(measurements: DataFrame, stats: DataFrame,
+                          maxValue: Double = 999.99,
+                          iqrFactor: Double = 15.0,
+                          repeatTolerance: Double = 0.05): DataFrame = {
+    val w5 = Window.partitionBy("location_id").orderBy("date")
+      .rowsBetween(-4, 0)
+    measurements.join(stats, Seq("location_id"))
+      .withColumn("__rmean5",
+        when(count(col("value")).over(w5) === 5, avg(col("value")).over(w5)))
+      .withColumn("__label", lit("keep"))
+      .withColumn("__label",
+        when(col("value") >= maxValue, "drop").otherwise(col("__label")))
+      .withColumn("__label",
+        when(col("value") > col("station_q3") + lit(iqrFactor) * col("station_iqr"),
+          "drop").otherwise(col("__label")))
+      .withColumn("__label",
+        when(abs(col("value") - col("__rmean5")) < repeatTolerance, "drop")
+          .otherwise(col("__label")))
+      .filter(col("__label") === "keep")
+      .drop("__label", "__rmean5", "station_q1", "station_q3", "station_iqr")
+  }
+
+  /** J6/K3 — attach each station to its nearest grid cell (haversine k=1,
+    * broadcast grid; ref: pm25_pipeline.py:166-189).
+    */
+  def attachNearestGrid(stations: DataFrame, grid: DataFrame): DataFrame =
+    KnnJoin.nearest(
+      stations.select(col("id"),
+        parseLatitude(col("coordinates")).as("s_lat"),
+        parseLongitude(col("coordinates")).as("s_lon")),
+      grid.select(col("grid_id"), col("lat"), col("lon")),
+      k = 1, "id", "s_lat", "s_lon", "grid_id", "lat", "lon")
+      .select(col("id").as("location_id"), col("grid_id"), col("dist_km"))
+
+  /** A1 — filtered measurements × station→grid map → per (grid_id, date)
+    * mean named pm25 (ref: pm25_pipeline.py:64-70,100-107).
+    */
+  def dailyGridMeans(filtered: DataFrame, stationGrid: DataFrame): DataFrame =
+    filtered.join(stationGrid, Seq("location_id"))
+      .groupBy("grid_id", "date")
+      .agg(avg("value").as("pm25"))
+}

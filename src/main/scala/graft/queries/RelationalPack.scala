@@ -40,6 +40,40 @@ object RelationalPack extends QueryPack {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // P1/P2: projection + dataset-prefix rename (the wide-combine
+    // namespacing, ref: combiners/archive/combiner.py:181-208).
+    "p2_prefix_rename" -> ((s, dir) => {
+      graft.operators.WideCombiner
+        .prefixColumns(table(s, dir, "region"), "region")
+        .orderBy("region__r_regionkey")
+    }),
+
+    // P3: regex column projection (ref: spatial_imputation_manager.py:54-59).
+    "p3_regex_projection" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val picked = li.columns.filter(_.matches("^l_(orderkey|linenumber|.*price|discount)$"))
+      li.select(picked.map(col).toIndexedSeq: _*)
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    // S6/S7/P4: partitioned stage write → hive scan → partition-pruned
+    // read-back, checked against an independent recomputation
+    // (ref: combined_storage.py:130-183).
+    "s6_partitioned_roundtrip" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(DEC)).as("total"))
+        .withColumn("month", date_format(col("day"), "yyyy-MM"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      val root = java.nio.file.Files.createTempDirectory("graft-s6").toString
+      val storage = new graft.core.StageStorage(s, root)
+      storage.writePartitioned(daily, graft.core.StageRef("daily_user"))
+      storage.scanStage(graft.core.StageRef("daily_user"))
+        .filter(col("month") === "2024-02")
+        .select("user_id", "day", "n", "total")
+        .orderBy("user_id", "day")
+    }),
+
     // J1: N-way inner combine on shared keys; small dims broadcast
     // (ref: combiners/archive/combiner.py:132-179 joins on key intersection).
     "j1_wide_combine" -> ((s, dir) => {
@@ -197,6 +231,18 @@ object RelationalPack extends QueryPack {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "p2_prefix_rename" ->
+      """SELECT r_regionkey AS region__r_regionkey, r_name AS region__r_name
+         FROM region ORDER BY region__r_regionkey""",
+    "p3_regex_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
+    "s6_partitioned_roundtrip" ->
+      """SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS total
+         FROM events
+         WHERE STRFTIME(CAST(ts AS DATE), '%Y-%m') = '2024-02'
+         GROUP BY 1, 2 ORDER BY user_id, day""",
     "j1_wide_combine" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total

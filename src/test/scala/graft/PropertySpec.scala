@@ -1,0 +1,94 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.dedup.SimHash
+import graft.spatial.{Delaunay, KdTree}
+import graft.text.Winnow
+
+/** Property-based invariants for the custom JVM kernels — coverage the
+  * reference's test suite lacks (SURVEY.md §5 implication). Pure-JVM
+  * kernels only (no SparkSession): the Spark-level behavior is covered by
+  * the golden specs and the DuckDB oracle gate.
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val wordGen = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+  private val docGen = Gen.chooseNum(5, 40).flatMap(n =>
+    Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  property("winnow: nonempty and stable under append") = forAll(docGen) { doc =>
+    val fp = Winnow.fingerprint(doc)
+    val fp2 = Winnow.fingerprint(doc + " appended tail words here")
+    fp.nonEmpty && (fp.toSet & fp2.toSet).nonEmpty
+  }
+
+  property("winnow: deterministic") = forAll(docGen) { doc =>
+    Winnow.fingerprint(doc).toSeq == Winnow.fingerprint(doc).toSeq
+  }
+
+  property("simhash: deterministic, small edits move few bits") =
+    forAll(Gen.nonEmptyListOf(wordGen)) { toks =>
+      val h1 = SimHash.simhash64(toks.iterator)
+      val h2 = SimHash.simhash64(toks.iterator)
+      val mutated = "zzzzz" :: toks.tail
+      h1 == h2 && SimHash.hamming(h1, SimHash.simhash64(mutated.iterator)) <= 48
+    }
+
+  property("kdtree: nearest matches brute force distance") = forAll(
+    Gen.listOfN(64, Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(-100.0, 100.0))),
+    Gen.zip(Gen.chooseNum(-120.0, 120.0), Gen.chooseNum(-120.0, 120.0))) {
+    (pts, probe) =>
+      val px = pts.map(_._1).toArray
+      val py = pts.map(_._2).toArray
+      val kd = KdTree(px, py)
+      val (qx, qy) = probe
+      val got = kd.nearest(qx, qy)
+      val best = pts.indices.map(i =>
+        (px(i) - qx) * (px(i) - qx) + (py(i) - qy) * (py(i) - qy)).min
+      (px(got) - qx) * (px(got) - qx) + (py(got) - qy) * (py(got) - qy) == best
+  }
+
+  // one triangulation reused across probe samples (forAll over probes only)
+  private val triRnd = new scala.util.Random(1234)
+  private val tpx = Array.fill(100)(triRnd.nextDouble() * 50)
+  private val tpy = Array.fill(100)(triRnd.nextDouble() * 50)
+  private val tri = Delaunay.triangulate(tpx, tpy)
+
+  property("delaunay: located weights are convex and reconstruct the point") =
+    forAll(Gen.zip(Gen.chooseNum(5.0, 45.0), Gen.chooseNum(5.0, 45.0))) {
+      case (x, y) =>
+        tri.locate(x, y).forall { case (t, (w1, w2, w3)) =>
+          val convex = w1 >= -1e-9 && w2 >= -1e-9 && w3 >= -1e-9 &&
+            math.abs(w1 + w2 + w3 - 1.0) < 1e-6
+          val rx = w1 * tpx(t.a) + w2 * tpx(t.b) + w3 * tpx(t.c)
+          val ry = w1 * tpy(t.a) + w2 * tpy(t.b) + w3 * tpy(t.c)
+          convex && math.abs(rx - x) < 1e-6 && math.abs(ry - y) < 1e-6
+        }
+    }
+
+  property("minhash kernel: entry i is the min of per-shingle hash i") =
+    forAll(Gen.nonEmptyListOf(wordGen)) { shingles =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = new GenericArrayData(
+        shingles.map(s => UTF8String.fromString(s): AnyRef).toArray)
+      val sig = graft.functions.expressions.MinHashKernel.signature(arr, 16)
+      (0 until 16).forall { i =>
+        sig(i) == shingles.map { s =>
+          val u = UTF8String.fromString(s)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), i)
+        }.min
+      }
+    }
+
+  property("shingle kernel: count and distinctness") = forAll(docGen) { doc =>
+    val got = graft.functions.expressions.ShingleKernel.shingles(doc, 3)
+      .map(_.toString)
+    val toks = doc.trim.split("\\s+")
+    val expect = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    got.toSeq == expect
+  }
+}

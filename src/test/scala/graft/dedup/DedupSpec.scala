@@ -62,6 +62,14 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(got - 10.0 / 12.0) < 1e-12)
   }
 
+  test("winnow pairs: exact dups share fingerprints, distinct docs do not") {
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((3L, 6L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("word shingles: short docs yield empty, no phantom shingles") {
     val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
       .withColumn("n", size(col("sh")))

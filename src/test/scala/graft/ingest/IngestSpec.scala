@@ -1,0 +1,59 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gee csv adapter: rename, coerce, drop extras, reject all-null") {
+    val raw = Seq(
+      ("1", "2023-01-01T00:00:00", "1.5", "x", "junk"),
+      ("2", "2023-01-02", "oops", "y", "junk"))
+      .toDF("grid_id", "date", "CO_mean", "rogue", "rogue2")
+    val out = GeeCsvAdapter.normalize(raw, Map("CO_mean" -> "co"))
+    assert(out.columns.toSet === Set("grid_id", "date", "co"))
+    val rows = out.orderBy("grid_id").collect()
+    assert(rows(0).getLong(0) === 1L)
+    assert(rows(0).getString(1) === "2023-01-01") // ISO suffix sliced
+    assert(rows(0).getFloat(2) === 1.5f)
+    assert(rows(1).isNullAt(2)) // non-strict coercion: "oops" → null
+
+    val allNull = Seq(("1", "2023-01-01", "bad"), ("2", "2023-01-02", "worse"))
+      .toDF("grid_id", "date", "v")
+    assertThrows[GeeCsvAdapter.AllNullColumn] {
+      GeeCsvAdapter.normalize(allNull, Map("v" -> "v")).collect()
+    }
+  }
+
+  test("pm25 chain: coordinates parse, stats, filters, knn, daily means") {
+    val stations = Seq(
+      ("s1", "{'longitude': 77.2, 'latitude': 28.6}"),
+      ("s2", "{'longitude': 72.9, 'latitude': 19.1}"))
+      .toDF("id", "coordinates")
+    val grid = Seq((1L, 28.61, 77.21), (2L, 19.08, 72.88), (3L, 13.0, 80.2))
+      .toDF("grid_id", "lat", "lon")
+
+    val sg = Pm25Source.attachNearestGrid(stations, grid)
+    val byStation = sg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStation === Map("s1" -> 1L, "s2" -> 2L))
+
+    // measurements: a spike above 15×IQR at s1, a normal series elsewhere
+    val meas = ((1 to 10).map(d => ("s1", f"2023-01-$d%02d", d * 7.0 % 13 + 10)) :+
+      (("s1", "2023-01-11", 5000.0)) :+
+      (("s2", "2023-01-01", 42.0)))
+      .toDF("location_id", "date", "value")
+    val stats = Pm25Source.stationStats(meas)
+    assert(stats.columns.toSet ===
+      Set("location_id", "station_q1", "station_q3", "station_iqr"))
+    val filtered = Pm25Source.applyQualityFilters(meas, stats)
+    assert(!filtered.filter(col("value") === 5000.0).isEmpty === false) // spike dropped
+    assert(filtered.filter(col("location_id") === "s2").count() === 1)
+
+    val daily = Pm25Source.dailyGridMeans(filtered, sg)
+    assert(daily.columns.toSet === Set("grid_id", "date", "pm25"))
+    assert(daily.filter(col("grid_id") === 2).select("pm25").as[Double].head() === 42.0)
+  }
+}
