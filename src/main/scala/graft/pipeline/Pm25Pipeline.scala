@@ -109,16 +109,24 @@ final class Pm25Pipeline(spark: SparkSession, storage: StageStorage,
   def readSampled(model: String): DataFrame =
     spark.read.parquet(storage.stagePath(StageRef("sampled", Some(model))))
 
-  /** s04 train: grouped CV + gates, persisted to the model store. */
-  def runTrain(store: ModelStore, model: String, features: Seq[String],
-               target: String, gate: ImputationModel.QualityGate,
-               hp: ImputationModel.Hyperparams, k: Int = 10): ImputationModel.Trained = {
-    val sampled = readSampled(model)
+  /** s04/s07 train from a sampled frame: grouped CV + gate. */
+  def trainFromSample(sampled: DataFrame, features: Seq[String], target: String,
+                      gate: ImputationModel.QualityGate,
+                      hp: ImputationModel.Hyperparams,
+                      k: Int = 10): ImputationModel.Trained = {
     val trained = ImputationModel.train(
       sampled.filter(col("split") === "training"),
       sampled.filter(col("split") === "test"),
       features, target, "grid__id_50km", k, hp)
     gate.check(trained.cv.meanR2)
+    trained
+  }
+
+  /** s04 train: grouped CV + gates, persisted to the model store. */
+  def runTrain(store: ModelStore, model: String, features: Seq[String],
+               target: String, gate: ImputationModel.QualityGate,
+               hp: ImputationModel.Hyperparams, k: Int = 10): ImputationModel.Trained = {
+    val trained = trainFromSample(readSampled(model), features, target, gate, hp, k)
     store.save(model, runId(), trained)
     trained
   }
@@ -135,6 +143,51 @@ final class Pm25Pipeline(spark: SparkSession, storage: StageStorage,
         withStats.columns.filter(_.startsWith(s"${target}__"))).map(col): _*)
       .write.mode("overwrite").partitionBy("month")
       .parquet(storage.stagePath(StageRef("imputed", Some(model))))
+  }
+
+  /** s06 full-model sampling: rows with observed ground truth, stratified
+    * split (ref: sample/full_model_sampler.py:58-62 + imputation_sampler
+    * semantics applied to the pm25 target).
+    */
+  def runFullModelSample(targetCol: String, fraction: Double): Unit = {
+    val imputed = storage.scanStage(StageRef("imputed", Some("aod")))
+    val features = scanGeneratedFeatures()
+      .join(imputed.select("grid_id",
+        ("date" +: imputed.columns.filter(_.endsWith("__imputed")).toSeq): _*),
+        Seq("grid_id", "date"), "left")
+    val eligible = Sampling.filterTargetPresent(features, targetCol)
+    Sampling.stratifiedSplit(eligible, "grid__id_50km", fraction, Seq("grid_id", "date"))
+      .write.mode("overwrite")
+      .parquet(storage.stagePath(StageRef("full_model_sample")))
+  }
+
+  /** s08 final prediction over every row (include_stats=False semantics:
+    * predictions only, no imputation stats —
+    * ref: imputation/from_model/full_predict_controller.py:38-68).
+    */
+  def runFinalPredict(trained: ImputationModel.Trained, target: String): Unit = {
+    val features = scanGeneratedFeatures()
+    ImputationModel.predict(features, trained, s"${target}__predicted")
+      .select(col("grid_id"), col("date"), col("month"),
+        col(s"${target}__predicted"))
+      .write.mode("overwrite").partitionBy("month")
+      .parquet(storage.stagePath(FinalPrediction))
+  }
+
+  /** s09 outputs: months filter → join grid coords → pivot to (time, y, x)
+    * cube → georeferenced artifact (ref: run/s09_outputs.py:15-45).
+    */
+  def runOutputs(months: Seq[String], predictedCol: String, outDir: String): Unit = {
+    val pred = storage.scanStage(FinalPrediction)
+      .filter(col("month").isin(months: _*))
+      .join(broadcast(grid.select(col("grid_id"),
+        col("original_x").as("x"), col("original_y").as("y"))), Seq("grid_id"))
+    val cube = graft.raster.RasterPivot.toCube(pred, "date", "y", "x", predictedCol)
+    graft.raster.GeoRasterWriter.write(spark, cube, outDir,
+      graft.raster.GeoRasterWriter.CfMeta(
+        title = "daily PM2.5 estimate", variable = "pm25",
+        units = "ug m-3", crsEpsg = 7755,
+        geoTransform = graft.raster.GeoRasterWriter.geoTransformOf(cube)))
   }
 
   private def runId(): String =

@@ -132,5 +132,30 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     }
     // aot was fully observed → nothing flagged imputed
     assert(imputedStage.filter(col("merra_aot__aot__imputed_flag") === 1).count() === 0)
+
+    // ---- s06 full-model sample → s07 train → s08 final predict → s09 output
+    pipe.runFullModelSample("merra_aot__aot__imputed", fraction = 0.5)
+    val fullSample = spark.read.parquet(
+      storage.stagePath(StageRef("full_model_sample")))
+    assert(fullSample.count() === nGrids * 59) // target fully present here
+    val fullTrained = pipe.trainFromSample(
+      fullSample,
+      features = Seq("era5_land__temperature_2m", "day_of_year", "srtm__elevation"),
+      target = "merra_aot__aot__imputed",
+      gate = ImputationModel.QualityGate(-10.0, 1.0),
+      hp = ImputationModel.Hyperparams(maxIter = 5), k = 3)
+    pipe.runFinalPredict(fullTrained, "pm25")
+    val finalPred = storage.scanStage(Pm25Pipeline.FinalPrediction)
+    assert(finalPred.count() === nGrids * 59)
+    assert(finalPred.columns.contains("pm25__predicted"))
+
+    // s09: pivot January into a cube + georeferenced artifact
+    val outDir = s"$tmp/raster"
+    pipe.runOutputs(Seq("2023-01"), "pm25__predicted", outDir)
+    val back = spark.read.parquet(s"$outDir/data.parquet")
+    assert(back.count() === 31L * 4 * 4) // 31 days × 4×4 grid
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$outDir/meta.json")), "UTF-8")
+    assert(meta.contains("\"crs_epsg\": 7755") && meta.contains("CF-1.8"))
   }
 }
