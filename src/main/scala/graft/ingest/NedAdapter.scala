@@ -1,0 +1,63 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.raster.Regrid
+
+/** S11/S12/K2 — adapter for NASA EarthData science files (MERRA-2 NetCDF,
+  * OMI HDF-EOS). The binary readers themselves are format shims outside
+  * the engine (no NetCDF/HDF library ships here; the reference uses
+  * h5netcdf — ref: collectors/ned/data_readers.py:14-32,
+  * data_reader_merra.py:26-98): they deliver long-form rows
+  * `(date, lat, lon, value)`. This adapter implements everything from
+  * there, matching the reference's semantics:
+  *
+  *  - per-day mean over the time dimension (MERRA hourly → daily,
+  *    `mean(dim="time")` — ref: data_reader_merra.py:85-98);
+  *  - bbox subset (ref: data_reader_omno2d.py:116-159);
+  *  - K2 regrid of each day's raster onto the grid centroids
+  *    (bilinear or nearest per dataset descriptor);
+  *  - archive shape `(grid_id, date, value)`.
+  */
+object NedAdapter {
+
+  /** Average duplicate (date, lat, lon) samples — the "mean over time
+    * within day" step when the source is sub-daily.
+    */
+  def dailyMean(long: DataFrame): DataFrame =
+    long.groupBy("date", "lat", "lon")
+      .agg(avg("value").as("value"))
+
+  /** Inclusive bounding-box subset. */
+  def bboxSubset(long: DataFrame, latMin: Double, latMax: Double,
+                 lonMin: Double, lonMax: Double): DataFrame =
+    long.filter(col("lat").between(latMin, latMax) &&
+                col("lon").between(lonMin, lonMax))
+
+  /** Regrid each date's coarse raster onto the grid centroids. The
+    * per-date rasters are ingest-sized (coarse satellite grids), so each
+    * is collected and broadcast; the target (grid) side stays distributed.
+    */
+  def regridDaily(long: DataFrame, grid: DataFrame, valueName: String,
+                  method: String): DataFrame = {
+    val spark = long.sparkSession
+    val dates = long.select("date").distinct()
+      .collect().map(_.getString(0)).sorted
+    val targets = grid.select(col("grid_id"), col("lat"), col("lon"))
+    dates.map { d =>
+      val raster = Regrid.toRaster(long.filter(col("date") === d))
+      Regrid.interpolateAt(targets, raster, method, outCol = valueName)
+        .withColumn("date", lit(d))
+        .select("grid_id", "date", valueName)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Full adapter: sub-daily long rows → daily archive frame. */
+  def toArchive(long: DataFrame, grid: DataFrame, valueName: String,
+                method: String = "linear",
+                bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    val subset = bbox.fold(long) { case (a, b, c, d) => bboxSubset(long, a, b, c, d) }
+    regridDaily(dailyMean(subset), grid, valueName, method)
+  }
+}
