@@ -22,11 +22,23 @@ object Bench {
     // warm-up: touch the session, codegen, and the parquet footers
     graft.core.Tables.table(spark, sfDir, "lineitem").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // reference-scale pipeline stages (33k grid × month, BASELINE.md's
+    // actual workload) — skippable via SPARK_GRAFT_SKIP_PIPELINE=1
+    val pipelineResults =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) Seq.empty
+      else try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-pbench").toString
+        graft.bench.PipelineBench.run(spark, tmp).toSeq
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline bench failed: ${e.getMessage}")
+        Seq.empty
+      }
+    val results = queryResults ++ pipelineResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

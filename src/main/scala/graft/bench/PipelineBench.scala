@@ -1,0 +1,93 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.features.FeatureGenerator
+import graft.operators.{Scaffold, WideCombiner}
+import graft.spatial.DailySpatialInterpolator
+
+/** Reference-scale pipeline benchmarks — the workload BASELINE.md actually
+  * measures: a 33,074-cell grid × calendar month (~1M rows) combined from
+  * N datasets, spatially imputed, and feature-generated. Data is
+  * synthesized distributed (spark.range), deterministic, and sized to the
+  * production month so the numbers compare directly against the
+  * reference's envelope (combine: minutes on 8 cores; feature-gen: ≤3 h
+  * for ~80 months on 8 vCPU).
+  */
+object PipelineBench {
+  val NGrids = 33074
+  val Days = 31
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One synthetic monthly dataset: full scaffold, deterministic values,
+    * ~2% nulls. `cols` value columns.
+    */
+  def monthlyDataset(spark: SparkSession, name: String, cols: Int): DataFrame = {
+    val base = spark.range(NGrids.toLong * Days).select(
+      (col("id") % NGrids).as("grid_id"),
+      date_format(date_add(lit("2023-01-01").cast("date"),
+        floor(col("id") / NGrids).cast("int")), "yyyy-MM-dd").as("date"),
+      col("id"))
+    (0 until cols).foldLeft(base) { (d, i) =>
+      d.withColumn(s"${name}_v$i",
+        when(pmod(col("id") * 31 + i * 17, lit(53)) === 0, lit(null))
+          .otherwise(sin(col("id") * 0.001 + i) * 50 + 100))
+    }.drop("id")
+  }
+
+  def staticDataset(spark: SparkSession, name: String): DataFrame =
+    spark.range(NGrids).select(col("id").as("grid_id"),
+      (col("id") % 1000).cast("double").as(s"${name}_v"))
+
+  /** Grid with planar coords (182×182 layout like the production grid). */
+  def gridFrame(spark: SparkSession): DataFrame =
+    spark.range(NGrids).select(col("id").as("grid_id"),
+      ((col("id") % 182) * 10000).cast("double").as("original_x"),
+      (floor(col("id") / 182) * 10000).cast("double").as("original_y"))
+
+  /** Run the reference-scale stages; returns name → seconds. */
+  def run(spark: SparkSession, outRoot: String): Map[String, Double] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // s01 combine: 12 monthly datasets (1–3 cols) + 2 static, one month
+    val monthly = (0 until 12).map(i =>
+      s"ds$i" -> monthlyDataset(spark, s"ds$i", 1 + i % 3))
+    val static = Seq("elev" -> staticDataset(spark, "elev"),
+      "grid" -> staticDataset(spark, "gridmeta"))
+    var combined: DataFrame = null
+    out += "pm25_combine_month_1M" -> time {
+      combined = WideCombiner.combine(monthly ++ static)
+      combined.write.mode("overwrite").parquet(s"$outRoot/combined")
+    }
+
+    // K1 spatial imputation of two columns for the whole month (31 days
+    // × 33k points each, parallel across dates; id+value projection only,
+    // like the reference's P3 select)
+    val grid = gridFrame(spark)
+    out += "pm25_spatial_impute_month" -> time {
+      val withXy = spark.read.parquet(s"$outRoot/combined")
+        .select("grid_id", "date", "ds0__ds0_v0", "ds1__ds1_v0")
+        .join(broadcast(grid), Seq("grid_id"))
+      DailySpatialInterpolator
+        .interpolate(withXy, "date", "original_x", "original_y",
+          Seq("ds0__ds0_v0", "ds1__ds1_v0"))
+        .write.mode("overwrite").parquet(s"$outRoot/imputed")
+    }
+
+    // s02 feature generation over the month (15 base columns × 4 window
+    // families — the per-year run is this × 12 with the same plan)
+    out += "pm25_feature_gen_month" -> time {
+      val slice = spark.read.parquet(s"$outRoot/combined")
+        .withColumn("month", lit("2023-01"))
+      val baseCols = slice.columns.filter(_.contains("__")).take(15).toSeq
+      FeatureGenerator.generate(slice, 2023,
+          FeatureGenerator.Config(baseColumns = baseCols))
+        .write.mode("overwrite").parquet(s"$outRoot/features")
+    }
+    out.toMap
+  }
+}

@@ -59,15 +59,32 @@ object FeatureGenerator {
       df = df.withColumn(s"wind_degree_computed",
         Physics.windDegree(col(u), col(v)).cast(FloatType))
 
-    // rolling + grouped means per base column (generate.py:71-100)
-    for (c <- cfg.baseColumns) {
-      df = Rolling.withRollingMeanFilled(df, c, s"${c}__mean_r7d", 7, part, order)
-      df = Rolling.withRollingMeanFilled(df, c, s"${c}__mean_r365d", 365, part, order)
-      df = df.withColumn(s"${c}__mean_year",
-        Rolling.groupMean(col(c), Seq(col("grid_id"), col("year"))))
-      df = df.withColumn(s"${c}__mean_all",
-        Rolling.groupMean(col(c), Seq(col("grid_id"))))
-    }
+    // rolling + grouped means per base column (generate.py:71-100).
+    // Two wide SELECTs instead of 4×N chained withColumns: window specs are
+    // shared across columns (one WindowExec per spec, one shuffle on
+    // grid_id) and the analyzer sees two projections, not 60 — at the
+    // production table width the chained form paid quadratic analysis cost.
+    val existing = df.columns.map(col).toSeq
+    val rolled = df.select(existing ++ cfg.baseColumns.flatMap { c =>
+      Seq(
+        Rolling.rollingMean(col(c), part, order, 7).as(s"${c}__r7_raw"),
+        Rolling.rollingMean(col(c), part, order, 365).as(s"${c}__r365_raw"),
+        Rolling.groupMean(col(c), Seq(col("grid_id"), col("year")))
+          .as(s"${c}__mean_year"),
+        Rolling.groupMean(col(c), Seq(col("grid_id"))).as(s"${c}__mean_all"))
+    }: _*)
+    df = rolled.select(rolled.columns.filterNot(_.endsWith("_raw")).map(col).toSeq ++
+      cfg.baseColumns.flatMap { c =>
+        Seq(
+          coalesce(col(s"${c}__r7_raw"),
+            Rolling.backwardFill(col(s"${c}__r7_raw"), part, order),
+            Rolling.forwardFill(col(s"${c}__r7_raw"), part, order))
+            .as(s"${c}__mean_r7d"),
+          coalesce(col(s"${c}__r365_raw"),
+            Rolling.backwardFill(col(s"${c}__r365_raw"), part, order),
+            Rolling.forwardFill(col(s"${c}__r365_raw"), part, order))
+            .as(s"${c}__mean_r365d"))
+      }: _*)
 
     // calendar features (generate.py:114-140)
     df = df

@@ -54,12 +54,18 @@ final class Pm25Pipeline(spark: SparkSession, storage: StageStorage,
     }
   }
 
-  /** s01 spatial imputation of the ERA5 column family (K1). */
+  /** s01 spatial imputation of the ERA5 column family (K1). Only the id +
+    * value columns travel through the per-date shuffle (the reference's P3
+    * projection, spatial_imputation_manager.py:54-59) — the imputed stage
+    * holds just that family and the recombine overwrites it back into the
+    * wide table.
+    */
   def runSpatialImpute(months: Seq[String], valueColPattern: String): Unit =
     runner.runMonths(Era5SpatiallyImputed, months, _ => -1L, { month =>
       val df = storage.readMonth(CombinedMonthly, month)
       val valueCols = df.columns.filter(_.matches(valueColPattern)).toSeq
-      val withXy = df.join(
+      val projected = df.select(("grid_id" +: "date" +: valueCols).map(col): _*)
+      val withXy = projected.join(
         broadcast(grid.select(col("grid_id"), col("original_x").as("__x"),
           col("original_y").as("__y"))), Seq("grid_id"), "left")
       DailySpatialInterpolator

@@ -62,42 +62,65 @@ object DailySpatialInterpolator {
     * carry (`dateCol`, `xCol`, `yCol`, valueCols…); output preserves all
     * input columns with valueCols filled (doubles; cast downstream as
     * needed). Null and NaN both count as missing.
+    *
+    * Distribution: explicit `repartition(n, date)` + `sortWithinPartitions`
+    * + a run-grouping `mapPartitions`, NOT `groupByKey.flatMapGroups` —
+    * the kernel is CPU-bound while the shuffled bytes are tiny, and AQE's
+    * size-based coalescing collapsed the lambda-keyed exchange to one
+    * partition (measured ~serial execution of 62 day-interpolations).
+    * An explicit numPartitions repartition is exempt from AQE coalescing.
     */
   def interpolate(df: DataFrame, dateCol: String, xCol: String, yCol: String,
                   valueCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
-    val schema = df.schema
+    // value columns normalized to double so the kernel sees one type
+    val normalized = valueCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast("double")))
+    val schema = normalized.schema
     val dateIdx = schema.fieldIndex(dateCol)
     val xIdx = schema.fieldIndex(xCol)
     val yIdx = schema.fieldIndex(yCol)
     val vIdxs = valueCols.map(schema.fieldIndex)
 
-    // value columns normalized to double so the kernel sees one type
-    val normalized = valueCols.foldLeft(df)((d, c) =>
-      d.withColumn(c, col(c).cast("double")))
-
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(normalized.schema)
-    import spark.implicits._
+      org.apache.spark.sql.Encoders.row(schema)
 
+    def interpolateGroup(buf: Array[Row]): Iterator[Row] = {
+      val x = buf.map(_.getDouble(xIdx))
+      val y = buf.map(_.getDouble(yIdx))
+      val filled = vIdxs.map { vi =>
+        val v = buf.map(r => if (r.isNullAt(vi)) Double.NaN else r.getDouble(vi))
+        interpolateColumn(x, y, v)
+      }
+      buf.iterator.zipWithIndex.map { case (r, ri) =>
+        val vals = r.toSeq.toArray
+        vIdxs.zipWithIndex.foreach { case (vi, k) =>
+          val fv = filled(k)(ri)
+          vals(vi) = if (fv.isNaN) null else fv
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+
+    // 4× overpartitioning: date keys hash-collide at 1× (31 dates into 32
+    // bins → max loads of 3-4 serial triangulations); at 4× nearly every
+    // date gets its own task
+    val parallelism = spark.sparkContext.defaultParallelism * 4
     normalized
-      .groupByKey(r => r.get(dateIdx).toString)
-      .flatMapGroups { (_, rows) =>
-        val buf = rows.toArray
-        val x = buf.map(_.getDouble(xIdx))
-        val y = buf.map(_.getDouble(yIdx))
-        val filled = vIdxs.map { vi =>
-          val v = buf.map(r => if (r.isNullAt(vi)) Double.NaN else r.getDouble(vi))
-          interpolateColumn(x, y, v)
-        }
-        buf.iterator.zipWithIndex.map { case (r, ri) =>
-          val vals = r.toSeq.toArray
-          vIdxs.zipWithIndex.foreach { case (vi, k) =>
-            val fv = filled(k)(ri)
-            vals(vi) = if (fv.isNaN) null else fv
+      .repartition(parallelism, col(dateCol))
+      .sortWithinPartitions(col(dateCol))
+      .mapPartitions { rows =>
+        // consecutive runs of equal date = one interpolation group
+        new Iterator[Iterator[Row]] {
+          private val it = rows.buffered
+          def hasNext: Boolean = it.hasNext
+          def next(): Iterator[Row] = {
+            val d = it.head.get(dateIdx)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (it.hasNext && it.head.get(dateIdx) == d) buf += it.next()
+            interpolateGroup(buf.toArray)
           }
-          Row.fromSeq(vals.toIndexedSeq)
-        }
+        }.flatten
       }
   }
 }
