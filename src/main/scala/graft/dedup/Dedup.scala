@@ -59,16 +59,6 @@ object Dedup {
     graft.functions.expressions.MinHashExpressions
       .minhash_signature(shingles, numHashes)
 
-  /** LSH band keys: the signature split into `bands` rows of
-    * `numHashes/bands` values, each band hashed to one bucket key.
-    */
-  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-             xxhash64(concat_ws(",",
-               slice(signature, bIdx * rowsPerBand + 1, rowsPerBand))).as("bucket"))
-    }: _*)
-
   /** Candidate near-duplicate pairs (idA < idB) whose exact word-shingle
     * Jaccard ≥ `threshold`, found via MinHash-LSH banding:
     *
@@ -142,6 +132,67 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fp_a") bitwiseXOR col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** End-to-end near-dup deduplication: MinHash-LSH pairs → connected
+    * components → survivors (every doc minus non-canonical cluster
+    * members). The standard corpus-dedup recipe at scale.
+    */
+  def deduplicate(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, threshold = threshold)
+    val components = connectedComponents(pairs)
+    docs.join(
+      components.filter(col("id") =!= col("canonical_id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  // --------------------------------------------------- cluster resolution
+
+  /** Connected components over a near-duplicate pair list → one canonical
+    * (minimum) id per duplicate cluster. Iterative min-label propagation:
+    * each round every node adopts the smallest label in its neighborhood,
+    * converging in O(component diameter) rounds — dedup clusters are
+    * shallow, but an unconverged result would silently split clusters, so
+    * hitting `maxRounds` without a fixed point throws instead.
+    *
+    * Returns (id, canonical_id) for every id that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .cache()
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        // every node adopts min(own label, neighbors' labels)
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("label")).as("nlabel"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .cache()
+        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter(col("label") =!= col("old")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        round += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxRounds rounds " +
+            "(component diameter exceeds maxRounds — raise it)")
+      labels.withColumnRenamed("label", "canonical_id")
+    } finally edges.unpersist()
   }
 
   // ----------------------------------------------------------- winnowing

@@ -51,12 +51,17 @@ object FeatureGenerator {
       .withColumn("year", functions_year(col("date")))
       .withColumn("day_of_year", dayofyear(col("date")))
 
-    // physics-derived columns (generate.py:47-69)
+    // physics-derived columns, named under the source dataset's prefix like
+    // the reference (era5_land__relative_humidity_computed — generate.py:47-69)
+    def datasetPrefix(c: String): String = {
+      val i = c.indexOf("__")
+      if (i > 0) c.substring(0, i + 2) else ""
+    }
     for (t <- cfg.tempCol; d <- cfg.dewCol)
-      df = df.withColumn(s"${t}_relative_humidity_computed",
+      df = df.withColumn(s"${datasetPrefix(t)}relative_humidity_computed",
         Physics.relativeHumidityK(col(t), col(d)).cast(FloatType))
     for (u <- cfg.windUCol; v <- cfg.windVCol)
-      df = df.withColumn(s"wind_degree_computed",
+      df = df.withColumn(s"${datasetPrefix(u)}wind_degree_computed",
         Physics.windDegree(col(u), col(v)).cast(FloatType))
 
     // rolling + grouped means per base column (generate.py:71-100).

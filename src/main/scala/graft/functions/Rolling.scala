@@ -57,18 +57,9 @@ object Rolling {
       Window.partitionBy(partition: _*).orderBy(order: _*)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
 
-  /** The reference's full rolling-feature treatment: rolling mean with
-    * min_samples=1, then backward fill, then forward fill
-    * (ref: generate.py:71-79 — fills cover rows whose whole frame is null).
-    * Two stages because window expressions cannot nest: the rolled column
-    * is materialized, then filled.
-    */
-  def withRollingMeanFilled(df: org.apache.spark.sql.DataFrame, src: String,
-                            out: String, n: Int, partition: Seq[Column],
-                            order: Seq[Column]): org.apache.spark.sql.DataFrame =
-    df.withColumn(out, rollingMean(col(src), partition, order, n))
-      .withColumn(out,
-        coalesce(col(out),
-          backwardFill(col(out), partition, order),
-          forwardFill(col(out), partition, order)))
+  // The reference's full rolled-then-filled treatment (rolling mean with
+  // min_samples=1, then backward fill, then forward fill —
+  // generate.py:71-79) lives in FeatureGenerator as two wide SELECTs:
+  // window expressions cannot nest, and per-column withColumn chains pay
+  // quadratic analysis cost at production table width.
 }

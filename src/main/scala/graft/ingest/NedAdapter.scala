@@ -35,19 +35,26 @@ object NedAdapter {
     long.filter(col("lat").between(latMin, latMax) &&
                 col("lon").between(lonMin, lonMax))
 
-  /** Regrid each date's coarse raster onto the grid centroids. The
-    * per-date rasters are ingest-sized (coarse satellite grids), so each
-    * is collected and broadcast; the target (grid) side stays distributed.
+  /** Regrid each date's coarse raster onto the grid centroids. The whole
+    * long frame is ingest-sized (a coarse satellite grid × days), so it is
+    * collected ONCE and partitioned into per-date rasters driver-side —
+    * one Spark job, not one scan per date; each raster then rides a
+    * broadcast while the (big) grid side stays distributed.
     */
   def regridDaily(long: DataFrame, grid: DataFrame, valueName: String,
                   method: String): DataFrame = {
-    val spark = long.sparkSession
-    val dates = long.select("date").distinct()
-      .collect().map(_.getString(0)).sorted
+    val rows = long.select(col("date").cast("string"), col("lat").cast("double"),
+      col("lon").cast("double"), col("value").cast("double")).collect()
     val targets = grid.select(col("grid_id"), col("lat"), col("lon"))
-    dates.map { d =>
-      val raster = Regrid.toRaster(long.filter(col("date") === d))
-      Regrid.interpolateAt(targets, raster, method, outCol = valueName)
+    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (d, dayRows) =>
+      val lats = dayRows.map(_.getDouble(1)).distinct.sorted
+      val lons = dayRows.map(_.getDouble(2)).distinct.sorted
+      val li = lats.zipWithIndex.toMap
+      val lj = lons.zipWithIndex.toMap
+      val m = Array.fill(lats.length, lons.length)(Double.NaN)
+      dayRows.foreach(r => m(li(r.getDouble(1)))(lj(r.getDouble(2))) = r.getDouble(3))
+      Regrid.interpolateAt(targets, Regrid.Raster(lats, lons, m), method,
+          outCol = valueName)
         .withColumn("date", lit(d))
         .select("grid_id", "date", valueName)
     }.reduce(_ unionByName _)

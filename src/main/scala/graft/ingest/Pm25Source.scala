@@ -22,11 +22,23 @@ object Pm25Source {
   def parseLatitude(c: Column): Column =
     regexp_extract(c, "'latitude'\\s*:\\s*(-?[0-9.]+)", 1).cast("double")
 
-  /** A2/F15 — per-station exact quartiles + IQR (ref: data_source.py:63-78). */
+  /** Nearest-rank quantile (polars' default interpolation="nearest" —
+    * SURVEY.md A2 requires matching it, not Spark's linear `percentile`):
+    * the sample at index round(p·(n−1)), half rounding up.
+    */
+  def quantileNearest(valueCol: String, p: Double): Column = {
+    val sorted = sort_array(collect_list(col(valueCol)))
+    element_at(sorted,
+      (floor(lit(p) * (size(sorted) - 1) + 0.5) + 1).cast("int"))
+  }
+
+  /** A2/F15 — per-station quartiles + IQR (ref: data_source.py:63-78),
+    * nearest interpolation for polars parity.
+    */
   def stationStats(measurements: DataFrame): DataFrame =
     measurements.groupBy("location_id")
-      .agg(expr("percentile(value, 0.25)").as("station_q1"),
-           expr("percentile(value, 0.75)").as("station_q3"))
+      .agg(quantileNearest("value", 0.25).as("station_q1"),
+           quantileNearest("value", 0.75).as("station_q3"))
       .withColumn("station_iqr", col("station_q3") - col("station_q1"))
 
   /** P7/P8/W6 — the marker filter chain (ref: setup/pm25_filters.py:7-82):
@@ -45,8 +57,10 @@ object Pm25Source {
       .withColumn("__label", lit("keep"))
       .withColumn("__label",
         when(col("value") >= maxValue, "drop").otherwise(col("__label")))
+      // reference semantics: value > 15·IQR (setup/pm25_filters.py
+      // AnomalyMarker), NOT the more common q3 + k·IQR fence
       .withColumn("__label",
-        when(col("value") > col("station_q3") + lit(iqrFactor) * col("station_iqr"),
+        when(col("value") > lit(iqrFactor) * col("station_iqr"),
           "drop").otherwise(col("__label")))
       .withColumn("__label",
         when(abs(col("value") - col("__rmean5")) < repeatTolerance, "drop")

@@ -94,6 +94,9 @@ object ImputationModel {
           Some(r2(m.transform(asm.transform(va)), target))
         }
       }
+      require(foldScores.nonEmpty,
+        s"no usable CV fold: fewer distinct $groupCol groups than folds " +
+          s"produce non-empty train and validation splits (k=$k)")
       val mean = foldScores.sum / foldScores.size
       val std = math.sqrt(
         foldScores.map(s => (s - mean) * (s - mean)).sum / foldScores.size)

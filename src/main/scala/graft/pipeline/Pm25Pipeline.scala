@@ -151,16 +151,19 @@ final class Pm25Pipeline(spark: SparkSession, storage: StageStorage,
       .parquet(storage.stagePath(StageRef("imputed", Some(model))))
   }
 
-  /** s06 full-model sampling: rows with observed ground truth, stratified
-    * split (ref: sample/full_model_sampler.py:58-62 + imputation_sampler
-    * semantics applied to the pm25 target).
+  /** s06 full-model sampling: generated features joined with EVERY
+    * imputation model's __imputed columns, rows with observed ground
+    * truth, stratified split (ref: sample/full_model_sampler.py:58-62;
+    * the reference feeds aod+no2+co imputed columns into the full model).
     */
-  def runFullModelSample(targetCol: String, fraction: Double): Unit = {
-    val imputed = storage.scanStage(StageRef("imputed", Some("aod")))
-    val features = scanGeneratedFeatures()
-      .join(imputed.select("grid_id",
+  def runFullModelSample(targetCol: String, fraction: Double,
+                         imputedModels: Seq[String]): Unit = {
+    val features = imputedModels.foldLeft(scanGeneratedFeatures()) { (acc, m) =>
+      val imputed = storage.scanStage(StageRef("imputed", Some(m)))
+      acc.join(imputed.select("grid_id",
         ("date" +: imputed.columns.filter(_.endsWith("__imputed")).toSeq): _*),
         Seq("grid_id", "date"), "left")
+    }
     val eligible = Sampling.filterTargetPresent(features, targetCol)
     Sampling.stratifiedSplit(eligible, "grid__id_50km", fraction, Seq("grid_id", "date"))
       .write.mode("overwrite")

@@ -175,7 +175,7 @@ object RelationalPack extends QueryPack {
         .withColumn("label",
           when(col("value") >= 999.99, lit("drop")).otherwise(col("label")))
         .withColumn("label",
-          when(col("value") > col("q3") + lit(15) * col("iqr"), lit("drop"))
+          when(col("value") > lit(15) * col("iqr"), lit("drop"))
             .otherwise(col("label")))
         .withColumn("label",
           when(abs(col("value") - col("rmean5")) < 0.05, lit("drop"))
@@ -300,7 +300,7 @@ object RelationalPack extends QueryPack {
          labeled AS (
            SELECT event_id, user_id, value,
              CASE WHEN ABS(value - rmean5) < 0.05 THEN 'drop'
-                  WHEN value > q3 + 15 * iqr THEN 'drop'
+                  WHEN value > 15 * iqr THEN 'drop'
                   WHEN value >= 999.99 THEN 'drop'
                   ELSE 'keep' END AS label
            FROM marked)

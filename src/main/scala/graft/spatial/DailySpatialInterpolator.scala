@@ -86,6 +86,11 @@ object DailySpatialInterpolator {
       org.apache.spark.sql.Encoders.row(schema)
 
     def interpolateGroup(buf: Array[Row]): Iterator[Row] = {
+      buf.find(r => r.isNullAt(xIdx) || r.isNullAt(yIdx)).foreach { r =>
+        throw new IllegalStateException(
+          s"row with null coordinates in date group ${r.get(dateIdx)} — " +
+            "is a grid_id missing from the grid dimension?")
+      }
       val x = buf.map(_.getDouble(xIdx))
       val y = buf.map(_.getDouble(yIdx))
       val filled = vIdxs.map { vi =>

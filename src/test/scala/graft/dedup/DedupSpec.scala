@@ -62,6 +62,41 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(got - 10.0 / 12.0) < 1e-12)
   }
 
+  test("deduplicate keeps one canonical doc per near-dup cluster") {
+    val kept = Dedup.deduplicate(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    // {1,2,4} collapse to 1; {3,6} collapse to 3; 5 untouched
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
+  test("connected components resolve pair lists into canonical clusters") {
+    // clusters: {1,2,4} via chain 1-2, 2-4; {3,6}; {7,8,9} via 7-8, 8-9
+    val pairs = Seq((1L, 2L), (2L, 4L), (3L, 6L), (7L, 8L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 3L -> 3L, 6L -> 3L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("sql registration exposes the native kernels") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT size(word_shingles('a b c d', 3)) AS n_sh,
+                simhash64(array('x','y')) AS sh,
+                size(minhash_signature(array('a b c'), 8)) AS n_sig,
+                size(minhash_bands(array('a b c'), 8, 4)) AS n_bands,
+                size(winnow_fingerprint('some text to fingerprint')) AS n_fp,
+                dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp""").head()
+    assert(row.getAs[Int]("n_sh") === 2)
+    assert(row.getAs[Int]("n_sig") === 8)
+    assert(row.getAs[Int]("n_bands") === 4)
+    assert(row.getAs[Int]("n_fp") > 0)
+    assert(row.getAs[Double]("dp") === 11.0)
+    assert(row.getAs[Long]("sh") ===
+      SimHash.simhash64(Iterator("x", "y")))
+  }
+
   test("winnow pairs: exact dups share fingerprints, distinct docs do not") {
     val pairs = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -40,20 +40,27 @@ class IngestSpec extends AnyFunSuite {
     val byStation = sg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byStation === Map("s1" -> 1L, "s2" -> 2L))
 
-    // measurements: a spike above 15×IQR at s1, a normal series elsewhere
+    // measurements: a spike above 15×IQR at s1; a varied series at s2
+    // (note: reference semantics value > 15·IQR means a zero-IQR station
+    // drops every positive measurement — s2 needs spread to survive)
     val meas = ((1 to 10).map(d => ("s1", f"2023-01-$d%02d", d * 7.0 % 13 + 10)) :+
-      (("s1", "2023-01-11", 5000.0)) :+
-      (("s2", "2023-01-01", 42.0)))
-      .toDF("location_id", "date", "value")
-    val stats = Pm25Source.stationStats(meas)
+      (("s1", "2023-01-11", 5000.0))) ++
+      (1 to 5).map(d => ("s2", f"2023-01-$d%02d", 20.0 + d * 10))
+    val measDf = meas.toDF("location_id", "date", "value")
+    val stats = Pm25Source.stationStats(measDf)
     assert(stats.columns.toSet ===
       Set("location_id", "station_q1", "station_q3", "station_iqr"))
-    val filtered = Pm25Source.applyQualityFilters(meas, stats)
-    assert(!filtered.filter(col("value") === 5000.0).isEmpty === false) // spike dropped
-    assert(filtered.filter(col("location_id") === "s2").count() === 1)
+    // nearest-rank quantiles: s2 values {30..70} → q1=40, q3=60, iqr=20
+    val s2stats = stats.filter(col("location_id") === "s2").head()
+    assert(s2stats.getAs[Double]("station_q1") === 40.0)
+    assert(s2stats.getAs[Double]("station_q3") === 60.0)
+    val filtered = Pm25Source.applyQualityFilters(measDf, stats)
+    assert(filtered.filter(col("value") === 5000.0).isEmpty) // spike dropped
+    assert(filtered.filter(col("location_id") === "s2").count() === 5)
 
     val daily = Pm25Source.dailyGridMeans(filtered, sg)
     assert(daily.columns.toSet === Set("grid_id", "date", "pm25"))
-    assert(daily.filter(col("grid_id") === 2).select("pm25").as[Double].head() === 42.0)
+    assert(daily.filter(col("grid_id") === 2 && col("date") === "2023-01-03")
+      .select("pm25").as[Double].head() === 50.0)
   }
 }

@@ -134,7 +134,8 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     assert(imputedStage.filter(col("merra_aot__aot__imputed_flag") === 1).count() === 0)
 
     // ---- s06 full-model sample → s07 train → s08 final predict → s09 output
-    pipe.runFullModelSample("merra_aot__aot__imputed", fraction = 0.5)
+    pipe.runFullModelSample("merra_aot__aot__imputed", fraction = 0.5,
+      imputedModels = Seq("aod"))
     val fullSample = spark.read.parquet(
       storage.stagePath(StageRef("full_model_sample")))
     assert(fullSample.count() === nGrids * 59) // target fully present here
