@@ -52,6 +52,16 @@ object DedupPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Full dedup workflow: LSH pairs → connected components → survivors.
+    // Cluster resolution is iterative (not single-statement SQL) → rows-
+    // only; pair-level agreement is already oracle-checked above.
+    "dedup_resolve" -> ((s, dir) => {
+      Dedup.deduplicate(table(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs (pigeonhole-bucketed). Hash-function-specific
     // — rows-only check here; golden-tested in DedupSpec.
     "dedup_simhash" -> ((s, dir) => {

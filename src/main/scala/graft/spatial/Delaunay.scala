@@ -123,47 +123,97 @@ object Delaunay {
       Some(Tri(a, b, c, ux, uy, r2))
     }
 
-    var active = ArrayBuffer(circum(s1, s2, s3).get)
+    // Active set in flat primitive arrays (vertex indices + circumdata) —
+    // the hot loop scans it once per insertion; boxed Tri objects plus a
+    // per-insertion HashMap measured ~4× slower at 33k points.
+    var cap = 256
+    var aCount = 0
+    var aA = new Array[Int](cap); var aB = new Array[Int](cap); var aC = new Array[Int](cap)
+    var aCx = new Array[Double](cap); var aCy = new Array[Double](cap)
+    var aR2 = new Array[Double](cap); var aReach = new Array[Double](cap)
     val done = ArrayBuffer.empty[Tri]
+
+    def grow(): Unit = {
+      cap *= 2
+      aA = java.util.Arrays.copyOf(aA, cap); aB = java.util.Arrays.copyOf(aB, cap)
+      aC = java.util.Arrays.copyOf(aC, cap)
+      aCx = java.util.Arrays.copyOf(aCx, cap); aCy = java.util.Arrays.copyOf(aCy, cap)
+      aR2 = java.util.Arrays.copyOf(aR2, cap); aReach = java.util.Arrays.copyOf(aReach, cap)
+    }
+    def addActive(a: Int, b: Int, c: Int): Unit = circum(a, b, c).foreach { t =>
+      if (aCount == cap) grow()
+      aA(aCount) = t.a; aB(aCount) = t.b; aC(aCount) = t.c
+      aCx(aCount) = t.cx; aCy(aCount) = t.cy; aR2(aCount) = t.r2
+      aReach(aCount) = t.cx + math.sqrt(t.r2)
+      aCount += 1
+    }
+    def removeActive(k: Int): Unit = {
+      val last = aCount - 1
+      aA(k) = aA(last); aB(k) = aB(last); aC(k) = aC(last)
+      aCx(k) = aCx(last); aCy(k) = aCy(last); aR2(k) = aR2(last)
+      aReach(k) = aReach(last)
+      aCount = last
+    }
+    addActive(s1, s2, s3)
+
+    // cavity boundary edges, reused across insertions: packed (u,v) keys
+    var edgeKeys = new Array[Long](64)
+    var edgeCnt = new Array[Int](64)
+    var nEdges = 0
 
     var oi = 0
     while (oi < order.length) {
       val p = order(oi)
       val x = px(p); val y = py(p)
 
-      // retire triangles whose circumcircle cannot contain any later point
+      nEdges = 0
       var k = 0
-      while (k < active.length) {
-        val t = active(k)
-        if (t.cx + math.sqrt(t.r2) < x - 1e-12) {
-          done += t
-          active(k) = active.last
-          active.remove(active.length - 1)
-        } else k += 1
+      while (k < aCount) {
+        // retire triangles whose circumcircle cannot contain a later point
+        if (aReach(k) < x - 1e-12) {
+          done += Tri(aA(k), aB(k), aC(k), aCx(k), aCy(k), aR2(k))
+          removeActive(k)
+        } else {
+          val dx = x - aCx(k); val dy = y - aCy(k)
+          if (dx * dx + dy * dy <= aR2(k) * (1 + 1e-12)) {
+            // bad triangle: record its edges in the cavity boundary
+            var e = 0
+            while (e < 3) {
+              val u0 = if (e == 0) aA(k) else if (e == 1) aB(k) else aC(k)
+              val v0 = if (e == 0) aB(k) else if (e == 1) aC(k) else aA(k)
+              val key = if (u0 < v0) (u0.toLong << 32) | v0 else (v0.toLong << 32) | u0
+              var j = 0
+              var found = false
+              while (j < nEdges && !found) {
+                if (edgeKeys(j) == key) { edgeCnt(j) += 1; found = true }
+                j += 1
+              }
+              if (!found) {
+                if (nEdges == edgeKeys.length) {
+                  edgeKeys = java.util.Arrays.copyOf(edgeKeys, nEdges * 2)
+                  edgeCnt = java.util.Arrays.copyOf(edgeCnt, nEdges * 2)
+                }
+                edgeKeys(nEdges) = key; edgeCnt(nEdges) = 1; nEdges += 1
+              }
+              e += 1
+            }
+            removeActive(k)
+          } else k += 1
+        }
       }
-
-      // bad triangles: circumcircle contains p
-      val edges = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
-      k = 0
-      while (k < active.length) {
-        val t = active(k)
-        val dx = x - t.cx; val dy = y - t.cy
-        if (dx * dx + dy * dy <= t.r2 * (1 + 1e-12)) {
-          // record boundary edges of the cavity
-          Seq((t.a, t.b), (t.b, t.c), (t.c, t.a)).foreach { case (u, v) =>
-            val key = if (u < v) (u, v) else (v, u)
-            edges(key) = edges.getOrElse(key, 0) + 1
-          }
-          active(k) = active.last
-          active.remove(active.length - 1)
-        } else k += 1
-      }
-      edges.foreach { case ((u, v), cnt) =>
-        if (cnt == 1) circum(u, v, p).foreach(active += _)
+      var j = 0
+      while (j < nEdges) {
+        if (edgeCnt(j) == 1)
+          addActive((edgeKeys(j) >>> 32).toInt, (edgeKeys(j) & 0xffffffffL).toInt, p)
+        j += 1
       }
       oi += 1
     }
-    done ++= active
+    var k = 0
+    while (k < aCount) {
+      done += Tri(aA(k), aB(k), aC(k), aCx(k), aCy(k), aR2(k))
+      k += 1
+    }
 
     val tris = done.filter(t =>
       t.a < n && t.b < n && t.c < n).toArray
