@@ -151,6 +151,17 @@ final class Pm25Pipeline(spark: SparkSession, storage: StageStorage,
       .parquet(storage.stagePath(StageRef("imputed", Some(model))))
   }
 
+  /** s05 tail: force-recombine generated features + every model's imputed
+    * stage into stage=imputed (ref: imputation_controller.py:48-56 — the
+    * full-model stages read this materialized wide table).
+    */
+  def runRecombineImputed(months: Seq[String], imputedModels: Seq[String]): Unit =
+    runner.runMonths(StageRef("imputed"), months, _ => -1L, { month =>
+      val frames = storage.readMonth(GeneratedFeatures, month) +:
+        imputedModels.map(m => storage.readMonth(StageRef("imputed", Some(m)), month))
+      Recombiner.recombine(frames, overwriteColumns = true)
+    }, force = true)
+
   /** s06 full-model sampling: generated features joined with EVERY
     * imputation model's __imputed columns, rows with observed ground
     * truth, stratified split (ref: sample/full_model_sampler.py:58-62;

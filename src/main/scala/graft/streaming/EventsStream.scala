@@ -46,6 +46,16 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming exact deduplication: drop re-deliveries of the same event id
+    * within the watermark horizon (state is bounded — ids older than the
+    * watermark are evicted). The streaming twin of
+    * [[graft.dedup.Dedup.exact]] for at-least-once ingest feeds.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
   // ------------------------------------------------------- sessionization
 
   final case class SessionUpdate(userId: Long, sessionStart: Long,

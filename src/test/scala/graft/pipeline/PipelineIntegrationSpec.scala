@@ -133,6 +133,13 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     // aot was fully observed → nothing flagged imputed
     assert(imputedStage.filter(col("merra_aot__aot__imputed_flag") === 1).count() === 0)
 
+    // ---- s05 tail: materialize stage=imputed (features + model outputs)
+    pipe.runRecombineImputed(months, Seq("aod"))
+    val imputedWide = storage.readMonth(StageRef("imputed"), "2023-01")
+    assert(imputedWide.count() === nGrids * 31)
+    assert(imputedWide.columns.contains("merra_aot__aot__imputed"))
+    assert(imputedWide.columns.contains("cos_day_of_year"))
+
     // ---- s06 full-model sample → s07 train → s08 final predict → s09 output
     pipe.runFullModelSample("merra_aot__aot__imputed", fraction = 0.5,
       imputedModels = Seq("aod"))

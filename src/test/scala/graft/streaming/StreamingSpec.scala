@@ -55,6 +55,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids") {
+    val dir = stageEventsDir()
+    // second copy of the same file = exact re-delivery of all 1000 events
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+    val got = EventsStream.runToMemory(
+      EventsStream.dedupEvents(EventsStream.readEvents(spark, dir)), "dedup_ev")
+    assert(got.count() === 1000L)
+    assert(got.select("event_id").distinct().count() === 1000L)
+  }
+
   test("stateful sessionization closes sessions at the inactivity gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     // two users; user 1 has two bursts separated by > gap, user 2 one burst
