@@ -29,14 +29,15 @@ object Rolling {
       Window.partitionBy(partition: _*).orderBy(order: _*)
         .rowsBetween(-(n - 1), 0))
 
-  /** Polars rolling_mean default: null until the frame holds `n` rows
-    * (ref: pm25_filters.py:28-35).
+  /** Polars rolling_mean default (min_samples = window size): null until
+    * the frame holds `n` NON-NULL samples — polars counts valid values,
+    * not rows (ref: pm25_filters.py:28-35).
     */
   def rollingMeanFullWindowOnly(c: Column, partition: Seq[Column],
                                 order: Seq[Column], n: Int): Column = {
     val w = Window.partitionBy(partition: _*).orderBy(order: _*)
       .rowsBetween(-(n - 1), 0)
-    when(count(lit(1)).over(w) === n, avg(nanToNull(c)).over(w))
+    when(count(nanToNull(c)).over(w) === n, avg(nanToNull(c)).over(w))
   }
 
   /** Mean over an unbounded group, broadcast back to rows

@@ -35,6 +35,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq(1L, 11L, 21L, 31L, 41L, 51L, 61L, 71L, 81L, 91L))
   }
 
+  test("rolling full-window-only counts non-null samples like polars") {
+    import graft.functions.Rolling
+    // null at position 3: every 5-row window containing it has only 4
+    // non-null samples → null (polars min_samples counts valid values,
+    // not rows); the first full-sample window ends at position 8
+    val df = Seq(
+      (1, Some(10.0)), (2, Some(20.0)), (3, None), (4, Some(40.0)),
+      (5, Some(50.0)), (6, Some(60.0)), (7, Some(70.0)), (8, Some(80.0)))
+      .toDF("pos", "v")
+    val got = df.withColumn("r5",
+        Rolling.rollingMeanFullWindowOnly(col("v"), Seq(lit(1)), Seq(col("pos")), 5))
+      .orderBy("pos").select("r5").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.take(7).forall(_.isEmpty))
+    assert(got(7) === Some((40.0 + 50 + 60 + 70 + 80) / 5))
+  }
+
   test("knn join: nearest grid cell by haversine, k=1") {
     val stations = Seq(("s1", 28.61, 77.21), ("s2", 19.08, 72.88))
       .toDF("station_id", "lat", "lon")
