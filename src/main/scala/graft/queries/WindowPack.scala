@@ -69,14 +69,16 @@ object WindowPack extends QueryPack {
         .orderBy("user_id", "day_s")
     }),
 
-    // W6: rolling aggregate that is null until the frame holds 5 rows
-    // (polars rolling_mean(5) default min_samples semantics).
+    // W6: rolling aggregate that is null until the frame holds 5 non-null
+    // samples (polars min_samples counts valid values, not rows — same rule
+    // as Rolling.rollingMeanFullWindowOnly).
     "w6_full_window_only" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(-4, 0)
       table(s, dir, "events")
         .withColumn("roll5_sum",
-          when(count(lit(1)).over(w) === 5, sum(col("value").cast(DEC)).over(w)))
+          when(count(col("value")).over(w) === 5,
+            sum(col("value").cast(DEC)).over(w)))
         .select("event_id", "user_id", "roll5_sum")
         .orderBy("event_id")
     }),
@@ -147,7 +149,7 @@ object WindowPack extends QueryPack {
          FROM daily ORDER BY user_id, day_s""",
     "w6_full_window_only" ->
       """SELECT event_id, user_id,
-           CASE WHEN COUNT(*) OVER w = 5
+           CASE WHEN COUNT(value) OVER w = 5
                 THEN SUM(CAST(value AS DECIMAL(18,2))) OVER w END AS roll5_sum
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -47,14 +47,17 @@ object EventsStream {
         col("n"), col("total"))
 
   /** Streaming exact deduplication: drop re-deliveries of the same event id
-    * within the watermark horizon (state is bounded — ids older than the
-    * watermark are evicted). The streaming twin of
-    * [[graft.dedup.Dedup.exact]] for at-least-once ingest feeds.
+    * within the watermark horizon. `dropDuplicatesWithinWatermark` is the
+    * form whose state actually evicts — plain `dropDuplicates(id)` without
+    * the event-time column among the keys keeps one state entry per
+    * distinct id forever. The streaming twin of [[graft.dedup.Dedup.exact]]
+    * for at-least-once ingest feeds (re-deliveries are assumed to arrive
+    * within the watermark of the first delivery).
     */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   // ------------------------------------------------------- sessionization
 

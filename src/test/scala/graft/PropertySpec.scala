@@ -68,6 +68,38 @@ object KernelProperties extends Properties("graft.kernels") {
         }
     }
 
+  property("delaunay: empty circumcircles AND full hull coverage") =
+    forAll(Gen.chooseNum(0L, Long.MaxValue - 1)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(40)
+      val px = Array.fill(n)(rnd.nextDouble() * 100)
+      val py = Array.fill(n)(rnd.nextDouble() * 100)
+      val tri = Delaunay.triangulate(px, py)
+      // definitional: no point strictly inside any triangle's circumcircle
+      val emptyCircles = tri.triangles.forall { t =>
+        (0 until n).forall { i =>
+          i == t.a || i == t.b || i == t.c || {
+            val dx = px(i) - t.cx; val dy = py(i) - t.cy
+            dx * dx + dy * dy >= t.r2 * (1 - 1e-9)
+          }
+        }
+      }
+      // coverage: a convex combination of input points is inside the hull
+      // and must locate (guards against dropped boundary triangles — the
+      // empty-circle check alone is vacuously satisfied by missing
+      // triangles)
+      val covered = (1 to 50).forall { _ =>
+        val i = rnd.nextInt(n); val j = rnd.nextInt(n); val k = rnd.nextInt(n)
+        var w1 = rnd.nextDouble(); var w2 = rnd.nextDouble(); var w3 = rnd.nextDouble()
+        val s = w1 + w2 + w3
+        w1 /= s; w2 /= s; w3 /= s
+        val x = w1 * px(i) + w2 * px(j) + w3 * px(k)
+        val y = w1 * py(i) + w2 * py(j) + w3 * py(k)
+        tri.locate(x, y).isDefined
+      }
+      emptyCircles && covered
+    }
+
   property("minhash kernel: entry i is the min of per-shingle hash i") =
     forAll(Gen.nonEmptyListOf(wordGen)) { shingles =>
       import org.apache.spark.sql.catalyst.util.GenericArrayData
