@@ -37,6 +37,18 @@ object SimilarityPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // IVF ANN (the FAISS-style scale path): k-means coarse cells, nprobe
+    // probing. Approximate by construction → rows-only; recall vs brute
+    // force asserted in AnnSpec.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val index = Ann.trainIvf(emb, nlist = 16)
+      Ann.ivfTopK(
+          emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+          emb, index, k = 3, nprobe = 4)
+        .orderBy("query_id", "rk")
+    }),
+
     // LSH-bucketed ANN (scale path) — approximate recall by construction,
     // so rows-only here; recall measured against brute force in AnnSpec.
     "ann_lsh_topk" -> ((s, dir) => {

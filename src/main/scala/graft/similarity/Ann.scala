@@ -125,6 +125,90 @@ object Ann {
         round(col("cos"), 6).as("cos"))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF (inverted-file) coarse quantizer: k-means centroids over a sample
+    * of the corpus (MLlib), each corpus vector assigned to its nearest
+    * centroid's list. Queries probe the `nprobe` nearest centroids and
+    * score only those lists — the classic FAISS-style ANN layout; at
+    * cluster scale the corpus lists live partitioned-by-centroid on disk
+    * and only the probed partitions are read.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]]) extends Serializable {
+    def nearestCentroids(v: Array[Double], nprobe: Int): Seq[Int] =
+      centroids.indices
+        .sortBy { c =>
+          var d = 0.0
+          var i = 0
+          while (i < v.length) {
+            val t = v(i) - centroids(c)(i); d += t * t; i += 1
+          }
+          d
+        }
+        .take(nprobe)
+  }
+
+  /** Train the coarse quantizer with MLlib k-means (deterministic seed). */
+  def trainIvf(corpus: DataFrame, nlist: Int, vecCol: String = "embedding"): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(
+      array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
+      .fit(feats)
+    IvfIndex(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Centroid-list id of a vector column under the index. Distances expand
+    * as ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖² (one dot per centroid; ‖c‖² is a
+    * literal), argmin via array_min + array_position — a chained
+    * when-fold would nest each comparison inside all later ones and blow
+    * up exponentially in expression size.
+    */
+  def ivfCell(v: Column, index: IvfIndex): Column = {
+    val vv = dot(v, v)
+    val dists = index.centroids.map { c =>
+      val cArr = array(c.map(lit): _*)
+      val cc = c.map(x => x * x).sum
+      vv - lit(2.0) * dot(v, cArr) + lit(cc)
+    }
+    val dArr = array(dists.toIndexedSeq: _*)
+    (array_position(dArr, array_min(dArr)) - 1).cast("int")
+  }
+
+  /** IVF top-k: corpus bucketed by centroid cell; each query probes its
+    * `nprobe` nearest cells, exact cosine + rank within the probed subset.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, index: IvfIndex, k: Int,
+              nprobe: Int, queryId: String = "query_id",
+              corpusId: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(queryId).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qProbes = q.as[(Long, Array[Double], Double)].flatMap { case (id, v, n) =>
+      index.nearestCentroids(v, nprobe).map(cell => (id, v, n, cell))
+    }.toDF("query_id", "qv", "qn", "cell")
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", ivfCell(col("cv"), index))
+      .withColumn("cn", norm(col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(qProbes), Seq("cell"))
+      .withColumn("cos",
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      // a (query, neighbor) pair can match through two probed cells —
+      // dedupe BEFORE ranking or the duplicate occupies a top-k slot
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
     * threshold. Exact O(n²) variant for modest n; swap the cross join for
     * `lshBucket` equality at scale (same downstream verify).

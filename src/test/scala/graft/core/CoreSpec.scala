@@ -56,6 +56,13 @@ class CoreSpec extends AnyFunSuite {
     // hive scan carries the month partition column and prunes on it
     val scan = st.scanStage(ref)
     assert(scan.columns.contains("month"))
-    assert(scan.filter(col("month") === "2023-01").count() === 2L)
+    val pruned = scan.filter(col("month") === "2023-01")
+    assert(pruned.count() === 2L)
+    // the month predicate must reach the scan as a PartitionFilter (pruning
+    // at the source), not a post-scan Filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("month"), s"month not pruned at source:\n$plan")
   }
 }

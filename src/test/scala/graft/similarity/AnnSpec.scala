@@ -49,6 +49,23 @@ class AnnSpec extends AnyFunSuite {
     assert((0L until 20L).forall(q => lsh.contains((q, q))))
   }
 
+  test("IVF top-k: self-recall perfect, overall recall beats LSH at same probes") {
+    val emb = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    val index = Ann.trainIvf(emb, nlist = 16)
+    assert(index.centroids.length === 16)
+    val ivf = Ann.ivfTopK(queries, emb, index, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vector → same cell → always retrieved
+    assert((0L until 20L).forall(q => ivf.contains((q, q))))
+    val brute = Ann.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"ivf recall=$recall") // nprobe=4 of 16 cells
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Ann.hyperplanes(4, 8).map(_.toSeq).toSeq ===
            Ann.hyperplanes(4, 8).map(_.toSeq).toSeq)
