@@ -37,6 +37,19 @@ object SimilarityPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Int8 scalar quantization of the embedding corpus: per-vector scale +
+    // exact integer code checksums (floor-based rounding is engine-portable).
+    "ann_quantize_int8" -> ((s, dir) => {
+      val v = graft.similarity.Ann.asDouble(col("embedding"))
+      table(s, dir, "embeddings")
+        .withColumn("q", graft.similarity.Ann.quantizeInt8(v))
+        .select(col("vec_id"),
+          round(col("q.scale"), 6).as("scale"),
+          aggregate(col("q.codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          array_max(transform(col("q.codes"), c => abs(c))).as("code_max"))
+        .orderBy("vec_id")
+    }),
+
     // IVF ANN (the FAISS-style scale path): k-means coarse cells, nprobe
     // probing. Approximate by construction → rows-only; recall vs brute
     // force asserted in AnnSpec.
@@ -60,6 +73,23 @@ object SimilarityPack extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "ann_quantize_int8" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             CASE WHEN LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) = 0
+                  THEN 1.0
+                  ELSE LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0
+             END AS scale
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, scale,
+             LIST_TRANSFORM(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS codes
+           FROM s)
+         SELECT vec_id, ROUND(scale, 6) AS scale,
+           LIST_SUM(codes) AS code_sum,
+           LIST_MAX(LIST_TRANSFORM(codes, x -> ABS(x))) AS code_max
+         FROM c ORDER BY vec_id""",
     "ann_topk_brute" ->
       s"""WITH $VecCte,
          dots AS (

@@ -125,6 +125,33 @@ object Ann {
         round(col("cos"), 6).as("cos"))
   }
 
+  // --------------------------------------------------------- quantization
+
+  /** L2-normalize an embedding (zero vectors pass through unchanged). */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
+
+  /** Per-vector symmetric int8 scalar quantization: scale = maxAbs/127,
+    * code_i = floor(x_i/scale·… + 0.5). Shrinks a float32 corpus 4× for
+    * ANN candidate scoring (re-rank on full precision), the standard
+    * embedding-storage trade at corpus scale. floor(x+0.5) keeps the
+    * rounding engine-portable (Spark's round() goes through JVM
+    * shortest-string decimals).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxAbs === 0.0, 1.0).otherwise(maxAbs / 127.0)
+    struct(
+      transform(v, x => floor(x / scale + 0.5).cast("int")).as("codes"),
+      scale.as("scale"))
+  }
+
+  /** Reconstruct doubles from an int8 quantization struct. */
+  def dequantize(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   // ------------------------------------------------------------------ IVF
 
   /** IVF (inverted-file) coarse quantizer: k-means centroids over a sample

@@ -66,6 +66,41 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.5, s"ivf recall=$recall") // nprobe=4 of 16 cells
   }
 
+  test("int8 quantization: bounded error, cosine preserved, zero-safe") {
+    val emb = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50)
+    val q = emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("v"))
+      .withColumn("q", Ann.quantizeInt8(col("v")))
+      .withColumn("back", Ann.dequantize(col("q")))
+      .withColumn("max_err",
+        array_max(zip_with(col("v"), col("back"), (a, b) => abs(a - b))))
+      .withColumn("scale", col("q.scale"))
+      .withColumn("cos_orig_back", Ann.cosine(col("v"), col("back")))
+    val rows = q.select("max_err", "scale", "cos_orig_back").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) <= r.getDouble(1) / 2 + 1e-12) // err ≤ scale/2
+      assert(r.getDouble(2) > 0.999) // quantization barely moves direction
+    }
+    // codes stay in int8 range; zero vector round-trips
+    val codes = q.select(array_max(transform(col("q.codes"), c => abs(c))))
+      .as[Int].collect()
+    assert(codes.forall(_ <= 127))
+    val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Ann.dequantize(Ann.quantizeInt8(
+        Ann.asDouble(col("embedding")))).as("back"))
+      .as[Seq[Double]].head()
+    assert(z === Seq(0.0, 0.0))
+  }
+
+  test("l2Normalize yields unit vectors and passes zero through") {
+    val got = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Ann.l2Normalize(Ann.asDouble(col("embedding"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(got(1L)(0) - 0.6) < 1e-12 && math.abs(got(1L)(1) - 0.8) < 1e-12)
+    assert(got(2L) === Seq(0.0, 0.0))
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Ann.hyperplanes(4, 8).map(_.toSeq).toSeq ===
            Ann.hyperplanes(4, 8).map(_.toSeq).toSeq)
