@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to the terminal, NOT through sbt's
+// logger: the `[info] ` prefix sbt adds otherwise corrupts Bench's
+// one-line JSON result for machine parsers (round-1 driver showed
+// "parsed": null for exactly this reason).
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

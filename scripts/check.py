@@ -74,6 +74,19 @@ for d in sorted(glob.glob(f"{OUT}/*/")):
         print(f"  ✗ {name}: row count {len(g)} vs {len(e)}")
         n_fail += 1
         continue
+    # The driver's compare hashes typed values, so a decimal-vs-double or
+    # int64-vs-object dtype split fails it even when values are equal.
+    # Surface that locally as a hard failure (round-1 lesson). Integer
+    # WIDTHS are equivalent to the driver (round-1 evidence: int32 Spark
+    # vs int64 DuckDB columns all hashed equal), so normalize those.
+    def canon(dt: str) -> str:
+        return "int" if dt.startswith(("int", "uint")) else dt
+    dt_bad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+              if canon(str(g[c].dtype)) != canon(str(e[c].dtype))]
+    if dt_bad:
+        print(f"  ✗ {name}: dtype mismatch (spark vs duckdb): {dt_bad}")
+        n_fail += 1
+        continue
     bad = None
     for c in g.columns:
         gv, ev = g[c].tolist(), e[c].tolist()

@@ -28,12 +28,15 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // reference-scale pipeline stages (33k grid × month, BASELINE.md's
-    // actual workload) — skippable via SPARK_GRAFT_SKIP_PIPELINE=1
+    // actual workload), median of n runs (contention-robust; round 1's
+    // single-shot number was a sandbox-load artifact) — skippable via
+    // SPARK_GRAFT_SKIP_PIPELINE=1
+    val pipelineN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val pipelineResults =
       if (sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) Seq.empty
       else try {
         val tmp = java.nio.file.Files.createTempDirectory("graft-pbench").toString
-        graft.bench.PipelineBench.run(spark, tmp).toSeq
+        graft.bench.PipelineBench.runMedian(spark, tmp, pipelineN).toSeq.sortBy(_._1)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline bench failed: ${e.getMessage}")
         Seq.empty
@@ -42,7 +45,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // File copy survives any stdout mangling by a wrapping build tool.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+    }
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -49,7 +49,22 @@ object PipelineBench {
       ((col("id") % 182) * 10000).cast("double").as("original_x"),
       (floor(col("id") / 182) * 10000).cast("double").as("original_y"))
 
-  /** Run the reference-scale stages; returns name → seconds. */
+  /** Run the reference-scale stages `n` times and report the per-stage
+    * MEDIAN. One-shot timings on a shared sandbox are dominated by
+    * co-tenant CPU contention (round 1: the same combine stage measured
+    * 361 s under the driver vs 5.7 s standalone on the same machine);
+    * the median of n≥3 is robust to a single contended run.
+    */
+  def runMedian(spark: SparkSession, outRoot: String, n: Int): Map[String, Double] = {
+    val runs = (0 until math.max(1, n)).map(_ => run(spark, outRoot))
+    val names = runs.head.keys
+    names.map { k =>
+      val ts = runs.map(_(k)).sorted
+      k -> ts(ts.size / 2)
+    }.toMap
+  }
+
+  /** Run the reference-scale stages once; returns name → seconds. */
   def run(spark: SparkSession, outRoot: String): Map[String, Double] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 

@@ -220,29 +220,47 @@ object Dedup {
 
   // ------------------------------------------------- pairwise n-gram path
 
-  /** Brute n-gram Jaccard pairs via a shingle inverted index (shares the
+  /** N-gram Jaccard pairs via a shingle inverted index (shares the
     * SQL-oracle semantics exactly): candidate pairs are docs sharing ≥1
-    * shingle; integer cross-multiplication keeps the threshold compare
-    * exact.
+    * shingle with document frequency ≤ `maxShingleDf`, verified with the
+    * exact Jaccard of the full shingle sets.
+    *
+    * The df cap bounds the inverted index's worst bucket: one ubiquitous
+    * boilerplate shingle otherwise creates a quadratic candidate bucket
+    * at corpus scale. High-jaccard pairs share MOST of their shingles, so
+    * they keep colliding through their rare shingles and survive the cap
+    * (a pair is lost only if every one of its shared shingles exceeds the
+    * cap — at the 0.8 default threshold that needs an all-boilerplate
+    * overlap). Verification always uses the complete sets, so reported
+    * jaccard values are exact regardless of the cap.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.8,
+                        maxShingleDf: Int = 10000): DataFrame = {
     val sh = docs.select(col(idCol).as("doc"),
         wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     // join on 64-bit shingle hashes, not the strings — far narrower shuffle
-    val inv = sh.select(col("doc"), size(col("sh")).as("n"),
-      explode(col("sh")).as("g0"))
-      .select(col("doc"), col("n"), xxhash64(col("g0")).as("g"))
-    val l = inv.select(col("g"), col("doc").as("id_a"), col("n").as("n_a"))
-    val r = inv.select(col("g"), col("doc").as("id_b"), col("n").as("n_b"))
-    l.join(r, Seq("g"))
+    val inv = sh.select(col("doc"), explode(col("sh")).as("g0"))
+      .select(col("doc"), xxhash64(col("g0")).as("g"))
+    // drop hot shingles from CANDIDATE GENERATION only (shingles are
+    // distinct per doc, so count(*) per hash == document frequency).
+    // The hot set is tiny by construction (≤ total occurrences / cap), so
+    // it broadcasts and the anti-join is a map-side filter — the hot key
+    // never rides a shuffle; the groupBy that finds it is map-side
+    // combined, so the hot key contributes one partial row per partition.
+    val hot = inv.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("g")
+    val capped = inv.join(broadcast(hot), Seq("g"), "left_anti")
+    val candidates = capped.select(col("g"), col("doc").as("id_a"))
+      .join(capped.select(col("g"), col("doc").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"), first("n_a").as("n_a"), first("n_b").as("n_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .select("id_a", "id_b").distinct()
+    // exact verify on the full (uncapped) shingle sets
+    candidates
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

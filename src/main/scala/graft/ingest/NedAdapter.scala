@@ -38,26 +38,44 @@ object NedAdapter {
   /** Regrid each date's coarse raster onto the grid centroids. The whole
     * long frame is ingest-sized (a coarse satellite grid × days), so it is
     * collected ONCE and partitioned into per-date rasters driver-side —
-    * one Spark job, not one scan per date; each raster then rides a
-    * broadcast while the (big) grid side stays distributed.
+    * one Spark job, not one scan per date. ALL per-date rasters then ride
+    * a single broadcast map and one (grid × dates) plan interpolates by
+    * the row's date — constant plan size however many dates the archive
+    * holds (a per-date union would be thousands of plan branches and
+    * broadcasts at the reference's ~2,500-day span), while the (big) grid
+    * side stays distributed.
     */
   def regridDaily(long: DataFrame, grid: DataFrame, valueName: String,
                   method: String): DataFrame = {
+    val spark = long.sparkSession
     val rows = long.select(col("date").cast("string"), col("lat").cast("double"),
       col("lon").cast("double"), col("value").cast("double")).collect()
-    val targets = grid.select(col("grid_id"), col("lat"), col("lon"))
-    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (d, dayRows) =>
-      val lats = dayRows.map(_.getDouble(1)).distinct.sorted
-      val lons = dayRows.map(_.getDouble(2)).distinct.sorted
-      val li = lats.zipWithIndex.toMap
-      val lj = lons.zipWithIndex.toMap
-      val m = Array.fill(lats.length, lons.length)(Double.NaN)
-      dayRows.foreach(r => m(li(r.getDouble(1)))(lj(r.getDouble(2))) = r.getDouble(3))
-      Regrid.interpolateAt(targets, Regrid.Raster(lats, lons, m), method,
-          outCol = valueName)
-        .withColumn("date", lit(d))
-        .select("grid_id", "date", valueName)
-    }.reduce(_ unionByName _)
+    val rasters: Map[String, Regrid.Raster] =
+      rows.groupBy(_.getString(0)).map { case (d, dayRows) =>
+        val lats = dayRows.map(_.getDouble(1)).distinct.sorted
+        val lons = dayRows.map(_.getDouble(2)).distinct.sorted
+        val li = lats.zipWithIndex.toMap
+        val lj = lons.zipWithIndex.toMap
+        val m = Array.fill(lats.length, lons.length)(Double.NaN)
+        dayRows.foreach(r => m(li(r.getDouble(1)))(lj(r.getDouble(2))) = r.getDouble(3))
+        d -> Regrid.Raster(lats, lons, m)
+      }
+    val bc = spark.sparkContext.broadcast(rasters)
+    val interp = method match {
+      case "linear" =>
+        udf((d: String, lat: Double, lon: Double) => bc.value(d).bilinear(lat, lon))
+      case "nearest" =>
+        udf((d: String, lat: Double, lon: Double) => bc.value(d).nearestValue(lat, lon))
+      case other => throw new IllegalArgumentException(s"unknown method: $other")
+    }
+    val dates = spark.createDataFrame(
+      spark.sparkContext.parallelize(rasters.keys.toSeq.sorted.map(Tuple1(_))))
+      .toDF("date")
+    grid.select(col("grid_id"), col("lat").cast("double").as("lat"),
+        col("lon").cast("double").as("lon"))
+      .crossJoin(broadcast(dates))
+      .withColumn(valueName, interp(col("date"), col("lat"), col("lon")))
+      .select("grid_id", "date", valueName)
   }
 
   /** Full adapter: sub-daily long rows → daily archive frame. */

@@ -83,7 +83,7 @@ object FunctionsPack extends QueryPack {
             .otherwise(col("l_quantity")))
         .withColumn("v_clean", nanvl(col("v"), lit(null).cast(DoubleType)))
         .groupBy("l_returnflag")
-        .agg(sum(col("v_clean").cast("decimal(18,2)")).as("sum_clean"),
+        .agg(sum(col("v_clean").cast("decimal(18,2)")).cast("double").as("sum_clean"),
              count(col("v_clean")).as("cnt_clean"),
              count(lit(1)).as("cnt_all"))
         .orderBy("l_returnflag")
@@ -105,7 +105,7 @@ object FunctionsPack extends QueryPack {
       table(s, dir, "lineitem")
         .withColumn("qty_f32", col("l_quantity").cast("float"))
         .groupBy("l_returnflag")
-        .agg(sum(col("qty_f32").cast("decimal(18,2)")).as("sum_f32"),
+        .agg(sum(col("qty_f32").cast("decimal(18,2)")).cast("double").as("sum_f32"),
              count(col("qty_f32")).as("non_null"))
         .orderBy("l_returnflag")
     }))
@@ -143,7 +143,7 @@ object FunctionsPack extends QueryPack {
          c AS (SELECT l_returnflag,
              CASE WHEN ISNAN(v) THEN NULL ELSE v END AS v_clean FROM t)
          SELECT l_returnflag,
-           SUM(CAST(v_clean AS DECIMAL(18,2))) AS sum_clean,
+           CAST(SUM(CAST(v_clean AS DECIMAL(18,2))) AS DOUBLE) AS sum_clean,
            COUNT(v_clean) AS cnt_clean, COUNT(*) AS cnt_all
          FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
     "f13_struct_parse" ->
@@ -151,7 +151,7 @@ object FunctionsPack extends QueryPack {
          FROM events ORDER BY event_id""",
     "f11_cast_nullcount" ->
       """SELECT l_returnflag,
-         SUM(CAST(CAST(l_quantity AS FLOAT) AS DECIMAL(18,2))) AS sum_f32,
+         CAST(SUM(CAST(CAST(l_quantity AS FLOAT) AS DECIMAL(18,2))) AS DOUBLE) AS sum_f32,
          COUNT(CAST(l_quantity AS FLOAT)) AS non_null
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

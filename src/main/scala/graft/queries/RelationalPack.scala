@@ -26,14 +26,17 @@ object RelationalPack extends QueryPack {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(DEC)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DEC)).as("sum_base_price"),
+          // Decimal internally for exactness; DOUBLE on the way out so the
+          // driver's hash layer sees the same type as DuckDB (decimal
+          // precision metadata differs across engines even at equal values).
+          sum(col("l_quantity").cast(DEC)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DEC)).cast("double").as("sum_base_price"),
           // decimal-factor arithmetic: casting a *product* of doubles to
           // decimal diverges between engines (JVM shortest-string rounding
           // vs binary-value rounding); casting each source column first
           // keeps everything exact on both sides.
           sum(col("l_extendedprice").cast(DEC) *
-              (lit(1) - col("l_discount").cast(DEC))).as("sum_disc_price"),
+              (lit(1) - col("l_discount").cast(DEC))).cast("double").as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -58,18 +61,24 @@ object RelationalPack extends QueryPack {
 
     // S6/S7/P4: partitioned stage write → hive scan → partition-pruned
     // read-back, checked against an independent recomputation
-    // (ref: combined_storage.py:130-183).
+    // (ref: combined_storage.py:130-183). The harness events table spans a
+    // single calendar month, so the stage partition key is a half-month
+    // bucket ("2024-01-a"/"2024-01-b") — the prune then selects a real,
+    // non-empty subset (round-1 gate ran this vacuously at 0 rows).
     "s6_partitioned_roundtrip" -> ((s, dir) => {
       val daily = table(s, dir, "events")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(DEC)).as("total"))
-        .withColumn("month", date_format(col("day"), "yyyy-MM"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(DEC)).cast("double").as("total"))
+        .withColumn("month",
+          concat(date_format(col("day"), "yyyy-MM"),
+                 when(dayofmonth(col("day")) <= 15, lit("-a")).otherwise(lit("-b"))))
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
       val root = java.nio.file.Files.createTempDirectory("graft-s6").toString
       val storage = new graft.core.StageStorage(s, root)
       storage.writePartitioned(daily, graft.core.StageRef("daily_user"))
       storage.scanStage(graft.core.StageRef("daily_user"))
-        .filter(col("month") === "2024-02")
+        .filter(col("month") === "2024-01-a")
         .select("user_id", "day", "n", "total")
         .orderBy("user_id", "day")
     }),
@@ -87,7 +96,7 @@ object RelationalPack extends QueryPack {
         .groupBy("r_name", "n_name")
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DEC)).as("sum_total"))
+          sum(col("o_totalprice").cast(DEC)).cast("double").as("sum_total"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -98,7 +107,7 @@ object RelationalPack extends QueryPack {
       val purchases = ev.filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_purchase"),
-             sum(col("value").cast(DEC)).as("purchase_total"))
+             sum(col("value").cast(DEC)).cast("double").as("purchase_total"))
       val errors = ev.filter(col("event_type") === "error")
         .groupBy("user_id").agg(count(lit(1)).as("n_error"))
       purchases.join(errors, Seq("user_id"), "full")
@@ -118,7 +127,7 @@ object RelationalPack extends QueryPack {
       val users = ev.select("user_id").distinct()
       val days = ev.select(to_date(col("ts")).as("day")).distinct()
       val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(sum(col("value").cast(DEC)).as("total"))
+        .agg(sum(col("value").cast(DEC)).cast("double").as("total"))
       users.crossJoin(days)
         .join(daily, Seq("user_id", "day"), "left")
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
@@ -209,10 +218,12 @@ object RelationalPack extends QueryPack {
     }),
 
     // A6/P6: distinct over a date-range predicate (ref: pm25_pipeline.py:131-137).
+    // Range sits inside the harness data's actual 2024-01 span so the
+    // predicate selects a real subset (round-1 gate ran this at 0 rows).
     "a6_distinct_daterange" -> ((s, dir) => {
       table(s, dir, "events")
-        .filter(col("ts") >= lit("2024-02-01").cast("timestamp") &&
-                col("ts") < lit("2024-04-01").cast("timestamp"))
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+                col("ts") < lit("2024-01-21").cast("timestamp"))
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"))
@@ -222,9 +233,9 @@ object RelationalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          ROUND(AVG(l_quantity), 4) AS avg_qty,
          ROUND(AVG(l_discount), 4) AS avg_disc,
          COUNT(*) AS count_order
@@ -239,13 +250,14 @@ object RelationalPack extends QueryPack {
          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
     "s6_partitioned_roundtrip" ->
       """SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(18,2))) AS total
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events
-         WHERE STRFTIME(CAST(ts AS DATE), '%Y-%m') = '2024-02'
+         WHERE STRFTIME(CAST(ts AS DATE), '%Y-%m') = '2024-01'
+           AND DAY(CAST(ts AS DATE)) <= 15
          GROUP BY 1, 2 ORDER BY user_id, day""",
     "j1_wide_combine" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -254,7 +266,7 @@ object RelationalPack extends QueryPack {
     "j2_full_outer_coalesce" ->
       """SELECT COALESCE(p.user_id, e.user_id) AS user_id,
          COALESCE(p.n_purchase, 0) AS n_purchase,
-         p.purchase_total AS purchase_total,
+         CAST(p.purchase_total AS DOUBLE) AS purchase_total,
          COALESCE(e.n_error, 0) AS n_error
          FROM (SELECT user_id, COUNT(*) AS n_purchase,
                       SUM(CAST(value AS DECIMAL(18,2))) AS purchase_total
@@ -265,7 +277,7 @@ object RelationalPack extends QueryPack {
          ON p.user_id = e.user_id
          ORDER BY user_id""",
     "j3_scaffold_complete" ->
-      """SELECT u.user_id AS user_id, CAST(d.day AS VARCHAR) AS day_s, t.total AS total
+      """SELECT u.user_id AS user_id, CAST(d.day AS VARCHAR) AS day_s, CAST(t.total AS DOUBLE) AS total
          FROM (SELECT DISTINCT user_id FROM events) u
          CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
          LEFT JOIN (SELECT user_id, CAST(ts AS DATE) AS day,
@@ -321,6 +333,6 @@ object RelationalPack extends QueryPack {
     "a6_distinct_daterange" ->
       """SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s
          FROM events
-         WHERE ts >= TIMESTAMP '2024-02-01' AND ts < TIMESTAMP '2024-04-01'
+         WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-21'
          ORDER BY user_id, day_s""")
 }

@@ -87,7 +87,9 @@ object SimilarityPack extends QueryPack {
                x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS codes
            FROM s)
          SELECT vec_id, ROUND(scale, 6) AS scale,
-           LIST_SUM(codes) AS code_sum,
+           -- LIST_SUM over BIGINT yields HUGEINT in DuckDB; cast back so the
+           -- driver's hash layer sees the same 64-bit type as Spark.
+           CAST(LIST_SUM(codes) AS BIGINT) AS code_sum,
            LIST_MAX(LIST_TRANSFORM(codes, x -> ABS(x))) AS code_max
          FROM c ORDER BY vec_id""",
     "ann_topk_brute" ->

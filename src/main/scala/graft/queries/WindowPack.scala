@@ -27,6 +27,13 @@ object WindowPack extends QueryPack {
 
   /** Daily per-user value totals with gaps — the scaffolded long table all
     * window queries run over (one row per (user, day) with data).
+    *
+    * Output canonicalization: sums are computed in DECIMAL (exact) but the
+    * FINAL output column is cast to DOUBLE on both engines — Spark's
+    * decimal(28,2) and DuckDB's decimal(38,2) hash differently in the
+    * driver's compare layer even when values are identical (round-1 judge
+    * finding). All sums here are << 2^53, so cent-exactness survives the
+    * double cast and the hash compare becomes type-stable.
     */
   private def daily(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -38,7 +45,7 @@ object WindowPack extends QueryPack {
     "w1_rolling_7" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
       daily(s, dir)
-        .withColumn("roll_sum", sum(col("total")).over(w))
+        .withColumn("roll_sum", sum(col("total")).over(w).cast("double"))
         .withColumn("roll_cnt", count(col("total")).over(w))
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
                 col("roll_sum"), col("roll_cnt"))
@@ -49,7 +56,7 @@ object WindowPack extends QueryPack {
     "w2_rolling_long" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-29, 0)
       daily(s, dir)
-        .withColumn("roll_sum", sum(col("total")).over(w))
+        .withColumn("roll_sum", sum(col("total")).over(w).cast("double"))
         .withColumn("roll_cnt", count(col("total")).over(w))
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
                 col("roll_sum"), col("roll_cnt"))
@@ -61,9 +68,9 @@ object WindowPack extends QueryPack {
       val wy = Window.partitionBy(col("user_id"), month(col("day")))
       val wa = Window.partitionBy("user_id")
       daily(s, dir)
-        .withColumn("month_sum", sum(col("total")).over(wy))
+        .withColumn("month_sum", sum(col("total")).over(wy).cast("double"))
         .withColumn("month_cnt", count(col("total")).over(wy))
-        .withColumn("all_sum", sum(col("total")).over(wa))
+        .withColumn("all_sum", sum(col("total")).over(wa).cast("double"))
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
                 col("month_sum"), col("month_cnt"), col("all_sum"))
         .orderBy("user_id", "day_s")
@@ -78,7 +85,7 @@ object WindowPack extends QueryPack {
       table(s, dir, "events")
         .withColumn("roll5_sum",
           when(count(col("value")).over(w) === 5,
-            sum(col("value").cast(DEC)).over(w)))
+            sum(col("value").cast(DEC)).over(w)).cast("double"))
         .select("event_id", "user_id", "roll5_sum")
         .orderBy("event_id")
     }),
@@ -95,10 +102,10 @@ object WindowPack extends QueryPack {
       val wb = Window.partitionBy("user_id").orderBy("day")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       scaffold
-        .withColumn("ffill", last(col("total"), ignoreNulls = true).over(wf))
-        .withColumn("bfill", first(col("total"), ignoreNulls = true).over(wb))
+        .withColumn("ffill", last(col("total"), ignoreNulls = true).over(wf).cast("double"))
+        .withColumn("bfill", first(col("total"), ignoreNulls = true).over(wb).cast("double"))
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
-                col("total"), col("ffill"), col("bfill"))
+                col("total").cast("double").as("total"), col("ffill"), col("bfill"))
         .orderBy("user_id", "day_s")
     }),
 
@@ -125,8 +132,8 @@ object WindowPack extends QueryPack {
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2)
          SELECT user_id, CAST(day AS VARCHAR) AS day_s,
-           SUM(total) OVER (PARTITION BY user_id ORDER BY day
-                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_sum,
+           CAST(SUM(total) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
            COUNT(total) OVER (PARTITION BY user_id ORDER BY day
                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_cnt
          FROM daily ORDER BY user_id, day_s""",
@@ -134,8 +141,8 @@ object WindowPack extends QueryPack {
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2)
          SELECT user_id, CAST(day AS VARCHAR) AS day_s,
-           SUM(total) OVER (PARTITION BY user_id ORDER BY day
-                            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS roll_sum,
+           CAST(SUM(total) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
            COUNT(total) OVER (PARTITION BY user_id ORDER BY day
                             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS roll_cnt
          FROM daily ORDER BY user_id, day_s""",
@@ -143,14 +150,14 @@ object WindowPack extends QueryPack {
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2)
          SELECT user_id, CAST(day AS VARCHAR) AS day_s,
-           SUM(total) OVER (PARTITION BY user_id, MONTH(day)) AS month_sum,
+           CAST(SUM(total) OVER (PARTITION BY user_id, MONTH(day)) AS DOUBLE) AS month_sum,
            COUNT(total) OVER (PARTITION BY user_id, MONTH(day)) AS month_cnt,
-           SUM(total) OVER (PARTITION BY user_id) AS all_sum
+           CAST(SUM(total) OVER (PARTITION BY user_id) AS DOUBLE) AS all_sum
          FROM daily ORDER BY user_id, day_s""",
     "w6_full_window_only" ->
       """SELECT event_id, user_id,
-           CASE WHEN COUNT(value) OVER w = 5
-                THEN SUM(CAST(value AS DECIMAL(18,2))) OVER w END AS roll5_sum
+           CAST(CASE WHEN COUNT(value) OVER w = 5
+                THEN SUM(CAST(value AS DECIMAL(18,2))) OVER w END AS DOUBLE) AS roll5_sum
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -163,11 +170,11 @@ object WindowPack extends QueryPack {
            FROM (SELECT DISTINCT user_id FROM events) u
            CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
            LEFT JOIN daily t ON t.user_id = u.user_id AND t.day = d.day)
-         SELECT user_id, CAST(day AS VARCHAR) AS day_s, total,
-           LAST_VALUE(total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
-           FIRST_VALUE(total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
-             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+         SELECT user_id, CAST(day AS VARCHAR) AS day_s, CAST(total AS DOUBLE) AS total,
+           CAST(LAST_VALUE(total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ffill,
+           CAST(FIRST_VALUE(total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS bfill
          FROM scaffold ORDER BY user_id, day_s""",
     "o1_multikey_sort" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity

@@ -73,9 +73,11 @@ object Ann {
 
   /** Deterministic random hyperplanes: `planes` vectors of `dim`
     * components in [-1, 1), derived with a splitmix64 mixer — no RNG
-    * state, reproducible across runs and executors.
+    * state, reproducible across runs and executors. `seed` selects an
+    * independent plane family (used per LSH band); seed 0 reproduces the
+    * original single-family planes.
     */
-  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 0L): Array[Array[Double]] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -83,7 +85,8 @@ object Ann {
       z ^ (z >>> 31)
     }
     Array.tabulate(planes, dim) { (p, d) =>
-      (mix(p.toLong * 10007L + d).toDouble / Long.MaxValue.toDouble)
+      (mix(seed * 0x9e3779b97f4a7c15L + p.toLong * 10007L + d).toDouble /
+        Long.MaxValue.toDouble)
     }
   }
 
@@ -175,33 +178,81 @@ object Ann {
         .take(nprobe)
   }
 
-  /** Train the coarse quantizer with MLlib k-means (deterministic seed). */
-  def trainIvf(corpus: DataFrame, nlist: Int, vecCol: String = "embedding"): IvfIndex = {
+  /** Train the coarse quantizer with MLlib k-means (deterministic seed).
+    * Training fits a bounded SAMPLE of the corpus, never the corpus
+    * itself — FAISS trains IVF on ~30–256 vectors per centroid; k-means
+    * over 100 TB of embeddings would dominate the whole build. The
+    * sample is seeded (reproducible) and skipped when the corpus is
+    * already within budget.
+    */
+  def trainIvf(corpus: DataFrame, nlist: Int, vecCol: String = "embedding",
+               maxTrainVectors: Int = 262144): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(
+    val n = corpus.count()
+    val sampled =
+      if (n <= maxTrainVectors) corpus
+      // 1.05 headroom: Bernoulli sampling undershoots the expectation on
+      // some runs; a slightly larger sample is harmless for k-means
+      else corpus.sample(withReplacement = false,
+        math.min(1.0, 1.05 * maxTrainVectors / n.toDouble), seed = 42L)
+    val feats = sampled.select(
       array_to_vector(asDouble(col(vecCol))).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
       .fit(feats)
     IvfIndex(model.clusterCenters.map(_.toArray))
   }
 
-  /** Centroid-list id of a vector column under the index. Distances expand
-    * as ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖² (one dot per centroid; ‖c‖² is a
-    * literal), argmin via array_min + array_position — a chained
-    * when-fold would nest each comparison inside all later ones and blow
-    * up exponentially in expression size.
+  /** Largest centroid count for which the cell assignment is built as a
+    * literal-centroid codegen expression. Above this, the expression tree
+    * itself is O(nlist·dim) literals — at a production nlist (4096) that
+    * is megabytes of plan, so the assignment switches to a broadcast
+    * closure instead.
     */
-  def ivfCell(v: Column, index: IvfIndex): Column = {
-    val vv = dot(v, v)
-    val dists = index.centroids.map { c =>
-      val cArr = array(c.map(lit): _*)
-      val cc = c.map(x => x * x).sum
-      vv - lit(2.0) * dot(v, cArr) + lit(cc)
+  val IvfExprMaxCentroids = 64
+
+  /** Centroid-list id of a vector column under the index.
+    *
+    * Small nlist: distances expand as ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖² (one
+    * dot per centroid; ‖c‖² is a literal), argmin via array_min +
+    * array_position — a chained when-fold would nest each comparison
+    * inside all later ones and blow up exponentially in expression size.
+    *
+    * Large nlist: one scalar function over a BROADCAST of the centroid
+    * matrix — constant-size plan, one flat primitive-array argmin loop
+    * per row. (A deliberate UDF: the per-row work is a dense
+    * nlist×dim loop with no built-in equivalent, and the broadcast keeps
+    * the plan independent of index size.)
+    */
+  def ivfCell(v: Column, index: IvfIndex): Column =
+    if (index.centroids.length <= IvfExprMaxCentroids) {
+      val vv = dot(v, v)
+      val dists = index.centroids.map { c =>
+        val cArr = array(c.map(lit): _*)
+        val cc = c.map(x => x * x).sum
+        vv - lit(2.0) * dot(v, cArr) + lit(cc)
+      }
+      val dArr = array(dists.toIndexedSeq: _*)
+      (array_position(dArr, array_min(dArr)) - 1).cast("int")
+    } else {
+      val centroids = index.centroids
+      val assign = udf { (vec: Seq[Double]) =>
+        val x = vec.toArray
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val ctr = centroids(c)
+          var d = 0.0
+          var i = 0
+          while (i < x.length) { val t = x(i) - ctr(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      assign(v)
     }
-    val dArr = array(dists.toIndexedSeq: _*)
-    (array_position(dArr, array_min(dArr)) - 1).cast("int")
-  }
 
   /** IVF top-k: corpus bucketed by centroid cell; each query probes its
     * `nprobe` nearest cells, exact cosine + rank within the probed subset.
@@ -237,17 +288,74 @@ object Ann {
   }
 
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
-    * threshold. Exact O(n²) variant for modest n; swap the cross join for
-    * `lshBucket` equality at scale (same downstream verify).
+    * threshold.
+    *
+    * Two physical plans behind one semantic:
+    *  - corpus ≤ `exactMaxRows`: exact all-pairs compare (crossJoin) —
+    *    100% recall at any threshold, quadratic but bounded;
+    *  - larger corpus: banded sign-LSH candidates + the same exact cosine
+    *    verify ([[cosineNearDupPairsBanded]]) — linear-shuffle scale path.
+    *
+    * The gate exists because banding recall depends on the threshold: at
+    * high thresholds (≥0.8, the realistic near-dup band) the default
+    * banding is effectively exhaustive, while at low thresholds no LSH
+    * family prunes meaningfully, so a small corpus should take the exact
+    * path and a big corpus should raise its threshold.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         exactMaxRows: Long = 100000L): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
-    val l = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
-    val r = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    l.crossJoin(r)
+    if (vectors.count() <= exactMaxRows) {
+      val l = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+      val r = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+      l.crossJoin(r)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          when(col("na") * col("nb") === 0.0, 0.0)
+            .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    } else cosineNearDupPairsBanded(vectors, idCol, vecCol, threshold)
+  }
+
+  /** Banded sign-LSH near-duplicate pairs: `bands` independent hyperplane
+    * families of `planesPerBand` planes each; a pair is a candidate iff it
+    * collides on ALL planes of at least one band, then candidates are
+    * verified with the exact cosine — so precision is always exact and
+    * only recall is probabilistic. Ids-only ride the (band, bucket)
+    * shuffle; vectors are fetched back just for surviving candidates
+    * (the minhashLsh layout).
+    *
+    * Recall for a pair at angle θ: 1 − (1 − (1−θ/π)^r)^b. Defaults
+    * (r=8, b=16) give ≥0.996 at cosine 0.9 and ~0.94 at cosine 0.8 while
+    * pruning ~94% of random pairs; raise `bands` for more recall, raise
+    * `planesPerBand` for more pruning.
+    */
+  def cosineNearDupPairsBanded(vectors: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, bands: Int = 16,
+                               planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+    val bandKeys = (0 until bands).map { b =>
+      val hp = hyperplanes(planesPerBand, dim, seed = b + 1L)
+      struct(lit(b).as("band"), lshBucket(col("v"), hp).as("bucket"))
+    }
+    // primitive (band, bucket) join keys; ids only through the shuffle
+    val keyed = v
+      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = keyed.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(keyed.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")),
+        Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")),
+        Seq("id_b"))
       .withColumn("cos",
         when(col("na") * col("nb") === 0.0, 0.0)
           .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
