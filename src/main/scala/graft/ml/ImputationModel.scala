@@ -76,14 +76,23 @@ object ImputationModel {
   /** Grouped k-fold CV + final fit on all of `train`, evaluated on `test`.
     * Feature columns must be numeric; rows with null/NaN target are the
     * caller's to filter ([[graft.operators.Sampling.filterTargetPresent]]).
+    *
+    * `stratifyCol` switches fold assignment from hash-grouped folds to
+    * [[StratifiedGroupKFold]] (the reference's full-model CV: stratify by
+    * `grid__k_region`, group by `grid__id_50km` —
+    * ref: training/full_model_pipeline.py:126-172).
     */
   def train(train: DataFrame, test: DataFrame, features: Seq[String],
             target: String, groupCol: String, k: Int = 10,
-            hp: Hyperparams = Hyperparams()): Trained = {
+            hp: Hyperparams = Hyperparams(),
+            stratifyCol: Option[String] = None): Trained = {
     val asm = assembler(features)
     val est = gbt(target, hp).setPredictionCol("__prediction")
 
-    val folded = withFold(train, groupCol, k).cache()
+    val folded = stratifyCol match {
+      case Some(s) => StratifiedGroupKFold.withStratifiedFold(train, groupCol, s, k).cache()
+      case None    => withFold(train, groupCol, k).cache()
+    }
     try {
       val foldScores = (0 until k).flatMap { f =>
         val tr = folded.filter(col("__fold") =!= f)

@@ -115,16 +115,35 @@ final class Pm25Pipeline(spark: SparkSession, storage: StageStorage,
   def readSampled(model: String): DataFrame =
     spark.read.parquet(storage.stagePath(StageRef("sampled", Some(model))))
 
-  /** s04/s07 train from a sampled frame: grouped CV + gate. */
+  /** s04/s07 train from a sampled frame: grouped CV + gate. The full
+    * model passes `stratifyCol = Some("grid__k_region")` — the
+    * reference's StratifiedGroupKFold contract (ref:
+    * training/full_model_pipeline.py:126-172, setup/training_full.py:18-19).
+    */
   def trainFromSample(sampled: DataFrame, features: Seq[String], target: String,
                       gate: ImputationModel.QualityGate,
                       hp: ImputationModel.Hyperparams,
-                      k: Int = 10): ImputationModel.Trained = {
+                      k: Int = 10,
+                      stratifyCol: Option[String] = None): ImputationModel.Trained = {
     val trained = ImputationModel.train(
       sampled.filter(col("split") === "training"),
       sampled.filter(col("split") === "test"),
-      features, target, "grid__id_50km", k, hp)
+      features, target, "grid__id_50km", k, hp, stratifyCol)
     gate.check(trained.cv.meanR2)
+    trained
+  }
+
+  /** s07 full-model train: stratified-group CV over the full-model sample
+    * (stratify k_region, group 50 km cell), persisted to the store.
+    */
+  def runTrainFull(store: ModelStore, model: String, features: Seq[String],
+                   target: String, gate: ImputationModel.QualityGate,
+                   hp: ImputationModel.Hyperparams,
+                   k: Int = 10): ImputationModel.Trained = {
+    val sampled = spark.read.parquet(storage.stagePath(StageRef("full_model_sample")))
+    val trained = trainFromSample(sampled, features, target, gate, hp, k,
+      stratifyCol = Some("grid__k_region"))
+    store.save(model, runId(), trained)
     trained
   }
 

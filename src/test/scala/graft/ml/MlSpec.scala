@@ -39,6 +39,54 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified group k-fold: disjoint groups, balanced strata, stable") {
+    // 60 groups across 3 strata with skewed sizes: stratum A groups are
+    // 4× bigger than C's, so naive hash folds would imbalance strata.
+    val rows = (0 until 60).flatMap { g =>
+      val stratum = g % 3
+      val size = Seq(40, 20, 10)(stratum)
+      (0 until size).map(i => (g.toLong, s"region_$stratum", g * 1000L + i))
+    }
+    val df = rows.toDF("group50km", "k_region", "id")
+
+    val folded = StratifiedGroupKFold.withStratifiedFold(df, "group50km", "k_region", 5)
+    // grouping contract: every group in exactly one fold
+    val nf = folded.groupBy("group50km").agg(countDistinct("__fold").as("nf"))
+      .select(max("nf")).as[Long].head()
+    assert(nf === 1L)
+    // all rows kept, all folds used
+    assert(folded.count() === rows.size.toLong)
+    assert(folded.select(countDistinct("__fold")).as[Long].head() === 5L)
+
+    // stratification contract: each fold's per-stratum row share is close
+    // to the global share (each stratum splits ~evenly across 5 folds)
+    val shares = folded.groupBy("k_region", "__fold").count()
+      .groupBy("k_region").agg(
+        (max("count") - min("count")).cast("double").as("spread"),
+        avg("count").as("m"))
+      .select((col("spread") / col("m")).as("rel")).as[Double].collect()
+    assert(shares.forall(_ <= 0.55), s"per-stratum fold spread too wide: ${shares.toSeq}")
+
+    // determinism: second run assigns identical folds
+    val again = StratifiedGroupKFold.groupFolds(df, "group50km", "k_region", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val first = StratifiedGroupKFold.groupFolds(df, "group50km", "k_region", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === first)
+  }
+
+  test("stratified CV wired through ImputationModel.train") {
+    val df = synth(1500).withColumn("k_region",
+      concat(lit("r"), (col("group50km") % 4).cast("string")))
+    val trained = ImputationModel.train(
+      df.filter(col("id") % 5 =!= 0), df.filter(col("id") % 5 === 0),
+      features = Seq("x1", "x2"), target = "y", groupCol = "group50km",
+      k = 4, ImputationModel.Hyperparams(maxIter = 10),
+      stratifyCol = Some("k_region"))
+    assert(trained.cv.foldR2.size === 4)
+    assert(trained.cv.meanR2 > 0.85, s"cv=${trained.cv.meanR2}")
+  }
+
   test("predictor stats columns (K7) incl. per-date share and rolling") {
     val df = Seq(
       (1L, "2023-01-01", Some(10.0), 11.0f),
