@@ -8,11 +8,11 @@ import org.apache.spark.sql.types._
   * (ref: src/pm25ml/collectors/grid.py:30-120,188-313).
   *
   * The reference builds the grid once from a shapefile (pyogrio + pyproj
-  * reprojection EPSG:7755→4326). That one-time prep is a driver-side asset
-  * job outside the engine (no GDAL here by design — the reference itself
-  * enforces a no-GDAL gate); the engine consumes the resulting parquet.
-  * This object holds the schema contract, the joins that enrich the grid
-  * (50 km mapping, region labels), and the original-CRS coordinate
+  * reprojection EPSG:7755→4326). [[ShapefileGrid]] performs that one-time
+  * prep natively (.shp/.dbf/.prj parse + LCC 2SP inverse — no GDAL, by
+  * design: the reference itself enforces a no-GDAL gate); this object
+  * holds the schema contract, the joins that enrich the grid (50 km
+  * mapping, region labels), and the original-CRS coordinate
   * normalization (round-to-integer meters, F17 — grid.py:223-228).
   */
 object GridAssets {
