@@ -53,8 +53,8 @@ object DedupPack extends QueryPack {
     }),
 
     // Full dedup workflow: LSH pairs → connected components → survivors.
-    // Cluster resolution is iterative (not single-statement SQL) → rows-
-    // only; pair-level agreement is already oracle-checked above.
+    // Oracle: exact-jaccard edges (LSH recall ≈ 1 at t=0.8) + a recursive
+    // CTE computing each node's min reachable label = component canonical.
     "dedup_resolve" -> ((s, dir) => {
       Dedup.deduplicate(table(s, dir, "documents"), "doc_id", "text",
           threshold = 0.8)
@@ -81,5 +81,25 @@ object DedupPack extends QueryPack {
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte
          SELECT a AS id_a, b AS id_b, ROUND(jaccard, 6) AS jaccard
-         FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")
+         FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    // Survivors = every doc except non-canonical members of a duplicate
+    // component. The recursive CTE floods labels along the symmetric edge
+    // list; MIN over everything that reaches a node is its component's
+    // canonical (minimum) id — the same fixed point the iterative
+    // min-label propagation converges to.
+    "dedup_resolve" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         sym AS (SELECT a AS src, b AS dst FROM edges
+                 UNION SELECT b AS src, a AS dst FROM edges),
+         reach(node, lbl) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         canon AS (SELECT node, MIN(lbl) AS canonical FROM reach GROUP BY node),
+         dropped AS (SELECT node FROM canon WHERE node <> canonical)
+         SELECT d.doc_id, d.n_chars
+         FROM documents d LEFT JOIN dropped ON dropped.node = d.doc_id
+         WHERE dropped.node IS NULL
+         ORDER BY d.doc_id""")
 }

@@ -51,14 +51,17 @@ object SimilarityPack extends QueryPack {
     }),
 
     // IVF ANN (the FAISS-style scale path): k-means coarse cells, nprobe
-    // probing. Approximate by construction → rows-only; recall vs brute
-    // force asserted in AnnSpec.
+    // probing. Probing is exhaustive here (nprobe = nlist), which makes
+    // the whole IVF machinery — training, cell assignment, bucketed
+    // probe join, dedupe, ranking — equal brute force by construction,
+    // so the exact-cosine oracle applies. Approximate recall at
+    // nprobe < nlist is asserted in AnnSpec.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val index = Ann.trainIvf(emb, nlist = 16)
       Ann.ivfTopK(
           emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
-          emb, index, k = 3, nprobe = 4)
+          emb, index, k = 3, nprobe = 16)
         .orderBy("query_id", "rk")
     }),
 
@@ -71,6 +74,30 @@ object SimilarityPack extends QueryPack {
           emb, k = 3, planes = 8)
         .orderBy("query_id", "rk")
     }))
+
+  /** Exact-cosine top-k (k=3, queries vec_id < 10) — the oracle for both
+    * the brute-force query and the exhaustive-probe IVF query.
+    */
+  private val BruteTopKSql =
+    s"""WITH $VecCte,
+       dots AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                SUM(a.x * b.x ORDER BY a.i) AS dot
+         FROM v a JOIN v b ON a.i = b.i
+         WHERE a.vec_id < 10 GROUP BY 1, 2),
+       cos AS (
+         SELECT query_id, neighbor_id,
+                CASE WHEN na.nm * nb.nm = 0 THEN 0.0
+                     ELSE dot / (na.nm * nb.nm) END AS c
+         FROM dots JOIN nrm na ON na.vec_id = query_id
+                   JOIN nrm nb ON nb.vec_id = neighbor_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, c,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rk
+         FROM cos)
+       SELECT query_id, rk, neighbor_id, ROUND(c, 6) AS cos
+       FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
 
   def oracles: Map[String, String] = Map(
     "ann_quantize_int8" ->
@@ -92,26 +119,9 @@ object SimilarityPack extends QueryPack {
            CAST(LIST_SUM(codes) AS BIGINT) AS code_sum,
            LIST_MAX(LIST_TRANSFORM(codes, x -> ABS(x))) AS code_max
          FROM c ORDER BY vec_id""",
-    "ann_topk_brute" ->
-      s"""WITH $VecCte,
-         dots AS (
-           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                  SUM(a.x * b.x ORDER BY a.i) AS dot
-           FROM v a JOIN v b ON a.i = b.i
-           WHERE a.vec_id < 10 GROUP BY 1, 2),
-         cos AS (
-           SELECT query_id, neighbor_id,
-                  CASE WHEN na.nm * nb.nm = 0 THEN 0.0
-                       ELSE dot / (na.nm * nb.nm) END AS c
-           FROM dots JOIN nrm na ON na.vec_id = query_id
-                     JOIN nrm nb ON nb.vec_id = neighbor_id),
-         ranked AS (
-           SELECT query_id, neighbor_id, c,
-                  ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY c DESC, neighbor_id) AS rk
-           FROM cos)
-         SELECT query_id, rk, neighbor_id, ROUND(c, 6) AS cos
-         FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""",
+    "ann_topk_brute" -> BruteTopKSql,
+    // Exhaustive IVF (nprobe = nlist) ≡ brute force → same oracle.
+    "ann_ivf_topk" -> BruteTopKSql,
     "ann_cosine_neardup" ->
       s"""WITH $VecCte,
          dots AS (
