@@ -28,6 +28,43 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  // ref: gee_export_pipeline__test.py::test_GeeExportPipeline_upload_missingColumns
+  test("gee csv adapter rejects missing expected columns") {
+    val raw = Seq(("1", "2023-01-01", "1.0")).toDF("grid_id", "date", "col1")
+    val ex = intercept[GeeCsvAdapter.MissingColumns] {
+      GeeCsvAdapter.normalize(raw, Map("col1" -> "a", "col2" -> "b", "col0" -> "c"))
+    }
+    assert(ex.columns === Seq("col0", "col2")) // sorted, col1 present
+  }
+
+  // ref: gee_export_pipeline__test.py::
+  //   test_GeeExportPipeline_process_tableFillingWithNullValues and
+  //   test_GeeExportPipeline_process_tableSortingByDateAndGridId_outOfOrder
+  test("gee csv adapter scaffolds the full date×grid index and sorts") {
+    val raw = Seq(
+      ("2", "2025-06-01T00:00:00", "2.0"), // out of order on purpose
+      ("1", "2025-06-02T00:00:00", "1.5"),
+      ("1", "2025-06-01T00:00:00", "1.0"))
+      .toDF("grid_id", "date", "val_mean")
+    val dates = Seq("2025-06-01T00:00:00", "2025-06-02T00:00:00",
+      "2025-06-03T00:00:00", "2025-06-04T00:00:00")
+    val out = GeeCsvAdapter.normalize(raw, Map("val_mean" -> "v"), dates)
+    val rows = out.collect()
+    // full index: 4 dates × 2 observed grids
+    assert(rows.length === 8)
+    // artifact is sorted (date, grid_id) — reference's preferred order
+    val keys = rows.map(r => (r.getAs[String]("date"), r.getAs[Long]("grid_id")))
+    assert(keys.toSeq === keys.toSeq.sorted)
+    // observed cells keep values, scaffolded cells are null
+    val byKey = rows.map(r =>
+      (r.getAs[String]("date"), r.getAs[Long]("grid_id")) ->
+        Option(r.getAs[Float]("v")).filterNot(_ => r.isNullAt(r.fieldIndex("v")))).toMap
+    assert(byKey(("2025-06-01", 1L)) === Some(1.0f))
+    assert(byKey(("2025-06-01", 2L)) === Some(2.0f))
+    assert(byKey(("2025-06-03", 1L)) === None)
+    assert(byKey(("2025-06-04", 2L)) === None)
+  }
+
   test("pm25 chain: coordinates parse, stats, filters, knn, daily means") {
     val stations = Seq(
       ("s1", "{'longitude': 77.2, 'latitude': 28.6}"),

@@ -114,6 +114,37 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(f(out(2), "aod__imputed_r7d") - 12.0f) < 1e-4)
   }
 
+  // W5 golden — the reference predicts month-at-a-time and hand-carries
+  // the previous month into the 7-day rolling window (concat previous +
+  // current, sort, rolling_mean(7, min_samples=1) over grid_id, filter
+  // current — ref: imputation/from_model/regression_model_predictor.py:
+  // 187-229). Over a multi-month frame the same carry must fall out of
+  // the plain window: the first days of February average the January tail.
+  test("W5: rolling imputed mean carries across the month boundary") {
+    // grid 1, Jan 26–31 then Feb 1–3; values 10,20,...,90; target present
+    // only on Jan 28 (value 30) — everything else imputed from pred.
+    val days = Seq(
+      "2023-01-26", "2023-01-27", "2023-01-28", "2023-01-29", "2023-01-30",
+      "2023-01-31", "2023-02-01", "2023-02-02", "2023-02-03")
+    val df = days.zipWithIndex.map { case (d, i) =>
+      val v = (i + 1) * 10.0
+      (1L, d, if (d == "2023-01-28") Some(v) else None, v.toFloat)
+    }.toDF("grid_id", "date", "aod", "pred")
+    val out = PredictorStats.attach(df, "aod", "pred", meanCvR2 = 1.0)
+      .orderBy("date").collect()
+    def r7d(i: Int) = out(i).getAs[Float]("aod__imputed_r7d")
+    // Feb 1 (index 6): full 7-row window Jan 26..Feb 1 → mean(10..70) = 40
+    assert(math.abs(r7d(6) - 40.0f) < 1e-4)
+    // Feb 2: Jan 27..Feb 2 → mean(20..80) = 50
+    assert(math.abs(r7d(7) - 50.0f) < 1e-4)
+    // Feb 3: Jan 28..Feb 3 → mean(30..90) = 60
+    assert(math.abs(r7d(8) - 60.0f) < 1e-4)
+    // min_samples=1 at the head: Jan 26 window is just itself
+    assert(math.abs(r7d(0) - 10.0f) < 1e-4)
+    // and Jan 31: 6-row partial window mean(10..60) = 35
+    assert(math.abs(r7d(5) - 35.0f) < 1e-4)
+  }
+
   test("model store: save, latest-run resolution, round-trip load") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-models").toString
     val store = new ModelStore(spark, tmp)

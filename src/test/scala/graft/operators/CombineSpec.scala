@@ -40,6 +40,43 @@ class CombineSpec extends AnyFunSuite {
     assert(r.getAs[Float]("srtm__elevation") === 100.0f)
   }
 
+  // ref: combiners/archive/combiner__test.py::test__combine__no_files__raises_error
+  test("combine with no tables raises") {
+    assertThrows[IllegalArgumentException] { WideCombiner.combine(Seq.empty) }
+  }
+
+  // ref: combiner__test.py::test__combine__no_matching_merge__empty_dataset —
+  // disjoint key spaces merge to an EMPTY frame that still carries the
+  // full combined schema (downstream scaffold/recombine rely on it).
+  test("combine with no matching keys yields empty frame with full schema") {
+    val p1 = Seq((1L, "2023-01-01", 10.0), (2L, "2023-01-02", 20.0), (3L, "2023-01-03", 30.0))
+      .toDF("grid_id", "date", "col_1")
+    val p2 = Seq((4L, 40.0), (5L, 50.0), (6L, 60.0)).toDF("grid_id", "col_2")
+    val out = WideCombiner.combine(Seq("partial_1" -> p1, "partial_2" -> p2))
+    assert(out.columns.toSet ===
+      Set("grid_id", "date", "partial_1__col_1", "partial_2__col_2"))
+    assert(out.count() === 0)
+  }
+
+  // ref: combiner__test.py::test__combine__with_date_and_time_for_one —
+  // hourly ISO timestamps collapse to the day and join against the
+  // day-keyed side, one output row per hourly input row.
+  test("hourly timestamps collapse to dates and join on the day") {
+    val withTime = Seq(
+      (1L, "2023-01-01T00:00:00", 10.0), (1L, "2023-01-01T01:00:00", 11.0),
+      (1L, "2023-01-01T02:00:00", 12.0)).toDF("grid_id", "date", "col_1")
+    val withoutTime = Seq((1L, "2023-01-01", 40.0), (1L, "2023-01-02", 41.0),
+      (1L, "2023-01-03", 42.0)).toDF("grid_id", "date", "col_2")
+    val out = WideCombiner.combine(Seq(
+      "with_time" -> withTime, "without_time" -> withoutTime))
+    val rows = out.orderBy("with_time__col_1").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[String]("date") === "2023-01-01"))
+    assert(rows.forall(_.getAs[Float]("without_time__col_2") === 40.0f))
+    assert(rows.map(_.getAs[Float]("with_time__col_1")).toSeq ===
+      Seq(10.0f, 11.0f, 12.0f))
+  }
+
   test("recombine: full outer with key coalescing and overwrite") {
     val a = Seq((1L, "2023-01-01", 1.0f, 5.0f), (2L, "2023-01-01", 2.0f, 6.0f))
       .toDF("grid_id", "date", "x", "keepme")
@@ -57,6 +94,23 @@ class CombineSpec extends AnyFunSuite {
     // grid 1: x dropped from a (overwrite) → null, keepme intact
     assert(rows(0).isNullAt(rows(0).fieldIndex("x")))
     assert(rows(0).getAs[Float]("keepme") === 5.0f)
+  }
+
+  test("recombine overwrite chains left-to-right across three frames") {
+    val a = Seq((1L, "2023-01-01", 1.0f), (2L, "2023-01-01", 2.0f))
+      .toDF("grid_id", "date", "x")
+    val b = Seq((2L, "2023-01-01", 20.0f)).toDF("grid_id", "date", "x")
+    val c = Seq((2L, "2023-01-01", 200.0f), (4L, "2023-01-01", 400.0f))
+      .toDF("grid_id", "date", "x")
+    val rows = Recombiner.recombine(Seq(a, b, c), overwriteColumns = true)
+      .orderBy("grid_id").collect()
+    assert(rows.length === 3) // grids 1, 2, 4
+    // grid 1: x only in a, dropped by the overwrite of b then c → null
+    assert(rows(0).isNullAt(rows(0).fieldIndex("x")))
+    // grid 2: the LAST frame wins the overwrite chain
+    assert(rows(1).getAs[Float]("x") === 200.0f)
+    // grid 4: appears only in c, keys coalesced through the outer joins
+    assert(rows(2).getLong(0) === 4L && rows(2).getAs[Float]("x") === 400.0f)
   }
 
   test("recombine without overwrite rejects clashing columns") {
