@@ -184,11 +184,16 @@ object NetCdf {
     }
   }
 
-  def read(path: String): File = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+  def read(path: String): File =
+    readBytes(Files.readAllBytes(Paths.get(path)))
+
+  /** Parse a classic NetCDF file from memory — the distributed-ingest
+    * entry point (executors parse granules delivered by `binaryFiles`).
+    */
+  def readBytes(bytes: Array[Byte]): File = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val magic = Array.fill(3)(bb.get()).map(_.toChar).mkString
-    require(magic == "CDF", s"not a NetCDF classic file: $path")
+    require(magic == "CDF", "not a NetCDF classic file")
     val version = bb.get().toInt
     require(version == 1 || version == 2, s"unsupported CDF version $version")
     bb.getInt() // numrecs
