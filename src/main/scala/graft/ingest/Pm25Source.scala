@@ -88,4 +88,42 @@ object Pm25Source {
     filtered.join(stationGrid, Seq("location_id"))
       .groupBy("grid_id", "date")
       .agg(avg("value").as("pm25"))
+
+  /** S9 — one measurements-API URL per month, date range inclusive on
+    * both ends (ref: data_source.py:41-58). `months` are "YYYY-MM".
+    */
+  def measurementUrls(baseUri: String, months: Seq[String],
+                      source: String = "cpcb",
+                      pollutant: String = "pm25"): Seq[String] =
+    months.map { m =>
+      val start = java.time.LocalDate.parse(s"$m-01")
+      val end = start.plusMonths(1).minusDays(1)
+      s"$baseUri/v1/measurements?format=csv&process_id=station_day_mad" +
+        s"&date_from=$start&date_to=$end&source=$source&pollutant=$pollutant"
+    }
+
+  /** S9 — `pl.scan_csv([urls])` equivalent: every URL is fetched in its
+    * own executor task (http(s)/file via `java.net.URL`), the line
+    * streams union into one `Dataset[String]`, and Spark's CSV reader
+    * parses with the shared header. Per-URL headers after the first are
+    * dropped in the fetch task — multi-file CSV semantics over sources
+    * `spark.read.csv` cannot address directly. Nothing is collected to
+    * the driver; a month-URL is one task, matching the reference's
+    * per-month files.
+    */
+  def fetchCsv(spark: org.apache.spark.sql.SparkSession,
+               urls: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(urls.nonEmpty, "no urls to fetch")
+    val lines = spark.sparkContext
+      .parallelize(urls.zipWithIndex, urls.size)
+      .flatMap { case (u, idx) =>
+        val in = new java.net.URL(u).openStream()
+        try {
+          val all = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          if (idx == 0) all else all.drop(1)
+        } finally in.close()
+      }
+    spark.read.option("header", "true").csv(spark.createDataset(lines))
+  }
 }

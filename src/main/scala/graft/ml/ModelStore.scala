@@ -6,8 +6,16 @@ import org.apache.spark.sql.SparkSession
 
 /** S18 — model persistence with run-stamped directories; "latest" is the
   * lexicographic max run id (ref: src/pm25ml/training/model_storage.py:83-181).
-  * The model itself uses MLlib's native save/load; CV metrics ride along as
-  * a JSON sidecar.
+  *
+  * Per-run artifacts mirror the reference's layout
+  * (model_storage.py:105-120):
+  *   `model/`              MLlib native save (the reference gzips an
+  *                         XGB/LGBM dump; MLlib's parquet-backed format is
+  *                         this engine's native serialization)
+  *   `cv_results.parquet`  per-fold CV table — genuinely parquet here
+  *                         (the reference writes CSV bytes under the
+  *                         .parquet name, a quirk not worth reproducing)
+  *   `test_metrics.json`   held-out metrics + run metadata
   */
 final class ModelStore(spark: SparkSession, root: String) {
   private def fs: FileSystem =
@@ -24,10 +32,17 @@ final class ModelStore(spark: SparkSession, root: String) {
   def save(modelName: String, runId: String, t: ImputationModel.Trained): String = {
     val dir = s"$root/$modelName/$runId"
     t.model.write.overwrite().save(s"$dir/model")
-    val out = fs.create(new Path(s"$dir/metrics.json"), true)
+    import spark.implicits._
+    t.cv.foldR2.zipWithIndex.map { case (r2, fold) => (fold, r2) }
+      .toDF("fold", "r2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cv_results.parquet")
+    val out = fs.create(new Path(s"$dir/test_metrics.json"), true)
     try out.write(metricsJson(t).getBytes("UTF-8")) finally out.close()
     dir
   }
+
+  def loadCvResults(modelName: String, runId: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$root/$modelName/$runId/cv_results.parquet")
 
   /** Latest run id for a model = lexicographic max directory name
     * (ref: model_storage.py:155-181 — run ids are sortable timestamps).
@@ -43,7 +58,7 @@ final class ModelStore(spark: SparkSession, root: String) {
     GBTRegressionModel.load(s"$root/$modelName/$runId/model")
 
   def loadMetricsJson(modelName: String, runId: String): String = {
-    val p = new Path(s"$root/$modelName/$runId/metrics.json")
+    val p = new Path(s"$root/$modelName/$runId/test_metrics.json")
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }

@@ -65,6 +65,31 @@ class IngestSpec extends AnyFunSuite {
     assert(byKey(("2025-06-04", 2L)) === None)
   }
 
+  // ref: collectors/pm25/data_source.py:41-78 — per-month URL construction
+  // and pl.scan_csv([urls]) over the monthly API responses.
+  test("pm25 source: month URL builder and multi-url csv fetch") {
+    val urls = Pm25Source.measurementUrls("https://api.example.org",
+      Seq("2023-01", "2023-02", "2024-02"))
+    assert(urls.head === "https://api.example.org/v1/measurements?format=csv" +
+      "&process_id=station_day_mad&date_from=2023-01-01&date_to=2023-01-31" +
+      "&source=cpcb&pollutant=pm25")
+    // inclusive month end, leap year honored
+    assert(urls(1).contains("date_from=2023-02-01&date_to=2023-02-28"))
+    assert(urls(2).contains("date_from=2024-02-01&date_to=2024-02-29"))
+
+    // fetch: two "monthly responses" as file:// urls, shared header
+    val dir = java.nio.file.Files.createTempDirectory("pm25csv")
+    java.nio.file.Files.write(dir.resolve("m1.csv"),
+      "location_id,value\ns1,10.5\ns2,20.0\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("m2.csv"),
+      "location_id,value\ns1,11.0\n".getBytes("UTF-8"))
+    val df = Pm25Source.fetchCsv(spark,
+      Seq(s"file://$dir/m1.csv", s"file://$dir/m2.csv"))
+    assert(df.columns.toSeq === Seq("location_id", "value"))
+    assert(df.count() === 3) // second file's header dropped, not a data row
+    assert(df.filter(col("location_id") === "s1").count() === 2)
+  }
+
   test("pm25 chain: coordinates parse, stats, filters, knn, daily means") {
     val stations = Seq(
       ("s1", "{'longitude': 77.2, 'latitude': 28.6}"),

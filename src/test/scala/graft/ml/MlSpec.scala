@@ -158,5 +158,12 @@ class MlSpec extends AnyFunSuite {
     val loaded = store.loadModel("aod", "2023-06-01+00-00-00")
     assert(loaded.getNumTrees === trained.model.getNumTrees)
     assert(store.loadMetricsJson("aod", "2023-06-01+00-00-00").contains("mean_r2"))
+    // reference layout parity: per-fold cv_results.parquet sidecar
+    // (ref: training/model_storage.py:113-120)
+    val cv = store.loadCvResults("aod", "2023-06-01+00-00-00")
+    assert(cv.columns.toSeq === Seq("fold", "r2"))
+    assert(cv.count() === trained.cv.foldR2.size)
+    val stored = cv.orderBy("fold").collect().map(_.getDouble(1)).toSeq
+    assert(stored === trained.cv.foldR2)
   }
 }
