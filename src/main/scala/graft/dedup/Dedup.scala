@@ -151,48 +151,83 @@ object Dedup {
   // --------------------------------------------------- cluster resolution
 
   /** Connected components over a near-duplicate pair list → one canonical
-    * (minimum) id per duplicate cluster. Iterative min-label propagation:
-    * each round every node adopts the smallest label in its neighborhood,
-    * converging in O(component diameter) rounds — dedup clusters are
-    * shallow, but an unconverged result would silently split clusters, so
-    * hitting `maxRounds` without a fixed point throws instead.
+    * (minimum) id per duplicate cluster.
+    *
+    * Large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): large-star hangs
+    * every larger neighbor of a node under the neighborhood minimum,
+    * small-star re-hangs the smaller neighbors; the alternation collapses
+    * any component to a star around its minimum id in O(log n) rounds
+    * REGARDLESS of component diameter — min-label propagation (the
+    * round-1 implementation) needed O(diameter) rounds, which a chained
+    * boilerplate corpus can stretch arbitrarily at 100 TB. Convergence is
+    * detected via an order-independent (count, hash-sum) signature of the
+    * edge set; hitting `maxRounds` without a fixed point throws rather
+    * than silently splitting clusters.
     *
     * Returns (id, canonical_id) for every id that appears in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .cache()
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct().cache()
+    // invariant edges point large → small (u > v). Each round's result is
+    // localCheckpoint'ed: the round's plan references the previous edge
+    // set several times, so an uncut lineage grows exponentially with
+    // rounds (a cache leaves the logical plan intact — round 1 lesson on
+    // iterative operators: the ~8-round collapse of a 200-hop chain
+    // already OOMs the PLANNER without truncation).
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .cache()
+      // order-independent, overflow-free set signature (ANSI sum over
+      // bigint hashes would overflow): count + xor-fold of edge hashes
+      def signature(e: DataFrame): (Long, Long) = {
+        val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var sig = signature(edges)
       var converged = false
       var round = 0
       while (!converged && round < maxRounds) {
-        // every node adopts min(own label, neighbors' labels)
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("label")).as("nlabel"))
-        val next = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .cache()
-        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-          .filter(col("label") =!= col("old")).limit(1).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
+        // large-star: m = min(N(u) ∪ {u}); every neighbor v > u re-hangs
+        // on m. Operates on the symmetric view; u itself links to m via
+        // the small-star step that follows.
+        val sym = edges.select(col("u"), col("v"))
+          .union(edges.select(col("v").as("u"), col("u").as("v")))
+        val lsMin = sym.groupBy("u")
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        val ls = sym.join(lsMin, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+        // small-star: over large→small edges, m = min of u's smaller
+        // neighborhood; u and every smaller neighbor re-hang on m
+        val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+        val withMin = ls.join(ssMin, Seq("u"))
+        val ss = withMin
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(ssMin.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+          .localCheckpoint()
+        val nextSig = signature(ss)
+        edges = ss
+        converged = nextSig == sig
+        sig = nextSig
         round += 1
       }
       if (!converged)
         throw new IllegalStateException(
-          s"connectedComponents did not converge within $maxRounds rounds " +
-            "(component diameter exceeds maxRounds — raise it)")
-      labels.withColumnRenamed("label", "canonical_id")
-    } finally edges.unpersist()
+          s"connectedComponents did not converge within $maxRounds rounds")
+      // converged state is a star graph: every non-root points at its
+      // component minimum; roots label themselves
+      ids.join(edges.select(col("u").as("id"), col("v").as("canonical_id")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+    } finally { edges.unpersist(); ids.unpersist() }
   }
 
   // ----------------------------------------------------------- winnowing

@@ -103,15 +103,30 @@ object Ann {
     * signs; candidates are same-bucket rows only, then exact cosine + rank.
     * The corpus-side bucket map can be written once (partitioned by
     * bucket) and reused across query batches at scale.
+    *
+    * `probeRadius = 1` enables multi-probe (Lv et al., VLDB 2007): each
+    * query also probes the `planes` buckets at Hamming distance 1 from
+    * its own — near-miss sign flips are the dominant recall loss of
+    * single-probe sign LSH. Only the (broadcast) query side fans out,
+    * by ×(planes+1); the corpus is still touched once per probed bucket,
+    * so recall rises without rebucketing or widening the corpus shuffle.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 12,
               dim: Int = 64, queryId: String = "query_id",
-              corpusId: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              corpusId: String = "vec_id", vecCol: String = "embedding",
+              probeRadius: Int = 0): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1,
+      "probeRadius: 0 (single-probe) or 1 (flip-one-bit multi-probe)")
     val hp = hyperplanes(planes, dim)
-    val q = queries.select(col(queryId).as("query_id"),
+    val qBase = queries.select(col(queryId).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), hp))
       .withColumn("qn", norm(col("qv")))
+    val q =
+      if (probeRadius == 0) qBase
+      else qBase.withColumn("bucket", explode(array(
+        (col("bucket") +: (0 until planes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)))
     val c = corpus.select(col(corpusId).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), hp))
@@ -122,6 +137,9 @@ object Ann {
       .withColumn("cos",
         when(col("qn") * col("cn") === 0.0, 0.0)
           .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      // a (query, neighbor) pair can collide through several probes —
+      // dedupe BEFORE ranking or duplicates occupy top-k slots
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"),

@@ -79,6 +79,44 @@ class DedupSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  // Large-star/small-star must collapse DEEP components in O(log n)
+  // rounds — min-label propagation would need one round per hop. A
+  // 200-hop path exceeds maxRounds for propagation (50), so passing at
+  // all proves the logarithmic alternation, not just the clustering.
+  test("connected components collapse a 200-hop chain (diameter >> rounds)") {
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 201)
+    assert(got.forall(_._2 === 0L))
+  }
+
+  test("connected components match brute-force union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = ids.map(i => i -> find(i)).toMap
+    // canonical = min of component: normalize the oracle's roots
+    val byRoot = expected.groupBy(_._2).flatMap { case (_, members) =>
+      val minId = members.keys.min
+      members.keys.map(_ -> minId)
+    }
+    val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === byRoot)
+  }
+
   test("sql registration exposes the native kernels") {
     graft.functions.GraftFunctions.registerAll(spark)
     val row = spark.sql(

@@ -47,6 +47,21 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall") // 4 planes ≈ 1/16 of corpus probed
     // self-match always survives bucketing (identical vector, same bucket)
     assert((0L until 20L).forall(q => lsh.contains((q, q))))
+
+    // multi-probe (flip-one-bit) recovers near-miss sign flips: recall is
+    // a superset of single-probe candidates → monotonically ≥, and
+    // substantially higher at few planes
+    val multi = Ann.lshTopK(queries, emb, k = 5, planes = 4, probeRadius = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallMulti = (brute & multi).size.toDouble / brute.size
+    assert(recallMulti >= recall, s"multi=$recallMulti single=$recall")
+    assert(recallMulti > 0.5, s"recallMulti=$recallMulti")
+    // exactly 5 ranked rows per query even when probes overlap (dedupe
+    // before ranking)
+    val perQuery = Ann.lshTopK(queries, emb, k = 5, planes = 4, probeRadius = 1)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.forall(_ === 5L))
   }
 
   test("IVF top-k: self-recall perfect, overall recall beats LSH at same probes") {
