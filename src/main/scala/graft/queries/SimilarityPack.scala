@@ -65,18 +65,22 @@ object SimilarityPack extends QueryPack {
         .orderBy("query_id", "rk")
     }),
 
-    // LSH-bucketed ANN (scale path) — approximate recall by construction,
-    // so rows-only here; recall measured against brute force in AnnSpec.
+    // LSH-bucketed ANN (scale path). Probing is exhaustive here
+    // (probeRadius = planes ⇒ every bucket probed ⇒ each query meets each
+    // corpus row exactly once), which makes the whole LSH machinery —
+    // hyperplane signatures, bucket join, multi-probe fan-out, dedupe,
+    // ranking — equal brute force by construction, so the exact-cosine
+    // oracle applies. Approximate recall at small radii stays in AnnSpec.
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Ann.lshTopK(
           emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
-          emb, k = 3, planes = 8)
+          emb, k = 3, planes = 8, probeRadius = 8)
         .orderBy("query_id", "rk")
     }))
 
-  /** Exact-cosine top-k (k=3, queries vec_id < 10) — the oracle for both
-    * the brute-force query and the exhaustive-probe IVF query.
+  /** Exact-cosine top-k (k=3, queries vec_id < 10) — the oracle for the
+    * brute-force query and the exhaustive-probe IVF and LSH queries.
     */
   private val BruteTopKSql =
     s"""WITH $VecCte,
@@ -122,6 +126,8 @@ object SimilarityPack extends QueryPack {
     "ann_topk_brute" -> BruteTopKSql,
     // Exhaustive IVF (nprobe = nlist) ≡ brute force → same oracle.
     "ann_ivf_topk" -> BruteTopKSql,
+    // Exhaustive multi-probe LSH (probeRadius = planes) ≡ brute force.
+    "ann_lsh_topk" -> BruteTopKSql,
     "ann_cosine_neardup" ->
       s"""WITH $VecCte,
          dots AS (

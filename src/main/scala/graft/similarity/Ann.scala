@@ -90,6 +90,18 @@ object Ann {
     }
   }
 
+  /** All XOR masks of popcount ≤ `r` over `planes` bits (enumerated by
+    * combination, never by scanning 2^planes) — the probe sequence for
+    * multi-probe LSH, smallest flips first.
+    */
+  private[similarity] def probeMasks(planes: Int, r: Int): Seq[Long] = {
+    def comb(from: Int, k: Int): Seq[Long] =
+      if (k == 0) Seq(0L)
+      else (from until planes).flatMap(p =>
+        comb(p + 1, k - 1).map(m => m | (1L << p)))
+    (0 to r).flatMap(k => comb(0, k))
+  }
+
   /** Sign-bucket key: one bit per hyperplane (1 iff v·r ≥ 0), packed into a
     * long. Cosine-close vectors collide with high probability (random
     * hyperplane LSH, Charikar 2002).
@@ -104,19 +116,26 @@ object Ann {
     * The corpus-side bucket map can be written once (partitioned by
     * bucket) and reused across query batches at scale.
     *
-    * `probeRadius = 1` enables multi-probe (Lv et al., VLDB 2007): each
-    * query also probes the `planes` buckets at Hamming distance 1 from
-    * its own — near-miss sign flips are the dominant recall loss of
-    * single-probe sign LSH. Only the (broadcast) query side fans out,
-    * by ×(planes+1); the corpus is still touched once per probed bucket,
-    * so recall rises without rebucketing or widening the corpus shuffle.
+    * `probeRadius` enables multi-probe (Lv et al., VLDB 2007): each query
+    * also probes every bucket within that Hamming distance of its own —
+    * near-miss sign flips are the dominant recall loss of single-probe
+    * sign LSH. Only the (broadcast) query side fans out, by the number of
+    * ≤radius bit masks; the corpus is still touched once per probed
+    * bucket, so recall rises without rebucketing or widening the corpus
+    * shuffle. At `probeRadius = planes` every bucket is probed and the
+    * result equals brute force by construction (each query meets each
+    * corpus row exactly once) — the exhaustive setting the driver oracle
+    * uses; production settings are radius 1–2.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 12,
               dim: Int = 64, queryId: String = "query_id",
               corpusId: String = "vec_id", vecCol: String = "embedding",
               probeRadius: Int = 0): DataFrame = {
-    require(probeRadius == 0 || probeRadius == 1,
-      "probeRadius: 0 (single-probe) or 1 (flip-one-bit multi-probe)")
+    require(probeRadius >= 0 && probeRadius <= planes,
+      s"probeRadius must be in [0, planes=$planes]")
+    val masks = probeMasks(planes, probeRadius)
+    require(masks.size <= 4096,
+      s"multi-probe fan-out ${masks.size} buckets/query — lower probeRadius")
     val hp = hyperplanes(planes, dim)
     val qBase = queries.select(col(queryId).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
@@ -125,8 +144,7 @@ object Ann {
     val q =
       if (probeRadius == 0) qBase
       else qBase.withColumn("bucket", explode(array(
-        (col("bucket") +: (0 until planes).map(i =>
-          col("bucket").bitwiseXOR(lit(1L << i)))): _*)))
+        masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     val c = corpus.select(col(corpusId).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), hp))

@@ -62,6 +62,25 @@ class AnnSpec extends AnyFunSuite {
     val perQuery = Ann.lshTopK(queries, emb, k = 5, planes = 4, probeRadius = 1)
       .groupBy("query_id").count().collect().map(_.getLong(1))
     assert(perQuery.forall(_ === 5L))
+
+    // exhaustive probe (radius = planes) IS brute force: identical ranked
+    // rows, not just recall — the equivalence the driver oracle relies on
+    val exhaustive = Ann.lshTopK(queries, emb, k = 5, planes = 4, probeRadius = 4)
+      .select("query_id", "rk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bruteRanked = Ann.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "rk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(exhaustive === bruteRanked)
+  }
+
+  test("probeMasks enumerates exactly the ≤radius masks") {
+    assert(Ann.probeMasks(4, 0) === Seq(0L))
+    assert(Ann.probeMasks(4, 1).toSet ===
+      Set(0L, 1L, 2L, 4L, 8L)) // identity + single-bit flips
+    assert(Ann.probeMasks(4, 4).size === 16) // exhaustive = 2^planes
+    assert(Ann.probeMasks(4, 4).distinct.size === 16)
+    assert(Ann.probeMasks(8, 2).size === 1 + 8 + 28) // C(8,0)+C(8,1)+C(8,2)
   }
 
   test("IVF top-k: self-recall perfect, overall recall beats LSH at same probes") {
