@@ -260,20 +260,39 @@ object Dedup {
     * shingle with document frequency ≤ `maxShingleDf`, verified with the
     * exact Jaccard of the full shingle sets.
     *
+    * An exact-content pre-pass collapses identical texts to one
+    * representative BEFORE the df-capped index (md5 group key — 128 bits,
+    * collision-free at any realistic corpus size), then expands result
+    * pairs back over the members: intra-group pairs are jaccard 1.0 by
+    * definition, cross-group pairs inherit the representatives' jaccard.
+    * Without this, a doc duplicated more than `maxShingleDf` times — the
+    * heaviest dedup target in a boilerplate-skewed corpus — has EVERY
+    * shingle above the df cap and its cluster yields zero pairs; with it,
+    * a mass-duplicated doc contributes one posting per shingle and the
+    * cap only ever measures frequency across DISTINCT contents.
+    *
     * The df cap bounds the inverted index's worst bucket: one ubiquitous
     * boilerplate shingle otherwise creates a quadratic candidate bucket
     * at corpus scale. High-jaccard pairs share MOST of their shingles, so
     * they keep colliding through their rare shingles and survive the cap
     * (a pair is lost only if every one of its shared shingles exceeds the
     * cap — at the 0.8 default threshold that needs an all-boilerplate
-    * overlap). Verification always uses the complete sets, so reported
-    * jaccard values are exact regardless of the cap.
+    * overlap across >maxShingleDf distinct contents). Verification always
+    * uses the complete sets, so reported jaccard values are exact
+    * regardless of the cap.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Int = 10000): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
-        wordShingles(col(textCol), shingleSize).as("sh"))
+    // exact-duplicate collapse: (doc, content-key) map + one representative
+    // (minimum id) per distinct content. Only representatives enter the
+    // shingle index; members rejoin at the end.
+    val member = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("ch"))
+    val repIds = member.groupBy("ch").agg(min(col("doc")).as("doc"))
+    val reps = repIds.join(
+      docs.select(col(idCol).as("doc"), col(textCol).as("__txt")), Seq("doc"))
+    val sh = reps.select(col("doc"), col("ch"),
+        wordShingles(col("__txt"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     // join on 64-bit shingle hashes, not the strings — far narrower shuffle
     val inv = sh.select(col("doc"), explode(col("sh")).as("g0"))
@@ -305,12 +324,35 @@ object Dedup {
       .join(sizes.select(col("doc").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .filter(col("c") * (1.0 + threshold) >= lit(threshold) * (col("na") + col("nb")))
       .select("id_a", "id_b")
-    // exact verify on the full (uncapped) shingle sets
-    candidates
+    // exact verify on the full (uncapped) shingle sets — representative
+    // pairs only
+    val repPairs = candidates
       .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // expand representative pairs over every member of both content groups
+    // (identical text ⇒ identical shingle set ⇒ identical jaccard); ids
+    // re-ordered per expanded pair. Each (group, group) pair appears once,
+    // and groups partition docs, so no duplicates arise.
+    val chOfRep = repIds.select(col("doc"), col("ch"))
+    val cross = repPairs
+      .join(chOfRep.select(col("doc").as("id_a"), col("ch").as("ch_a")), Seq("id_a"))
+      .join(chOfRep.select(col("doc").as("id_b"), col("ch").as("ch_b")), Seq("id_b"))
+      .join(member.select(col("ch").as("ch_a"), col("doc").as("ma")), Seq("ch_a"))
+      .join(member.select(col("ch").as("ch_b"), col("doc").as("mb")), Seq("ch_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    // intra-group pairs: identical non-empty shingle sets, jaccard = 1.0
+    // (groups whose representative shingles are empty stay excluded, same
+    // as the index filter and the brute-force oracle)
+    val shGroups = sh.select(col("ch")).distinct()
+    val withSh = member.join(shGroups, Seq("ch"))
+    val intra = withSh.select(col("ch"), col("doc").as("id_a"))
+      .join(withSh.select(col("ch"), col("doc").as("id_b")), Seq("ch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    cross.union(intra)
   }
 }

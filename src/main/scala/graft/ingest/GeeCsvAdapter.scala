@@ -53,7 +53,10 @@ object GeeCsvAdapter {
     }
     val valueCols = renamed.columns.filterNot(Set("grid_id", "date"))
     val typed = renamed
-      .withColumn("grid_id", col("grid_id").cast(LongType))
+      // non-strict like the value coercion (ANSI cast would throw on the
+      // first malformed id); systematically bad ids surface as
+      // AllNullColumn("grid_id") below instead
+      .withColumn("grid_id", expr("try_cast(grid_id AS BIGINT)"))
       .withColumn("date", substring(col("date").cast("string"), 1, 10))
     val scaffolded =
       if (scaffoldDates.nonEmpty && typed.columns.contains("date") &&
@@ -67,11 +70,17 @@ object GeeCsvAdapter {
       } else typed
     val coerced = valueCols.foldLeft(scaffolded)((d, c) =>
       d.withColumn(c, tryCastFloat(c)))
-    // F12: reject all-null value columns in one aggregation pass
+    // F12: reject all-null columns in one aggregation pass — the
+    // reference validates expected value columns UNION id columns
+    // (gee_export_pipeline.py _process), so an all-null grid_id/date
+    // (e.g. a malformed export whose ids failed the int64 cast) errors
+    // here too, not downstream
+    val checkedCols =
+      valueCols ++ Seq("grid_id", "date").filter(coerced.columns.contains)
     val counts = coerced.select(
-      (count(lit(1)) +: valueCols.map(c => count(col(c)).as(c))).toIndexedSeq: _*)
+      (count(lit(1)) +: checkedCols.map(c => count(col(c)).as(c))).toIndexedSeq: _*)
       .head()
-    valueCols.zipWithIndex.foreach { case (c, i) =>
+    checkedCols.zipWithIndex.foreach { case (c, i) =>
       if (counts.getLong(0) > 0 && counts.getLong(i + 1) == 0)
         throw AllNullColumn(c)
     }

@@ -102,28 +102,81 @@ object Pm25Source {
         s"&date_from=$start&date_to=$end&source=$source&pollutant=$pollutant"
     }
 
+  /** Split a CSV body into complete logical records: a newline only ends
+    * a record when the running count of quote characters is even, so
+    * quoted fields containing newlines stay inside one record (RFC 4180
+    * quoting, `""` escapes included — an escaped quote flips the parity
+    * twice, a no-op). Trailing `\r` of CRLF records is trimmed.
+    */
+  private[ingest] def csvRecords(body: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    var quotes = 0
+    var i = 0
+    def flush(): Unit = {
+      val len = if (cur.length > 0 && cur.charAt(cur.length - 1) == '\r')
+        cur.length - 1 else cur.length
+      val rec = cur.substring(0, len)
+      if (rec.nonEmpty) out += rec
+      cur.setLength(0)
+    }
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (ch == '"') { quotes += 1; cur.append(ch) }
+      else if (ch == '\n' && quotes % 2 == 0) flush()
+      else cur.append(ch)
+      i += 1
+    }
+    flush()
+    out.result()
+  }
+
   /** S9 — `pl.scan_csv([urls])` equivalent: every URL is fetched in its
-    * own executor task (http(s)/file via `java.net.URL`), the line
-    * streams union into one `Dataset[String]`, and Spark's CSV reader
-    * parses with the shared header. Per-URL headers after the first are
-    * dropped in the fetch task — multi-file CSV semantics over sources
-    * `spark.read.csv` cannot address directly. Nothing is collected to
-    * the driver; a month-URL is one task, matching the reference's
+    * own executor task (http(s)/file via `java.net.URL`), record streams
+    * union into one `Dataset[String]`, and Spark's CSV reader parses with
+    * the shared header — multi-file CSV semantics over sources
+    * `spark.read.csv` cannot address directly.
+    *
+    * The header is detected by CONTENT, not position: each non-empty
+    * URL's first record is its header; all observed headers must agree
+    * (mismatched month schemas fail loudly instead of promoting a data
+    * row to header), and empty responses contribute nothing — an empty
+    * FIRST response does not lose the header. Records are split
+    * quote-aware ([[csvRecords]]), so quoted fields containing newlines
+    * survive the union. Fetched bodies are persisted so the header pass
+    * and the parse pass hit each URL once; only the tiny per-URL header
+    * set is collected, a month-URL is one task, matching the reference's
     * per-month files.
     */
   def fetchCsv(spark: org.apache.spark.sql.SparkSession,
                urls: Seq[String]): DataFrame = {
     import spark.implicits._
     require(urls.nonEmpty, "no urls to fetch")
-    val lines = spark.sparkContext
+    val tagged = spark.sparkContext
       .parallelize(urls.zipWithIndex, urls.size)
       .flatMap { case (u, idx) =>
         val in = new java.net.URL(u).openStream()
-        try {
-          val all = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-          if (idx == 0) all else all.drop(1)
-        } finally in.close()
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        csvRecords(body).zipWithIndex.map { case (rec, rn) =>
+          (idx, rn == 0, rec)
+        }
       }
-    spark.read.option("header", "true").csv(spark.createDataset(lines))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val headers = tagged.filter(_._2).map(t => (t._1, t._3)).collect().sortBy(_._1)
+      require(headers.nonEmpty, s"all ${urls.size} fetched urls were empty")
+      val distinct = headers.map(_._2).distinct
+      require(distinct.length == 1,
+        s"fetched urls disagree on CSV header: ${distinct.mkString(" | ")}")
+      val records = spark.createDataset(
+        spark.sparkContext.parallelize(Seq(distinct.head), 1)
+          .union(tagged.filter(!_._2).map(_._3)))
+      // parse eagerly while the fetched bodies are still persisted
+      val parsed = spark.read.option("header", "true").csv(records)
+      parsed.cache().count()
+      parsed
+    } finally tagged.unpersist()
   }
 }

@@ -110,7 +110,10 @@ object StratifiedGroupKFold {
       .collect()
     val strata = counts.map(_.get(1)).distinct.sortBy(_.toString)
     val sIdx = strata.zipWithIndex.toMap
-    val groups = counts.map(_.get(0)).distinct
+    // sorted like strata: dense group ids (and thus the greedy visit
+    // tie-break, which hashes them) must not depend on collect() order,
+    // which varies with partition layout
+    val groups = counts.map(_.get(0)).distinct.sortBy(_.toString)
     val gIdx = groups.zipWithIndex.map { case (g, i) => g -> i.toLong }.toMap
     val perGroup = groups.map(g => gIdx(g) -> new Array[Long](strata.length)).toMap
     counts.foreach { r =>

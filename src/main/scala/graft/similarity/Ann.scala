@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -271,8 +271,12 @@ object Ann {
       val dArr = array(dists.toIndexedSeq: _*)
       (array_position(dArr, array_min(dArr)) - 1).cast("int")
     } else {
-      val centroids = index.centroids
+      // explicit broadcast: the centroid matrix ships once per executor,
+      // not once per task closure (~nlist×dim×8 bytes — 2 MB at
+      // nlist=4096, dim=64 — times thousands of tasks otherwise)
+      val bc = SparkSession.active.sparkContext.broadcast(index.centroids)
       val assign = udf { (vec: Seq[Double]) =>
+        val centroids = bc.value
         val x = vec.toArray
         var best = 0
         var bestD = Double.MaxValue

@@ -62,6 +62,31 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(got - 10.0 / 12.0) < 1e-12)
   }
 
+  // A doc duplicated more often than maxShingleDf used to lose its WHOLE
+  // cluster: every shingle sat above the df cap, so no candidate pair was
+  // ever generated (advisor round-2 finding). The exact-content pre-pass
+  // collapses duplicates to one representative before the capped index.
+  test("ngram jaccard: mass-duplicated cluster survives the shingle df cap") {
+    val massText = "alpha beta gamma delta epsilon zeta eta theta"
+    val nearText = "alpha beta gamma delta epsilon zeta eta iota"
+    val rows = (1L to 8L).map(i => (i, massText)) ++
+      Seq((9L, nearText),
+        (10L, "totally unrelated words about something else entirely here"))
+    val df = rows.toDF("doc_id", "text")
+    val pairs = Dedup
+      .ngramJaccardPairs(df, "doc_id", "text", threshold = 0.5, maxShingleDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every intra-cluster pair of the 8 exact copies, at jaccard exactly 1
+    val intra = for { a <- 1L to 8L; b <- (a + 1) to 8L } yield (a, b)
+    intra.foreach(p => assert(pairs.get(p).contains(1.0), s"missing intra $p"))
+    // near-dup rep pair expands onto every member: 6 shingles each,
+    // 5 shared, union 7
+    (1L to 8L).foreach(a =>
+      assert(math.abs(pairs((a, 9L)) - 5.0 / 7.0) < 1e-12, s"missing ($a,9)"))
+    assert(!pairs.keySet.exists(p => p._1 == 10L || p._2 == 10L))
+    assert(pairs.size === intra.size + 8)
+  }
+
   test("deduplicate keeps one canonical doc per near-dup cluster") {
     val kept = Dedup.deduplicate(docs, "doc_id", "text", threshold = 0.7)
       .select("doc_id").as[Long].collect().toSet

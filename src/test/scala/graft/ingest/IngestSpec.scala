@@ -26,6 +26,16 @@ class IngestSpec extends AnyFunSuite {
     assertThrows[GeeCsvAdapter.AllNullColumn] {
       GeeCsvAdapter.normalize(allNull, Map("v" -> "v")).collect()
     }
+
+    // id columns are validated too (reference checks value ∪ id columns):
+    // a grid_id column that entirely fails the int64 cast must error here
+    val badIds = Seq(("not-an-id", "2023-01-01", "1.0"),
+        ("also-bad", "2023-01-02", "2.0"))
+      .toDF("grid_id", "date", "v")
+    val ex = intercept[GeeCsvAdapter.AllNullColumn] {
+      GeeCsvAdapter.normalize(badIds, Map("v" -> "v")).collect()
+    }
+    assert(ex.column === "grid_id")
   }
 
   // ref: gee_export_pipeline__test.py::test_GeeExportPipeline_upload_missingColumns
@@ -88,6 +98,40 @@ class IngestSpec extends AnyFunSuite {
     assert(df.columns.toSeq === Seq("location_id", "value"))
     assert(df.count() === 3) // second file's header dropped, not a data row
     assert(df.filter(col("location_id") === "s1").count() === 2)
+
+    // header is found by content, not position: an EMPTY first response
+    // (a month with no measurements) must not promote month 2's first
+    // data row to header
+    java.nio.file.Files.write(dir.resolve("empty.csv"), Array.empty[Byte])
+    val df2 = Pm25Source.fetchCsv(spark,
+      Seq(s"file://$dir/empty.csv", s"file://$dir/m1.csv"))
+    assert(df2.columns.toSeq === Seq("location_id", "value"))
+    assert(df2.count() === 2)
+
+    // quoted fields containing newlines stay one record through the union
+    java.nio.file.Files.write(dir.resolve("m3.csv"),
+      "location_id,value\n\"s3\nannex\",7.5\n".getBytes("UTF-8"))
+    val df3 = Pm25Source.fetchCsv(spark,
+      Seq(s"file://$dir/m1.csv", s"file://$dir/m3.csv"))
+    assert(df3.count() === 3)
+    assert(df3.filter(col("location_id") === "s3\nannex").count() === 1)
+
+    // disagreeing month schemas fail loudly instead of misparsing
+    java.nio.file.Files.write(dir.resolve("bad.csv"),
+      "station,reading\ns1,1.0\n".getBytes("UTF-8"))
+    assertThrows[Exception] {
+      Pm25Source.fetchCsv(spark, Seq(s"file://$dir/m1.csv", s"file://$dir/bad.csv"))
+    }
+  }
+
+  test("csvRecords splits quote-aware and trims CRLF") {
+    assert(Pm25Source.csvRecords("a,b\r\n1,2\r\n") === Vector("a,b", "1,2"))
+    assert(Pm25Source.csvRecords("a,b\n\"x\ny\",2\n") ===
+      Vector("a,b", "\"x\ny\",2"))
+    // escaped quotes ("") don't flip record-splitting parity
+    assert(Pm25Source.csvRecords("a\n\"he said \"\"hi\"\"\",1\n") ===
+      Vector("a", "\"he said \"\"hi\"\"\",1"))
+    assert(Pm25Source.csvRecords("") === Vector.empty)
   }
 
   test("pm25 chain: coordinates parse, stats, filters, knn, daily means") {

@@ -67,12 +67,20 @@ class MlSpec extends AnyFunSuite {
       .select((col("spread") / col("m")).as("rel")).as[Double].collect()
     assert(shares.forall(_ <= 0.55), s"per-stratum fold spread too wide: ${shares.toSeq}")
 
-    // determinism: second run assigns identical folds
-    val again = StratifiedGroupKFold.groupFolds(df, "group50km", "k_region", 5)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // determinism: identical folds regardless of partition layout — the
+    // distributed count agg collects in layout-dependent order, which
+    // must not leak into the greedy assignment (advisor round-2 finding)
     val first = StratifiedGroupKFold.groupFolds(df, "group50km", "k_region", 5)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val again = StratifiedGroupKFold
+      .groupFolds(df.repartition(7, col("id")), "group50km", "k_region", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val third = StratifiedGroupKFold
+      .groupFolds(df.repartition(1).sortWithinPartitions(col("id").desc),
+        "group50km", "k_region", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(again === first)
+    assert(third === first)
   }
 
   test("stratified CV wired through ImputationModel.train") {
