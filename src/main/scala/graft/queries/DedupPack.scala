@@ -62,8 +62,11 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // SimHash near-dup pairs (pigeonhole-bucketed). Hash-function-specific
-    // — rows-only check here; golden-tested in DedupSpec.
+    // SimHash near-dup pairs (pigeonhole-bucketed). The token hash is an
+    // exact public spec (FNV-1a 64 — SimHash.scala), so the oracle
+    // re-derives every fingerprint in SQL and brute-forces hamming; with
+    // maxHamming=3 and 4 chunks the pigeonhole candidates are COMPLETE,
+    // so the Spark pair set must equal the brute-force set exactly.
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3)
@@ -101,5 +104,36 @@ object DedupPack extends QueryPack {
          SELECT d.doc_id, d.n_chars
          FROM documents d LEFT JOIN dropped ON dropped.node = d.doc_id
          WHERE dropped.node IS NULL
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    // Mirrors graft.dedup.SimHash exactly: FNV-1a 64 per whitespace token
+    // (wrapping multiply emulated through HUGEINT mod 2^64; xor operates
+    // on the signed bit pattern), ±1 votes per bit, fingerprint bit set
+    // iff votes > 0 — then all-pairs XOR popcount ≤ 3. Spark's split('')
+    // of an empty string yields [""], DuckDB's string_split_regex does
+    // too, and fnv("") = the offset basis, handled by the length guard.
+    "dedup_simhash" ->
+      """WITH
+         toks AS (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok FROM documents),
+         th AS (SELECT doc_id, CASE WHEN length(tok)=0 THEN CAST(-3750763034362895579 AS BIGINT) ELSE
+           list_reduce(
+             list_prepend(CAST(-3750763034362895579 AS BIGINT),
+                          list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+             (h, c) -> CAST(CASE WHEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211) % 18446744073709551616
+                                 >= 9223372036854775808
+                            THEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211) % 18446744073709551616 - 18446744073709551616
+                            ELSE ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211) % 18446744073709551616 END AS BIGINT))
+           END AS h FROM toks),
+         uh AS (SELECT doc_id, CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + 18446744073709551616 ELSE CAST(h AS HUGEINT) END AS u FROM th),
+         votes AS (SELECT doc_id, b, SUM(CASE WHEN (u // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+                   FROM uh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) bits
+                   GROUP BY doc_id, b),
+         fp AS (SELECT doc_id,
+                  CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS fp
+                FROM (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS s
+                      FROM votes GROUP BY doc_id)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          bit_count(xor(a.fp, b.fp)) AS hamming
+                   FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+         FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""")
 }

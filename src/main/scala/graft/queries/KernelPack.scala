@@ -33,6 +33,40 @@ object KernelPack extends QueryPack {
         .orderBy("p_partkey")
     }),
 
+    // K1 with a value-level oracle: barycentric interpolation of a LINEAR
+    // field is exact, so seeding the valid cells with v = 2x + 3y + 10 and
+    // adding four out-of-range corner sources per date (every missing
+    // point strictly inside the hull → pure Delaunay-linear path, no
+    // nearest fallback) makes the filled values equal the plane — which
+    // DuckDB computes directly. This turns the whole triangulate → locate
+    // → barycentric pipeline into an oracle-checked query; k1 above keeps
+    // exercising the mixed linear+nearest path rows-only.
+    "k1b_interpolate_plane" -> ((s, dir) => {
+      import s.implicits._
+      val raw = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"),
+          (pmod(col("p_partkey") * 2654435761L, lit(100000L)).cast("double") / 100.0)
+            .as("x"),
+          (pmod(col("p_partkey") * 40503L + 7L, lit(100000L)).cast("double") / 100.0)
+            .as("y"),
+          concat(lit("2024-01-0"), (col("p_partkey") % 4 + 1)).as("date"))
+      val pts = raw.select(col("p_partkey"), col("x"), col("y"), col("date"),
+        when(col("p_size") % 7 === 0, lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("x") + lit(3.0) * col("y") + lit(10.0))
+          .as("v"))
+      val corners = for {
+        d <- 1 to 4; (cx, ci) <- Seq(-10.0, 1010.0).zipWithIndex
+        (cy, cj) <- Seq(-10.0, 1010.0).zipWithIndex
+      } yield (-(d * 10L + ci * 2 + cj + 1), cx, cy, s"2024-01-0$d",
+        2.0 * cx + 3.0 * cy + 10.0)
+      val cornersDf = corners.toDF("p_partkey", "x", "y", "date", "v")
+      DailySpatialInterpolator
+        .interpolate(pts.unionByName(cornersDf), "date", "x", "y", Seq("v"))
+        .filter(col("p_partkey") >= 0)
+        .select(col("p_partkey"), round(col("v"), 4).as("v_filled"))
+        .orderBy("p_partkey")
+    }),
+
     // K2: regrid a coarse raster (built from the region table) onto
     // customer "coordinates" by bilinear interpolation.
     "k2_regrid_bilinear" -> ((s, dir) => {
@@ -53,6 +87,17 @@ object KernelPack extends QueryPack {
   // K2 on a bilinear field is exact → the oracle computes the plane
   // directly (lat + 2·lon; all targets fall inside the raster extent).
   def oracles: Map[String, String] = Map(
+    // Exactness argument in the query comment: linear interpolation of a
+    // plane reproduces the plane; valid cells carry it by construction.
+    // Both engines derive x/y with the same integer-mod + double-divide,
+    // so the doubles are bit-identical and the 4-dp round is safe (true
+    // values have 2 decimals; barycentric error ~1e-12).
+    "k1b_interpolate_plane" ->
+      """SELECT p_partkey,
+         ROUND(2.0 * (CAST((p_partkey * 2654435761) % 100000 AS DOUBLE) / 100.0)
+             + 3.0 * (CAST((p_partkey * 40503 + 7) % 100000 AS DOUBLE) / 100.0)
+             + 10.0, 4) AS v_filled
+         FROM part ORDER BY p_partkey""",
     "k2_regrid_bilinear" ->
       """SELECT c_custkey,
          ROUND(CAST(c_custkey % 40 AS DOUBLE)

@@ -44,8 +44,11 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // Winnowing fingerprint (native Catalyst expression) — JVM-hash
-    // specific, so rows-only here; golden-tested in TextSpec.
+    // Winnowing fingerprint (native Catalyst expression). The hash is an
+    // exact public spec (Rabin-Karp base 1000003, 64-bit wrapping —
+    // Winnow.scala), so the oracle mirrors it in SQL: per-position 5-gram
+    // polynomial hashes, rightmost-window-minimum selection via one
+    // composite MIN window, distinct selection positions.
     "t_fingerprint" -> ((s, dir) => {
       val fp = TextExpressions.winnow_fingerprint(col("text"))
       table(s, dir, "documents")
@@ -118,5 +121,49 @@ object TextPack extends QueryPack {
              WHEN hits_zh = GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh)
                   AND GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) > 0 THEN 'zh'
              ELSE 'en' END AS lang_pred
-         FROM hits ORDER BY doc_id""")
+         FROM hits ORDER BY doc_id""",
+    // Mirrors graft.text.Winnow exactly: k=5 char-grams hashed with the
+    // wrapping Rabin-Karp polynomial (B=1000003; powers of B mod 2^64 are
+    // inlined as literals), w=4 windows each selecting their RIGHTMOST
+    // minimum under SIGNED 64-bit comparison. The composite window MIN
+    // key is flipped-sign-bit(hash)·2^32 + (2^32−1−pos): unsigned order
+    // of the flipped hash equals signed order of the hash, and the
+    // position term breaks hash ties toward the LARGEST position.
+    // Sequences of ≤ w hashes collapse to one plain minimum, matching
+    // Winnow.fingerprint's short-circuit.
+    "t_fingerprint" ->
+      """WITH
+         docs AS (SELECT doc_id, text, LENGTH(text) - 4 AS m FROM documents),
+         pos AS (SELECT doc_id, text, m, UNNEST(GENERATE_SERIES(1, m)) AS p
+                 FROM docs WHERE m >= 1),
+         hu AS (SELECT doc_id, m, p,
+                  (CAST(unicode(substring(text, p, 1)) AS HUGEINT)     * 14003818205314896721::HUGEINT
+                 + CAST(unicode(substring(text, p + 1, 1)) AS HUGEINT) * 1000009000027000027::HUGEINT
+                 + CAST(unicode(substring(text, p + 2, 1)) AS HUGEINT) * 1000006000009::HUGEINT
+                 + CAST(unicode(substring(text, p + 3, 1)) AS HUGEINT) * 1000003::HUGEINT
+                 + CAST(unicode(substring(text, p + 4, 1)) AS HUGEINT)) % 18446744073709551616::HUGEINT AS u
+                FROM pos),
+         h AS (SELECT doc_id, m, p,
+                 CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS s,
+                 CASE WHEN u >= 9223372036854775808 THEN u - 9223372036854775808 ELSE u + 9223372036854775808 END AS ukey
+               FROM hu),
+         wmin AS (SELECT doc_id, m, p,
+                    MIN(ukey * 4294967296::HUGEINT + (4294967295 - p)) OVER
+                      (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+                  FROM h),
+         sel AS (SELECT DISTINCT doc_id,
+                   4294967295 - CAST(mk % 4294967296::HUGEINT AS BIGINT) AS selpos,
+                   CAST((mk // 4294967296::HUGEINT) - 9223372036854775808 AS BIGINT) AS selhash
+                 FROM wmin WHERE m > 4 AND p <= m - 3),
+         long_fp AS (SELECT doc_id, COUNT(*) AS fp_size, ARG_MIN(selhash, selpos) AS fp_first
+                     FROM sel GROUP BY doc_id),
+         short_fp AS (SELECT doc_id, 1 AS fp_size, MIN(s) AS fp_first
+                      FROM h WHERE m <= 4 GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(l.fp_size, sh.fp_size, 0) AS INT) AS fp_size,
+                COALESCE(l.fp_first, sh.fp_first) AS fp_first
+         FROM docs d
+         LEFT JOIN long_fp l USING (doc_id)
+         LEFT JOIN short_fp sh USING (doc_id)
+         ORDER BY d.doc_id""")
 }
