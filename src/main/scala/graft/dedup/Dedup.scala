@@ -46,6 +46,60 @@ object Dedup {
     when(uni === 0, 0.0).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
+  // ------------------------------------------- exact-content collapse
+  //
+  // Shared pre-pass for every pair generator: a doc duplicated n times
+  // otherwise lands in the same candidate bucket in EVERY band/chunk/
+  // posting, creating O(n²) candidate rows for the single heaviest dedup
+  // target in a boilerplate-skewed corpus (and, under a df cap, losing
+  // the cluster outright — advisor round-2 finding). Identical texts are
+  // collapsed to one representative (minimum id) BEFORE the index; pairs
+  // computed between representatives are expanded back over the members
+  // at the end. The group key is md5 (128 bits — collision-free at any
+  // realistic corpus size; a 64-bit key would see birthday collisions at
+  // ~10¹⁰ docs).
+
+  /** (member map (doc, ch), representative ids (doc, ch)). */
+  private def exactGroups(docs: DataFrame, idCol: String,
+                          textCol: String): (DataFrame, DataFrame) = {
+    val member = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("ch"))
+    val repIds = member.groupBy("ch").agg(min(col("doc")).as("doc"))
+    (member, repIds)
+  }
+
+  /** Representative docs frame (doc, ch, text under the original name). */
+  private def repDocs(docs: DataFrame, idCol: String, textCol: String,
+                      repIds: DataFrame): DataFrame =
+    repIds.join(docs.select(col(idCol).as("doc"), col(textCol)), Seq("doc"))
+
+  /** Expand pairs computed between group representatives onto all members
+    * of both groups (identical text ⇒ identical payload), plus intra-group
+    * pairs whose payload comes from `intraPayload` (ch, payload…) — groups
+    * absent from it contribute no intra pairs. `repPairs` carries
+    * (id_a, id_b, payload…) with the same payload column names. Each
+    * (group, group) pair appears once and groups partition docs, so the
+    * expansion introduces no duplicates.
+    */
+  private def expandExactGroups(member: DataFrame, repIds: DataFrame,
+                                repPairs: DataFrame,
+                                intraPayload: DataFrame): DataFrame = {
+    val payloadCols =
+      repPairs.columns.filterNot(Set("id_a", "id_b")).toSeq.map(col)
+    val cross = repPairs
+      .join(repIds.select(col("doc").as("id_a"), col("ch").as("ch_a")), Seq("id_a"))
+      .join(repIds.select(col("doc").as("id_b"), col("ch").as("ch_b")), Seq("id_b"))
+      .join(member.select(col("ch").as("ch_a"), col("doc").as("ma")), Seq("ch_a"))
+      .join(member.select(col("ch").as("ch_b"), col("doc").as("mb")), Seq("ch_b"))
+      .select(least(col("ma"), col("mb")).as("id_a") +:
+        greatest(col("ma"), col("mb")).as("id_b") +: payloadCols: _*)
+    val intra = member.select(col("ch"), col("doc").as("id_a"))
+      .join(member.select(col("ch"), col("doc").as("id_b")), Seq("ch"))
+      .filter(col("id_a") < col("id_b"))
+      .join(intraPayload, Seq("ch"))
+      .select(col("id_a") +: col("id_b") +: payloadCols: _*)
+    cross.union(intra)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature (array of `numHashes` longs) of a string-array
@@ -69,15 +123,18 @@ object Dedup {
     *
     * With numHashes=128 and bands=32 (r=4), P[candidate | s=0.8] ≈ 1−5·10⁻⁸,
     * so recall at the 0.8 threshold is effectively exact while the shuffle
-    * stays linear in corpus size.
+    * stays linear in corpus size. Exact duplicates are collapsed before
+    * banding (see exactGroups — mass-duplicated docs otherwise fill every
+    * band bucket quadratically) and re-expanded at jaccard 1.0.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sh = docs
-      .select(col(idCol).as("doc"), wordShingles(col(textCol), shingleSize).as("sh"))
+    val (member, repIds) = exactGroups(docs, idCol, textCol)
+    val sh = repDocs(docs, idCol, textCol, repIds)
+      .select(col("doc"), col("ch"), wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     // candidates first, ids only — the banded self-join must not drag the
     // shingle arrays through the shuffle (bands × |docs| rows). Band keys
@@ -94,11 +151,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // verification joins fetch the (small relative to candidates) sets back
-    candidates
+    val repPairs = candidates
       .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // intra pairs only for groups with a non-empty shingle set (empty
+    // shingles never enter the index, same as the brute-force oracle)
+    val intra = sh.select(col("ch"), lit(1.0).as("jaccard"))
+    expandExactGroups(member, repIds, repPairs, intra)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -108,13 +170,16 @@ object Dedup {
     * by splitting the 64-bit fingerprint into `maxHamming+1` chunks — by
     * pigeonhole, any pair within the bound shares at least one exact chunk,
     * so candidate generation is a shuffle on (chunk index, chunk value),
-    * never O(n²).
+    * never O(n²) — and exact duplicates are collapsed first (identical
+    * text ⇒ identical fingerprint in EVERY chunk, the worst bucket skew),
+    * then re-expanded at hamming 0.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bits = 64 / chunks
-    val fp = docs.select(col(idCol).as("doc"),
+    val (member, repIds) = exactGroups(docs, idCol, textCol)
+    val fp = repDocs(docs, idCol, textCol, repIds).select(col("doc"),
       TextExpressions.simhash64(TextFunctions.wsTokens(col(textCol))).as("fp"))
     val keyed = fp.select(col("doc"), col("fp"),
       explode(array((0 until chunks).map { i =>
@@ -126,12 +191,14 @@ object Dedup {
       .select(col("doc"), col("fp"), col("ck.chunk").as("chunk"), col("ck.v").as("v"))
     val l = keyed.select(col("chunk"), col("v"), col("doc").as("id_a"), col("fp").as("fp_a"))
     val r = keyed.select(col("chunk"), col("v"), col("doc").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("chunk", "v"))
+    val repPairs = l.join(r, Seq("chunk", "v"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("fp_a") bitwiseXOR col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    expandExactGroups(member, repIds, repPairs,
+      repIds.select(col("ch"), lit(0).as("hamming")))
   }
 
   /** End-to-end near-dup deduplication: MinHash-LSH pairs → connected
@@ -240,17 +307,27 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   minShared: Int = 10): DataFrame = {
-    val fp = docs.select(col(idCol).as("doc"),
-      explode(array_distinct(
-        graft.functions.expressions.TextExpressions.winnow_fingerprint(col(textCol))))
-        .as("h"))
+    val (member, repIds) = exactGroups(docs, idCol, textCol)
+    val reps = repDocs(docs, idCol, textCol, repIds).select(col("doc"),
+      array_distinct(
+        graft.functions.expressions.TextExpressions.winnow_fingerprint(col(textCol)))
+        .as("fps"))
+    val fp = reps.select(col("doc"), explode(col("fps")).as("h"))
     val l = fp.select(col("h"), col("doc").as("id_a"))
     val r = fp.select(col("h"), col("doc").as("id_b"))
-    l.join(r, Seq("h"))
+    val repPairs = l.join(r, Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    // intra pairs share the group's ENTIRE fingerprint set — still subject
+    // to the minShared floor, so identical-but-tiny docs don't pair
+    val intra = repIds.join(
+        reps.select(col("doc"), size(col("fps")).cast("long").as("shared")),
+        Seq("doc"))
+      .filter(col("shared") >= minShared)
+      .select(col("ch"), col("shared"))
+    expandExactGroups(member, repIds, repPairs, intra)
   }
 
   // ------------------------------------------------- pairwise n-gram path
@@ -284,15 +361,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Int = 10000): DataFrame = {
-    // exact-duplicate collapse: (doc, content-key) map + one representative
-    // (minimum id) per distinct content. Only representatives enter the
-    // shingle index; members rejoin at the end.
-    val member = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("ch"))
-    val repIds = member.groupBy("ch").agg(min(col("doc")).as("doc"))
-    val reps = repIds.join(
-      docs.select(col(idCol).as("doc"), col(textCol).as("__txt")), Seq("doc"))
-    val sh = reps.select(col("doc"), col("ch"),
-        wordShingles(col("__txt"), shingleSize).as("sh"))
+    // only representatives enter the shingle index; members rejoin at the
+    // end (see exactGroups)
+    val (member, repIds) = exactGroups(docs, idCol, textCol)
+    val sh = repDocs(docs, idCol, textCol, repIds)
+      .select(col("doc"), col("ch"), wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     // join on 64-bit shingle hashes, not the strings — far narrower shuffle
     val inv = sh.select(col("doc"), explode(col("sh")).as("g0"))
@@ -332,27 +405,9 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // expand representative pairs over every member of both content groups
-    // (identical text ⇒ identical shingle set ⇒ identical jaccard); ids
-    // re-ordered per expanded pair. Each (group, group) pair appears once,
-    // and groups partition docs, so no duplicates arise.
-    val chOfRep = repIds.select(col("doc"), col("ch"))
-    val cross = repPairs
-      .join(chOfRep.select(col("doc").as("id_a"), col("ch").as("ch_a")), Seq("id_a"))
-      .join(chOfRep.select(col("doc").as("id_b"), col("ch").as("ch_b")), Seq("id_b"))
-      .join(member.select(col("ch").as("ch_a"), col("doc").as("ma")), Seq("ch_a"))
-      .join(member.select(col("ch").as("ch_b"), col("doc").as("mb")), Seq("ch_b"))
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    // intra-group pairs: identical non-empty shingle sets, jaccard = 1.0
-    // (groups whose representative shingles are empty stay excluded, same
-    // as the index filter and the brute-force oracle)
-    val shGroups = sh.select(col("ch")).distinct()
-    val withSh = member.join(shGroups, Seq("ch"))
-    val intra = withSh.select(col("ch"), col("doc").as("id_a"))
-      .join(withSh.select(col("ch"), col("doc").as("id_b")), Seq("ch"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    cross.union(intra)
+    // intra-group pairs only for non-empty shingle sets (empty shingles
+    // never enter the index, same as the brute-force oracle)
+    expandExactGroups(member, repIds, repPairs,
+      sh.select(col("ch"), lit(1.0).as("jaccard")))
   }
 }

@@ -44,6 +44,20 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition/format filters (Rae et al. 2021 §A1.1):
+    // duplicate-line fraction, bullet/ellipsis line fractions, distinct-
+    // token ratio — the standard pre-training corpus quality signals.
+    "t_repetition_signals" -> ((s, dir) => {
+      val t = col("text")
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextFunctions.dupLineFraction(t), 6).as("dup_line_frac"),
+          round(TextFunctions.bulletLineFraction(t), 6).as("bullet_line_frac"),
+          round(TextFunctions.ellipsisLineFraction(t), 6).as("ellipsis_line_frac"),
+          round(TextFunctions.distinctTokenRatio(t), 6).as("distinct_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprint (native Catalyst expression). The hash is an
     // exact public spec (Rabin-Karp base 1000003, 64-bit wrapping —
     // Winnow.scala), so the oracle mirrors it in SQL: per-position 5-gram
@@ -122,6 +136,27 @@ object TextPack extends QueryPack {
                   AND GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) > 0 THEN 'zh'
              ELSE 'en' END AS lang_pred
          FROM hits ORDER BY doc_id""",
+    "t_repetition_signals" ->
+      """WITH base AS (
+           SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(text, chr(10)), l -> LENGTH(TRIM(l)) > 0) AS ls,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN NULL
+                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS toks
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN LEN(ls) = 0 THEN 0.0
+                ELSE ROUND(1.0 - CAST(LEN(LIST_DISTINCT(ls)) AS DOUBLE) / LEN(ls), 6)
+           END AS dup_line_frac,
+           CASE WHEN LEN(ls) = 0 THEN 0.0
+                ELSE ROUND(CAST(LEN(LIST_FILTER(ls, l -> REGEXP_MATCHES(LTRIM(l), '^[-*•]'))) AS DOUBLE) / LEN(ls), 6)
+           END AS bullet_line_frac,
+           CASE WHEN LEN(ls) = 0 THEN 0.0
+                ELSE ROUND(CAST(LEN(LIST_FILTER(ls, l -> REGEXP_MATCHES(RTRIM(l), '(\.\.\.|…)$'))) AS DOUBLE) / LEN(ls), 6)
+           END AS ellipsis_line_frac,
+           CASE WHEN toks IS NULL THEN 0.0
+                ELSE ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks), 6)
+           END AS distinct_token_ratio
+         FROM base ORDER BY doc_id""",
     // Mirrors graft.text.Winnow exactly: k=5 char-grams hashed with the
     // wrapping Rabin-Karp polynomial (B=1000003; powers of B mod 2^64 are
     // inlined as literals), w=4 windows each selecting their RIGHTMOST

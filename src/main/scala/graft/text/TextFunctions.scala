@@ -96,4 +96,49 @@ object TextFunctions {
       when(h === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  // ---------------------------------------- repetition / format signals
+  // (the Gopher repetition filters, Rae et al. 2021 §A1.1 — public)
+
+  /** Non-blank lines of a document. */
+  private def contentLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-blank lines that are duplicates of an earlier line
+    * (1 − distinct/total); 0 for documents without content lines.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val ls = contentLines(text)
+    when(size(ls) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+  }
+
+  /** Fraction of non-blank lines that start with a bullet marker
+    * (`-`, `*`, `•` after leading whitespace).
+    */
+  def bulletLineFraction(text: Column): Column = {
+    val ls = contentLines(text)
+    val bullets = filter(ls, l => ltrim(l).rlike("^[-*•]"))
+    when(size(ls) === 0, 0.0)
+      .otherwise(size(bullets).cast("double") / size(ls))
+  }
+
+  /** Fraction of non-blank lines that end with an ellipsis (`...` or `…`
+    * after trailing whitespace).
+    */
+  def ellipsisLineFraction(text: Column): Column = {
+    val ls = contentLines(text)
+    val ell = filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))
+    when(size(ls) === 0, 0.0)
+      .otherwise(size(ell).cast("double") / size(ls))
+  }
+
+  /** Distinct whitespace-token fraction — low values flag token-level
+    * repetition (the inverse of Gopher's duplicate-n-gram family at n=1).
+    */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(length(trim(text)) === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+  }
 }
