@@ -58,6 +58,12 @@ object Dedup {
   // at the end. The group key is md5 (128 bits — collision-free at any
   // realistic corpus size; a 64-bit key would see birthday collisions at
   // ~10¹⁰ docs).
+  //
+  // Plan note: Catalyst re-computes common subtrees, so the collapse
+  // re-derives member/repIds a small constant number of times per query
+  // (extra docs scans + narrow (id, md5) shuffles). That linear constant
+  // buys out the quadratic candidate-bucket term — the term that
+  // actually kills a boilerplate-skewed corpus at scale.
 
   /** (member map (doc, ch), representative ids (doc, ch)). */
   private def exactGroups(docs: DataFrame, idCol: String,

@@ -87,6 +87,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.size === intra.size + 8)
   }
 
+  // The collapse must also hold for minhash LSH: 2,000 exact copies used
+  // to fill the same bucket in all 32 bands (≈64M candidate rows before
+  // dedup); collapsed, the banded index sees ONE representative and the
+  // pair set comes out exactly — C(2000,2) intra pairs plus the near-dup
+  // expansion onto every copy.
+  test("minhash LSH: mass-duplicated cluster expands exactly, stays linear") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val rows = (1L to 2000L).map(i => (i, a)) ++ Seq((2001L, b)) ++
+      (2002L to 2501L).map(i => (i, s"unique filler document number $i with completely distinct trailing content ${i * 7}"))
+    val pairs = Dedup.minhashLsh(rows.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.8)
+    val n = pairs.count()
+    // intra: C(2000,2); cross: jaccard(a,b) = 10/12 ≥ 0.8 onto all copies
+    assert(n === 2000L * 1999 / 2 + 2000)
+    val cross = pairs.filter(col("id_b") === 2001L)
+    assert(cross.count() === 2000)
+    assert(cross.select(min(col("jaccard"))).head().getDouble(0) === 0.833333)
+    assert(pairs.filter(col("id_a") > 2001L || col("id_b") > 2001L).count() === 0)
+  }
+
   test("deduplicate keeps one canonical doc per near-dup cluster") {
     val kept = Dedup.deduplicate(docs, "doc_id", "text", threshold = 0.7)
       .select("doc_id").as[Long].collect().toSet
