@@ -58,6 +58,30 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // C4-style PII scrubbing. The documents table carries no PII, so the
+    // query plants a deterministic email+URL per doc in BOTH engines,
+    // then scrubs — string-exact compare of the scrubbed text plus match
+    // counts.
+    "t_pii_scrub" -> ((s, dir) => {
+      val withPii = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"),
+        lit("@example.com or https://example.org/d/"),
+        col("doc_id").cast("string"), lit("?q=1 end"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.emailCount(withPii).as("n_emails"),
+          TextFunctions.urlCount(withPii).as("n_urls"),
+          TextFunctions.scrubPii(withPii).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // GPT-style sequence packing: per-shard concat-and-chunk token layout.
+    "t_pack_offsets" -> ((s, dir) => {
+      graft.text.Packing.packOffsets(table(s, dir, "documents"),
+          "doc_id", "text", budget = 2048, shard = pmod(col("doc_id"), lit(4L)))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprint (native Catalyst expression). The hash is an
     // exact public spec (Rabin-Karp base 1000003, 64-bit wrapping —
     // Winnow.scala), so the oracle mirrors it in SQL: per-position 5-gram
@@ -136,6 +160,32 @@ object TextPack extends QueryPack {
                   AND GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_zh) > 0 THEN 'zh'
              ELSE 'en' END AS lang_pred
          FROM hits ORDER BY doc_id""",
+    "t_pii_scrub" ->
+      """WITH w AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or https://example.org/d/'
+                || CAST(doc_id AS VARCHAR) || '?q=1 end' AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t, 'https?://[^\s]+')) AS INT) AS n_urls,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(t, 'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+         FROM w ORDER BY doc_id""",
+    "t_pack_offsets" ->
+      """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS INT) AS n_tokens
+         FROM documents),
+         o AS (SELECT doc_id, shard, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         FROM t)
+         SELECT doc_id, shard, n_tokens, "offset",
+           "offset" // 2048 AS pack_first,
+           ("offset" + GREATEST(n_tokens - 1, 0)) // 2048 AS pack_last
+         FROM o ORDER BY doc_id""",
     "t_repetition_signals" ->
       """WITH base AS (
            SELECT doc_id,

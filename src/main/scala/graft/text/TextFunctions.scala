@@ -141,4 +141,25 @@ object TextFunctions {
     when(length(trim(text)) === 0, 0.0)
       .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
   }
+
+  // ------------------------------------------------------- PII scrubbing
+  // (C4-style cleanup, Raffel et al. 2020 — public; patterns kept to the
+  // common regex subset so the DuckDB oracle matches byte-for-byte)
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  /** Emails → `<EMAIL>`, URLs → `<URL>` (URLs first: an email inside a
+    * URL's query string should scrub as part of the URL).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
+  /** Count of email / URL matches (pre-scrub). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0)))
 }

@@ -70,6 +70,41 @@ class TextSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("pii scrub: emails and urls replaced, url-embedded emails scrub as url") {
+    val rows = Seq(
+      "mail a@b.co and c.d+x@e-f.org twice",
+      "see https://ex.org/p?u=a@b.co next http://plain.io/x done",
+      "no pii here at all").toDF("text")
+    val got = rows.select(
+      TextFunctions.scrubPii(col("text")).as("s"),
+      TextFunctions.emailCount(col("text")).as("ne"),
+      TextFunctions.urlCount(col("text")).as("nu"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(got(0) === (("mail <EMAIL> and <EMAIL> twice", 2, 0)))
+    // URL scrubbed FIRST, so the query-string email disappears with it
+    assert(got(1) === (("see <URL> next <URL> done", 1, 2)))
+    assert(got(2) === (("no pii here at all", 0, 0)))
+  }
+
+  test("sequence packing: per-shard offsets and boundary-crossing packs") {
+    // one shard; budgets force doc 3 to straddle packs 0→1
+    val docs = Seq(
+      (1L, Seq.fill(4)("w").mkString(" ")),   // offset 0, tokens 4 → pack 0
+      (2L, Seq.fill(3)("w").mkString(" ")),   // offset 4 → pack 0
+      (3L, Seq.fill(5)("w").mkString(" ")),   // offset 7, last token 11 → packs 0..1
+      (4L, ""),                               // zero tokens: no span
+      (5L, Seq.fill(2)("w").mkString(" ")))   // offset 12 → pack 1
+      .toDF("doc_id", "text")
+    val got = graft.text.Packing
+      .packOffsets(docs, "doc_id", "text", budget = 8, shard = lit(0))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 4, 0L, 0L, 0L), (2L, 3, 4L, 0L, 0L), (3L, 5, 7L, 0L, 1L),
+      (4L, 0, 12L, 1L, 1L), (5L, 2, 12L, 1L, 1L)))
+  }
+
   test("simhash expression matches the JVM kernel; near-dups are close") {
     import graft.dedup.SimHash
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
