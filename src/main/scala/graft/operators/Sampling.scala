@@ -45,6 +45,35 @@ object Sampling {
   def filterTargetPresent(df: DataFrame, targetCol: String): DataFrame =
     df.filter(col(targetCol).isNotNull && !isnan(col(targetCol)))
 
+  /** Domain-mixture sampling: keep a per-domain target fraction of rows,
+    * selected by a deterministic hash threshold on the row key. This is
+    * the corpus-mixing step of a pre-training data pipeline (down-weight
+    * crawl, keep all of wiki/books, ...) expressed as a pure map-side
+    * filter: the weights join is a broadcast and the threshold test is a
+    * scan-local predicate, so the plan has NO shuffle and NO window —
+    * the shape that survives a 100 TB corpus with a skewed domain
+    * distribution (a windowed exact-count variant would hot-spot on the
+    * dominant domain's partition).
+    *
+    * The selection (not just the rate) is deterministic and portable:
+    * a fixed multiplicative hash of the row key against
+    * ceil(fraction·M) over modulus M. Domains absent from `fractions`
+    * fall back to `defaultFraction`.
+    */
+  def domainMixture(df: DataFrame, domainCol: String, keyCol: String,
+                    fractions: Map[String, Double],
+                    defaultFraction: Double = 0.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = 1000000007L
+    val weights = fractions.toSeq.toDF(domainCol, "__frac")
+    df.join(broadcast(weights), Seq(domainCol), "left")
+      .withColumn("__frac", coalesce(col("__frac"), lit(defaultFraction)))
+      .filter(pmod(col(keyCol) * lit(2654435761L), lit(m)) <
+        ceil(col("__frac") * lit(m)).cast("long"))
+      .select(df.columns.map(col): _*) // join put the key first; restore
+  }
+
   /** Stride sampling — every `n`-th row of a deterministic order
     * ("mini" pipeline mode, ref: setup/dependency_injection.py:340-345).
     */

@@ -82,6 +82,26 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination (GPT-3 §C / Llama style): flag training
+    // docs sharing any word 5-gram with a held-out eval split (every
+    // 29th doc stands in for the benchmark set at this corpus size).
+    "t_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(29L)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(29L)) =!= 0)
+      graft.text.Decontaminate.ngramOverlap(train, evalSet, n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Domain-mixture sampling: per-source target fractions applied as a
+    // deterministic hash-threshold filter (map-side, shuffle-free).
+    "t_domain_mix" -> ((s, dir) => {
+      graft.operators.Sampling.domainMixture(
+          table(s, dir, "documents"), "source", "doc_id", MixFractions)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprint (native Catalyst expression). The hash is an
     // exact public spec (Rabin-Karp base 1000003, 64-bit wrapping —
     // Winnow.scala), so the oracle mirrors it in SQL: per-position 5-gram
@@ -94,6 +114,17 @@ object TextPack extends QueryPack {
           element_at(fp, 1).as("fp_first"))
         .orderBy("doc_id")
     }))
+
+  /** Per-source keep fractions for `t_domain_mix` — 0.25/0.5/0.75/1.0
+    * cycling over the 20 synthetic sources (exact in binary, so
+    * ceil(frac·M) agrees bit-for-bit across engines).
+    */
+  private val MixFractions: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> 0.25 * (1 + i % 4)).toMap
+
+  private val MixValuesSql: String =
+    MixFractions.toSeq.sorted
+      .map { case (src, f) => s"('$src', $f)" }.mkString(", ")
 
   private val QualityCte =
     """base AS (
@@ -207,6 +238,26 @@ object TextPack extends QueryPack {
                 ELSE ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks), 6)
            END AS distinct_token_ratio
          FROM base ORDER BY doc_id""",
+    "t_decontaminate" ->
+      """WITH w AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS t
+                    FROM documents),
+         pos AS (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t) - 4)) AS i
+                 FROM w WHERE LEN(t) >= 5),
+         g AS (SELECT doc_id, ARRAY_TO_STRING(t[i:i+4], ' ') AS gram FROM pos),
+         eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
+         hits AS (SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+                  FROM g JOIN eg USING (gram)
+                  WHERE g.doc_id % 29 <> 0 GROUP BY g.doc_id)
+         SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+                COALESCE(h.n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    "t_domain_mix" ->
+      s"""WITH w(source, frac) AS (VALUES $MixValuesSql)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN w USING (source)
+         WHERE (d.doc_id * 2654435761) % 1000000007 < CEIL(frac * 1000000007)
+         ORDER BY d.doc_id""",
     // Mirrors graft.text.Winnow exactly: k=5 char-grams hashed with the
     // wrapping Rabin-Karp polynomial (B=1000003; powers of B mod 2^64 are
     // inlined as literals), w=4 windows each selecting their RIGHTMOST

@@ -105,6 +105,36 @@ class TextSpec extends AnyFunSuite {
       (4L, 0, 12L, 1L, 1L), (5L, 2, 12L, 1L, 1L)))
   }
 
+  test("decontaminate: shared 3-grams flagged, short/clean docs are not") {
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta gamma inside"), // shares one 3-gram
+      (2L, "Alpha  Beta GAMMA DELTA"),                   // case/ws-insensitive: 2 grams
+      (3L, "completely different content here"),
+      (4L, "al be"))                                     // shorter than n
+      .toDF("doc_id", "text")
+    val got = Decontaminate.ngramOverlap(corpus, evalSet, n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 2L, true), (3L, 0L, false), (4L, 0L, false)))
+  }
+
+  test("domain mixture: deterministic selection, fraction 1.0 keeps all, unknown domain dropped") {
+    import graft.operators.Sampling
+    val df = (1L to 400L).map(i => (i, s"dom${i % 4}")).toDF("doc_id", "source")
+    val fr = Map("dom0" -> 1.0, "dom1" -> 0.5, "dom2" -> 0.0)
+    val a = Sampling.domainMixture(df, "source", "doc_id", fr).collect().toSet
+    val b = Sampling.domainMixture(df, "source", "doc_id", fr).collect().toSet
+    assert(a === b) // deterministic selection, not just rate
+    val bySrc = a.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("dom0", 0) === 100) // fraction 1.0 → every row
+    assert(bySrc.getOrElse("dom2", 0) === 0)   // fraction 0.0 → none
+    assert(!bySrc.contains("dom3"))            // absent → defaultFraction 0.0
+    val d1 = bySrc.getOrElse("dom1", 0)        // hash threshold ≈ fraction
+    assert(d1 > 25 && d1 < 75, s"dom1 kept $d1 of 100")
+  }
+
   test("simhash expression matches the JVM kernel; near-dups are close") {
     import graft.dedup.SimHash
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
