@@ -336,6 +336,58 @@ object Dedup {
     expandExactGroups(member, repIds, repPairs, intra)
   }
 
+  // ------------------------------------------- exact-substring span path
+
+  /** Exact-substring span pairs (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr signal, in
+    * its distributed inverted-index form): pairs of docs sharing at
+    * least `minShared` distinct windows of `spanTokens` consecutive
+    * tokens, with the exact shared-window count. Long verbatim overlaps
+    * (quotes, boilerplate, licenses) produce runs of shared windows that
+    * shingle-jaccard dilutes away when the rest of the docs differ —
+    * this operator scores the overlap itself.
+    *
+    * Same scale layout as [[ngramJaccardPairs]]: exact-content collapse
+    * first, candidates from a 64-bit-hashed inverted index grouped ONCE
+    * (df-capped — a >maxSpanDf window is boilerplate by definition and
+    * cannot push a pair below `minShared` on its own), then the reported
+    * count comes from an exact `array_intersect` of the full window
+    * sets, so hash collisions and the df cap can never inflate or
+    * corrupt the output — candidates only ever get discarded by the
+    * exact verify.
+    */
+  def substringSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+                         spanTokens: Int = 15, minShared: Int = 3,
+                         maxSpanDf: Int = 10000): DataFrame = {
+    val (member, repIds) = exactGroups(docs, idCol, textCol)
+    val sh = repDocs(docs, idCol, textCol, repIds)
+      .select(col("doc"), col("ch"), wordShingles(col(textCol), spanTokens).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("doc"), explode(col("sh")).as("g0"))
+      .select(col("doc"), xxhash64(col("g0")).as("g"))
+    // hashed candidate counts — a lower bound filter only (collisions can
+    // only ever ADD phantom counts, and those pairs fail the exact verify)
+    val candidates = inv.groupBy("g").agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")).between(2, maxSpanDf))
+      .withColumn("id_a", explode(col("docs")))
+      .withColumn("id_b", explode(col("docs")))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minShared)
+      .select("id_a", "id_b")
+    val repPairs = candidates
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("n_shared") >= minShared)
+      .select("id_a", "id_b", "n_shared")
+    // identical texts share their whole window set
+    val intra = sh.select(col("ch"), size(col("sh")).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    expandExactGroups(member, repIds, repPairs, intra)
+  }
+
   // ------------------------------------------------- pairwise n-gram path
 
   /** N-gram Jaccard pairs via a shingle inverted index (shares the

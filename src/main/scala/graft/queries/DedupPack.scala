@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables.table
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, Incremental}
 
 /** Deduplication operators over the `documents` table.
   *
@@ -71,6 +71,35 @@ object DedupPack extends QueryPack {
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Exact-substring span pairs (ExactSubstr signal): docs sharing ≥3
+    // distinct 5-token windows, with the exact shared-window count.
+    // Production spans are ~15 tokens; the harness corpus averages 54
+    // tokens/doc, so 5-token windows exercise the path non-vacuously.
+    "dedup_substring_spans" -> ((s, dir) => {
+      Dedup.substringSpanPairs(table(s, dir, "documents"), "doc_id", "text",
+          spanTokens = 5, minShared = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Incremental batch-vs-snapshot dedup: the snapshot is the documents
+    // table; the batch re-submits every doc with 1/3 of the texts
+    // unchanged (true dups) and 2/3 edited (new). Bloom misses are
+    // accepted map-side; only Bloom hits reach the md5 confirmation
+    // join, and the Bloom filter never decides membership — so the
+    // result is exact text-equality semantics, which is what the oracle
+    // states directly with NOT EXISTS.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" [v2]"))).as("text"))
+      val bf = Incremental.buildBloom(docs, "text", expectedItems = 100000L)
+      val idx = Incremental.snapshotIndex(docs, "text")
+      Incremental.checkBatch(batch, idx, bf, "doc_id", "text")
+        .select("doc_id", "is_new")
+        .orderBy("doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -135,5 +164,24 @@ object DedupPack extends QueryPack {
                           bit_count(xor(a.fp, b.fp)) AS hamming
                    FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-         FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""")
+         FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    "dedup_substring_spans" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS a FROM documents),
+         idx AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a)-4)) AS i
+                 FROM toks WHERE LEN(a) >= 5),
+         sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(a[i:i+4], ' ') AS g FROM idx),
+         inter AS (SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*) AS n_shared
+                   FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, n_shared FROM inter
+         WHERE n_shared >= 3 ORDER BY id_a, id_b""",
+    "dedup_incremental" ->
+      """WITH batch AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text
+                       ELSE text || ' [v2]' END AS text
+           FROM documents)
+         SELECT b.doc_id,
+                NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text) AS is_new
+         FROM batch b ORDER BY doc_id""")
 }

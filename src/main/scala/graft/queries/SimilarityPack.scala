@@ -65,6 +65,18 @@ object SimilarityPack extends QueryPack {
         .orderBy("query_id", "rk")
     }),
 
+    // SemDeDup: cluster + within-cluster cosine pruning. Run at nlist=1
+    // (single cluster ⇒ the pass is exhaustive and equals the brute-force
+    // "dropped iff a lower-id neighbor has cos ≥ t" rule), which is what
+    // the oracle states directly; clustered recall is asserted in AnnSpec.
+    "ann_semdedup" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val index = Ann.trainIvf(emb, nlist = 1)
+      Ann.semDedup(emb, index, threshold = 0.4)
+        .select(col("id").as("vec_id"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // LSH-bucketed ANN (scale path). Probing is exhaustive here
     // (probeRadius = planes ⇒ every bucket probed ⇒ each query meets each
     // corpus row exactly once), which makes the whole LSH machinery —
@@ -142,5 +154,22 @@ object SimilarityPack extends QueryPack {
            FROM dots JOIN nrm na ON na.vec_id = id_a
                      JOIN nrm nb ON nb.vec_id = id_b)
          SELECT id_a, id_b, ROUND(c, 6) AS cos
-         FROM cos WHERE c >= 0.4 ORDER BY id_a, id_b""")
+         FROM cos WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    "ann_semdedup" ->
+      s"""WITH $VecCte,
+         dots AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  SUM(a.x * b.x ORDER BY a.i) AS dot
+           FROM v a JOIN v b ON a.i = b.i
+           WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+         cos AS (
+           SELECT id_a, id_b,
+                  CASE WHEN na.nm * nb.nm = 0 THEN 0.0
+                       ELSE dot / (na.nm * nb.nm) END AS c
+           FROM dots JOIN nrm na ON na.vec_id = id_a
+                     JOIN nrm nb ON nb.vec_id = id_b),
+         dropped AS (SELECT DISTINCT id_b FROM cos WHERE c >= 0.4)
+         SELECT e.vec_id, d.id_b IS NULL AS kept
+         FROM embeddings e LEFT JOIN dropped d ON d.id_b = e.vec_id
+         ORDER BY e.vec_id""")
 }

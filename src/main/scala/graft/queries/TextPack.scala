@@ -102,6 +102,22 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Corpus vocabulary: top-100 tokens by frequency (TakeOrdered — no
+    // global sort), deterministic lexicographic tie-break.
+    "t_vocab_topk" -> ((s, dir) => {
+      graft.text.CorpusStats.vocabTopK(table(s, dir, "documents"), "text", 100)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
+    // Per-doc keyword extraction: top-3 terms by tf·(1/df) — rational
+    // scoring so the rank is bit-reproducible across engines (see
+    // CorpusStats.keywordTopK scaladoc).
+    "t_keyword_topk" -> ((s, dir) => {
+      graft.text.CorpusStats.keywordTopK(table(s, dir, "documents"),
+          "doc_id", "text", 3)
+        .orderBy("doc_id", "rk")
+    }),
+
     // Winnowing fingerprint (native Catalyst expression). The hash is an
     // exact public spec (Rabin-Karp base 1000003, 64-bit wrapping —
     // Winnow.scala), so the oracle mirrors it in SQL: per-position 5-gram
@@ -252,6 +268,27 @@ object TextPack extends QueryPack {
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    "t_vocab_topk" ->
+      """WITH toks AS (
+           SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                     t -> LENGTH(t) > 0)) AS token
+           FROM documents)
+         SELECT token, COUNT(*) AS cnt FROM toks
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+    "t_keyword_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                t -> LENGTH(t) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rk
+               FROM tf JOIN df USING (term))
+         SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "t_domain_mix" ->
       s"""WITH w(source, frac) AS (VALUES $MixValuesSql)
          SELECT d.doc_id, d.source

@@ -225,6 +225,13 @@ object Ann {
                maxTrainVectors: Int = 262144): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // nlist=1 is the exhaustive (single-cell) setting: every vector lands
+    // in cell 0 whatever the centroid, so no clustering needs to run —
+    // and MLlib's KMeans rejects k=1 anyway
+    if (nlist == 1) {
+      val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+      return IvfIndex(Array(Array.fill(dim)(0.0)))
+    }
     val n = corpus.count()
     val sampled =
       if (n <= maxTrainVectors) corpus
@@ -358,6 +365,52 @@ object Ann {
         .filter(col("cos") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
     } else cosineNearDupPairsBanded(vectors, idCol, vecCol, threshold)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the embedding corpus with the IVF coarse
+    * quantizer, then inside each cluster drop every vector that has a
+    * lower-id neighbor with cosine ≥ `threshold`. Keeps one
+    * representative per semantic near-duplicate group while only ever
+    * comparing within clusters.
+    *
+    * Scale shape (the reason SemDeDup beats all-pairs at corpus scale):
+    * the only shuffle is on the cluster id, and the quadratic pairwise
+    * term is confined to single clusters — nlist is chosen so clusters
+    * average a few thousand vectors (the paper uses ~11k clusters for
+    * LAION-440M), so per-cluster work stays bounded as the corpus grows
+    * by raising nlist, not cluster size. Cross-cluster near-dups are the
+    * (accepted) recall loss of the method; `nlist = 1` makes the pass
+    * exhaustive and exactly equal to the brute-force rule — the setting
+    * the driver oracle verifies, mirroring the exhaustive-probe IVF/LSH
+    * oracles.
+    *
+    * Returns `(id, cell, kept)` for every vector; survivors are
+    * `kept = true`.
+    */
+  def semDedup(vectors: DataFrame, index: IvfIndex, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", ivfCell(col("v"), index))
+      .withColumn("n", norm(col("v")))
+    val l = v.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val r = v.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    // dominated = has a lower-id in-cluster neighbor above the threshold;
+    // ids-only distinct before the re-attach join
+    val dominated = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("kept", lit(false))
+    v.select("id", "cell")
+      .join(dominated, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("kept"), lit(true)).as("kept"))
   }
 
   /** Banded sign-LSH near-duplicate pairs: `bands` independent hyperplane

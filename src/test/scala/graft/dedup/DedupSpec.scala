@@ -196,4 +196,66 @@ class DedupSpec extends AnyFunSuite {
     assert(sh(5L) === 0)
     assert(sh(1L) === 11)
   }
+
+  test("substring spans: exact dups share all windows, near-dups the overlap") {
+    val got = Dedup.substringSpanPairs(docs, "doc_id", "text",
+        spanTokens = 5, minShared = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // 13 tokens → 9 distinct 5-windows; exact dups share all 9
+    assert(got((1L, 4L)) === 9L)
+    // 8 tokens → 4 distinct 5-windows; exact dups share all 4
+    assert(got((3L, 6L)) === 4L)
+    // docs 1,2 differ in the last token: windows 1..8 shared
+    assert(got((1L, 2L)) === 8L)
+    assert(!got.keySet.contains((1L, 3L)))
+  }
+
+  test("substring spans: count is exact even when the df cap drops windows") {
+    // 12 docs all sharing one hot window; capped at df 5 the hot window
+    // generates no candidates, but pairs that also share rare windows
+    // keep their EXACT count (cap prunes candidates, never the verify)
+    val base = "alpha beta gamma delta epsilon"
+    val rows = (1L to 12L).map { i =>
+      if (i <= 2) (i, s"$base zeta eta theta iota kappa")
+      else (i, s"$base unique$i only$i here$i now$i stop$i")
+    }
+    val pairs = Dedup.substringSpanPairs(rows.toDF("doc_id", "text"),
+        "doc_id", "text", spanTokens = 5, minShared = 1, maxSpanDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // docs 1,2 share 6 windows (identical text ⇒ all 6 of their windows)
+    assert(pairs((1L, 2L)) === 6L)
+    // hot-window-only pairs were capped away
+    assert(!pairs.keySet.exists { case (a, b) => a >= 3L || b >= 3L })
+  }
+
+  test("incremental: bloom has no false negatives; checkBatch is exact") {
+    val corpus = docs
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 1
+      (102L, "a genuinely new document that the snapshot has never seen"),
+      (103L, "one two"), // dup of 5
+      (104L, "another brand new document")
+    ).toDF("doc_id", "text")
+    val bf = Incremental.buildBloom(corpus, "text", expectedItems = 1000L)
+    val idx = Incremental.snapshotIndex(corpus, "text")
+    val got = Incremental.checkBatch(batch, idx, bf, "doc_id", "text")
+      .select("doc_id", "is_new")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(101L -> false, 102L -> true, 103L -> false, 104L -> true))
+    val newIds = Incremental.newDocs(batch, idx, bf, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(newIds === Set(102L, 104L))
+  }
+
+  test("incremental: bloom round-trips through the Hadoop FS path") {
+    val bf = Incremental.buildBloom(docs, "text", expectedItems = 1000L)
+    val p = java.nio.file.Files.createTempDirectory("bloom").toString + "/snap.bloom"
+    Incremental.saveBloom(spark, bf, p)
+    val back = Incremental.loadBloom(spark, p)
+    // identical membership answers on corpus hashes and on novel values
+    val hs = docs.select(xxhash64(col("text"))).as[Long].collect()
+    hs.foreach(h => assert(back.mightContainLong(h) === bf.mightContainLong(h)))
+    (1L to 100L).foreach(h =>
+      assert(back.mightContainLong(h) === bf.mightContainLong(h)))
+  }
 }

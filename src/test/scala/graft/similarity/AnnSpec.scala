@@ -139,4 +139,35 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.hyperplanes(4, 8).map(_.toSeq).toSeq ===
            Ann.hyperplanes(4, 8).map(_.toSeq).toSeq)
   }
+
+  test("semDedup at nlist=1 equals the brute-force dominated rule") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),  // near-dup of 1 → dropped
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.15f)), // near-dup of 3 → dropped
+      (5L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val idx = Ann.trainIvf(vecs, nlist = 1)
+    val got = Ann.semDedup(vecs, idx, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+  }
+
+  test("semDedup clustered: only in-cluster dominated vectors drop") {
+    // two tight groups far apart; nlist=2 separates them, and each
+    // cluster independently keeps its lowest id
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.04f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.04f, 0.999f))
+    ).toDF("vec_id", "embedding")
+    val idx = Ann.trainIvf(vecs, nlist = 2)
+    val rows = Ann.semDedup(vecs, idx, threshold = 0.9).collect()
+    val kept = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+    // every dropped vector really has a lower-id in-cluster neighbor
+    val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(1L) === cellOf(2L) && cellOf(3L) === cellOf(4L))
+    assert(cellOf(1L) !== cellOf(3L))
+  }
 }

@@ -135,6 +135,34 @@ class TextSpec extends AnyFunSuite {
     assert(d1 > 25 && d1 < 75, s"dom1 kept $d1 of 100")
   }
 
+  test("vocabTopK counts and orders deterministically") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "  "),                  // blank → no tokens
+      (4L, "Apple date")           // case-folded
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.vocabTopK(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("apple", 3L), ("banana", 2L), ("cherry", 1L)))
+  }
+
+  test("keywordTopK ranks by tf/df with lexicographic ties") {
+    val docs = Seq(
+      (1L, "rare rare common"),
+      (2L, "common other")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.keywordTopK(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // doc 1: rare tf=2 df=1 (score 2.0) beats common tf=1 df=2 (0.5)
+    assert(got.filter(_._1 == 1L).sortBy(_._2) ===
+      Seq((1L, 1, "rare", 2L, 1L), (1L, 2, "common", 1L, 2L)))
+    // doc 2: other (1/1) beats common (1/2)
+    assert(got.filter(_._1 == 2L).sortBy(_._2) ===
+      Seq((2L, 1, "other", 1L, 1L), (2L, 2, "common", 1L, 2L)))
+  }
+
   test("simhash expression matches the JVM kernel; near-dups are close") {
     import graft.dedup.SimHash
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
