@@ -36,6 +36,10 @@ import org.apache.spark.util.sketch.BloomFilter
   * The membership probe compiles to Spark's native codegen'd
   * `BloomFilterMightContain` predicate (the expression behind runtime
   * bloom joins) rather than a boxing Scala UDF.
+  *
+  * [[checkBatch]] is narrow ops + a stream-static join, so the same
+  * operator runs unchanged over a `readStream` batch feed (continuous
+  * ingest-vs-snapshot dedup) — StreamingSpec exercises that path.
   */
 object Incremental {
 

@@ -102,6 +102,21 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // BPE subword tokenization: merges trained on this corpus' word-count
+    // table (one distributed pass + driver-side loop — the production
+    // tokenizer-training shape), then applied map-side via broadcast.
+    // No oracle: BPE's iterative merge loop is not SQL-expressible; the
+    // merge algorithm has hand-computed goldens in TextSpec instead.
+    "t_bpe_tokens" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = graft.text.Bpe.trainFromCorpus(docs, "text", numMerges = 100)
+      val toks = graft.text.Bpe.tokens(col("text"), merges)
+      docs.select(col("doc_id"),
+          size(toks).as("n_subwords"),
+          element_at(toks, 1).as("first_subword"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary: top-100 tokens by frequency (TakeOrdered — no
     // global sort), deterministic lexicographic tie-break.
     "t_vocab_topk" -> ((s, dir) => {

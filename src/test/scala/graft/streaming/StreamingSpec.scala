@@ -67,6 +67,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() === 1000L)
   }
 
+  test("incremental snapshot dedup runs unchanged over a file stream") {
+    // the batch operator is pure narrow ops + a stream-static join, so
+    // the SAME Incremental.checkBatch works on a readStream frame —
+    // continuous ingest-vs-snapshot dedup with no separate code path
+    import graft.dedup.Incremental
+    val snapshot = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val bf = Incremental.buildBloom(snapshot, "text", expectedItems = 100L)
+    val idx = Incremental.snapshotIndex(snapshot, "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-stream").toString + "/feed"
+    Seq((10L, "seen before"), (11L, "brand new"), (12L, "also seen"), (13L, "another new"))
+      .toDF("doc_id", "text").write.parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(dir)
+
+    val got = EventsStream.runToMemory(
+        Incremental.checkBatch(stream, idx, bf, "doc_id", "text"), "inc_dedup")
+      .select("doc_id", "is_new")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(10L -> false, 11L -> true, 12L -> false, 13L -> true))
+  }
+
   test("stateful sessionization closes sessions at the inactivity gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     // two users; user 1 has two bursts separated by > gap, user 2 one burst

@@ -163,6 +163,42 @@ class TextSpec extends AnyFunSuite {
       Seq((2L, 1, "other", 1L, 1L), (2L, 2, "common", 1L, 2L)))
   }
 
+  test("bpe training matches the hand-computed merge sequence") {
+    // ab:2, abc:1 → pair (a,b) count 3 merges first, then (ab,c)
+    val merges = Bpe.train(Seq(("ab", 2L), ("abc", 1L)), numMerges = 10)
+    assert(merges === Seq(("a", "b"), ("ab", "c")))
+    // frequency tie breaks to the lexicographically smallest pair
+    val tied = Bpe.train(Seq(("xy", 1L), ("ab", 1L)), numMerges = 1)
+    assert(tied === Seq(("a", "b")))
+  }
+
+  test("bpe encoding applies merges by rank, map-side") {
+    val ranks = Seq(("a", "b"), ("ab", "c")).zipWithIndex.toMap
+    assert(Bpe.encodeWord("abc", ranks) === Vector("abc"))
+    assert(Bpe.encodeWord("abd", ranks) === Vector("ab", "d"))
+    assert(Bpe.encodeWord("ba", ranks) === Vector("b", "a"))
+    assert(Bpe.encodeWord("ababc", ranks) === Vector("ab", "abc"))
+    val got = Seq((1L, "Abc abd"), (2L, ""), (3L, "zzz"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Bpe.tokens(col("text"), Seq(("a", "b"), ("ab", "c"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("abc", "ab", "d"))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq("z", "z", "z"))
+  }
+
+  test("bpe end-to-end: corpus-trained merges compress the corpus") {
+    val docs = Seq.tabulate(20)(i => (i.toLong, "the quick brown fox " * 3))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainFromCorpus(docs, "text", numMerges = 20)
+    assert(merges.nonEmpty && merges.size <= 20)
+    val n = docs.select(size(Bpe.tokens(col("text"), merges)).as("n"))
+      .as[Int].head()
+    // 12 words × at most a few subwords each, far fewer than 57 chars
+    assert(n >= 12 && n < 40)
+  }
+
   test("simhash expression matches the JVM kernel; near-dups are close") {
     import graft.dedup.SimHash
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
