@@ -54,6 +54,21 @@ object JoinPack extends QueryPack {
     }),
 
     // Semi join: customers having at least one open order.
+    // Salted equi-join: hot-key-safe layout, result identical to the
+    // plain join (which is exactly what the oracle states). Aggregated
+    // so the gate compares the full join product compactly.
+    "j_salted_skew_join" -> ((s, dir) => {
+      val joined = graft.operators.SaltedJoin.saltedEquiJoin(
+        table(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .withColumnRenamed("o_orderkey", "l_orderkey"),
+        keys = Seq("l_orderkey"), salt = 8)
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "j_semi_exists" -> ((s, dir) => {
       val c = table(s, dir, "customer")
       val o = table(s, dir, "orders").filter(col("o_orderstatus") === "O")
@@ -99,5 +114,11 @@ object JoinPack extends QueryPack {
     "j_anti_not_exists" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+    // Salting must be invisible in the result: the oracle is the PLAIN join.
+    "j_salted_skew_join" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n,
+                CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY 1""")
 }

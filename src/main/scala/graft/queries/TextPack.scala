@@ -102,6 +102,17 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Corpus-relative char-trigram OOV quality signal (CCNet-style):
+    // reference table = this corpus' top-200 trigrams (the harness corpus
+    // has only ~377 distinct trigrams, so 200 leaves a real OOV tail);
+    // exact integer counts + one division keep the oracle bit-exact.
+    "t_char_oov" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val ref = graft.text.CharNgrams.topNgrams(docs, "text", n = 3, k = 200)
+      graft.text.CharNgrams.oovStats(docs, ref, "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // BPE subword tokenization: merges trained on this corpus' word-count
     // table (one distributed pass + driver-side loop — the production
     // tokenizer-training shape), then applied map-side via broadcast.
@@ -283,6 +294,21 @@ object TextPack extends QueryPack {
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    "t_char_oov" ->
+      """WITH g AS (SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LENGTH(text)-2)) AS i
+                    FROM documents WHERE LENGTH(text) >= 3),
+         grams AS (SELECT doc_id, SUBSTRING(text, i, 3) AS gram FROM g),
+         ref AS (SELECT gram FROM (SELECT gram, COUNT(*) AS cnt FROM grams
+                 GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 200)),
+         st AS (SELECT gr.doc_id, COUNT(*) AS n_grams,
+                  COUNT(*) FILTER (WHERE r.gram IS NULL) AS n_oov
+                FROM grams gr LEFT JOIN ref r ON gr.gram = r.gram GROUP BY 1)
+         SELECT d.doc_id,
+           COALESCE(st.n_grams, 0) AS n_grams,
+           COALESCE(st.n_oov, 0) AS n_oov,
+           CASE WHEN COALESCE(st.n_grams, 0) = 0 THEN 0.0
+                ELSE ROUND(CAST(st.n_oov AS DOUBLE) / st.n_grams, 6) END AS oov_rate
+         FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""",
     "t_vocab_topk" ->
       """WITH toks AS (
            SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),

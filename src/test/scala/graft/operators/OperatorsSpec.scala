@@ -119,4 +119,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(computes === 4)
   }
+
+  test("salted join equals the plain join on a hot-keyed fact table") {
+    // one hot key (90% of rows) + a long tail
+    val big = (1L to 1000L).map(i =>
+      (if (i <= 900) 7L else i % 50, i, s"payload$i"))
+      .toDF("k", "seq", "payload")
+    val small = (0L until 50L).map(i => (i, s"dim$i")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k")).orderBy("seq")
+      .collect().map(_.toSeq).toSeq
+    val salted = SaltedJoin.saltedEquiJoin(big, small, Seq("k"), salt = 8)
+      .orderBy("seq").collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+    // hot-key rows really spread across salt buckets (the point of it)
+    val spread = big.filter(col("k") === 7L)
+      .select(pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(8L)).as("s"))
+      .agg(countDistinct("s")).as[Long].head()
+    assert(spread >= 6L)
+  }
+
+  test("salted left join preserves unmatched rows exactly once") {
+    val big = Seq((1L, "a"), (2L, "b"), (99L, "no-match")).toDF("k", "v")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val got = SaltedJoin.saltedEquiJoin(big, small, Seq("k"), salt = 4, "left")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    assert(got === Seq((1L, "a", Some("x")), (2L, "b", Some("y")),
+      (99L, "no-match", None)))
+  }
 }

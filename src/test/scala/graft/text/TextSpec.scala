@@ -163,6 +163,29 @@ class TextSpec extends AnyFunSuite {
       Seq((2L, 1, "other", 1L, 1L), (2L, 2, "common", 1L, 2L)))
   }
 
+  test("char ngrams: overlapping trigrams, short-text empties, oov rates") {
+    val grams = Seq((1L, "abcd"), (2L, "ab"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(grams(1L) === Seq("abc", "bcd"))
+    assert(grams(2L) === Seq.empty)
+    assert(grams(3L) === Seq.empty)
+
+    // corpus: "aaa" dominates; doc 4 is pure mojibake relative to it
+    val docs = Seq((1L, "aaaaaa"), (2L, "aaaa"), (3L, "aaazzz"), (4L, "zzzz"))
+      .toDF("doc_id", "text")
+    val ref = CharNgrams.topNgrams(docs, "text", n = 3, k = 1)
+    assert(ref.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("aaa", 7L)))
+    val got = CharNgrams.oovStats(docs, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(1L) === ((4L, 0L, 0.0)))          // all aaa
+    assert(got(4L) === ((2L, 2L, 1.0)))          // all OOV
+    assert(got(3L)._1 === 4L && got(3L)._2 === 3L) // aaz, azz, zzz OOV
+  }
+
   test("bpe training matches the hand-computed merge sequence") {
     // ab:2, abc:1 → pair (a,b) count 3 merges first, then (ab,c)
     val merges = Bpe.train(Seq(("ab", 2L), ("abc", 1L)), numMerges = 10)
