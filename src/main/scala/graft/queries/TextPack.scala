@@ -102,6 +102,14 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // RAG-style overlapping chunking: 32-token windows, 8-token overlap
+    // (docs average ~54 tokens → 2–3 chunks each). Map-side only.
+    "t_chunk_windows" -> ((s, dir) => {
+      graft.text.Chunker.chunk(table(s, dir, "documents"), "doc_id", "text",
+          size = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Corpus-relative char-trigram OOV quality signal (CCNet-style):
     // reference table = this corpus' top-200 trigrams (the harness corpus
     // has only ~377 distinct trigrams, so 200 leaves a real OOV tail);
@@ -294,6 +302,22 @@ object TextPack extends QueryPack {
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    "t_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                         x -> LENGTH(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, LEN(toks) AS n,
+             (GREATEST(LEN(toks) - 8, 1) + 23) // 24 AS k
+           FROM t WHERE LEN(toks) > 0),
+         w AS (SELECT doc_id, toks, n,
+             UNNEST(GENERATE_SERIES(0, k - 1)) AS i
+           FROM s)
+         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(i * 24 AS INT) AS start_tok,
+           CAST(LEAST(n - i * 24, 32) AS INT) AS n_chunk_tokens,
+           ARRAY_TO_STRING(toks[(i * 24 + 1):(i * 24 + 32)], ' ') AS chunk_text
+         FROM w ORDER BY doc_id, chunk_idx""",
     "t_char_oov" ->
       """WITH g AS (SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LENGTH(text)-2)) AS i
                     FROM documents WHERE LENGTH(text) >= 3),

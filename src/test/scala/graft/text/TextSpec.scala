@@ -163,6 +163,28 @@ class TextSpec extends AnyFunSuite {
       Seq((2L, 1, "other", 1L, 1L), (2L, 2, "common", 1L, 2L)))
   }
 
+  test("chunker: overlap windows, tail coverage, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks → 3 chunks
+      (2L, "a b c"),                                  // fits one window
+      (3L, "   ")                                     // empty → no chunks
+    ).toDF("doc_id", "text")
+    val got = Chunker.chunk(docs, "doc_id", "text", size = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    // stride 3: starts 0,3,6 — K = ceil((10-1)/3) = 3; tail chunk covers w7..w10
+    assert(got.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0, 0, 4, "w1 w2 w3 w4"),
+      (1L, 1, 3, 4, "w4 w5 w6 w7"),
+      (1L, 2, 6, 4, "w7 w8 w9 w10")))
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0, 3, "a b c")))
+    assert(!got.exists(_._1 == 3L))
+    // every token index is covered by at least one chunk
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered === (0 until 10).toSet)
+  }
+
   test("char ngrams: overlapping trigrams, short-text empties, oov rates") {
     val grams = Seq((1L, "abcd"), (2L, "ab"), (3L, ""))
       .toDF("doc_id", "text")
