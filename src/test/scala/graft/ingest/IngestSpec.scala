@@ -169,4 +169,27 @@ class IngestSpec extends AnyFunSuite {
     assert(daily.filter(col("grid_id") === 2 && col("date") === "2023-01-03")
       .select("pm25").as[Double].head() === 50.0)
   }
+
+  test("jsonl corpus: explicit schema, corrupt capture, gzip transparency") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val good1 = """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}"""
+    val good2 = """{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7}"""
+    val partial = """{"doc_id": 3, "text": "no lang field"}"""
+    val corrupt = """{"doc_id": 4, "text": "unterminated"""
+    Files.write(Paths.get(s"$dir/shard-0.jsonl"),
+      s"$good1\n$corrupt\n".getBytes("UTF-8"))
+    // second shard gzip'd — must read transparently in the same pass
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/shard-1.jsonl.gz"))
+    gz.write(s"$good2\n$partial\n".getBytes("UTF-8")); gz.close()
+
+    val (valid, bad) = JsonlCorpus.readSplit(spark, dir)
+    val rows = valid.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // missing fields are null, not corrupt
+    assert(rows(2).isNullAt(rows(2).fieldIndex("lang")))
+    val badLines = bad.collect().map(_.getAs[String](JsonlCorpus.CorruptCol))
+    assert(badLines.length === 1 && badLines.head.startsWith("""{"doc_id": 4"""))
+  }
 }
