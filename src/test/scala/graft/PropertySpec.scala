@@ -123,4 +123,26 @@ object KernelProperties extends Properties("graft.kernels") {
     val expect = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
     got.toSeq == expect
   }
+
+  private val vocabGen = Gen.nonEmptyListOf(
+    Gen.zip(wordGen, Gen.chooseNum(1L, 50L)))
+
+  property("bpe: training is deterministic") = forAll(vocabGen) { vocab =>
+    graft.text.Bpe.train(vocab, 20) == graft.text.Bpe.train(vocab, 20)
+  }
+
+  property("bpe: encoding is lossless — subwords rebuild the word") =
+    forAll(vocabGen, wordGen) { (vocab, w) =>
+      val ranks = graft.text.Bpe.train(vocab, 20).zipWithIndex.toMap
+      graft.text.Bpe.encodeWord(w, ranks).mkString == w
+    }
+
+  property("bpe: a trained word never expands past its char count") =
+    forAll(vocabGen) { vocab =>
+      val ranks = graft.text.Bpe.train(vocab, 30).zipWithIndex.toMap
+      vocab.forall { case (w, _) =>
+        val n = graft.text.Bpe.encodeWord(w, ranks).length
+        n >= 1 && n <= w.length
+      }
+    }
 }
