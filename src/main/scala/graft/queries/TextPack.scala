@@ -102,6 +102,20 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // End-to-end corpus curation: quality gate → minhash dedup →
+    // decontamination → sequence packing, composed from the individually
+    // oracle-checked stages (every 29th doc is the held-out eval set).
+    // The oracle replays the whole composition in SQL — a wrong
+    // interaction between any two stages breaks the hash even when each
+    // stage passes alone.
+    "corpus_e2e" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(29L)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(29L)) =!= 0)
+      graft.text.CorpusPipeline.curate(corpus, evalSet)
+        .orderBy("doc_id")
+    }),
+
     // RAG-style overlapping chunking: 32-token windows, 8-token overlap
     // (docs average ~54 tokens → 2–3 chunks each). Map-side only.
     "t_chunk_windows" -> ((s, dir) => {
@@ -302,6 +316,58 @@ object TextPack extends QueryPack {
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    "corpus_e2e" ->
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0),
+         evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+         s1 AS (SELECT doc_id, text,
+                  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS n_tokens
+                FROM corpus
+                WHERE CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                           ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END >= 20),
+         toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS a FROM s1),
+         idx AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a)-2)) AS i FROM toks),
+         sh AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g FROM idx),
+         n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS i
+                   FROM sh sa JOIN sh sb ON sa.g = sb.g AND sa.doc_id < sb.doc_id
+                   GROUP BY 1, 2),
+         jac AS (SELECT a, b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+                 FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b),
+         edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         sym AS (SELECT a AS src, b AS dst FROM edges
+                 UNION SELECT b AS src, a AS dst FROM edges),
+         reach(node, lbl) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         canon AS (SELECT node, MIN(lbl) AS canonical FROM reach GROUP BY node),
+         dropped AS (SELECT node FROM canon WHERE node <> canonical),
+         s2 AS (SELECT s1.doc_id, s1.text, s1.n_tokens FROM s1
+                LEFT JOIN dropped ON dropped.node = s1.doc_id
+                WHERE dropped.node IS NULL),
+         tw AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS t FROM s2),
+         tpos AS (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t) - 4)) AS i
+                  FROM tw WHERE LEN(t) >= 5),
+         tg AS (SELECT doc_id, ARRAY_TO_STRING(t[i:i+4], ' ') AS gram FROM tpos),
+         ew AS (SELECT STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS t FROM evald),
+         epos AS (SELECT t, UNNEST(GENERATE_SERIES(1, LEN(t) - 4)) AS i
+                  FROM ew WHERE LEN(t) >= 5),
+         eg AS (SELECT DISTINCT ARRAY_TO_STRING(t[i:i+4], ' ') AS gram FROM epos),
+         contaminated AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)),
+         s3 AS (SELECT s2.doc_id, CAST(s2.doc_id % 4 AS BIGINT) AS shard,
+                       CAST(s2.n_tokens AS INT) AS n_tokens
+                FROM s2 LEFT JOIN contaminated c ON c.doc_id = s2.doc_id
+                WHERE c.doc_id IS NULL),
+         o AS (SELECT doc_id, shard, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+               FROM s3)
+         SELECT doc_id, shard, n_tokens, "offset",
+           "offset" // 2048 AS pack_first,
+           ("offset" + GREATEST(n_tokens - 1, 0)) // 2048 AS pack_last
+         FROM o ORDER BY doc_id""",
     "t_chunk_windows" ->
       """WITH t AS (SELECT doc_id,
              LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),

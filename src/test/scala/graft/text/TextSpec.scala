@@ -163,6 +163,32 @@ class TextSpec extends AnyFunSuite {
       Seq((2L, 1, "other", 1L, 1L), (2L, 2, "common", 1L, 2L)))
   }
 
+  test("corpus pipeline: each stage removes exactly its targets") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ") // 30 tokens
+    val evalText = "held out benchmark sentence with exactly these tokens kept apart " +
+      (1 to 15).map(i => s"ev$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base + " alpha"),       // survivor
+      (2L, base + " alpha"),       // exact dup of 1 → dropped by dedup
+      (3L, "too short"),           // dropped by quality gate
+      (4L, base + " beta"),        // near dup of 1 (jaccard > 0.8) → dropped
+      (5L, "a fresh unrelated document " + (1 to 25).map(i => s"x$i").mkString(" ")),
+      (6L, "contains held out benchmark sentence with exactly these tokens " +
+        (1 to 20).map(i => s"y$i").mkString(" ")) // contaminated → dropped
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+    val got = CorpusPipeline.curate(corpus, evalSet, minTokens = 10,
+        packBudget = 16, packShards = 2)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 5L))
+    // packing saw only the survivors: doc 1 (31 tokens, shard 1) and
+    // doc 5 (29 tokens, shard 1) — doc 5 starts where doc 1 ended
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getInt(2), r.getLong(3))).toMap
+    assert(byId(1L) === ((1L, 31, 0L)))
+    assert(byId(5L) === ((1L, 29, 31L)))
+  }
+
   test("chunker: overlap windows, tail coverage, empty docs") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks → 3 chunks
