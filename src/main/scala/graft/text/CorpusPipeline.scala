@@ -39,9 +39,16 @@ object CorpusPipeline {
     // 1. map-side quality gate
     val quality = corpus.filter(
       TextFunctions.tokenCount(col(textCol)) >= minTokens)
-    // 2. near-dup removal (LSH pairs → CC → survivors)
+    // 2. near-dup removal (LSH pairs → CC → survivors). The survivor set
+    // feeds THREE downstream branches (gram overlap, the anti join, and
+    // packing); without a cut each branch would replay the whole
+    // LSH+components subtree — localCheckpoint materializes it once, the
+    // in-memory stand-in for the at-rest stage write a production run
+    // does between stages (Pm25Pipeline's shape).
     val deduped = Dedup.deduplicate(quality, idCol, textCol,
-      threshold = dedupThreshold)
+        threshold = dedupThreshold)
+      .select(col(idCol), col(textCol))
+      .localCheckpoint()
     // 3. benchmark decontamination
     val overlap = Decontaminate.ngramOverlap(deduped, evalSet,
       n = decontaminateNgram, textCol = textCol, idCol = idCol)
