@@ -247,6 +247,35 @@ class DedupSpec extends AnyFunSuite {
     assert(newIds === Set(102L, 104L))
   }
 
+  test("bucketed corpus: exact dedup plans with zero shuffle exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = java.nio.file.Files.createTempDirectory("graft-corpus").toString + "/docs"
+    CorpusStorage.writeBucketed(docs, "text", "corpus_bucketed_spec", path,
+      nBuckets = 4)
+    try {
+      val dd = CorpusStorage.exactDedup(spark, "corpus_bucketed_spec", "doc_id")
+      // same answer as the plain-path operator
+      val got = dd.select("keep_id", "n_dups").orderBy("keep_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val plain = Dedup.exact(docs, "doc_id", "text")
+        .select("keep_id", "n_dups").orderBy("keep_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === plain)
+      // and the at-rest bucketing replaced the groupBy exchange
+      dd.count()
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case o => o.children
+        }
+        (p match { case _: ShuffleExchangeExec => 1; case _ => 0 }) +
+          kids.map(shuffles).sum
+      }
+      assert(shuffles(dd.queryExecution.executedPlan) === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS corpus_bucketed_spec")
+  }
+
   test("incremental: bloom round-trips through the Hadoop FS path") {
     val bf = Incremental.buildBloom(docs, "text", expectedItems = 1000L)
     val p = java.nio.file.Files.createTempDirectory("bloom").toString + "/snap.bloom"
