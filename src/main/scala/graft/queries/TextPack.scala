@@ -102,6 +102,29 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // C4 line-cleaning rules (Raffel et al. 2020 §2.2). The corpus is
+    // single-line, so the query plants a deterministic page structure
+    // (nav header, real sentences, a short line, an unpunctuated cookie
+    // banner, a lorem-ipsum tail on every 7th doc) in BOTH engines, then
+    // cleans — kept-line counts, cleaned length, and the page flag.
+    "t_c4_line_filter" -> ((s, dir) => {
+      val page = concat(
+        lit("Header nav menu\n"),
+        substring(col("text"), 1, 40), lit(" ends with a sentence.\n"),
+        lit("Short.\n"),
+        lit("cookie banner accept all cookies\n"),
+        substring(col("text"), 41, 60),
+        when(pmod(col("doc_id"), lit(7L)) === 0, lit(" lorem ipsum tail."))
+          .otherwise(lit(" the closing words here!")))
+      val t = TextFunctions
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(t.c4KeptLines(page)).as("n_kept"),
+          length(t.c4CleanText(page)).as("clean_len"),
+          t.c4PageFlagged(page).as("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end corpus curation: quality gate → minhash dedup →
     // decontamination → sequence packing, composed from the individually
     // oracle-checked stages (every 29th doc is the held-out eval set).
@@ -316,6 +339,29 @@ object TextPack extends QueryPack {
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    "t_c4_line_filter" ->
+      """WITH page AS (
+           SELECT doc_id,
+             'Header nav menu' || chr(10) ||
+             SUBSTRING(text, 1, 40) || ' ends with a sentence.' || chr(10) ||
+             'Short.' || chr(10) ||
+             'cookie banner accept all cookies' || chr(10) ||
+             SUBSTRING(text, 41, 60) ||
+             CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum tail.'
+                  ELSE ' the closing words here!' END AS t
+           FROM documents),
+         kept AS (
+           SELECT doc_id, t,
+             LIST_FILTER(STRING_SPLIT(t, chr(10)), l ->
+               REGEXP_MATCHES(RTRIM(l), '[.!?"'']$') AND
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(l), '\s+'),
+                               w -> LENGTH(w) > 0)) >= 5) AS ls
+           FROM page)
+         SELECT doc_id,
+           CAST(LEN(ls) AS INT) AS n_kept,
+           CAST(LENGTH(ARRAY_TO_STRING(ls, chr(10))) AS INT) AS clean_len,
+           (CONTAINS(LOWER(t), 'lorem ipsum') OR CONTAINS(t, '{')) AS flagged
+         FROM kept ORDER BY doc_id""",
     "corpus_e2e" ->
       """WITH RECURSIVE
          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0),

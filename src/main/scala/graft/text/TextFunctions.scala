@@ -162,4 +162,28 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
   def urlCount(text: Column): Column =
     size(regexp_extract_all(text, lit(UrlPattern), lit(0)))
+
+  // -------------------------------------------- C4 line-cleaning rules
+  // (Raffel et al. 2020 §2.2 — the public line-level cleaning recipe)
+
+  /** Lines that survive the C4 rules: terminal punctuation (`.!?"'`
+    * after trailing whitespace) and at least `minWords` whitespace
+    * words. Boilerplate (navigation, cookie banners, footers) rarely
+    * forms punctuated sentences — these two checks remove most of it
+    * with zero model cost, map-side.
+    */
+  def c4KeptLines(text: Column, minWords: Int = 5): Column =
+    filter(split(text, "\n"), l =>
+      rtrim(l).rlike("[.!?\"']$") &&
+        size(filter(split(trim(l), "\\s+"), t => length(t) > 0)) >= minWords)
+
+  /** The document after C4 line cleaning (kept lines re-joined). */
+  def c4CleanText(text: Column, minWords: Int = 5): Column =
+    array_join(c4KeptLines(text, minWords), "\n")
+
+  /** C4's page-level rejection flag: lorem-ipsum placeholder text or a
+    * curly brace (code spill) anywhere on the page.
+    */
+  def c4PageFlagged(text: Column): Column =
+    lower(text).contains("lorem ipsum") || text.contains("{")
 }

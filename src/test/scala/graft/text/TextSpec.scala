@@ -163,6 +163,31 @@ class TextSpec extends AnyFunSuite {
       Seq((2L, 1, "other", 1L, 1L), (2L, 2, "common", 1L, 2L)))
   }
 
+  test("c4 line rules: punctuation + word floor keep, page flags") {
+    val page = Seq((1L,
+      "Home | About | Contact\n" +            // no terminal punct → drop
+      "This is a real sentence with enough words.\n" +
+      "Short one.\n" +                        // punctuated, 2 words → drop
+      "Accept all cookies to continue browsing now\n" + // no punct → drop
+      "Another proper sentence follows right here!"))
+      .toDF("doc_id", "text")
+    val got = page.select(
+        TextFunctions.c4KeptLines(col("text")).as("kept"),
+        TextFunctions.c4CleanText(col("text")).as("clean"),
+        TextFunctions.c4PageFlagged(col("text")).as("flag")).head()
+    assert(got.getSeq[String](0) === Seq(
+      "This is a real sentence with enough words.",
+      "Another proper sentence follows right here!"))
+    assert(got.getString(1).split("\n").length === 2)
+    assert(!got.getBoolean(2))
+    val flags = Seq((1L, "has Lorem Ipsum inside"), (2L, "code { spill }"),
+      (3L, "clean page text."))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.c4PageFlagged(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
   test("corpus pipeline: each stage removes exactly its targets") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ") // 30 tokens
     val evalText = "held out benchmark sentence with exactly these tokens kept apart " +
