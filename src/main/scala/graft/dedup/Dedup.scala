@@ -221,6 +221,31 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/test split: assign each document to a split by a
+    * deterministic hash of its near-duplicate CLUSTER's canonical id, not
+    * its own id — so two near-identical docs can never straddle the
+    * boundary (the classic eval-contamination vector a doc-keyed split
+    * leaves open: the model "generalizes" to a test doc it effectively
+    * trained on). Hash rule is the engine's standard multiplicative
+    * threshold (same family as the stratified sampler), reproducible
+    * across runs and engines.
+    *
+    * Returns `(idCol, canonical_id, split)` with split ∈ train|test.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8,
+                       trainPermille: Int = 800): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, threshold = threshold)
+    val components = connectedComponents(pairs)
+    docs.select(col(idCol))
+      .join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+      .withColumn("split",
+        when(pmod(col("canonical_id") * 2654435761L, lit(1000L)) < trainPermille,
+          "train").otherwise("test"))
+  }
+
   // --------------------------------------------------- cluster resolution
 
   /** Connected components over a near-duplicate pair list → one canonical

@@ -73,6 +73,15 @@ object DedupPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Leakage-safe split: split keyed on the near-dup cluster's canonical
+    // id so duplicates never straddle train/test. Oracle replays the
+    // exact-jaccard components + the multiplicative hash rule.
+    "dedup_leakage_split" -> ((s, dir) => {
+      Dedup.leakageSafeSplit(table(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, trainPermille = 800)
+        .orderBy("doc_id")
+    }),
+
     // Exact-substring span pairs (ExactSubstr signal): docs sharing ≥3
     // distinct 5-token windows, with the exact shared-window count.
     // Production spans are ~15 tokens; the harness corpus averages 54
@@ -165,6 +174,22 @@ object DedupPack extends QueryPack {
                    FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
          FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    "dedup_leakage_split" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         sym AS (SELECT a AS src, b AS dst FROM edges
+                 UNION SELECT b AS src, a AS dst FROM edges),
+         reach(node, lbl) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         canon AS (SELECT node, MIN(lbl) AS canonical FROM reach GROUP BY node)
+         SELECT d.doc_id,
+           COALESCE(canon.canonical, d.doc_id) AS canonical_id,
+           CASE WHEN (COALESCE(canon.canonical, d.doc_id) * 2654435761) % 1000 < 800
+                THEN 'train' ELSE 'test' END AS split
+         FROM documents d LEFT JOIN canon ON canon.node = d.doc_id
+         ORDER BY d.doc_id""",
     "dedup_substring_spans" ->
       """WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS a FROM documents),
          idx AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a)-4)) AS i

@@ -247,6 +247,22 @@ class DedupSpec extends AnyFunSuite {
     assert(newIds === Set(102L, 104L))
   }
 
+  test("leakage-safe split: near-dup clusters never straddle the boundary") {
+    val got = Dedup.leakageSafeSplit(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // docs 1,2,4 form one near-dup cluster (canonical 1); 3,6 another
+    assert(got(1L)._1 === 1L && got(2L)._1 === 1L && got(4L)._1 === 1L)
+    assert(got(3L)._1 === 3L && got(6L)._1 === 3L)
+    assert(got(5L)._1 === 5L) // singleton labels itself
+    // the invariant the operator exists for: one split per cluster
+    assert(Set(got(1L)._2, got(2L)._2, got(4L)._2).size === 1)
+    assert(got(3L)._2 === got(6L)._2)
+    // deterministic across runs
+    val again = Dedup.leakageSafeSplit(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again === got)
+  }
+
   test("bucketed corpus: exact dedup plans with zero shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
