@@ -163,6 +163,31 @@ class TextSpec extends AnyFunSuite {
       Seq((2L, 1, "other", 1L, 1L), (2L, 2, "common", 1L, 2L)))
   }
 
+  test("null text: stats go null (not crash), dedup groups nulls apart") {
+    val docs = Seq((1L, "real text here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // column stats propagate null — callers filter, nothing throws
+    val r = docs.filter(col("doc_id") === 2)
+      .select(TextFunctions.tokenCount(col("text")),
+        TextFunctions.qualityScore(col("text")),
+        CharNgrams.charNgrams(col("text"), 3)).head()
+    assert(r.isNullAt(0))
+    // least/greatest skip nulls, so the quality clamps settle at a fixed
+    // defined value for null text (1 + 1 + 0)/3 — deterministic, no crash
+    assert(math.abs(r.getDouble(1) - 2.0 / 3.0) < 1e-12)
+    // the null-condition when() falls to otherwise: empty grams, not null
+    assert(r.getSeq[String](2) === Seq.empty)
+    // chunker emits no chunks for null text
+    assert(Chunker.chunk(docs, "doc_id", "text", 8, 2)
+      .filter(col("doc_id") === 2).count() === 0L)
+    // exact dedup: null text is its own group (xxhash64(null) = seed),
+    // never merged with real content
+    val groups = graft.dedup.Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_dups")
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(groups === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("c4 line rules: punctuation + word floor keep, page flags") {
     val page = Seq((1L,
       "Home | About | Contact\n" +            // no terminal punct → drop
