@@ -32,6 +32,20 @@ object Pm25Source {
       (floor(lit(p) * (size(sorted) - 1) + 0.5) + 1).cast("int"))
   }
 
+  /** Scale path for A2 (the SURVEY §7 "quantile memory at 100 TB" hook):
+    * [[quantileNearest]] buffers each group's full sample — exact, and
+    * fine at the reference's per-station group sizes, but unbounded in
+    * general. This variant is Spark's GK-sketch `percentile_approx`:
+    * memory O(`accuracy`) per group regardless of group size, rank error
+    * ≤ n/`accuracy`, and it returns an actual sample point (nearest-rank
+    * flavored, like the polars semantics A2 matches). Groups smaller
+    * than `accuracy` are answered from a complete buffer, so the switch
+    * is lossless until groups outgrow it — IngestSpec pins that.
+    */
+  def quantileApprox(valueCol: String, p: Double,
+                     accuracy: Int = 10000): Column =
+    expr(s"percentile_approx($valueCol, $p, $accuracy)")
+
   /** A2/F15 — per-station quartiles + IQR (ref: data_source.py:63-78),
     * nearest interpolation for polars parity.
     */

@@ -170,6 +170,22 @@ class IngestSpec extends AnyFunSuite {
       .select("pm25").as[Double].head() === 50.0)
   }
 
+  test("approx quantile scale path agrees with exact under its accuracy") {
+    // 3 groups × 1000 samples each, shuffled values; accuracy 10000 ≫ n
+    // so the GK sketch buffers every point and the switch is lossless
+    // up to rank convention (± 1 rank of the nearest-rank exact answer)
+    val df = (0 until 3000).map(i => (i % 3, ((i * 7919) % 1000).toDouble))
+      .toDF("g", "value")
+    val rows = df.groupBy("g").agg(
+        Pm25Source.quantileNearest("value", 0.25).as("exact"),
+        Pm25Source.quantileApprox("value", 0.25).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 1.0,
+        s"group ${r.getInt(0)}: exact=${r.getDouble(1)} approx=${r.getDouble(2)}")
+    }
+  }
+
   test("jsonl corpus: explicit schema, corrupt capture, gzip transparency") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-jsonl").toString
