@@ -361,6 +361,49 @@ object Dedup {
     expandExactGroups(member, repIds, repPairs, intra)
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
+    * word-shingle sets — the ASYMMETRIC companion to jaccard. A short
+    * doc verbatim-embedded in a much longer page has containment ≈ 1
+    * while its jaccard is diluted by the page's extra content toward 0;
+    * symmetric scoring misses exactly the quote/boilerplate-embedding
+    * duplication a crawled corpus is full of. Same inverted-index
+    * layout, cap semantics, and exact-verify guarantees as
+    * [[ngramJaccardPairs]]; the count prune is containment's own:
+    * c ≥ t·min(|A|,|B|).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.8,
+                       maxShingleDf: Int = 10000): DataFrame = {
+    val (member, repIds) = exactGroups(docs, idCol, textCol)
+    val sh = repDocs(docs, idCol, textCol, repIds)
+      .select(col("doc"), col("ch"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("doc"), explode(col("sh")).as("g0"))
+      .select(col("doc"), xxhash64(col("g0")).as("g"))
+    val pairCounts = inv.groupBy("g").agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleDf))
+      .withColumn("id_a", explode(col("docs")))
+      .withColumn("id_b", explode(col("docs")))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    val sizes = sh.select(col("doc"), size(col("sh")).as("n"))
+    val candidates = pairCounts
+      .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("c") >= lit(threshold) * least(col("na"), col("nb")))
+      .select("id_a", "id_b")
+    val repPairs = candidates
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+    expandExactGroups(member, repIds, repPairs,
+      sh.select(col("ch"), lit(1.0).as("containment")))
+  }
+
   // ------------------------------------------- exact-substring span path
 
   /** Exact-substring span pairs (the Lee et al. 2022 "Deduplicating

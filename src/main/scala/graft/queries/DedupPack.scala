@@ -73,6 +73,15 @@ object DedupPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Asymmetric containment pairs: |A∩B|/min(|A|,|B|) — catches a doc
+    // verbatim-embedded in a longer page where jaccard dilutes to ~0.
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.8)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Leakage-safe split: split keyed on the near-dup cluster's canonical
     // id so duplicates never straddle train/test. Oracle replays the
     // exact-jaccard components + the multiplicative hash rule.
@@ -174,6 +183,12 @@ object DedupPack extends QueryPack {
                    FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
          FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    "dedup_containment" ->
+      s"""WITH $ShingleCte,
+         cont AS (SELECT a, b, CAST(i AS DOUBLE) / LEAST(na.n, nb.n) AS c
+                  FROM inter JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)
+         SELECT a AS id_a, b AS id_b, ROUND(c, 6) AS containment
+         FROM cont WHERE c >= 0.8 ORDER BY id_a, id_b""",
     "dedup_leakage_split" ->
       s"""WITH RECURSIVE $ShingleCte,
          edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),

@@ -247,6 +247,20 @@ class DedupSpec extends AnyFunSuite {
     assert(newIds === Set(102L, 104L))
   }
 
+  test("containment catches embedded docs that jaccard dilutes away") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val page = (1 to 60).map(i => s"p$i").mkString(" ") + " " + quote +
+      " " + (1 to 40).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, quote), (2L, page)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the quote's 10 shingles all appear in the page → containment 1.0
+    assert(cont((1L, 2L)) === 1.0)
+    // while jaccard (10 shared / ~112 union) is nowhere near a near-dup
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.5)
+    assert(jac.count() === 0L)
+  }
+
   test("leakage-safe split: near-dup clusters never straddle the boundary") {
     val got = Dedup.leakageSafeSplit(docs, "doc_id", "text", threshold = 0.7)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
