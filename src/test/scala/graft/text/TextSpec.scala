@@ -261,6 +261,30 @@ class TextSpec extends AnyFunSuite {
     assert(covered === (0 until 10).toSet)
   }
 
+  test("chunker: invariants hold across a parameter grid") {
+    val texts = Seq(
+      (1L, (1 to 37).map(i => s"w$i").mkString(" ")),
+      (2L, "single"),
+      (3L, (1 to 8).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (size <- Seq(1, 4, 8, 64); overlap <- Seq(0, size / 2, size - 1)
+         if overlap < size) {
+      val rows = Chunker.chunk(texts, "doc_id", "text", size, overlap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      val byDoc = rows.groupBy(_._1)
+      for ((id, n) <- Seq(1L -> 37, 2L -> 1, 3L -> 8)) {
+        val cs = byDoc(id).sortBy(_._2)
+        // chunk indices are dense from 0; every token covered; chunk
+        // sizes positive and ≤ size; starts advance by the stride
+        assert(cs.map(_._2).toSeq === cs.indices.toSeq)
+        assert(cs.flatMap(c => c._3 until (c._3 + c._4)).toSet === (0 until n).toSet)
+        assert(cs.forall(c => c._4 >= 1 && c._4 <= size))
+        assert(cs.sliding(2).filter(_.length == 2)
+          .forall(p => p(1)._3 - p(0)._3 == size - overlap))
+      }
+    }
+  }
+
   test("char ngrams: overlapping trigrams, short-text empties, oov rates") {
     val grams = Seq((1L, "abcd"), (2L, "ab"), (3L, ""))
       .toDF("doc_id", "text")
