@@ -96,6 +96,25 @@ object Multimodal {
         (col("width").cast("double") / w).as("scale_x"),
         (col("height").cast("double") / h).as("scale_y"))
 
+  /** ViT-style patch tokenization plan: the `patch`×`patch` grid each
+    * image resolves to (ceil division — edge patches are padded), its
+    * token count, and the padding the preprocessor must add. Pure
+    * metadata arithmetic, map-side; the pixel-space patch extraction
+    * runs next to [[decode]]'s codec in the same partition-local batch,
+    * consuming exactly this layout.
+    */
+  def patchPlan(images: DataFrame, patch: Int): DataFrame = {
+    require(patch > 0, "patch size must be positive")
+    def ceilDiv(c: org.apache.spark.sql.Column) =
+      floor((c + lit(patch - 1)).cast("double") / patch).cast("int")
+    images.select(col("media_id"), col("width"), col("height"),
+        ceilDiv(col("width")).as("n_cols"),
+        ceilDiv(col("height")).as("n_rows"))
+      .withColumn("n_patches", col("n_cols") * col("n_rows"))
+      .withColumn("pad_x", col("n_cols") * patch - col("width"))
+      .withColumn("pad_y", col("n_rows") * patch - col("height"))
+  }
+
   /** Build a media table from any table with a string payload (used by
     * tests and queries: the harness has no binary columns, so text bytes
     * stand in for media bytes — the plumbing is identical).

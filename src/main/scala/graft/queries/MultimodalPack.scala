@@ -24,6 +24,19 @@ object MultimodalPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // ViT patch-grid plan: image dims derived deterministically from the
+    // byte length IN THE QUERY (both engines compute them identically),
+    // then the ceil-division patch layout is exact integer arithmetic.
+    "mm_patch_plan" -> ((s, dir) => {
+      val bl = length(encode(col("text"), "UTF-8"))
+      val imgs = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          (lit(64) + pmod(bl, lit(960))).as("width"),
+          (lit(64) + pmod(bl * 7, lit(540))).as("height"))
+      Multimodal.patchPlan(imgs, patch = 16)
+        .orderBy("media_id")
+    }),
+
     // Stub decode through the partition-local batch transform (real
     // plumbing, fake codec) — rows-only.
     "mm_decode_stub" -> ((s, dir) => {
@@ -39,5 +52,18 @@ object MultimodalPack extends QueryPack {
     "mm_binary_meta" ->
       """SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS byte_len,
          SHA256(text) AS sha
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "mm_patch_plan" ->
+      """WITH imgs AS (
+           SELECT doc_id AS media_id,
+             CAST(64 + OCTET_LENGTH(ENCODE(text)) % 960 AS INT) AS width,
+             CAST(64 + (OCTET_LENGTH(ENCODE(text)) * 7) % 540 AS INT) AS height
+           FROM documents)
+         SELECT media_id, width, height,
+           CAST((width + 15) // 16 AS INT) AS n_cols,
+           CAST((height + 15) // 16 AS INT) AS n_rows,
+           CAST(((width + 15) // 16) * ((height + 15) // 16) AS INT) AS n_patches,
+           CAST(((width + 15) // 16) * 16 - width AS INT) AS pad_x,
+           CAST(((height + 15) // 16) * 16 - height AS INT) AS pad_y
+         FROM imgs ORDER BY media_id""")
 }

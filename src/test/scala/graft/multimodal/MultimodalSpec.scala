@@ -43,6 +43,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n === 2L && mx === 2) // nFrames=4 → idx 0, 2
   }
 
+  test("patch plan: ceil grid, token count, edge padding") {
+    import spark.implicits._
+    val imgs = Seq((1L, 64, 64), (2L, 65, 48), (3L, 1, 1))
+      .toDF("media_id", "width", "height")
+    val got = Multimodal.patchPlan(imgs, patch = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7))).toMap
+    assert(got(1L) === ((4, 4, 16, 0, 0)))   // exact fit
+    assert(got(2L) === ((5, 3, 15, 15, 0)))  // 65→5 cols, 15px pad
+    assert(got(3L) === ((1, 1, 1, 15, 15)))  // tiny image, one padded patch
+  }
+
   test("resize plan computes scales for image rows only") {
     val dec = Multimodal.decode(media).toDF()
     val plan = Multimodal.resizePlan(dec, 224, 224).collect()
