@@ -34,6 +34,8 @@ object SaltedJoin {
     require(salt >= 1, "salt must be >= 1")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salted join supports inner/left, got $joinType")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt is reserved by saltedEquiJoin")
     val saltCol = pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
       lit(salt.toLong))
     val b = big.withColumn("__salt", saltCol)

@@ -43,8 +43,8 @@ object Chunker {
             (i * stride).as("start_tok"),
             least(col("__n") - i * stride, lit(size)).as("n_chunk_tokens"),
             array_join(slice(col("__toks"), i * stride + lit(1), lit(size)), " ")
-              .as("chunk_text")))).as("c"))
-      .select(col(idCol), col("c.chunk_idx"), col("c.start_tok"),
-        col("c.n_chunk_tokens"), col("c.chunk_text"))
+              .as("chunk_text")))).as("__chunk"))
+      .select(col(idCol), col("__chunk.chunk_idx"), col("__chunk.start_tok"),
+        col("__chunk.n_chunk_tokens"), col("__chunk.chunk_text"))
   }
 }
