@@ -83,4 +83,20 @@ object Sampling {
       .filter(pmod(col("__rn") - 1, lit(n)) === 0)
       .drop("__rn")
   }
+
+  /** Score-weighted sampling: keep each row with probability
+    * `clamp(scoreCol · scale, 0, 1)` — quality-proportional corpus
+    * downsampling (keep the best docs at full rate, thin the tail),
+    * decided per row by the same deterministic multiplicative-hash
+    * threshold the other samplers use. Map-side, shuffle-free,
+    * reproducible across runs and engines; expectation of the kept
+    * fraction equals the mean clamped score.
+    */
+  def scoreWeightedSample(df: DataFrame, keyCol: String, scoreCol: String,
+                          scale: Double = 1.0): DataFrame = {
+    val m = 1000000007L
+    val p = least(greatest(col(scoreCol) * scale, lit(0.0)), lit(1.0))
+    df.filter(pmod(col(keyCol) * lit(2654435761L), lit(m)) <
+      ceil(p * lit(m)).cast("long"))
+  }
 }

@@ -102,6 +102,18 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Quality-weighted downsampling: keep probability = the quality
+    // score, decided by the deterministic hash threshold. Both engines
+    // compute the score with the same correctly-rounded IEEE ops in the
+    // same order, so the keep decision is bit-reproducible.
+    "t_quality_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("q", TextFunctions.qualityScore(col("text")))
+      graft.operators.Sampling.scoreWeightedSample(docs, "doc_id", "q")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // C4 line-cleaning rules (Raffel et al. 2020 §2.2). The corpus is
     // single-line, so the query plants a deterministic page structure
     // (nav header, real sentences, a short line, an unpunctuated cookie
@@ -339,6 +351,17 @@ object TextPack extends QueryPack {
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    "t_quality_sample" ->
+      s"""WITH $QualityCte,
+         q AS (SELECT doc_id,
+             (LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+            + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+            + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0 AS qv
+           FROM scored)
+         SELECT doc_id FROM q
+         WHERE (doc_id * 2654435761) % 1000000007
+               < CEIL(LEAST(GREATEST(qv, 0.0), 1.0) * 1000000007)
+         ORDER BY doc_id""",
     "t_c4_line_filter" ->
       """WITH page AS (
            SELECT doc_id,

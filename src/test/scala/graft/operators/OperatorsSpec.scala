@@ -120,6 +120,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(computes === 4)
   }
 
+  test("score-weighted sample: clamped rates, determinism, monotone scale") {
+    val df = (1L to 2000L).map(i => (i, (i % 100) / 100.0)).toDF("key", "score")
+    val a = Sampling.scoreWeightedSample(df, "key", "score").collect().toSet
+    val b = Sampling.scoreWeightedSample(df, "key", "score").collect().toSet
+    assert(a === b) // deterministic selection
+    // kept fraction tracks the mean clamped score (≈0.495 here)
+    assert(a.size > 800 && a.size < 1200, s"kept ${a.size} of 2000")
+    // score 0 rows never survive; clamp caps oversized scores at 1.0
+    assert(!a.exists(_.getDouble(1) == 0.0))
+    val all = Sampling.scoreWeightedSample(df, "key", "score", scale = 1000.0)
+      .count()
+    assert(all === 1980L) // every nonzero-score row kept at huge scale
+  }
+
   test("salted join equals the plain join on a hot-keyed fact table") {
     // one hot key (90% of rows) + a long tail
     val big = (1L to 1000L).map(i =>
