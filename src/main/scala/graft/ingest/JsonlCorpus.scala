@@ -41,6 +41,20 @@ object JsonlCorpus {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
+  /** Streaming twin of [[read]]: the same explicit-schema, corrupt-
+    * capturing reader over a growing shard directory — continuous corpus
+    * ingest with `Trigger.AvailableNow` for incremental batch catch-up.
+    * Downstream map-side operators (quality gates, Bloom snapshot dedup,
+    * PII scrubbing) compose unchanged; StreamingSpec runs the pipeline.
+    */
+  def readStream(spark: SparkSession, path: String,
+                 schema: StructType = DocumentsSchema): DataFrame =
+    spark.readStream
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
   /** `(valid rows without the corrupt column, corrupt rows with the raw
     * line in [[CorruptCol]])`. The corrupt side keeps the full schema:
     * Spark refuses a file-scan projection of ONLY the corrupt-record

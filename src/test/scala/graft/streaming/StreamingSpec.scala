@@ -89,6 +89,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(10L -> false, 11L -> true, 12L -> false, 13L -> true))
   }
 
+  test("streaming corpus ingest: jsonl → quality gate → snapshot dedup") {
+    import graft.dedup.Incremental
+    import graft.text.TextFunctions
+    // at-rest snapshot with one known doc
+    val snapshot = Seq((1L, "seen before with plenty of words to pass the gate"))
+      .toDF("doc_id", "text")
+    val bf = Incremental.buildBloom(snapshot, "text", expectedItems = 100L)
+    val idx = Incremental.snapshotIndex(snapshot, "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
+    val lines = Seq(
+      """{"doc_id": 10, "text": "seen before with plenty of words to pass the gate"}""",
+      """{"doc_id": 11, "text": "too short"}""",
+      """{"doc_id": 12, "text": "a genuinely new document with enough words to pass"}""",
+      """{"doc_id": 13, "text": "corrupt line""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/shard-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val stream = graft.ingest.JsonlCorpus.readStream(spark, dir)
+      .filter(col(graft.ingest.JsonlCorpus.CorruptCol).isNull)
+      .drop(graft.ingest.JsonlCorpus.CorruptCol)
+      .filter(TextFunctions.tokenCount(col("text")) >= 5)
+    val curated = Incremental.checkBatch(stream, idx, bf, "doc_id", "text")
+      .filter(col("is_new"))
+    val got = EventsStream.runToMemory(curated, "jsonl_curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 = snapshot dup, 11 = quality-gated, 13 = corrupt → only 12 lands
+    assert(got === Set(12L))
+  }
+
   test("stateful sessionization closes sessions at the inactivity gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     // two users; user 1 has two bursts separated by > gap, user 2 one burst
