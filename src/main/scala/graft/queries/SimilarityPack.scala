@@ -65,6 +65,19 @@ object SimilarityPack extends QueryPack {
         .orderBy("query_id", "rk")
     }),
 
+    // Two-stage quantized retrieval (SQ8 + refine). Exhaustive here:
+    // k·refineFactor covers the corpus, so stage 1 prunes nothing and
+    // the brute-force oracle applies; production-refine recall is
+    // asserted in AnnSpec.
+    "ann_quantized_refine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val n = emb.count().toInt
+      Ann.quantizedRefineTopK(
+          emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+          emb, k = 3, refineFactor = (n + 2) / 3)
+        .orderBy("query_id", "rk")
+    }),
+
     // SemDeDup: cluster + within-cluster cosine pruning. Run at nlist=1
     // (single cluster ⇒ the pass is exhaustive and equals the brute-force
     // "dropped iff a lower-id neighbor has cos ≥ t" rule), which is what
@@ -136,6 +149,8 @@ object SimilarityPack extends QueryPack {
            LIST_MAX(LIST_TRANSFORM(codes, x -> ABS(x))) AS code_max
          FROM c ORDER BY vec_id""",
     "ann_topk_brute" -> BruteTopKSql,
+    // Exhaustive refine (k·refineFactor ≥ n) ≡ brute force → same oracle.
+    "ann_quantized_refine" -> BruteTopKSql,
     // Exhaustive IVF (nprobe = nlist) ≡ brute force → same oracle.
     "ann_ivf_topk" -> BruteTopKSql,
     // Exhaustive multi-probe LSH (probeRadius = planes) ≡ brute force.

@@ -191,6 +191,51 @@ object Ann {
   def dequantize(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Two-stage quantized retrieval (the FAISS SQ8-with-refine shape):
+    * stage 1 ranks ALL corpus rows by cosine over the int8-reconstructed
+    * vectors — the 4×-smaller representation a 100 TB deployment keeps
+    * hot — and keeps `k·refineFactor` candidates per query; stage 2
+    * re-scores only those survivors at full precision. The full-precision
+    * corpus is touched for k·refine rows per query instead of all n.
+    *
+    * With `k·refineFactor ≥ |corpus|` stage 1 prunes nothing and the
+    * result equals brute force by construction — the exhaustive setting
+    * the driver oracle uses (the IVF/LSH oracle trick); production runs
+    * refine at 2–8, with recall asserted in AnnSpec.
+    */
+  def quantizedRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                          refineFactor: Int, queryId: String = "query_id",
+                          corpusId: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    val q = queries.select(col(queryId).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("av", dequantize(quantizeInt8(col("cv"))))
+      .withColumn("an", norm(col("av")))
+      .withColumn("cn", norm(col("cv")))
+    val approxW = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val survivors = c.crossJoin(broadcast(q))
+      .withColumn("approx_cos",
+        when(col("qn") * col("an") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("av")) / (col("qn") * col("an"))))
+      .withColumn("approx_rk", row_number().over(approxW))
+      .filter(col("approx_rk") <= k * refineFactor)
+    val exactW = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    survivors
+      .withColumn("cos",
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("rk", row_number().over(exactW))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** IVF (inverted-file) coarse quantizer: k-means centroids over a sample

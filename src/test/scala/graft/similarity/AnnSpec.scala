@@ -140,6 +140,25 @@ class AnnSpec extends AnyFunSuite {
            Ann.hyperplanes(4, 8).map(_.toSeq).toSeq)
   }
 
+  test("quantized refine: high recall at refine 2, exact when exhaustive") {
+    val emb = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    val brute = Ann.bruteForceTopK(queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // int8 reconstruction barely moves cosines → the approx stage keeps
+    // the true top-k inside a 2× candidate set essentially always
+    val refined = Ann.quantizedRefineTopK(queries, emb, k = 5, refineFactor = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val recall = (brute & refined).size.toDouble / brute.size
+    assert(recall > 0.95, s"recall=$recall")
+    // exhaustive refine ≡ brute force, row for row (the oracle equivalence)
+    val n = emb.count().toInt
+    val exact = Ann.quantizedRefineTopK(queries, emb, k = 5,
+        refineFactor = (n + 4) / 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(exact === brute)
+  }
+
   test("semDedup at nlist=1 equals the brute-force dominated rule") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
