@@ -261,6 +261,22 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.count() === 0L)
   }
 
+  test("containment dominates jaccard on the harness corpus") {
+    // |A∩B|/min ≥ |A∩B|/union pointwise, so at any shared threshold the
+    // jaccard pair set is a subset of the containment pair set — a
+    // cross-operator invariant over real data, not a planted example
+    val corpus = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val con = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.nonEmpty)
+    assert(jac.keySet.subsetOf(con.keySet))
+    jac.foreach { case (pair, j) =>
+      assert(con(pair) >= j - 1e-12, s"$pair: containment ${con(pair)} < jaccard $j")
+    }
+  }
+
   test("leakage-safe split: near-dup clusters never straddle the boundary") {
     val got = Dedup.leakageSafeSplit(docs, "doc_id", "text", threshold = 0.7)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
