@@ -239,6 +239,34 @@ class TextSpec extends AnyFunSuite {
     assert(byId(5L) === ((1L, 29, 31L)))
   }
 
+  test("corpus curation is idempotent under the stage runner") {
+    // the §2.10 skip semantics are partition-label-generic: a corpus
+    // snapshot id works exactly like a month key, so curation re-runs
+    // skip when the curated snapshot already exists and validates
+    import graft.core.{StageRef, StageStorage}
+    import graft.orchestration.StageRunner
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corpus-run").toString
+    val storage = new StageStorage(spark, tmp)
+    val runner = new StageRunner(storage)
+    val ref = StageRef("curated_corpus")
+    val corpus = Seq(
+      (1L, (1 to 25).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "held out eval words")).toDF("doc_id", "text")
+    var computes = 0
+    def curateSnapshot(snapshot: String): org.apache.spark.sql.DataFrame = {
+      computes += 1
+      CorpusPipeline.curate(corpus, evalSet, minTokens = 10)
+    }
+    val r1 = runner.runMonths(ref, Seq("snap-001"), _ => 2L, curateSnapshot)
+    assert(r1.head.ran && computes === 1)
+    val r2 = runner.runMonths(ref, Seq("snap-001"), _ => 2L, curateSnapshot)
+    assert(!r2.head.ran && computes === 1) // exists+valid → skipped
+    val r3 = runner.runMonths(ref, Seq("snap-001"), _ => 2L, curateSnapshot,
+      force = true)
+    assert(r3.head.ran && computes === 2)
+  }
+
   test("chunker: overlap windows, tail coverage, empty docs") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks → 3 chunks
