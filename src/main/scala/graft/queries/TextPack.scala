@@ -102,6 +102,22 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Corpus observability report: doc/token counts by (lang, source)
+    // with ROLLUP subtotals and a grand total — the multi-level
+    // aggregation surface (partial-aggregated like any groupBy; rollup
+    // adds grouping-set expansion, not extra shuffles). Rolled-up levels
+    // surface as a sentinel so cross-engine null ordering never matters.
+    "corpus_report" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy("lang", "source")
+    }),
+
     // Quality-weighted downsampling: keep probability = the quality
     // score, decided by the deterministic hash threshold. Both engines
     // compute the score with the same correctly-rounded IEEE ops in the
@@ -351,6 +367,18 @@ object TextPack extends QueryPack {
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    "corpus_report" ->
+      """WITH t AS (SELECT lang, source,
+           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens
+         FROM documents)
+         SELECT COALESCE(lang, '(all)') AS lang,
+                COALESCE(source, '(all)') AS source,
+                COUNT(*) AS n_docs,
+                -- DuckDB SUM(BIGINT) yields HUGEINT; align with Spark's long
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         FROM t GROUP BY ROLLUP (lang, source)
+         ORDER BY lang, source""",
     "t_quality_sample" ->
       s"""WITH $QualityCte,
          q AS (SELECT doc_id,
