@@ -14,21 +14,44 @@ import graft.spatial.DailySpatialInterpolator
 object KernelPack extends QueryPack {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // K1: scatter the part table onto a synthetic 2-D plane (hash-scattered
-    // coordinates — regular lattices are the Delaunay worst case), punch
-    // deterministic holes, fill them per "date" group with linear+nearest
-    // interpolation. Four date groups exercise the per-day parallelism.
+    // K1, mixed linear+nearest with a full value oracle: valid cells carry
+    // the plane v = 2x + 3y + 10 and four out-of-range corner sources pin
+    // the convex hull to [-10,1010]² per date, so interior missing cells
+    // take the Delaunay-linear path (plane-exact, the k1b argument below);
+    // every third missing cell is SHIFTED ±1200 in x — strictly outside
+    // the hull by construction — and takes the nearest-source path, whose
+    // value (the plane at the nearest source) DuckDB reproduces with an
+    // argmin-over-squared-distance subquery. Checked at sf0.001/sf0.01:
+    // no two sources tie on min distance for any shifted cell, so the
+    // argmin is well-defined on both engines. Four date groups exercise
+    // the per-day parallelism.
     "k1_spatial_interpolate" -> ((s, dir) => {
-      val pts = table(s, dir, "part")
+      import s.implicits._
+      val raw = table(s, dir, "part")
         .select(col("p_partkey"),
           (pmod(col("p_partkey") * 2654435761L, lit(100000L)).cast("double") / 100.0)
-            .as("x"),
+            .as("x0"),
           (pmod(col("p_partkey") * 40503L + 7L, lit(100000L)).cast("double") / 100.0)
             .as("y"),
-          when(col("p_size") % 7 === 0, lit(null).cast("double"))
-            .otherwise(col("p_retailprice")).as("v"),
+          (col("p_size") % 7 === 0).as("missing"),
           concat(lit("2024-01-0"), (col("p_partkey") % 4 + 1)).as("date"))
-      DailySpatialInterpolator.interpolate(pts, "date", "x", "y", Seq("v"))
+      val pts = raw.select(col("p_partkey"),
+        when(col("missing") && col("p_partkey") % 3 === 0,
+          col("x0") + when(col("p_partkey") % 2 === 0, 1200.0).otherwise(-1200.0))
+          .otherwise(col("x0")).as("x"),
+        col("y"), col("date"),
+        when(col("missing"), lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("x0") + lit(3.0) * col("y") + lit(10.0))
+          .as("v"))
+      val corners = for {
+        d <- 1 to 4; (cx, ci) <- Seq(-10.0, 1010.0).zipWithIndex
+        (cy, cj) <- Seq(-10.0, 1010.0).zipWithIndex
+      } yield (-(d * 10L + ci * 2 + cj + 1), cx, cy, s"2024-01-0$d",
+        2.0 * cx + 3.0 * cy + 10.0)
+      val cornersDf = corners.toDF("p_partkey", "x", "y", "date", "v")
+      DailySpatialInterpolator
+        .interpolate(pts.unionByName(cornersDf), "date", "x", "y", Seq("v"))
+        .filter(col("p_partkey") >= 0)
         .select(col("p_partkey"), round(col("v"), 4).as("v_filled"))
         .orderBy("p_partkey")
     }),
@@ -87,6 +110,39 @@ object KernelPack extends QueryPack {
   // K2 on a bilinear field is exact → the oracle computes the plane
   // directly (lat + 2·lon; all targets fall inside the raster extent).
   def oracles: Map[String, String] = Map(
+    // k1 mixed-path oracle: non-shifted cells (valid, or missing-interior
+    // filled by the linear pass) evaluate the plane at their own coords;
+    // shifted cells (missing AND p_partkey % 3 = 0, moved outside the
+    // hull) copy the plane value of the argmin-distance source of their
+    // date group — the same doubles both engines derive from identical
+    // integer arithmetic, so the 4-dp round is exact (tie-free, verified).
+    "k1_spatial_interpolate" ->
+      """WITH raw AS (
+           SELECT p_partkey,
+             CAST((p_partkey * 2654435761) % 100000 AS DOUBLE)/100.0 AS x0,
+             CAST((p_partkey * 40503 + 7) % 100000 AS DOUBLE)/100.0 AS y,
+             (p_size % 7 = 0) AS missing,
+             p_partkey % 4 + 1 AS d
+           FROM part),
+         pts AS (
+           SELECT p_partkey,
+             CASE WHEN missing AND p_partkey % 3 = 0
+                  THEN x0 + CASE WHEN p_partkey % 2 = 0 THEN 1200.0 ELSE -1200.0 END
+                  ELSE x0 END AS x,
+             y, x0, missing, d
+           FROM raw),
+         sources AS (
+           SELECT x, y, 2.0*x + 3.0*y + 10.0 AS v, d FROM pts WHERE NOT missing
+           UNION ALL
+           SELECT cx, cy, 2.0*cx + 3.0*cy + 10.0, d
+           FROM (VALUES (-10.0,-10.0),(-10.0,1010.0),(1010.0,-10.0),(1010.0,1010.0)) c(cx,cy)
+           CROSS JOIN (VALUES (1),(2),(3),(4)) dd(d))
+         SELECT p.p_partkey,
+           CASE WHEN p.missing AND p.p_partkey % 3 = 0
+                THEN (SELECT ROUND(s.v, 4) FROM sources s WHERE s.d = p.d
+                      ORDER BY (s.x-p.x)*(s.x-p.x) + (s.y-p.y)*(s.y-p.y) LIMIT 1)
+                ELSE ROUND(2.0*p.x0 + 3.0*p.y + 10.0, 4) END AS v_filled
+         FROM pts p ORDER BY p.p_partkey""",
     // Exactness argument in the query comment: linear interpolation of a
     // plane reproduces the plane; valid cells carry it by construction.
     // Both engines derive x/y with the same integer-mod + double-divide,
