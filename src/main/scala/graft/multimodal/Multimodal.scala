@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,10 +10,12 @@ import org.apache.spark.sql.functions._
   * run as partition-local batch transforms (the Scala analogue of
   * `mapInPandas`: one iterator of rows in, one out, arrow-friendly shapes).
   *
-  * The actual codec calls are STUBBED behind [[StubCodec]] (no image/audio
-  * libraries in this environment) with a deterministic fake that derives
-  * plausible metadata from the bytes — the Spark-side plumbing (schema,
-  * batching, partitioning, binary hygiene) is real and tested.
+  * Images decode for real through [[ImageIoCodec]] (JDK-builtin
+  * `javax.imageio` — PNG/BMP/GIF/JPEG, no external libraries); audio and
+  * video stay STUBBED behind [[StubCodec]] (no JDK codec exists) with a
+  * deterministic fake that derives plausible metadata from the bytes —
+  * for those kinds the Spark-side plumbing (schema, batching,
+  * partitioning, binary hygiene) is real and tested, the codec is not.
   */
 object Multimodal {
 
@@ -24,12 +28,40 @@ object Multimodal {
                         width: Int, height: Int, channels: Int,
                         sampleRateHz: Int, nFrames: Int, features: Array[Float])
 
-  /** Deterministic fake codec: everything is a pure function of the bytes,
-    * so tests are stable. Replace with real decoders (javacv / ffmpeg /
-    * javax.imageio) by swapping this object — the pipeline shape does not
-    * change.
+  /** A codec resolves media bytes to metadata + a feature vector. Swapping
+    * implementations (real vs stub) never changes the pipeline shape.
     */
-  object StubCodec {
+  trait Codec extends Serializable {
+    def decode(kind: String, bytes: Array[Byte]): MediaMeta
+    def features(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Real image decode via JDK-builtin `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * no external dependencies): width/height/channels come from the actual
+    * pixel raster. Audio/video kinds delegate to [[StubCodec]] (the JDK
+    * ships no codec for them). Feature vector stays the byte histogram
+    * fold — a real embedding model is out of scope for the engine.
+    */
+  object ImageIoCodec extends Codec {
+    def decode(kind: String, bytes: Array[Byte]): MediaMeta = kind match {
+      case "image" =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"undecodable image payload (${bytes.length} bytes) — " +
+              "no registered javax.imageio reader recognized the container")
+        MediaMeta("image", bytes.length, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands, 0, 1)
+      case other => StubCodec.decode(other, bytes)
+    }
+    def features(bytes: Array[Byte]): Array[Float] = StubCodec.features(bytes)
+  }
+
+  /** Deterministic fake codec: everything is a pure function of the bytes,
+    * so tests are stable. Replace with real decoders (javacv / ffmpeg)
+    * by swapping the [[Codec]] — the pipeline shape does not change.
+    */
+  object StubCodec extends Codec {
     def decode(kind: String, bytes: Array[Byte]): MediaMeta = {
       val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
       kind match {
@@ -45,8 +77,10 @@ object Multimodal {
       }
     }
 
+    def features(bytes: Array[Byte]): Array[Float] = features(bytes, 8)
+
     /** Fixed-width feature vector (fake embedding) from the bytes. */
-    def features(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       var i = 0
       while (i < bytes.length) {
@@ -61,15 +95,16 @@ object Multimodal {
     * (`mapPartitions`): no shuffle, codec state amortized per partition the
     * way a real decoder pool would be.
     */
-  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+  def decode(media: Dataset[MediaRow],
+             codec: Codec = ImageIoCodec): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition codec init would go here (e.g. native decoder handle)
       rows.map { r =>
-        val m = StubCodec.decode(r.kind, r.bytes)
+        val m = codec.decode(r.kind, r.bytes)
         DecodedRow(r.media_id, r.kind, m.byteLen, m.width, m.height,
           m.channels, m.sampleRateHz, m.nFrames,
-          StubCodec.features(r.bytes))
+          codec.features(r.bytes))
       }
     }
   }
@@ -113,6 +148,30 @@ object Multimodal {
       .withColumn("n_patches", col("n_cols") * col("n_rows"))
       .withColumn("pad_x", col("n_cols") * patch - col("width"))
       .withColumn("pad_y", col("n_rows") * patch - col("height"))
+  }
+
+  /** Deterministic PNG bytes (grayscale gradient keyed on `seed`) — fixture
+    * generator for specs and queries: the harness tables carry no binary
+    * media, so payloads are synthesized with the same JDK imageio the
+    * decoder reads. Encoded TYPE_3BYTE_BGR → no alpha → 3 raster bands on
+    * decode.
+    */
+  def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 31 + y * 17 + seed) % 256).toInt & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Build a media table from any table with a string payload (used by

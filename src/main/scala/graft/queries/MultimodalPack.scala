@@ -6,10 +6,9 @@ import graft.core.Tables.table
 import graft.multimodal.Multimodal
 
 /** Multimodal binary-column plumbing. The harness has no binary tables, so
-  * document text bytes stand in for media payloads: the binary hygiene
-  * (byte length, content digest) is oracle-checked; the stub decode path
-  * (mapPartitions batch transform) runs as a rows-only query and is
-  * golden-tested in MultimodalSpec.
+  * payloads are synthesized: text bytes stand in for opaque media in the
+  * hygiene checks, and real PNG bytes (JDK imageio) feed the decode path —
+  * all three queries are oracle-checked.
   */
 object MultimodalPack extends QueryPack {
 
@@ -37,14 +36,26 @@ object MultimodalPack extends QueryPack {
         .orderBy("media_id")
     }),
 
-    // Stub decode through the partition-local batch transform (real
-    // plumbing, fake codec) — rows-only.
-    "mm_decode_stub" -> ((s, dir) => {
-      val media = Multimodal.fromText(table(s, dir, "documents"),
-        "doc_id", "text", kind = "image")
-      Multimodal.decode(media).toDF()
-        .select(col("media_id"), col("byteLen"), col("width"), col("height"),
-          col("channels"))
+    // Real decode through the partition-local batch transform: PNG
+    // payloads are synthesized per doc with JDK imageio at dimensions
+    // derived from the text byte length, then decoded back by
+    // ImageIoCodec — the oracle checks the decoded raster dims against
+    // the closed-form dimension formulas (and 3 channels: TYPE_3BYTE_BGR
+    // has no alpha), so a decoder that misreads IHDR fails the gate.
+    "mm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val bl = length(encode(col("text"), "UTF-8"))
+      val dims = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        (lit(8) + pmod(bl, lit(24))).cast("int").as("w"),
+        (lit(8) + pmod(bl * 7, lit(16))).cast("int").as("h"))
+      val mkPng = udf((id: Long, w: Int, h: Int) =>
+        Multimodal.pngBytes(w, h, seed = id))
+      val media = dims.select(col("media_id"), lit("image").as("kind"),
+        mkPng(col("media_id"), col("w"), col("h")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decode(media, Multimodal.ImageIoCodec).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
         .orderBy("media_id")
     }))
 
@@ -65,5 +76,11 @@ object MultimodalPack extends QueryPack {
            CAST(((width + 15) // 16) * ((height + 15) // 16) AS INT) AS n_patches,
            CAST(((width + 15) // 16) * 16 - width AS INT) AS pad_x,
            CAST(((height + 15) // 16) * 16 - height AS INT) AS pad_y
-         FROM imgs ORDER BY media_id""")
+         FROM imgs ORDER BY media_id""",
+    "mm_decode" ->
+      """SELECT doc_id AS media_id,
+         CAST(8 + OCTET_LENGTH(ENCODE(text)) % 24 AS INT) AS width,
+         CAST(8 + (OCTET_LENGTH(ENCODE(text)) * 7) % 16 AS INT) AS height,
+         CAST(3 AS INT) AS channels
+         FROM documents ORDER BY media_id""")
 }

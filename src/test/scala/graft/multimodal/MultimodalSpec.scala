@@ -14,9 +14,26 @@ class MultimodalSpec extends AnyFunSuite {
     Multimodal.MediaRow(3L, "video", ("v" * 4096).getBytes("UTF-8"))
   ).toDS()
 
+  test("ImageIoCodec decodes real PNG and BMP rasters") {
+    val png = Multimodal.pngBytes(33, 21, seed = 7L)
+    val m = Multimodal.ImageIoCodec.decode("image", png)
+    assert((m.width, m.height, m.channels, m.nFrames) === ((33, 21, 3, 1)))
+    assert(m.byteLen === png.length.toLong)
+    // second container: BMP through the same javax.imageio path
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    val bmp = Multimodal.ImageIoCodec.decode("image", out.toByteArray)
+    assert((bmp.width, bmp.height, bmp.channels) === ((33, 21, 3)))
+    // payloads no reader recognizes must fail loudly, not fake metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decode("image", "not an image".getBytes)
+    }
+  }
+
   test("decode is deterministic and preserves byte lengths") {
-    val a = Multimodal.decode(media).collect().sortBy(_.media_id)
-    val b = Multimodal.decode(media).collect().sortBy(_.media_id)
+    val a = Multimodal.decode(media, Multimodal.StubCodec).collect().sortBy(_.media_id)
+    val b = Multimodal.decode(media, Multimodal.StubCodec).collect().sortBy(_.media_id)
     assert(a.map(_.byteLen).toSeq === Seq(16L, 640L, 4096L))
     assert(a.map(r => (r.media_id, r.width, r.height, r.nFrames)).toSeq ===
            b.map(r => (r.media_id, r.width, r.height, r.nFrames)).toSeq)
@@ -27,13 +44,13 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("feature vectors have fixed width and fold all bytes") {
-    val feats = Multimodal.decode(media).collect().map(_.features)
+    val feats = Multimodal.decode(media, Multimodal.StubCodec).collect().map(_.features)
     assert(feats.forall(_.length === 8))
     assert(feats.forall(_.sum > 0f))
   }
 
   test("frame sampling explodes only video rows at the given stride") {
-    val dec = Multimodal.decode(media).toDF()
+    val dec = Multimodal.decode(media, Multimodal.StubCodec).toDF()
     val frames = Multimodal.sampleFrames(dec, stride = 2)
       .groupBy("media_id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -56,7 +73,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("resize plan computes scales for image rows only") {
-    val dec = Multimodal.decode(media).toDF()
+    val dec = Multimodal.decode(media, Multimodal.StubCodec).toDF()
     val plan = Multimodal.resizePlan(dec, 224, 224).collect()
     assert(plan.length === 1)
     val r = plan.head
