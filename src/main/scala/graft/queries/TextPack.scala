@@ -11,6 +11,27 @@ import graft.functions.expressions.TextExpressions
   */
 object TextPack extends QueryPack {
 
+  /** Pinned merge table for the t_bpe_tokens gate: rank order is the list
+    * order; chains (t+a → ta+b → tab+l → tabl+e) and overlapping pairs
+    * ((t,h) vs (th,e); (o,w) vs (d,ow) vs (wind,ow)) force the encoder to
+    * resolve rank priority and post-merge rescans, which the DuckDB
+    * oracle replays step-for-step in a recursive CTE. Pair keys in the
+    * oracle are `left || chr(1) || right` — concatenation alone would
+    * alias (t,he) with (th,e); chr(1) never occurs in the corpus
+    * (the documents table is printable ASCII).
+    */
+  val PinnedMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "v" -> "a", "va" -> "l", "val" -> "u", "valu" -> "e",
+    "r" -> "o", "ro" -> "w", "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "o" -> "w",
+    "d" -> "ow", "w" -> "in", "win" -> "d", "wind" -> "ow",
+    "q" -> "u", "qu" -> "er", "quer" -> "y", "a" -> "g", "ag" -> "g")
+
+  /** DuckDB list literal of the pinned pair keys, in rank order. */
+  private def pinnedMergesSql: String =
+    PinnedMerges.map { case (a, b) => s"'$a\u0001$b'" }.mkString("[", ",", "]")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> ((s, dir) => {
       val t = col("text")
@@ -186,15 +207,19 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // BPE subword tokenization: merges trained on this corpus' word-count
-    // table (one distributed pass + driver-side loop — the production
-    // tokenizer-training shape), then applied map-side via broadcast.
-    // No oracle: BPE's iterative merge loop is not SQL-expressible; the
-    // merge algorithm has hand-computed goldens in TextSpec instead.
+    // BPE subword tokenization, applied map-side via one broadcast of the
+    // merge ranks. The gate uses the PINNED merge table below so the
+    // GPT-2 encode loop (lowest-rank adjacent pair first, leftmost on
+    // ties, rescan after every merge) is replayed independently by the
+    // DuckDB oracle as a recursive CTE — chained merges like
+    // t+a→ta+b→tab+l→tabl+e exercise multi-level resolution. Corpus
+    // TRAINING (distributed word-count pass + driver merge loop) stays
+    // covered by BpeSpec's hand-computed goldens; training output feeds
+    // this same encoder, so the oracle checks the half that reaches
+    // query results.
     "t_bpe_tokens" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val merges = graft.text.Bpe.trainFromCorpus(docs, "text", numMerges = 100)
-      val toks = graft.text.Bpe.tokens(col("text"), merges)
+      val toks = graft.text.Bpe.tokens(col("text"), TextPack.PinnedMerges)
       docs.select(col("doc_id"),
           size(toks).as("n_subwords"),
           element_at(toks, 1).as("first_subword"))
@@ -258,6 +283,46 @@ object TextPack extends QueryPack {
       |""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Recursive-CTE replay of the GPT-2 encode loop over the pinned merge
+    // ranks: each recursion step merges the lowest-rank (leftmost on tie)
+    // adjacent pair — rank and position packed into one integer so
+    // list_min is the argmin — until no pair is in the table; the
+    // terminal tokenization per word is the shortest (each step shrinks
+    // the list by exactly one). list_position returns 0 for absent keys,
+    // which the `>= 1000000` filter drops along with NULL entries.
+    "t_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         w0 AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+         words AS (
+           SELECT doc_id, unnest(range(1, len(ws)+1)) AS word_idx,
+                  unnest(ws) AS word FROM w0),
+         enc AS (
+           SELECT doc_id, word_idx, string_split(word, '') AS toks FROM words
+           UNION ALL
+           SELECT doc_id, word_idx,
+             list_concat(list_concat(toks[1:bi-1], [toks[bi] || toks[bi+1]]),
+                         toks[bi+2:]) AS toks
+           FROM (
+             SELECT doc_id, word_idx, toks,
+               list_min(list_filter(list_transform(range(1, length(toks)), i ->
+                 list_position($pinnedMergesSql,
+                   toks[i] || chr(1) || toks[i+1]) * 1000000 + i),
+                 x -> x >= 1000000)) % 1000000 AS bi
+             FROM enc) s
+           WHERE bi IS NOT NULL),
+         final AS (
+           SELECT doc_id, word_idx, arg_min(toks, length(toks)) AS toks
+           FROM enc GROUP BY doc_id, word_idx),
+         agg AS (
+           SELECT doc_id, SUM(length(toks)) AS n_subwords,
+                  arg_min(toks, word_idx)[1] AS first_subword
+           FROM final GROUP BY doc_id)
+         SELECT d.doc_id, CAST(COALESCE(a.n_subwords, 0) AS INT) AS n_subwords,
+                a.first_subword
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     "t_token_stats" ->
       """SELECT doc_id,
          CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0

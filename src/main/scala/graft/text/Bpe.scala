@@ -28,13 +28,29 @@ object Bpe {
 
   type Merge = (String, String)
 
+  /** Base tokens of a word: one per Unicode code point — NOT per UTF-16
+    * code unit, which would split non-BMP characters (emoji, rare CJK)
+    * into invalid lone surrogates when subword tokens are emitted
+    * individually.
+    */
+  private def charToks(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** Train `numMerges` merges over a word-frequency table (driver-side).
     * Ties break to the lexicographically smallest pair.
     */
   def train(wordCounts: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
     // each distinct word as its char-token sequence + multiplicity
     var words: Vector[(Vector[String], Long)] = wordCounts
-      .map { case (w, c) => (w.map(_.toString).toVector, c) }.toVector
+      .map { case (w, c) => (charToks(w), c) }.toVector
     val merges = Vector.newBuilder[Merge]
     var m = 0
     var done = false
@@ -83,7 +99,7 @@ object Bpe {
 
   /** GPT-2 encode loop: repeatedly merge the lowest-rank adjacent pair. */
   def encodeWord(word: String, ranks: Map[Merge, Int]): Vector[String] = {
-    var toks = word.map(_.toString).toVector
+    var toks = charToks(word)
     var continue = toks.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
