@@ -24,13 +24,26 @@ object CorpusStorage {
 
   val HashCol = "content_hash"
 
+  /** Identifiers reach catalog SQL verbatim, so gate them hard: plain or
+    * dot-qualified `[A-Za-z_][A-Za-z0-9_]*` only — anything else (quotes,
+    * spaces, semicolons) throws instead of being interpolated.
+    */
+  private def validateIdentifier(table: String): Unit =
+    require(table.split('.').forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"invalid table identifier '$table' — use [A-Za-z_][A-Za-z0-9_]* segments")
+
   /** Write `docs` bucketed+sorted by the content hash of `textCol` as
     * an external table at `path`.
+    *
+    * The replace is handled by `mode(overwrite)` inside `saveAsTable`
+    * alone — no pre-emptive DROP: a write that fails partway must leave
+    * the catalog still holding the previous snapshot rather than no
+    * table at all (the recurring-dedup consumers read `scan(table)`
+    * unconditionally).
     */
   def writeBucketed(docs: DataFrame, textCol: String, table: String,
                     path: String, nBuckets: Int = 32): Unit = {
-    val spark = docs.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    validateIdentifier(table)
     docs.withColumn(HashCol, xxhash64(col(textCol)))
       .write.format("parquet").mode("overwrite")
       .option("path", path)

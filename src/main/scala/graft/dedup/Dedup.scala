@@ -242,8 +242,8 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
       .withColumn("split",
-        when(pmod(col("canonical_id") * 2654435761L, lit(1000L)) < trainPermille,
-          "train").otherwise("test"))
+        when(pmod(graft.operators.Sampling.avalancheKey(col("canonical_id")),
+          lit(1000L)) < trainPermille, "train").otherwise("test"))
   }
 
   // --------------------------------------------------- cluster resolution

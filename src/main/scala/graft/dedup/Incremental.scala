@@ -33,9 +33,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * the Bloom filter only ever routes rows, it never decides membership,
   * so false positives cost a join row, not a wrong answer.
   *
-  * The membership probe compiles to Spark's native codegen'd
-  * `BloomFilterMightContain` predicate (the expression behind runtime
-  * bloom joins) rather than a boxing Scala UDF.
+  * The membership probe is a codegen'd native expression over a
+  * broadcast of the filter ([[graft.functions.expressions.BloomProbeExpr]])
+  * rather than a boxing Scala UDF — and rather than Spark's own
+  * `BloomFilterMightContain`, whose literal child would embed the whole
+  * bit array in the logical plan.
   *
   * [[checkBatch]] is narrow ops + a stream-static join, so the same
   * operator runs unchanged over a `readStream` batch feed (continuous
@@ -81,13 +83,17 @@ object Incremental {
   def snapshotIndex(corpus: DataFrame, textCol: String): DataFrame =
     corpus.select(md5(col(textCol)).as("ch")).distinct()
 
-  /** Codegen'd Bloom membership probe of `text`'s content hash. */
+  /** Codegen'd Bloom membership probe of `text`'s content hash. The
+    * filter ships as a broadcast variable (fetched once per executor),
+    * NOT as a plan literal — a snapshot-scale filter embedded in the
+    * logical plan would bloat every plan copy and task binary and risk
+    * driver OOM (see [[graft.functions.expressions.BloomProbeExpr]]).
+    */
   def mightContain(bf: BloomFilter, text: Column): Column = {
-    import org.apache.spark.sql.graftbridge.Bridge._
-    val out = new ByteArrayOutputStream()
-    bf.writeTo(out)
-    toColumn(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-      toExpr(lit(out.toByteArray)), toExpr(contentHash(text))))
+    val spark = SparkSession.active
+    val bc = spark.sparkContext.broadcast(bf)
+    graft.functions.expressions.BloomExpressions
+      .mightContainLong(bc, contentHash(text))
   }
 
   /** Flag each batch row against the snapshot: `(batch columns…, is_new)`.

@@ -22,6 +22,24 @@ object Sampling {
   def hashKey(keys: Seq[Column]): Column =
     pmod(xxhash64(keys: _*), lit(1000000007L))
 
+  /** Portable avalanche hash of a key: the first 15 hex digits of
+    * md5(key as string), as a long — 60 uniformly-mixed bits that DuckDB
+    * derives identically (`CAST('0x' || substr(md5(x::VARCHAR),1,15) AS
+    * BIGINT)`). Used for keep/split THRESHOLD decisions, where the
+    * previous multiplicative-only `(key * 2654435761) % m` was a
+    * bijection of `key mod m` (gcd = 1): structured id spaces (e.g.
+    * stride-encoded shard ids) correlated with the keep decision, and
+    * the multiply overflowed for keys ≥ ~3.5e9 — wrapping in Spark,
+    * erroring in DuckDB/ANSI. md5 avalanches every input bit and never
+    * overflows.
+    */
+  def avalancheKey(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL mirroring [[avalancheKey]] over expression `x`. */
+  def avalancheKeySql(x: String): String =
+    s"CAST('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15) AS BIGINT)"
+
   /** Mark `fraction` of rows per stratum as "training", the rest "test"
     * (ref: imputation_sampler.py:75-105 incl. the J8 left join + default).
     */
@@ -56,9 +74,9 @@ object Sampling {
     * dominant domain's partition).
     *
     * The selection (not just the rate) is deterministic and portable:
-    * a fixed multiplicative hash of the row key against
-    * ceil(fraction·M) over modulus M. Domains absent from `fractions`
-    * fall back to `defaultFraction`.
+    * the [[avalancheKey]] hash of the row key against ceil(fraction·M)
+    * over modulus M. Domains absent from `fractions` fall back to
+    * `defaultFraction`.
     */
   def domainMixture(df: DataFrame, domainCol: String, keyCol: String,
                     fractions: Map[String, Double],
@@ -69,7 +87,7 @@ object Sampling {
     val weights = fractions.toSeq.toDF(domainCol, "__frac")
     df.join(broadcast(weights), Seq(domainCol), "left")
       .withColumn("__frac", coalesce(col("__frac"), lit(defaultFraction)))
-      .filter(pmod(col(keyCol) * lit(2654435761L), lit(m)) <
+      .filter(pmod(avalancheKey(col(keyCol)), lit(m)) <
         ceil(col("__frac") * lit(m)).cast("long"))
       .select(df.columns.map(col): _*) // join put the key first; restore
   }
@@ -87,8 +105,8 @@ object Sampling {
   /** Score-weighted sampling: keep each row with probability
     * `clamp(scoreCol · scale, 0, 1)` — quality-proportional corpus
     * downsampling (keep the best docs at full rate, thin the tail),
-    * decided per row by the same deterministic multiplicative-hash
-    * threshold the other samplers use. Map-side, shuffle-free,
+    * decided per row by the same deterministic [[avalancheKey]]
+    * threshold the domain sampler uses. Map-side, shuffle-free,
     * reproducible across runs and engines; expectation of the kept
     * fraction equals the mean clamped score.
     */
@@ -96,7 +114,7 @@ object Sampling {
                           scale: Double = 1.0): DataFrame = {
     val m = 1000000007L
     val p = least(greatest(col(scoreCol) * scale, lit(0.0)), lit(1.0))
-    df.filter(pmod(col(keyCol) * lit(2654435761L), lit(m)) <
+    df.filter(pmod(avalancheKey(col(keyCol)), lit(m)) <
       ceil(p * lit(m)).cast("long"))
   }
 }

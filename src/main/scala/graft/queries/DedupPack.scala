@@ -201,7 +201,7 @@ object DedupPack extends QueryPack {
          canon AS (SELECT node, MIN(lbl) AS canonical FROM reach GROUP BY node)
          SELECT d.doc_id,
            COALESCE(canon.canonical, d.doc_id) AS canonical_id,
-           CASE WHEN (COALESCE(canon.canonical, d.doc_id) * 2654435761) % 1000 < 800
+           CASE WHEN CAST('0x' || substr(md5(CAST(COALESCE(canon.canonical, d.doc_id) AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 800
                 THEN 'train' ELSE 'test' END AS split
          FROM documents d LEFT JOIN canon ON canon.node = d.doc_id
          ORDER BY d.doc_id""",

@@ -452,7 +452,7 @@ object TextPack extends QueryPack {
             + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0 AS qv
            FROM scored)
          SELECT doc_id FROM q
-         WHERE (doc_id * 2654435761) % 1000000007
+         WHERE ${graft.operators.Sampling.avalancheKeySql("doc_id")} % 1000000007
                < CEIL(LEAST(GREATEST(qv, 0.0), 1.0) * 1000000007)
          ORDER BY doc_id""",
     "t_c4_line_filter" ->
@@ -586,7 +586,8 @@ object TextPack extends QueryPack {
       s"""WITH w(source, frac) AS (VALUES $MixValuesSql)
          SELECT d.doc_id, d.source
          FROM documents d JOIN w USING (source)
-         WHERE (d.doc_id * 2654435761) % 1000000007 < CEIL(frac * 1000000007)
+         WHERE ${graft.operators.Sampling.avalancheKeySql("d.doc_id")} % 1000000007
+               < CEIL(frac * 1000000007)
          ORDER BY d.doc_id""",
     // Mirrors graft.text.Winnow exactly: k=5 char-grams hashed with the
     // wrapping Rabin-Karp polynomial (B=1000003; powers of B mod 2^64 are

@@ -322,6 +322,21 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS corpus_bucketed_spec")
   }
 
+  test("bucketed corpus: snapshot replace is overwrite-only, identifiers gated") {
+    val path = java.nio.file.Files.createTempDirectory("graft-corpus2").toString + "/docs"
+    CorpusStorage.writeBucketed(docs.limit(3), "text", "corpus_replace_spec",
+      path, nBuckets = 2)
+    try {
+      // second write replaces in place (no pre-DROP window with no table)
+      CorpusStorage.writeBucketed(docs, "text", "corpus_replace_spec",
+        path, nBuckets = 2)
+      assert(CorpusStorage.scan(spark, "corpus_replace_spec").count() === 6)
+      intercept[IllegalArgumentException] {
+        CorpusStorage.writeBucketed(docs, "text", "bad name; DROP TABLE x", path)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS corpus_replace_spec")
+  }
+
   test("incremental: bloom round-trips through the Hadoop FS path") {
     val bf = Incremental.buildBloom(docs, "text", expectedItems = 1000L)
     val p = java.nio.file.Files.createTempDirectory("bloom").toString + "/snap.bloom"
