@@ -118,4 +118,62 @@ class NedGranuleSpec extends AnyFunSuite {
     val archived = NedAdapter.toArchive(long, grid, "t2m", method = "linear")
     assert(archived.count() === 4) // 2 grids × 2 days
   }
+
+  // ------------------------------------------------- HDF5 container path
+
+  private val MerraFixture = java.nio.file.Paths.get(
+    "/root/reference/src/pm25ml/collectors/ned/data_reader_merra__it_assets/" +
+      "M2T1NXAER.5.12.4_MERRA2_400.tavg1_2d_aer_Nx.20230101_TOTEXTTAU_subsetted.nc4")
+
+  private lazy val merraBytes: Array[Byte] =
+    java.nio.file.Files.readAllBytes(MerraFixture)
+
+  test("HDF5: real MERRA-2 .nc4 granule matches the reference IT expectations") {
+    assume(java.nio.file.Files.exists(MerraFixture), "reference fixture absent")
+    // same bbox + assertions as the reference's own integration test
+    // (data_reader_merra__it.py:44-65): 41×33 cells, 2023-01-01
+    val day = NedGranule.extractDay(merraBytes, "TOTEXTTAU",
+      bbox = Some((10.0, 30.0, 70.0, 90.0)))
+    assert(day.date === "2023-01-01")
+    assert(day.lats.length === 41 && day.lons.length === 33)
+    assert(day.lats.head === 10.0 && day.lats.last === 30.0)
+    assert(day.lons.head === 70.0 && day.lons.last === 90.0)
+    // MERRA-2 grid spacing is exactly 0.5° × 0.625°
+    assert(day.lats.sliding(2).forall(a => a(1) - a(0) === 0.5))
+    assert(day.lons.sliding(2).forall(a => math.abs(a(1) - a(0) - 0.625) < 1e-12))
+    // AOD plausibility over India in January: finite, positive, < 5
+    val vals = day.values.flatten
+    assert(vals.forall(v => !v.isNaN && v > 0.0 && v < 5.0))
+  }
+
+  test("HDF5: structural decode — dense attrs, chunked+shuffle+deflate data") {
+    assume(java.nio.file.Files.exists(MerraFixture), "reference fixture absent")
+    val f = Hdf5.read(merraBytes)
+    val kids = f.children(f.rootAddr).toMap
+    assert(kids.keySet === Set("lat", "lon", "time", "TOTEXTTAU"))
+    // dense (fractal-heap) root attributes, incl. vlen strings via the
+    // global heap
+    val ra = f.rootAttributes
+    assert(ra.get("Format") === Some(Hdf5.Text("NetCDF-4/HDF-5")))
+    assert(ra.get("LatitudeResolution") === Some(Hdf5.Text("0.5")))
+    assert(ra.get("RangeBeginningDate") === Some(Hdf5.Text("2023-01-01")))
+    // the hourly time axis decodes through the chunk pipeline: minutes
+    val time = f.dataset("time", kids("time"))
+    assert(time.dims.toSeq === Seq(24))
+    assert(time.doubles.toSeq === (0 until 24).map(_ * 60.0))
+    // variable dims resolve via DIMENSION_LIST references
+    val v = f.dataset("TOTEXTTAU", kids("TOTEXTTAU"))
+    assert(v.dims.toSeq === Seq(24, 66, 52))
+    assert(v.attrNum("_FillValue").exists(_ > 1e14))
+  }
+
+  test("HDF5: readGranules end-to-end over the real fixture") {
+    assume(java.nio.file.Files.exists(MerraFixture), "reference fixture absent")
+    val spark = TestSpark.spark
+    val long = NedGranule.readGranules(spark, MerraFixture.toString,
+      "TOTEXTTAU", bbox = Some((10.0, 30.0, 70.0, 90.0)))
+    assert(long.count() === 41L * 33L)
+    val r = long.where("lat = 20.0 AND lon = 80.0").collect()
+    assert(r.length === 1 && r.head.getString(0) === "2023-01-01")
+  }
 }
