@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{NedGranule, OmiGranule}
+import graft.raster.NetCdf4
+
+/** Science-granule source operators (SURVEY.md §2.1 S11/S12) at the gate:
+  * each query WRITES a synthetic granule with the in-repo netCDF-4 writer
+  * (old-style HDF5) whose cell values are a closed-form function of the
+  * grid, then reads it back through the full executor-side decode path —
+  * so the DuckDB oracle can recompute every output value independently.
+  * Container-format fidelity against real-world files (new-style HDF5,
+  * dense attrs, shuffle filter) is covered by the MERRA-2 fixture specs;
+  * these queries gate the end-to-end semantics: CF unpack, fill→NaN,
+  * time-mean, coord synthesis, bbox subset, long-row emission.
+  */
+object SourcePack extends QueryPack {
+
+  /** MERRA-shaped netCDF-4 granule: v(t,i,j) = t + 2·lat + 3·lon, every
+    * (t+i+j)%5==0 cell filled; CF-packed (scale 0.5, offset 10), chunked
+    * (edge-padded) + deflate. Returns the granule path.
+    */
+  def merraFixture(dir: java.nio.file.Path): String = {
+    val lats = Array(10.0, 20.0, 30.0, 40.0, 50.0)
+    val lons = Array(70.0, 71.0, 72.0, 73.0, 74.0, 75.0)
+    val data = Array.tabulate(4 * 5 * 6) { k =>
+      val t = k / 30; val i = (k % 30) / 6; val j = k % 6
+      if ((t + i + j) % 5 == 0) 9999f
+      else (t + 2 * lats(i) + 3 * lons(j)).toFloat
+    }
+    val root = NetCdf4.Group("/",
+      attrs = Seq(NetCdf4.Attr("RangeBeginningDate", NetCdf4.AText("2023-07-01"))),
+      dsets = Seq(
+        NetCdf4.Dset("lat", Seq(5), Nil, NetCdf4.F64(lats)),
+        NetCdf4.Dset("lon", Seq(6), Nil, NetCdf4.F64(lons)),
+        NetCdf4.Dset("time", Seq(4), Nil, NetCdf4.I32(Array(0, 60, 120, 180))),
+        NetCdf4.Dset("AOD", Seq(4, 5, 6),
+          Seq(NetCdf4.Attr("_FillValue", NetCdf4.AFloats(Array(9999f))),
+            NetCdf4.Attr("scale_factor", NetCdf4.ADoubles(Array(0.5))),
+            NetCdf4.Attr("add_offset", NetCdf4.ADoubles(Array(10.0)))),
+          NetCdf4.F32(data), chunks = Some(Seq(3, 2, 6)), deflate = 5)))
+    val p = s"$dir/granule.nc4"
+    NetCdf4.write(root, p)
+    p
+  }
+
+  /** OMI-shaped HDF-EOS5 granule: the EOS group layout with GridSpan /
+    * GridSpacing coord synthesis metadata and v(i,j) = 3·lat + 2·lon,
+    * every (i+j)%3==0 cell filled. Returns the granule path.
+    */
+  def omiFixture(dir: java.nio.file.Path): String = {
+    val nLat = 4; val nLon = 6
+    def lat(i: Int) = 2.5 + i * 5.0
+    def lon(j: Int) = 2.5 + j * 5.0
+    val data = Array.tabulate(nLat * nLon) { k =>
+      val i = k / nLon; val j = k % nLon
+      if ((i + j) % 3 == 0) 1e30f else (3 * lat(i) + 2 * lon(j)).toFloat
+    }
+    val dataFields = NetCdf4.Group("Data Fields", dsets = Seq(
+      NetCdf4.Dset("ColumnAmountNO2", Seq(nLat, nLon),
+        Seq(NetCdf4.Attr("_FillValue", NetCdf4.AFloats(Array(1e30f)))),
+        NetCdf4.F32(data))))
+    val grid = NetCdf4.Group("ColumnAmountNO2",
+      attrs = Seq(
+        NetCdf4.Attr("GridSpan", NetCdf4.AText("(0.0, 30.0, 0.0, 20.0)")),
+        NetCdf4.Attr("GridSpacing", NetCdf4.AText("(5.0, 5.0)")),
+        NetCdf4.Attr("NumberOfLongitudesInGrid", NetCdf4.AInts(Array(nLon))),
+        NetCdf4.Attr("NumberOfLatitudesInGrid", NetCdf4.AInts(Array(nLat)))),
+      groups = Seq(dataFields))
+    val fileAttrs = NetCdf4.Group("FILE_ATTRIBUTES", attrs = Seq(
+      NetCdf4.Attr("GranuleYear", NetCdf4.AInts(Array(2023))),
+      NetCdf4.Attr("GranuleMonth", NetCdf4.AInts(Array(1))),
+      NetCdf4.Attr("GranuleDay", NetCdf4.AInts(Array(11)))))
+    val root = NetCdf4.Group("/", groups = Seq(
+      NetCdf4.Group("HDFEOS", groups = Seq(
+        NetCdf4.Group("ADDITIONAL", groups = Seq(fileAttrs)),
+        NetCdf4.Group("GRIDS", groups = Seq(grid))))))
+    val p = s"$dir/omi.he5"
+    NetCdf4.write(root, p)
+    p
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S11: netCDF-4 granule → CF unpack + fill→NaN + NaN-skipping
+    // time-mean → long rows. Values are exact dyadic rationals on both
+    // engines (ints scaled by 0.5, means over ≤4 exact doubles), so the
+    // compare is bit-perfect.
+    "s11_granule_read" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s11")
+      val p = merraFixture(tmp)
+      NedGranule.readGranules(s, p, "AOD")
+        .select(col("date"), col("lat"), col("lon"),
+          round(col("value"), 4).as("value"))
+        .orderBy("lat", "lon")
+    }),
+
+    // S12: HDF-EOS5 grid → date from FILE_ATTRIBUTES, coords synthesized
+    // from GridSpan/GridSpacing with the half-cell centre adjustment,
+    // fill→NaN, inclusive bbox subset.
+    "s12_omi_grid" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s12")
+      val p = omiFixture(tmp)
+      OmiGranule.readGranules(s, p, "ColumnAmountNO2",
+          bbox = Some((5.0, 20.0, 5.0, 25.0)))
+        .orderBy("lat", "lon")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "s11_granule_read" ->
+      """WITH t AS (SELECT unnest(range(0, 4)) AS t),
+           la AS (SELECT unnest(range(0, 5)) AS i),
+           lo AS (SELECT unnest(range(0, 6)) AS j),
+         cells AS (
+           SELECT 10.0 + i*10 AS lat, 70.0 + j AS lon, t FROM la, lo, t
+           WHERE (t + i + j) % 5 <> 0)
+         SELECT '2023-07-01' AS date, lat, lon,
+           ROUND(AVG(0.5*(t + 2*lat + 3*lon) + 10), 4) AS value
+         FROM cells GROUP BY lat, lon ORDER BY lat, lon""",
+    "s12_omi_grid" ->
+      """WITH la AS (SELECT unnest(range(0, 4)) AS i),
+           lo AS (SELECT unnest(range(0, 6)) AS j),
+         cells AS (
+           SELECT 2.5 + i*5 AS lat, 2.5 + j*5 AS lon, i, j FROM la, lo)
+         SELECT '2023-01-11' AS date, lat, lon,
+           CAST(3*lat + 2*lon AS DOUBLE) AS value
+         FROM cells
+         WHERE (i + j) % 3 <> 0
+           AND lat BETWEEN 5 AND 20 AND lon BETWEEN 5 AND 25
+         ORDER BY lat, lon""")
+}
