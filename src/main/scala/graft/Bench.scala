@@ -52,17 +52,27 @@ object Bench {
         Seq.empty
       }
     val results = queryResults ++ pipelineResults
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
+    def jsonLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = fmt(results.map(_._2).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // File copy survives any stdout mangling by a wrapping build tool.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (json + "\n").getBytes("UTF-8"))
     }
-    println(json)
+    // The PRINTED line is capped-precision: round 3's full-precision line
+    // (~90 queries × 17-digit doubles) overflowed the driver's log-tail
+    // capture and the totals failed to parse. 3 decimals halves the line
+    // while keeping ms resolution; the full-precision copy goes to a file
+    // (SPARK_GRAFT_BENCH_OUT, else the tmpdir fallback below), immune to
+    // any stdout mangling by a wrapping build tool.
+    val full = jsonLine(_.toString)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      sys.props("java.io.tmpdir") + "/graft_bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(jsonLine(v => f"$v%.3f"))
     System.out.flush()
     spark.stop()
   }

@@ -10,6 +10,24 @@ import org.apache.spark.sql.SparkSession
   * Usage: graft.Explain [queryName ...]
   */
 object Explain {
+
+  /** Shuffle exchanges in the executed plan (descends into AQE roots) —
+    * the number the plan-hygiene audits and bench guards assert on.
+    */
+  def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Int = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case o => o.children
+      }
+      (p match { case _: ShuffleExchangeExec => 1; case _ => 0 }) + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

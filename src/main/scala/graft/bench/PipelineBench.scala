@@ -112,11 +112,93 @@ object PipelineBench {
     */
   def runBest(spark: SparkSession, outRoot: String, n: Int): Map[String, Double] = {
     val staged = prepare(spark, outRoot)
-    try {
+    val best = try {
       val runs = (0 until math.max(1, n)).map(_ => run(spark, outRoot, staged))
       val names = runs.head.keys
       names.map(k => k -> runs.map(_(k)).min).toMap
     } finally cleanup(spark, staged)
+    best ++ diskBackedCombine(spark, n) ++ yearSoak(spark, outRoot)
+  }
+
+  /** One combine recorded on REAL disk next to the tmpfs numbers, so the
+    * parquet-I/O term stays visible in every round's report (tmpfs
+    * isolates engine cost from co-tenant disk contention — see
+    * [[scratchRoot]] — but the disk figure is the honest deployment
+    * number). Inputs and outputs both live on the disk root.
+    */
+  private def diskBackedCombine(spark: SparkSession, n: Int): Map[String, Double] = {
+    val diskRoot = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-pbench-disk").toString
+    try {
+      val monthly = (0 until 12).map(i =>
+        s"ds$i" -> monthlyDataset(spark, s"ds$i", 1 + i % 3))
+      val static = Seq("elev" -> staticDataset(spark, "elev"),
+        "grid" -> staticDataset(spark, "gridmeta"))
+      val plain = (monthly ++ static).map { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$diskRoot/stage/$name")
+        name -> spark.read.parquet(s"$diskRoot/stage/$name")
+      }
+      val t = (0 until math.max(1, math.min(n, 2))).map { _ =>
+        time {
+          WideCombiner.combine(plain)
+            .write.mode("overwrite").parquet(s"$diskRoot/combined")
+        }
+      }.min
+      Map("pm25_combine_month_1M_disk" -> t)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(diskRoot))
+  }
+
+  /** Year-scale soak (single shot — the month stages already carry the
+    * min-of-n statistics): s02 feature generation over a full production
+    * year (365 days + the 31-day warm-up tail the reference reads for
+    * cross-year rolling windows; ~13.1 M rows) with a plan guard that the
+    * whole run still shuffles ONCE on grid_id, and a quarter of daily
+    * spatial imputations (92 days × 33k points). These are the stages
+    * whose cost must scale linearly with months for the 80-month
+    * production backfill to stay inside BASELINE.md's envelope.
+    */
+  private def yearSoak(spark: SparkSession, outRoot: String): Map[String, Double] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val yearDf = rangeDataset(spark, "2022-12-01", 396, cols = 8)
+    yearDf.write.mode("overwrite").parquet(s"$outRoot/year_in")
+    val yearIn = spark.read.parquet(s"$outRoot/year_in")
+    val baseCols = yearIn.columns.filter(_.startsWith("y_v")).toSeq
+    val generated = FeatureGenerator.generate(
+      yearIn.withColumn("month", substring(col("date"), 1, 7)), 2023,
+      FeatureGenerator.Config(baseColumns = baseCols))
+    out += "pm25_feature_gen_year" -> time {
+      generated.write.mode("overwrite").parquet(s"$outRoot/year_features")
+    }
+    // scale guard: the four window families must share ONE grid_id
+    // exchange — a second one would double the dominant shuffle at 100 TB
+    val exchanges = graft.Explain.shuffleCount(generated)
+    require(exchanges <= 1,
+      s"feature-gen year plan has $exchanges shuffle exchanges (want 1)")
+
+    val grid = gridFrame(spark)
+    val quarter = rangeDataset(spark, "2023-01-01", 92, cols = 2)
+      .join(broadcast(grid), Seq("grid_id"))
+    out += "pm25_spatial_impute_quarter" -> time {
+      DailySpatialInterpolator
+        .interpolate(quarter, "date", "original_x", "original_y",
+          Seq("y_v0", "y_v1"))
+        .write.mode("overwrite").parquet(s"$outRoot/imputed_quarter")
+    }
+    out.toMap
+  }
+
+  /** Like [[monthlyDataset]] but over an arbitrary day range. */
+  def rangeDataset(spark: SparkSession, startDate: String, days: Int,
+                   cols: Int): DataFrame = {
+    val base = spark.range(NGrids.toLong * days).select(
+      (col("id") % NGrids).as("grid_id"),
+      date_format(date_add(lit(startDate).cast("date"),
+        floor(col("id") / NGrids).cast("int")), "yyyy-MM-dd").as("date"),
+      col("id"))
+    base.select(col("grid_id") +: col("date") +: (0 until cols).map(i =>
+      when(pmod(col("id") * 31 + i * 17, lit(53)) === 0, lit(null))
+        .otherwise(sin(col("id") * 0.001 + i) * 50 + 100).as(s"y_v$i")): _*)
   }
 
   /** Time the reference-scale stages once; returns name → seconds. */

@@ -102,10 +102,15 @@ object FeatureGenerator {
     val out = df.filter(col("year") === year)
       .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
 
-    // generated value columns stored float32 like the rest of the table
+    // generated value columns stored float32 like the rest of the table —
+    // one aliased select (a per-column withColumn fold re-analyzes the
+    // whole projection each step: quadratic at production width, the same
+    // trap the window section above avoids)
     val genCols = cfg.baseColumns.flatMap(c => Seq(
-      s"${c}__mean_r7d", s"${c}__mean_r365d", s"${c}__mean_year", s"${c}__mean_all"))
-    genCols.foldLeft(out)((d, c) => d.withColumn(c, col(c).cast(FloatType)))
+      s"${c}__mean_r7d", s"${c}__mean_r365d", s"${c}__mean_year", s"${c}__mean_all")).toSet
+    out.select(out.columns.map { c =>
+      if (genCols.contains(c)) col(c).cast(FloatType).as(c) else col(c)
+    }.toIndexedSeq: _*)
   }
 
   // avoid shadowing by the local `year` parameter

@@ -101,9 +101,25 @@ object StratifiedGroupKFold {
     * a broadcast join. Group and stratum columns may be any orderable
     * type; they are densely re-indexed internally.
     */
+  /** Upper bound on collected (group × stratum) combinations. The greedy
+    * assignment is inherently driver-side (it is sequential in the sorted
+    * group order); the collect is GROUP-level, not row-level — pm25's
+    * ~3.3k 50 km cells × 5 regions ≈ 16k rows — but the bound makes the
+    * contract explicit so corpus-scale callers (e.g. millions of web
+    * domains as groups) fail fast with guidance instead of OOMing the
+    * driver.
+    */
+  val MaxGroupStratumCombos: Long = 5000000L
+
   def groupFolds(df: DataFrame, groupCol: String, stratumCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     // one distributed agg; collect is (groups × strata), group-level only
+    val comboCount = df.select(col(groupCol), col(stratumCol)).distinct().count()
+    require(comboCount <= MaxGroupStratumCombos,
+      s"$comboCount (group × stratum) combinations exceed the driver-side " +
+        s"bound $MaxGroupStratumCombos — stratified group k-fold collects " +
+        "group-level counts to the driver by design; reduce group " +
+        "cardinality (coarser grouping key) or raise the bound deliberately")
     val counts: Array[Row] = df
       .groupBy(col(groupCol).as("g"), col(stratumCol).as("s"))
       .agg(count(lit(1)).as("n"))

@@ -26,12 +26,15 @@ import org.apache.spark.sql.types.FloatType
 object WideCombiner {
   val KeyColumns: Set[String] = Set("grid_id", "date")
 
-  /** Namespace non-key columns with the dataset prefix. */
+  /** Namespace non-key columns with the dataset prefix — ONE select, not
+    * a `withColumnRenamed` fold: each fold step is its own analyzer
+    * projection, so the fold's analysis cost is quadratic in width (the
+    * production combine is ~100 columns wide across ~10 datasets).
+    */
   def prefixColumns(df: DataFrame, dataset: String): DataFrame =
-    df.columns.foldLeft(df) { (d, c) =>
-      if (KeyColumns.contains(c)) d
-      else d.withColumnRenamed(c, s"${dataset}__$c")
-    }
+    df.select(df.columns.map { c =>
+      if (KeyColumns.contains(c)) col(c) else col(c).as(s"${dataset}__$c")
+    }.toIndexedSeq: _*)
 
   /** Normalize date strings `YYYY-MM-DDT...` → `YYYY-MM-DD`. */
   def normalizeDate(df: DataFrame): DataFrame =

@@ -17,11 +17,24 @@ object RasterPivot {
   final case class RasterCube(times: Array[String], ys: Array[Double],
                               xs: Array[Double], values: Array[Array[Array[Float]]])
 
+  /** Hard cap on rows the terminal pivot will collect (~100M ≈ 2-3 GB of
+    * Rows — a year of the production grid is ~12M). The pivot is
+    * driver-side BY DESIGN (it feeds the single-file NetCDF artifact);
+    * the guard turns a silent driver OOM on mis-sized input into an
+    * actionable error.
+    */
+  val MaxCollectRows: Long = 100000000L
+
   /** Pivot (date, y, x, value) rows into a dense cube. Cells absent from
     * the frame are NaN — callers should have scaffolded already.
     */
   def toCube(df: DataFrame, timeCol: String, yCol: String, xCol: String,
              valueCol: String): RasterCube = {
+    val n = df.count()
+    require(n <= MaxCollectRows,
+      s"$n rows exceed the terminal-pivot collect bound $MaxCollectRows — " +
+        "the raster cube is a driver-side artifact; write the long frame " +
+        "partitioned instead, or pivot per time slice")
     val rows = df.select(col(timeCol).cast("string"), col(yCol).cast("double"),
       col(xCol).cast("double"), col(valueCol).cast("float")).collect()
     val times = rows.map(_.getString(0)).distinct.sorted

@@ -130,4 +130,19 @@ class CombineSpec extends AnyFunSuite {
     // exactly one row per (grid_id, date)
     assert(out.select("grid_id", "date").distinct().count() === 3 * 28)
   }
+
+  test("prefixColumns is one projection at production width (no quadratic analysis)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val wide = spark.range(10).select(
+      (col("id").as("grid_id") +:
+        (0 until 120).map(i => (col("id") * i).as(s"c$i"))): _*)
+    val baseProjects = wide.queryExecution.analyzed.collect { case p: Project => p }.length
+    val prefixed = WideCombiner.prefixColumns(wide, "ds")
+    val got = prefixed.queryExecution.analyzed.collect { case p: Project => p }.length
+    // a withColumnRenamed fold would add one Project PER COLUMN (120);
+    // the single-select rewrite adds exactly one
+    assert(got === baseProjects + 1)
+    assert(prefixed.columns.count(_.startsWith("ds__")) === 120)
+    assert(prefixed.columns.contains("grid_id"))
+  }
 }

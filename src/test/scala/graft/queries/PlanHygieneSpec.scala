@@ -50,8 +50,9 @@ class PlanHygieneSpec extends AnyFunSuite {
   test("incremental dedup probes the bloom filter natively, map-side") {
     val df = graft.SparkEntry.queries("dedup_incremental")(spark, sf)
     val s = df.queryExecution.executedPlan.toString
-    assert(s.contains("might_contain"),
-      "bloom probe should be the native BloomFilterMightContain predicate")
+    assert(s.contains("bloom_probe"),
+      "bloom probe should be the codegen'd broadcast-backed BloomProbeExpr " +
+        "(a plan-literal might_contain would embed the whole bit array)")
   }
 
   test("decontamination broadcasts the eval grams — corpus never shuffles whole") {
