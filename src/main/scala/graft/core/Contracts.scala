@@ -34,6 +34,47 @@ object Contracts {
       case None => nGrids
     }
 
+  /** Fleet preflight over declared processor configs BEFORE anything runs
+    * (ref: validate_configuration.py:15-100): every result path carries
+    * dataset and country keys; the country is known (it fixes the grid
+    * count); the declared row count and id columns match what the path
+    * metadata implies (monthly → nGrids × daysInMonth with {grid_id,
+    * date}; else nGrids with {grid_id}); and no two processors write the
+    * same path.
+    */
+  def preflight(configs: Seq[(HivePath, PipelineConfig)],
+                validCountries: Map[String, Long]): Seq[Violation] = {
+    val out = Seq.newBuilder[Violation]
+    configs.foreach { case (hive, cfg) =>
+      if (hive.get("dataset").isEmpty)
+        out += Violation(s"$hive: missing required key 'dataset'")
+      hive.get("country") match {
+        case None => out += Violation(s"$hive: missing required key 'country'")
+        case Some(c) if !validCountries.contains(c) =>
+          out += Violation(s"$hive: invalid country '$c'; valid: " +
+            validCountries.keys.toSeq.sorted.mkString(", "))
+        case Some(c) =>
+          val nGrids = validCountries(c)
+          val expRows = expectedRowsFor(hive, nGrids)
+          if (cfg.expectedRows != expRows)
+            out += Violation(s"$hive: expected $expRows rows from path " +
+              s"metadata, but config declares ${cfg.expectedRows}")
+          val expIds: Set[String] =
+            if (hive.get("month").isDefined) Set("date", "grid_id")
+            else Set("grid_id")
+          if (cfg.idColumns != expIds)
+            out += Violation(s"$hive: expected id columns $expIds from " +
+              s"path metadata, but config declares ${cfg.idColumns}")
+      }
+    }
+    val dup = configs.groupBy(_._1.path).filter(_._2.size > 1).keys
+    dup.toSeq.sorted.foreach { p =>
+      out += Violation(s"duplicate result subpath: $p — each processor " +
+        "must write a unique path")
+    }
+    out.result()
+  }
+
   /** Validate a written frame against its contract. Types accept the
     * reference's widenings: FLOAT accepts float32/float64, INT accepts
     * int64 (ref: archived_file_validator.py:204-225).

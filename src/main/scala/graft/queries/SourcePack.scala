@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.{NedGranule, OmiGranule}
+import graft.ingest.{Connectors, NedExportPipeline, NedGranule, OmiGranule}
 import graft.raster.NetCdf4
 
 /** Science-granule source operators (SURVEY.md §2.1 S11/S12) at the gate:
@@ -82,6 +82,33 @@ object SourcePack extends QueryPack {
     p
   }
 
+  /** MERRA-shaped granule whose unpacked field is PLANAR and all-valid:
+    * raw(t,i,j) = t + 2·lat + 3·lon, CF scale 0.5 / offset 10, so the
+    * 4-step time-mean is lat + 1.5·lon + 10.75 at every cell and bilinear
+    * regrid reproduces the plane exactly. Returns the granule path.
+    */
+  def nedPlaneFixture(dir: java.nio.file.Path): String = {
+    val lats = Array(10.0, 20.0, 30.0, 40.0, 50.0)
+    val lons = Array(70.0, 71.0, 72.0, 73.0, 74.0, 75.0)
+    val data = Array.tabulate(4 * 5 * 6) { k =>
+      val t = k / 30; val i = (k % 30) / 6; val j = k % 6
+      (t + 2 * lats(i) + 3 * lons(j)).toFloat
+    }
+    val root = NetCdf4.Group("/",
+      attrs = Seq(NetCdf4.Attr("RangeBeginningDate", NetCdf4.AText("2023-07-01"))),
+      dsets = Seq(
+        NetCdf4.Dset("lat", Seq(5), Nil, NetCdf4.F64(lats)),
+        NetCdf4.Dset("lon", Seq(6), Nil, NetCdf4.F64(lons)),
+        NetCdf4.Dset("time", Seq(4), Nil, NetCdf4.I32(Array(0, 60, 120, 180))),
+        NetCdf4.Dset("AOD", Seq(4, 5, 6),
+          Seq(NetCdf4.Attr("scale_factor", NetCdf4.ADoubles(Array(0.5))),
+            NetCdf4.Attr("add_offset", NetCdf4.ADoubles(Array(10.0)))),
+          NetCdf4.F32(data), chunks = Some(Seq(2, 3, 4)), deflate = 4)))
+    val p = s"$dir/plane.nc4"
+    NetCdf4.write(root, p)
+    p
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S11: netCDF-4 granule → CF unpack + fill→NaN + NaN-skipping
     // time-mean → long rows. Values are exact dyadic rationals on both
@@ -94,6 +121,36 @@ object SourcePack extends QueryPack {
         .select(col("date"), col("lat"), col("lon"),
           round(col("value"), 4).as("value"))
         .orderBy("lat", "lon")
+    }),
+
+    // S15–S17 composition: the full NedExportPipeline with an injected
+    // local-file retriever — granule-count gate (1 granule against a
+    // 2-day descriptor: the tolerated days−1 case), executor-side decode,
+    // daily regrid onto grid centroids derived from the customer table,
+    // variable rename, and the missing-row scaffold (the uncovered second
+    // day lands as NULL rows). The planar fixture makes every value
+    // closed-form; float32 absorbs bilinear FP noise, so the compare is
+    // exact.
+    "s15_ned_export" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s15")
+      val p = nedPlaneFixture(tmp)
+      val grid = graft.core.Tables.table(s, dir, "customer").select(
+        col("c_custkey").as("grid_id"),
+        (lit(10.0) + col("c_custkey") % 31).cast("double").as("lat"),
+        (lit(70.0) + col("c_custkey") % 5).cast("double").as("lon"))
+      val descriptor = Connectors.NedDatasetDescriptor(
+        "M2T1NXAER", "5.12.4",
+        java.time.LocalDate.parse("2023-07-01"),
+        java.time.LocalDate.parse("2023-07-02"),
+        (69.0, 5.0, 76.0, 55.0),
+        Map("AOD" -> "merra_aod"))
+      val pipe = new NedExportPipeline(
+        grid, descriptor,
+        streamGranules = _ => Seq(p),
+        readLong = (sp, paths) =>
+          NedGranule.readGranules(sp, paths.mkString(","), "AOD"),
+        nGrids = grid.count())
+      pipe.readValidated(s, "2023-07").orderBy("grid_id", "date")
     }),
 
     // S12: HDF-EOS5 grid → date from FILE_ATTRIBUTES, coords synthesized
@@ -118,6 +175,18 @@ object SourcePack extends QueryPack {
          SELECT '2023-07-01' AS date, lat, lon,
            ROUND(AVG(0.5*(t + 2*lat + 3*lon) + 10), 4) AS value
          FROM cells GROUP BY lat, lon ORDER BY lat, lon""",
+    // the regridded day evaluates the plane lat + 1.5·lon + 10.75 at each
+    // grid centroid; the scaffolded day is NULL — both dyadic-exact in
+    // float32 on both engines
+    "s15_ned_export" ->
+      """SELECT c_custkey AS grid_id, d.date AS date,
+           CASE WHEN d.date = '2023-07-01'
+                THEN CAST((10 + c_custkey % 31)
+                          + 1.5 * (70 + c_custkey % 5) + 10.75 AS FLOAT)
+                ELSE NULL END AS merra_aod
+         FROM customer,
+           (SELECT '2023-07-01' AS date UNION ALL SELECT '2023-07-02') d
+         ORDER BY grid_id, date""",
     "s12_omi_grid" ->
       """WITH la AS (SELECT unnest(range(0, 4)) AS i),
            lo AS (SELECT unnest(range(0, 6)) AS j),
