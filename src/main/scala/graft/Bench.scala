@@ -72,7 +72,9 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    println(jsonLine(v => f"$v%.3f"))
+    // Locale.ROOT: the f-interpolator honours the default locale, and a
+    // comma decimal separator would corrupt the JSON line
+    println(jsonLine(v => "%.3f".formatLocal(java.util.Locale.ROOT, v)))
     System.out.flush()
     spark.stop()
   }

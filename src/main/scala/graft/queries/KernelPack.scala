@@ -90,6 +90,47 @@ object KernelPack extends QueryPack {
         .orderBy("p_partkey")
     }),
 
+    // K1 tiled twin — the 100×-density scale path: same planar
+    // construction as k1b, interpolated per (date, tile) with a halo by
+    // TiledInterpolator. Same oracle: the tiled kernel is spec-asserted
+    // bit-identical to the untiled one wherever the halo covers the
+    // interpolation neighborhood, and the plane makes every value
+    // closed-form.
+    "k1c_interpolate_tiled" -> ((s, dir) => {
+      import s.implicits._
+      val raw = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"),
+          (pmod(col("p_partkey") * 2654435761L, lit(100000L)).cast("double") / 100.0)
+            .as("x"),
+          (pmod(col("p_partkey") * 40503L + 7L, lit(100000L)).cast("double") / 100.0)
+            .as("y"),
+          concat(lit("2024-01-0"), (col("p_partkey") % 4 + 1)).as("date"))
+      val pts = raw.select(col("p_partkey"), col("x"), col("y"), col("date"),
+        when(col("p_size") % 7 === 0, lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("x") + lit(3.0) * col("y") + lit(10.0))
+          .as("v"))
+      // anchor POSTS along the whole boundary, not just 4 corners: a
+      // tile's halo-local hull must cover its own targets, so every
+      // 300-unit window of the frame edge needs an anchor (with corner-
+      // only anchors, edge targets above the local hull chord fall to
+      // nearest-fill and off the plane)
+      val edge = Seq(-10.0, 194.0, 398.0, 602.0, 806.0, 1010.0)
+      val anchors = for {
+        d <- 1 to 4
+        ((ax, ay), i) <- (edge.map((_, -10.0)) ++ edge.map((_, 1010.0)) ++
+          edge.drop(1).dropRight(1).map((-10.0, _)) ++
+          edge.drop(1).dropRight(1).map((1010.0, _))).zipWithIndex
+      } yield (-(d * 100L + i + 1), ax, ay, s"2024-01-0$d",
+        2.0 * ax + 3.0 * ay + 10.0)
+      val anchorsDf = anchors.toDF("p_partkey", "x", "y", "date", "v")
+      graft.spatial.TiledInterpolator
+        .interpolate(pts.unionByName(anchorsDf), "date", "x", "y", Seq("v"),
+          gx = 2, gy = 2, halo = 300.0)
+        .filter(col("p_partkey") >= 0)
+        .select(col("p_partkey"), round(col("v"), 4).as("v_filled"))
+        .orderBy("p_partkey")
+    }),
+
     // K2: regrid a coarse raster (built from the region table) onto
     // customer "coordinates" by bilinear interpolation.
     "k2_regrid_bilinear" -> ((s, dir) => {
@@ -149,6 +190,12 @@ object KernelPack extends QueryPack {
     // so the doubles are bit-identical and the 4-dp round is safe (true
     // values have 2 decimals; barycentric error ~1e-12).
     "k1b_interpolate_plane" ->
+      """SELECT p_partkey,
+         ROUND(2.0 * (CAST((p_partkey * 2654435761) % 100000 AS DOUBLE) / 100.0)
+             + 3.0 * (CAST((p_partkey * 40503 + 7) % 100000 AS DOUBLE) / 100.0)
+             + 10.0, 4) AS v_filled
+         FROM part ORDER BY p_partkey""",
+    "k1c_interpolate_tiled" ->
       """SELECT p_partkey,
          ROUND(2.0 * (CAST((p_partkey * 2654435761) % 100000 AS DOUBLE) / 100.0)
              + 3.0 * (CAST((p_partkey * 40503 + 7) % 100000 AS DOUBLE) / 100.0)
