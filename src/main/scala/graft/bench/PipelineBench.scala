@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.features.FeatureGenerator
 import graft.operators.{Scaffold, WideCombiner}
-import graft.spatial.DailySpatialInterpolator
+import graft.spatial.{DailySpatialInterpolator, TiledInterpolator}
 
 /** Reference-scale pipeline benchmarks — the workload BASELINE.md actually
   * measures: a 33,074-cell grid × calendar month (~1M rows) combined from
@@ -117,7 +117,43 @@ object PipelineBench {
       val names = runs.head.keys
       names.map(k => k -> runs.map(_(k)).min).toMap
     } finally cleanup(spark, staged)
-    best ++ diskBackedCombine(spark, n) ++ yearSoak(spark, outRoot)
+    best ++ diskBackedCombine(spark, n) ++ yearSoak(spark, outRoot) ++
+      denseImpute(spark)
+  }
+
+  /** The dense-grid K1 scenario: 300k points/day (9× the production
+    * grid), 2 days. Untiled, each day is ONE Delaunay task — 30 of 32
+    * local cores idle while two straggler triangulations run; tiled
+    * (8×4 tiles, 6-spacing halo) the same work is 64 bounded tasks. The
+    * pair quantifies the straggler-elimination headroom the tiled path
+    * buys before 100-TB grid densities need it (a single 1M-point
+    * triangulation already measures 6 minutes — the per-day key simply
+    * stops scaling there, which is the point).
+    */
+  def denseImpute(spark: SparkSession): Map[String, Double] = {
+    val nPts = 300000L
+    val days = 2
+    val side = math.ceil(math.sqrt(nPts.toDouble)).toLong // 1000
+    val df = spark.range(nPts * days).select(
+      date_format(date_add(lit("2023-07-01").cast("date"),
+        (col("id") / nPts).cast("int")), "yyyy-MM-dd").as("date"),
+      (pmod(col("id"), lit(nPts)) % side * 10.0 +
+        pmod(col("id") * 2654435761L, lit(1000L)) * 0.003).as("x"),
+      (floor(pmod(col("id"), lit(nPts)) / side) * 10.0 +
+        pmod(col("id") * 48611L, lit(1000L)) * 0.003).as("y"),
+      when(pmod(col("id") * 31L, lit(10L)) === 0, lit(null))
+        .otherwise(sin(col("id") * 1e-3) * 50 + 100).as("v"))
+      .localCheckpoint() // materialize once; time kernels, not the generator
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    out += "k1_dense_300k_untiled" -> time {
+      DailySpatialInterpolator
+        .interpolate(df, "date", "x", "y", Seq("v")).count()
+    }
+    out += "k1_dense_300k_tiled" -> time {
+      TiledInterpolator.interpolate(df, "date", "x", "y", Seq("v"),
+        gx = 8, gy = 4, halo = 60.0).count()
+    }
+    out.toMap
   }
 
   /** One combine recorded on REAL disk next to the tmpfs numbers, so the

@@ -262,139 +262,19 @@ object Delaunay {
       k += 1
     }
 
-    val tris = done.filter(t =>
-      t.a < n && t.b < n && t.c < n).toArray
-    new Triangulation(pxIn, pyIn, lawsonRepair(pxIn, pyIn, tris))
+    // canonical cyclic rotation — geometrically smallest vertex first —
+    // so the same triangle found in two different runs (or in a subset
+    // triangulation of the same neighborhood) yields BIT-IDENTICAL
+    // barycentric arithmetic downstream
+    val tris = done.filter(t => t.a < n && t.b < n && t.c < n)
+      .map { t =>
+        def key(i: Int) = (pxIn(i), pyIn(i))
+        val mk = Seq(key(t.a), key(t.b), key(t.c)).min
+        if (key(t.a) == mk) t
+        else if (key(t.b) == mk) Tri(t.b, t.c, t.a, t.cx, t.cy, t.r2)
+        else Tri(t.c, t.a, t.b, t.cx, t.cy, t.r2)
+      }.toArray
+    new Triangulation(pxIn, pyIn, tris)
   }
 
-  /** Lawson flip pass: repair any adjacent triangle pair violating the
-    * empty-circumcircle property. The sweep construction above computes
-    * incircle tests against super-triangle circumcenters at ~1e5·dmax,
-    * where double-precision circumcenters carry data-scale error — a
-    * misjudged cavity then leaves locally non-Delaunay REAL triangles
-    * (measured: margin-~r²/50 violations on 1.4k-point jittered grids).
-    * Flipping operates purely on data-scale coordinates (translated
-    * incircle determinant, floating-point-filter threshold), so the
-    * repaired mesh is Delaunay up to genuine cocircular ties — which is
-    * also what makes a tile+halo subset triangulation agree with the
-    * global one on interior triangles ([[TiledInterpolator]]'s fidelity
-    * contract).
-    */
-  private def lawsonRepair(px: Array[Double], py: Array[Double],
-                           trisIn: Array[Tri]): Array[Tri] = {
-    if (trisIn.length < 2) return trisIn
-    val tris = ArrayBuffer.empty[(Int, Int, Int)]
-    trisIn.foreach { t =>
-      // canonical CCW orientation so the incircle sign convention holds
-      val o = (px(t.b) - px(t.a)) * (py(t.c) - py(t.a)) -
-        (py(t.b) - py(t.a)) * (px(t.c) - px(t.a))
-      tris += (if (o >= 0) (t.a, t.b, t.c) else (t.a, t.c, t.b))
-    }
-    val alive = ArrayBuffer.fill(tris.length)(true)
-
-    def edgeKey(u: Int, v: Int): Long =
-      if (u < v) (u.toLong << 32) | v else (v.toLong << 32) | u
-    val edgeMap = scala.collection.mutable.LongMap.empty[List[Int]]
-    def register(ti: Int): Unit = {
-      val (a, b, c) = tris(ti)
-      Seq((a, b), (b, c), (c, a)).foreach { case (u, v) =>
-        val k = edgeKey(u, v)
-        edgeMap(k) = ti :: edgeMap.getOrElse(k, Nil).filter(alive(_))
-      }
-    }
-    tris.indices.foreach(register)
-
-    /** apex of triangle ti opposite edge (u,v), or -1 */
-    def apex(ti: Int, u: Int, v: Int): Int = {
-      val (a, b, c) = tris(ti)
-      if (a != u && a != v) a else if (b != u && b != v) b else c
-    }
-
-    /** d strictly inside circumcircle of CCW (a,b,c), with an FP filter:
-      * |det| below 1e-12 of its magnitude bound counts as cocircular.
-      */
-    def inCircle(a: Int, b: Int, c: Int, d: Int): Boolean = {
-      val adx = px(a) - px(d); val ady = py(a) - py(d)
-      val bdx = px(b) - px(d); val bdy = py(b) - py(d)
-      val cdx = px(c) - px(d); val cdy = py(c) - py(d)
-      val ad2 = adx * adx + ady * ady
-      val bd2 = bdx * bdx + bdy * bdy
-      val cd2 = cdx * cdx + cdy * cdy
-      val det = adx * (bdy * cd2 - cdy * bd2) -
-        ady * (bdx * cd2 - cdx * bd2) +
-        ad2 * (bdx * cdy - cdx * bdy)
-      val mag = math.abs(adx * bdy * cd2) + math.abs(adx * cdy * bd2) +
-        math.abs(ady * bdx * cd2) + math.abs(ady * cdx * bd2) +
-        math.abs(ad2 * bdx * cdy) + math.abs(ad2 * cdx * bdy)
-      det > 1e-12 * mag
-    }
-
-    def ccw(a: Int, b: Int, c: Int): Boolean =
-      (px(b) - px(a)) * (py(c) - py(a)) -
-        (py(b) - py(a)) * (px(c) - px(a)) > 0
-
-    val queue = scala.collection.mutable.Queue.empty[Long]
-    edgeMap.keys.foreach(queue += _)
-    val queued = scala.collection.mutable.Set.empty[Long] ++ queue
-    var flips = 0
-    val maxFlips = 20 * tris.length
-    while (queue.nonEmpty && flips < maxFlips) {
-      val k = queue.dequeue()
-      queued -= k
-      val pair = edgeMap.getOrElse(k, Nil).filter(alive(_)).distinct
-      if (pair.length == 2) {
-        val u = (k >>> 32).toInt; val v = (k & 0xffffffffL).toInt
-        val t1 = pair.head; val t2 = pair(1)
-        val c1 = apex(t1, u, v); val c2 = apex(t2, u, v)
-        if (c1 != c2 && inCircle(tris(t1)._1, tris(t1)._2, tris(t1)._3, c2)) {
-          // flip only when the quad is strictly convex — otherwise the
-          // flipped pair would overlap
-          if (ccw(c1, u, c2) && ccw(c2, v, c1)) {
-            alive(t1) = false; alive(t2) = false
-            val n1 = (c1, u, c2); val n2 = (c2, v, c1)
-            tris += (if (ccw(n1._1, n1._2, n1._3)) n1 else (n1._1, n1._3, n1._2))
-            tris += (if (ccw(n2._1, n2._2, n2._3)) n2 else (n2._1, n2._3, n2._2))
-            alive += true; alive += true
-            register(tris.length - 2); register(tris.length - 1)
-            flips += 1
-            Seq(edgeKey(c1, u), edgeKey(u, c2), edgeKey(c2, v), edgeKey(v, c1),
-              edgeKey(c1, c2)).foreach { ek =>
-              if (!queued(ek)) { queue += ek; queued += ek }
-            }
-          }
-        }
-      }
-    }
-
-    val out = ArrayBuffer.empty[Tri]
-    tris.indices.foreach { ti =>
-      if (alive(ti)) {
-        // canonical cyclic rotation — geometrically smallest vertex first
-        // — so the same triangle found in two different runs (or in a
-        // subset triangulation) yields BIT-IDENTICAL barycentric
-        // arithmetic downstream
-        val (a, b, c) = {
-          val (a0, b0, c0) = tris(ti)
-          def key(i: Int) = (px(i), py(i))
-          val mk = Seq(key(a0), key(b0), key(c0)).min
-          if (key(a0) == mk) (a0, b0, c0)
-          else if (key(b0) == mk) (b0, c0, a0)
-          else (c0, a0, b0)
-        }
-        val ax = px(a); val ay = py(a)
-        val bx = px(b); val by = py(b)
-        val cx0 = px(c); val cy0 = py(c)
-        val d = 2 * (ax * (by - cy0) + bx * (cy0 - ay) + cx0 * (ay - by))
-        if (math.abs(d) >= 1e-300) {
-          val ux = ((ax * ax + ay * ay) * (by - cy0) + (bx * bx + by * by) * (cy0 - ay) +
-            (cx0 * cx0 + cy0 * cy0) * (ay - by)) / d
-          val uy = ((ax * ax + ay * ay) * (cx0 - bx) + (bx * bx + by * by) * (ax - cx0) +
-            (cx0 * cx0 + cy0 * cy0) * (bx - ax)) / d
-          val r2 = (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)
-          out += Tri(a, b, c, ux, uy, r2)
-        }
-      }
-    }
-    out.toArray
-  }
 }
