@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables.table
-import graft.text.TextFunctions
+import graft.text.{TextFunctions, UrlFunctions}
 import graft.functions.expressions.TextExpressions
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -33,6 +33,51 @@ object TextPack extends QueryPack {
     PinnedMerges.map { case (a, b) => s"'$a\u0001$b'" }.mkString("[", ",", "]")
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL canonicalization — the standard first dedup pass on a web
+    // corpus. Raw URLs are derived deterministically from doc_id with the
+    // full mess a crawl produces (case variants, default ports, tracking
+    // params in shuffled order, fragments, trailing slashes); the oracle
+    // states the expected canonical form per case in closed form, so the
+    // generic functions-only implementation is checked end to end.
+    "t_url_canonicalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = when(id % 5 === 0,
+          concat(lit("https://Example.COM/path/"), id, lit("?utm_source=feed&b=2&a=1#top")))
+        .when(id % 5 === 1,
+          concat(lit("http://example.com:80/path/"), id, lit("/")))
+        .when(id % 5 === 2,
+          concat(lit("https://EXAMPLE.com:443/p/"), id, lit("?z=9&fbclid=abc&y=8")))
+        .when(id % 5 === 3,
+          concat(lit("HTTP://example.com/path/"), id, lit("?b=2&a=1&ref=tw")))
+        .otherwise(concat(lit("https://Sub.Example.com/"), id, lit("#frag")))
+      table(s, dir, "documents")
+        .select(id, url.as("url"))
+        .select(id,
+          UrlFunctions.canonicalizeUrl(col("url")).as("url_canon"),
+          UrlFunctions.canonicalHost(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
+
+    // URL-level dedup: four raw variants of the same logical page
+    // canonicalize to one URL; keep the lowest doc_id per canonical URL.
+    "t_url_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = id % 200
+      val url = when(id % 4 === 0,
+          concat(lit("https://example.com/p/"), base, lit("?a=1&b=2")))
+        .when(id % 4 === 1,
+          concat(lit("https://EXAMPLE.COM:443/p/"), base, lit("/?b=2&a=1")))
+        .when(id % 4 === 2,
+          concat(lit("https://example.com/p/"), base, lit("?a=1&utm_medium=x&b=2#s")))
+        .otherwise(
+          concat(lit("HTTPS://example.com/p/"), base, lit("/?b=2&a=1&gclid=z")))
+      table(s, dir, "documents")
+        .select(id, UrlFunctions.canonicalizeUrl(url).as("url_canon"))
+        .groupBy("url_canon")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+        .orderBy("url_canon")
+    }),
+
     "t_token_stats" -> ((s, dir) => {
       val t = col("text")
       table(s, dir, "documents")
@@ -283,6 +328,25 @@ object TextPack extends QueryPack {
       |""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // closed-form expected canonical per construction case — independent
+    // of the Spark-side generic implementation
+    "t_url_canonicalize" ->
+      """SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://example.com/path/' || doc_id || '?a=1&b=2'
+             WHEN 1 THEN 'http://example.com/path/' || doc_id
+             WHEN 2 THEN 'https://example.com/p/' || doc_id || '?y=8&z=9'
+             WHEN 3 THEN 'http://example.com/path/' || doc_id || '?a=1&b=2'
+             ELSE 'https://sub.example.com/' || doc_id
+           END AS url_canon,
+           CASE WHEN doc_id % 5 = 4 THEN 'sub.example.com'
+                ELSE 'example.com' END AS host
+         FROM documents ORDER BY doc_id""",
+    "t_url_dedup" ->
+      """SELECT 'https://example.com/p/' || (doc_id % 200) || '?a=1&b=2' AS url_canon,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+         FROM documents
+         GROUP BY 1 ORDER BY url_canon""",
     // Recursive-CTE replay of the GPT-2 encode loop over the pinned merge
     // ranks: each recursion step merges the lowest-rank (leftmost on tie)
     // adjacent pair — rank and position packed into one integer so
