@@ -118,6 +118,27 @@ object DedupPack extends QueryPack {
       Incremental.checkBatch(batch, idx, bf, "doc_id", "text")
         .select("doc_id", "is_new")
         .orderBy("doc_id")
+    }),
+
+    // Repeated-paragraph removal: each doc becomes a 4-paragraph page —
+    // two template paragraphs stamped across many docs (df 500 and ~100)
+    // and two substring-derived ones (df ~1) — and the operator must strip
+    // exactly the high-df paragraphs while preserving order.
+    "dedup_paragraphs" -> ((s, dir) => {
+      val page = concat(
+        lit("subscribe to our newsletter today\n"),
+        substring(col("text"), 1, 30), lit("\n"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          lit("share this article on social media"))
+          .otherwise(lit("opinions are the author's own")),
+        lit("\n"),
+        substring(col("text"), 31, 50))
+      val pages = table(s, dir, "documents")
+        .select(col("doc_id"), page.as("text"))
+      graft.dedup.ParagraphDedup.removeRepeated(
+          pages, "doc_id", "text", maxDocFreq = 2L)
+        .withColumnRenamed("text", "clean_text")
+        .orderBy("doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -223,5 +244,30 @@ object DedupPack extends QueryPack {
            FROM documents)
          SELECT b.doc_id,
                 NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text) AS is_new
-         FROM batch b ORDER BY doc_id""")
+         FROM batch b ORDER BY doc_id""",
+    // Paragraph document frequency computed directly over the paragraph
+    // text (the Spark side groups by xxhash64 of the text — agreement
+    // also certifies the hash-keyed frequency table is collision-clean).
+    "dedup_paragraphs" ->
+      """WITH page AS (
+           SELECT doc_id,
+                  'subscribe to our newsletter today' || chr(10) ||
+                  SUBSTRING(text, 1, 30) || chr(10) ||
+                  CASE WHEN doc_id % 5 = 0 THEN 'share this article on social media'
+                       ELSE 'opinions are the author''s own' END || chr(10) ||
+                  SUBSTRING(text, 31, 50) AS t
+           FROM documents),
+         paras AS (
+           SELECT doc_id,
+                  UNNEST(STRING_SPLIT(t, chr(10))) AS para,
+                  UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(t, chr(10))))) AS pos
+           FROM page),
+         ne AS (SELECT * FROM paras WHERE LENGTH(TRIM(para)) > 0),
+         freq AS (SELECT para, COUNT(DISTINCT doc_id) AS pdf FROM ne GROUP BY para)
+         SELECT ne.doc_id,
+                COALESCE(STRING_AGG(CASE WHEN f.pdf <= 2 THEN ne.para END,
+                                    chr(10) ORDER BY ne.pos), '') AS clean_text,
+                CAST(SUM(CASE WHEN f.pdf > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         FROM ne JOIN freq f USING (para)
+         GROUP BY ne.doc_id ORDER BY ne.doc_id""")
 }
