@@ -102,6 +102,18 @@ object SimilarityPack extends QueryPack {
           emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
           emb, k = 3, planes = 8, probeRadius = 8)
         .orderBy("query_id", "rk")
+    }),
+
+    // Prototypicality pruning at nlist=1: the cell mean is the global
+    // per-dimension mean, so the keep-the-farthest-60% ranking is a
+    // closed-form SQL statement; per-cluster behavior stays in AnnSpec.
+    "ann_prototype_prune" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val index = Ann.trainIvf(emb, nlist = 1)
+      Ann.prototypicalityPrune(emb, index, keepFraction = 0.6)
+        .select(col("id").as("vec_id"), col("cell"),
+          round(col("d2"), 6).as("d2"), col("kept"))
+        .orderBy("vec_id")
     }))
 
   /** Exact-cosine top-k (k=3, queries vec_id < 10) — the oracle for the
@@ -129,6 +141,20 @@ object SimilarityPack extends QueryPack {
        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
 
   def oracles: Map[String, String] = Map(
+    // nlist=1 ⇒ cell mean = global per-dimension mean; squared distance
+    // folds in index order on both engines (ordered SUM vs aggregate).
+    "ann_prototype_prune" ->
+      s"""WITH $VecCte,
+         mean AS (SELECT i, AVG(x) AS m FROM v GROUP BY i),
+         d AS (SELECT vec_id, SUM((x - m) * (x - m) ORDER BY i) AS d2
+               FROM v JOIN mean USING (i) GROUP BY vec_id),
+         r AS (SELECT vec_id, d2,
+                      ROW_NUMBER() OVER (ORDER BY d2 DESC, vec_id) AS rk,
+                      COUNT(*) OVER () AS n
+               FROM d)
+         SELECT vec_id, CAST(0 AS INTEGER) AS cell, ROUND(d2, 6) AS d2,
+                rk <= CEIL(0.6 * n) AS kept
+         FROM r ORDER BY vec_id""",
     "ann_quantize_int8" ->
       """WITH s AS (
            SELECT vec_id, embedding,

@@ -458,6 +458,51 @@ object Ann {
         coalesce(col("kept"), lit(true)).as("kept"))
   }
 
+  /** Prototypicality pruning (Sorscher et al., "Beyond neural scaling
+    * laws: beating power law scaling via data pruning", NeurIPS 2022):
+    * rank each vector by squared L2 distance to its cluster's mean and
+    * keep the `keepFraction` hardest (farthest) per cell — the
+    * data-pruning rule that drops the most prototypical, least
+    * informative examples when the dataset is large.
+    *
+    * 100 TB shape: cell means come from a two-level aggregation of the
+    * exploded (cell, dim, x) rows — nlist × dim tiny, broadcast back —
+    * then one window rank per cell; nothing all-pairs, per-cell work is
+    * one pass. Distance² folds in index order (`aggregate` over
+    * `zip_with`), bit-stable across engines. At `nlist = 1` the cell mean
+    * is the global per-dimension mean and the ranking is a closed-form
+    * SQL statement — the setting the driver oracle verifies, mirroring
+    * the exhaustive-probe IVF/LSH oracles; clustered behavior is
+    * asserted in AnnSpec.
+    *
+    * Returns `(id, cell, d2, kept)` for every vector; ties break by id.
+    */
+  def prototypicalityPrune(vectors: DataFrame, index: IvfIndex,
+                           keepFraction: Double, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0, 1] (got $keepFraction)")
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", ivfCell(col("v"), index))
+    val means = v
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    val scored = v.join(broadcast(means), Seq("cell"))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, t) => acc + t))
+    val byCell = Window.partitionBy(col("cell"))
+    scored
+      .withColumn("rk",
+        row_number().over(byCell.orderBy(col("d2").desc, col("id"))))
+      .withColumn("kept",
+        col("rk") <= ceil(count(lit(1)).over(byCell) * keepFraction))
+      .select(col("id"), col("cell"), col("d2"), col("kept"))
+  }
+
   /** Banded sign-LSH near-duplicate pairs: `bands` independent hyperplane
     * families of `planesPerBand` planes each; a pair is a candidate iff it
     * collides on ALL planes of at least one band, then candidates are

@@ -189,4 +189,28 @@ class AnnSpec extends AnyFunSuite {
     assert(cellOf(1L) === cellOf(2L) && cellOf(3L) === cellOf(4L))
     assert(cellOf(1L) !== cellOf(3L))
   }
+
+  test("prototypicalityPrune keeps the farthest-from-centroid half per cell") {
+    // two separated clusters of 4; within each, ids 3/4 (resp. 7/8) sit
+    // farther from the cluster mean than 1/2 (resp. 5/6)
+    val vecs = Seq(
+      (1L, Array(1.00f, 0.00f)), (2L, Array(1.00f, 0.02f)),
+      (3L, Array(1.00f, 0.30f)), (4L, Array(1.00f, -0.40f)),
+      (5L, Array(-1.00f, 0.00f)), (6L, Array(-1.00f, 0.02f)),
+      (7L, Array(-1.00f, 0.30f)), (8L, Array(-1.00f, -0.40f))
+    ).toDF("vec_id", "embedding")
+    val idx = Ann.trainIvf(vecs, nlist = 2)
+    val rows = Ann.prototypicalityPrune(vecs, idx, keepFraction = 0.5).collect()
+    val kept = rows.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L, 7L, 8L))
+    // ceil(0.5 * 4) survivors per cell, and d2 ranks within the cell
+    val byCell = rows.groupBy(_.getInt(1))
+    assert(byCell.size === 2)
+    byCell.values.foreach { cellRows =>
+      assert(cellRows.count(_.getBoolean(3)) === 2)
+      val minKeptD2 = cellRows.filter(_.getBoolean(3)).map(_.getDouble(2)).min
+      val maxDropD2 = cellRows.filterNot(_.getBoolean(3)).map(_.getDouble(2)).max
+      assert(minKeptD2 > maxDropD2)
+    }
+  }
 }
