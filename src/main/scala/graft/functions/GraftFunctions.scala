@@ -39,5 +39,7 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("fnv_buckets",
+      exprs => FnvBucketsExpr(exprs.head, intLit(exprs(1))), "scala_udf")
   }
 }

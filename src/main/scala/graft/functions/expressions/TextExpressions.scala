@@ -51,12 +51,44 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** FNV-1a feature-hash bucket of each token: array<string> →
+  * array<int> of `((fnv1a64(tok) mod m) + m) mod m` — the hashing-trick
+  * front end for linear text classifiers ([[graft.text.QualityClassifier]]).
+  * Native expression rather than `functions` arithmetic because the FNV
+  * multiply must wrap on 64-bit overflow, which ANSI-mode Spark SQL
+  * arithmetic refuses to do.
+  */
+case class FnvBucketsExpr(child: Expression, m: Int) extends UnaryExpression {
+  require(m > 0, s"bucket count must be positive (got $m)")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExprHelpers.fnvBuckets(input.asInstanceOf[ArrayData], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExprHelpers.fnvBuckets($c, $m);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "fnv_buckets"
+}
+
 /** Static helpers the generated code calls. */
 object TextExprHelpers {
   def simhashArray(arr: ArrayData): Long = {
     val it = (0 until arr.numElements()).iterator
       .map(i => arr.getUTF8String(i).toString)
     graft.dedup.SimHash.simhash64(it)
+  }
+
+  def fnvBuckets(arr: ArrayData, m: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val mod = (graft.dedup.SimHash.fnv1a64(arr.getUTF8String(i).toString) % m).toInt
+      out(i) = if (mod < 0) mod + m else mod
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -67,4 +99,7 @@ object TextExpressions {
     toColumn(WinnowFingerprintExpr(toExpr(c), k, w))
 
   def simhash64(tokens: Column): Column = toColumn(SimHash64Expr(toExpr(tokens)))
+
+  def fnv_buckets(tokens: Column, m: Int): Column =
+    toColumn(FnvBucketsExpr(toExpr(tokens), m))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables.table
-import graft.text.{TextFunctions, UrlFunctions}
+import graft.text.{QualityClassifier, TextFunctions, UrlFunctions}
 import graft.functions.expressions.TextExpressions
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -298,6 +298,22 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), size(fp).as("fp_size"),
           element_at(fp, 1).as("fp_first"))
         .orderBy("doc_id")
+    }),
+
+    // Learned (fastText-style) quality scoring: hashed-bucket mean-pooled
+    // linear score + sigmoid. The gate pins a closed-form weight vector
+    // (w[j] = ((37j+11) mod 201 − 100)/100, bias −0.1) so the oracle
+    // replays the whole inference path — FNV-1a token hashing (the
+    // dedup_simhash recipe), bucket mod, pooling, sigmoid — in SQL;
+    // trained-weight behavior is asserted in QualityClassifierSpec.
+    "t_quality_classifier" -> ((s, dir) => {
+      val m = 64
+      val weights = (0 until m).map(j => ((j * 37 + 11) % 201 - 100) / 100.0)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(QualityClassifier.scoreText(col("text"), weights,
+            bias = -0.1, numBuckets = m), 6).as("quality_prob"))
+        .orderBy("doc_id")
     }))
 
   /** Per-source keep fractions for `t_domain_mix` — 0.25/0.5/0.75/1.0
@@ -327,7 +343,31 @@ object TextPack extends QueryPack {
       |  FROM base)
       |""".stripMargin
 
+  /** FNV-1a 64-bit of a token via wrapping HUGEINT arithmetic — the
+    * dedup_simhash oracle recipe, reused for the classifier's feature
+    * hashing.
+    */
+  private val FnvTokenSql =
+    """CASE WHEN length(tok)=0 THEN CAST(-3750763034362895579 AS BIGINT) ELSE
+         list_reduce(
+           list_prepend(CAST(-3750763034362895579 AS BIGINT),
+                        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+           (h, c) -> CAST(CASE WHEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211) % 18446744073709551616
+                               >= 9223372036854775808
+                          THEN ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211) % 18446744073709551616 - 18446744073709551616
+                          ELSE ((CASE WHEN xor(h, c) < 0 THEN CAST(xor(h, c) AS HUGEINT) + 18446744073709551616 ELSE CAST(xor(h, c) AS HUGEINT) END) * 1099511628211) % 18446744073709551616 END AS BIGINT))
+       END"""
+
   def oracles: Map[String, String] = Map(
+    "t_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok FROM documents),
+         th AS (SELECT doc_id, $FnvTokenSql AS h FROM toks),
+         bk AS (SELECT doc_id, CAST(((h % 64) + 64) % 64 AS INTEGER) AS b FROM th),
+         sc AS (SELECT doc_id,
+                       AVG((CAST((b * 37 + 11) % 201 AS DOUBLE) - 100) / 100.0) - 0.1 AS s
+                FROM bk GROUP BY doc_id)
+         SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-s)), 6) AS quality_prob
+         FROM sc ORDER BY doc_id""",
     // closed-form expected canonical per construction case — independent
     // of the Spark-side generic implementation
     "t_url_canonicalize" ->
