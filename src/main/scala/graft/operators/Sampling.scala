@@ -117,4 +117,27 @@ object Sampling {
     df.filter(pmod(avalancheKey(col(keyCol)), lit(m)) <
       ceil(p * lit(m)).cast("long"))
   }
+
+  /** Deterministic global corpus shuffle + sharding — the training-order
+    * randomization every pretraining data build needs (decorrelate
+    * neighboring documents before sequence packing): rows land in
+    * `pmod(avalancheKey(key ∥ salt), numShards)` and are ranked inside
+    * their shard by the same key, so the full (shard, shard_rank) order
+    * is a reproducible pseudorandom permutation — vary `salt` per epoch
+    * for a fresh permutation, re-run for an identical one (`rand()`
+    * would not survive a task retry).
+    *
+    * 100 TB shape: one shuffle on shard (md5 avalanches, so shards
+    * balance regardless of id structure) and a per-shard sort — exactly
+    * the write path of sharded training-data output; no global sort, no
+    * driver state.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, numShards: Int,
+                    salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be positive (got $numShards)")
+    val k = avalancheKey(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col("shard")).orderBy(k, col(keyCol))
+    df.withColumn("shard", pmod(k, lit(numShards.toLong)).cast("int"))
+      .withColumn("shard_rank", row_number().over(w))
+  }
 }

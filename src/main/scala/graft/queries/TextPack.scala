@@ -168,6 +168,16 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Deterministic global shuffle + sharding (training-order prep):
+    // salt-keyed avalanche permutation into 8 shards with in-shard rank.
+    "t_corpus_shuffle" -> ((s, dir) => {
+      graft.operators.Sampling.shuffleShards(
+          table(s, dir, "documents").select("doc_id"), "doc_id",
+          numShards = 8, salt = "epoch1")
+        .select("doc_id", "shard", "shard_rank")
+        .orderBy("doc_id")
+    }),
+
     // Corpus observability report: doc/token counts by (lang, source)
     // with ROLLUP subtotals and a grand total — the multi-level
     // aggregation surface (partial-aggregated like any groupBy; rollup
@@ -359,6 +369,16 @@ object TextPack extends QueryPack {
        END"""
 
   def oracles: Map[String, String] = Map(
+    // mirrors Sampling.avalancheKey (md5 15-hex-digit prefix, always
+    // non-negative so % equals pmod) with the same "epoch1" salt
+    "t_corpus_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch1'), 1, 15) AS BIGINT) AS h
+           FROM documents)
+         SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER) AS shard_rank
+         FROM k ORDER BY doc_id""",
     "t_quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok FROM documents),
          th AS (SELECT doc_id, $FnvTokenSql AS h FROM toks),

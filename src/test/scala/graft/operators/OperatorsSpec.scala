@@ -161,4 +161,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq((1L, "a", Some("x")), (2L, "b", Some("y")),
       (99L, "no-match", None)))
   }
+  test("shuffleShards: deterministic balanced permutation, salt-sensitive") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val a = Sampling.shuffleShards(docs, "doc_id", numShards = 8, salt = "epoch1")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val b = Sampling.shuffleShards(docs, "doc_id", numShards = 8, salt = "epoch1")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.toSeq === b.toSeq) // re-run reproduces the permutation exactly
+    // shards balance (avalanche hash): 500/8 = 62.5 expected per shard
+    val sizes = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.size === 8)
+    sizes.values.foreach(n => assert(n > 35 && n < 90, s"skewed shard: $n"))
+    // ranks are dense 1..n within each shard
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // a different salt yields a different permutation
+    val c = Sampling.shuffleShards(docs, "doc_id", numShards = 8, salt = "epoch2")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(c.toSeq !== a.toSeq)
+  }
 }
