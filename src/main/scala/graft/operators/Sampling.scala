@@ -140,4 +140,24 @@ object Sampling {
     df.withColumn("shard", pmod(k, lit(numShards.toLong)).cast("int"))
       .withColumn("shard_rank", row_number().over(w))
   }
+
+  /** Keep the top `k` rows of every group under `ordering` — count-based
+    * curation (the k best documents per domain by quality score), the
+    * complement of [[domainMixture]]'s fraction-based thinning. Appends
+    * `group_rank`, the row's 1-based position within its group; make the
+    * ordering total (tie-break on a unique id) for reproducible output.
+    *
+    * 100 TB shape: one shuffle on the group key, then a per-group sort
+    * inside each partition — no global sort, no driver state. Assumes
+    * many groups of moderate size (domains, languages, buckets); one
+    * giant group serializes into a single task's sort — pre-thin such
+    * skew with a per-partition partial top-k before the window.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   ordering: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("group_rank", row_number().over(w))
+      .filter(col("group_rank") <= k)
+  }
 }

@@ -178,6 +178,18 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Count-based curation: the 5 best documents per source domain by
+    // quality score (rounded to 6dp so the rank key is identical across
+    // engines), doc_id tie-break for a total order.
+    "t_topk_per_domain" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("q", round(TextFunctions.qualityScore(col("text")), 6))
+      graft.operators.Sampling.topKPerGroup(
+          docs, Seq("source"), Seq(col("q").desc, col("doc_id").asc), k = 5)
+        .select("doc_id", "source", "q", "group_rank")
+        .orderBy("doc_id")
+    }),
+
     // Corpus observability report: doc/token counts by (lang, source)
     // with ROLLUP subtotals and a grand total — the multi-level
     // aggregation surface (partial-aggregated like any groupBy; rollup
@@ -468,6 +480,20 @@ object TextPack extends QueryPack {
                 + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
                 + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0, 6) AS quality
          FROM scored ORDER BY doc_id""",
+    "t_topk_per_domain" ->
+      s"""WITH $QualityCte,
+         q AS (
+           SELECT doc_id,
+             ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                  + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+                  + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0, 6) AS q
+           FROM scored),
+         r AS (
+           SELECT d.doc_id, d.source, q.q,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY q.q DESC, d.doc_id) AS INTEGER) AS group_rank
+           FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         SELECT doc_id, source, q, group_rank FROM r
+         WHERE group_rank <= 5 ORDER BY doc_id""",
     "t_langid" ->
       """WITH h AS (
            SELECT doc_id,

@@ -181,4 +181,18 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(c.toSeq !== a.toSeq)
   }
+
+  test("topKPerGroup: best k rows per group with dense ranks and tie-break") {
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.7), (3L, "a", 0.7), (4L, "a", 0.1),
+      (5L, "b", 0.5), (6L, "b", 0.5)
+    ).toDF("id", "grp", "score")
+    val got = Sampling.topKPerGroup(df, Seq("grp"),
+        Seq(col("score").desc, col("id").asc), k = 2)
+      .select("id", "grp", "group_rank").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // ties (2,3) break on id: 2 ranks ahead of 3, which falls outside k=2
+    assert(got.toSeq === Seq((1L, "a", 1), (2L, "a", 2),
+      (5L, "b", 1), (6L, "b", 2)))
+  }
 }
