@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables.table
-import graft.text.{QualityClassifier, TextFunctions, UrlFunctions}
+import graft.text.{Bm25, QualityClassifier, TextFunctions, UrlFunctions}
 import graft.functions.expressions.TextExpressions
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -178,6 +178,16 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // BM25 keyword relevance over the corpus (Lucene IDF, k1=1.2,
+    // b=0.75): query-match curation / the lexical arm of hybrid
+    // retrieval. Only matching tokens are exploded — the shuffle
+    // carries hits, not the corpus.
+    "t_bm25_rank" -> ((s, dir) => {
+      Bm25.score(table(s, dir, "documents"), "doc_id", "text",
+          BmQueryTerms)
+        .orderBy("doc_id")
+    }),
+
     // Count-based curation: the 5 best documents per source domain by
     // quality score (rounded to 6dp so the rank key is identical across
     // engines), doc_id tie-break for a total order.
@@ -349,6 +359,11 @@ object TextPack extends QueryPack {
     MixFractions.toSeq.sorted
       .map { case (src, f) => s"('$src', $f)" }.mkString(", ")
 
+  /** Query terms for the BM25 gate query (present in the synthetic
+    * corpus with varied document frequencies).
+    */
+  private val BmQueryTerms = Seq("hash", "join", "spark", "window")
+
   private val QualityCte =
     """base AS (
       |  SELECT doc_id, text,
@@ -480,6 +495,7 @@ object TextPack extends QueryPack {
                 + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
                 + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0, 6) AS quality
          FROM scored ORDER BY doc_id""",
+    "t_bm25_rank" -> Bm25.oracleSql(BmQueryTerms),
     "t_topk_per_domain" ->
       s"""WITH $QualityCte,
          q AS (

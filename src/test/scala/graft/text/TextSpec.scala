@@ -383,4 +383,28 @@ class TextSpec extends AnyFunSuite {
     assert(got(1) === SimHash.simhash64(t2.split("\\s+").iterator))
     assert(SimHash.hamming(got(0), got(1)) <= 16)
   }
+
+  test("bm25: hand-checked scores on a tiny corpus") {
+    val docs = Seq(
+      (1L, "spark spark join"), (2L, "join hash"),
+      (3L, "the quick fox"), (4L, "spark")
+    ).toDF("doc_id", "text")
+    val got = Bm25.score(docs, "doc_id", "text", Seq("spark", "join"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+
+    // independent replay: N=4, avgdl=2.25, df(spark)=df(join)=2
+    val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5)) // = ln 2
+    def c(tf: Long, dl: Long): Double =
+      (idf * (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.25))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L)) // doc 3 never matches
+    assert(got(0) === ((1L, r6(c(2, 3) + c(1, 3)), 2)))
+    assert(got(1) === ((2L, r6(c(1, 2) + 0.0), 1)))
+    assert(got(2) === ((4L, r6(c(1, 1) + 0.0), 1)))
+    // higher tf and shorter doc both rank higher
+    assert(got(0)._2 > got(2)._2 && got(2)._2 > got(1)._2)
+  }
 }
