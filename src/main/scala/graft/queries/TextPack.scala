@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.table
 import graft.text.{Bm25, QualityClassifier, TextFunctions, UrlFunctions}
@@ -185,6 +186,27 @@ object TextPack extends QueryPack {
     "t_bm25_rank" -> ((s, dir) => {
       Bm25.score(table(s, dir, "documents"), "doc_id", "text",
           BmQueryTerms)
+        .orderBy("doc_id")
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // top-20 (ranked on the rounded score, doc_id tie-break) with the
+    // exact-cosine top-20 for query vector 3 (doc_id ≡ vec_id in the
+    // synthetic corpus). The single-partition rank windows are gate-
+    // scale shorthand — production arms rank per query_id.
+    "hybrid_rrf_rank" -> ((s, dir) => {
+      val lexW = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = Bm25.score(table(s, dir, "documents"), "doc_id", "text",
+          BmQueryTerms)
+        .withColumn("rank", row_number().over(lexW))
+        .filter(col("rank") <= 20)
+      val emb = table(s, dir, "embeddings")
+      val vec = graft.similarity.Ann.bruteForceTopK(
+          emb.filter(col("vec_id") === 3).withColumnRenamed("vec_id", "query_id"),
+          emb, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rk").as("rank"))
+      graft.similarity.Hybrid.rrfFuse(
+          Seq("lex" -> lex, "vec" -> vec), Seq("doc_id"), "rank")
         .orderBy("doc_id")
     }),
 
@@ -496,6 +518,39 @@ object TextPack extends QueryPack {
                 + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0, 6) AS quality
          FROM scored ORDER BY doc_id""",
     "t_bm25_rank" -> Bm25.oracleSql(BmQueryTerms),
+    // arms replayed independently (bm25 CTE = the t_bm25_rank oracle;
+    // cosine = ordered-fold dot, bit-identical to Spark), fused as
+    // 1/(60+r) with lex + vec added in that order
+    "hybrid_rrf_rank" ->
+      s"""WITH bm AS (${Bm25.oracleSql(BmQueryTerms)}),
+         lex0 AS (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+           FROM bm),
+         lex AS (SELECT doc_id, CAST(r AS INTEGER) AS rank_lex FROM lex0 WHERE r <= 20),
+         e AS (SELECT vec_id, embedding,
+                UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i FROM embeddings),
+         v AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM e),
+         nrm AS (SELECT vec_id, SQRT(SUM(x * x ORDER BY i)) AS nm FROM v GROUP BY vec_id),
+         dots AS (
+           SELECT b.vec_id AS neighbor_id, SUM(a.x * b.x ORDER BY a.i) AS dot
+           FROM v a JOIN v b ON a.i = b.i
+           WHERE a.vec_id = 3 GROUP BY 1),
+         cos AS (
+           SELECT neighbor_id,
+                  CASE WHEN na.nm * nb.nm = 0 THEN 0.0
+                       ELSE dot / (na.nm * nb.nm) END AS c
+           FROM dots JOIN nrm na ON na.vec_id = 3
+                     JOIN nrm nb ON nb.vec_id = neighbor_id),
+         vec0 AS (
+           SELECT neighbor_id AS doc_id,
+                  ROW_NUMBER() OVER (ORDER BY c DESC, neighbor_id) AS r
+           FROM cos),
+         vec AS (SELECT doc_id, CAST(r AS INTEGER) AS rank_vec FROM vec0 WHERE r <= 20)
+         SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_lex), CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_vec), CAST(0.0 AS DOUBLE)), 6) AS rrf
+         FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+         ORDER BY doc_id""",
     "t_topk_per_domain" ->
       s"""WITH $QualityCte,
          q AS (

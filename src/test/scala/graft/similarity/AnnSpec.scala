@@ -213,4 +213,25 @@ class AnnSpec extends AnyFunSuite {
       assert(minKeptD2 > maxDropD2)
     }
   }
+
+  test("rrfFuse: reciprocal-rank fusion with missing-arm zeros") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val got = Hybrid.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+        Seq("doc_id"), "rank")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getDouble(3)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(
+      (10L, Some(1), None, r6(1.0 / 61)),
+      (20L, Some(2), Some(1), r6(1.0 / 62 + 1.0 / 61)),
+      (30L, Some(3), None, r6(1.0 / 63)),
+      (40L, None, Some(2), r6(1.0 / 62))))
+    // doc in both arms outranks every single-arm doc here
+    val best = got.maxBy(_._4)
+    assert(best._1 === 20L)
+  }
 }
