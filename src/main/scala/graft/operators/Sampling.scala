@@ -160,4 +160,37 @@ object Sampling {
     df.withColumn("group_rank", row_number().over(w))
       .filter(col("group_rank") <= k)
   }
+
+  /** Greedy token-budget selection: walk documents best-first
+    * (`scoreCol` desc, `idCol` asc) and keep every row whose running
+    * token total stays within `budget` — "fill N training tokens with
+    * the best data". Appends `cum_tokens`, the running total through
+    * each kept row.
+    *
+    * 100 TB shape: the global running sum is decomposed so no stage
+    * sorts the corpus in one task — a per-score-value window (order by
+    * id) gives within-group running sums, and group offsets come from a
+    * prefix sum over the per-score totals, a side table bounded by the
+    * score's distinct cardinality (quantize scores — e.g. round to 6dp
+    * ⇒ ≤ 1e6+1 groups — to keep it small enough to broadcast). Token
+    * counts are integers, so the decomposed sum is exactly the
+    * sequential one.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive (got $budget)")
+    val totals = df.groupBy(col(scoreCol))
+      .agg(sum(col(tokenCol)).as("__bucket_tokens"))
+    val offW = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.withColumn("__offset",
+      coalesce(sum(col("__bucket_tokens")).over(offW), lit(0L)))
+    val inW = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(offsets.drop("__bucket_tokens")), Seq(scoreCol))
+      .withColumn("cum_tokens",
+        col("__offset") + sum(col(tokenCol)).over(inW))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__offset")
+  }
 }

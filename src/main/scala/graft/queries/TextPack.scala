@@ -222,6 +222,20 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Token-budget selection: best documents first (rounded quality
+    // desc, doc_id tie-break) until 10k tokens are filled — exact-int
+    // running sums, decomposed per score bucket (no global sort task).
+    "t_token_budget" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("q"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetSelect(
+          docs, "doc_id", "q", "n_tokens", budget = 10000L)
+        .select("doc_id", "q", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Corpus observability report: doc/token counts by (lang, source)
     // with ROLLUP subtotals and a grand total — the multi-level
     // aggregation surface (partial-aggregated like any groupBy; rollup
@@ -551,6 +565,24 @@ object TextPack extends QueryPack {
                + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_vec), CAST(0.0 AS DOUBLE)), 6) AS rrf
          FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
          ORDER BY doc_id""",
+    // plain sequential cumsum — equals the engine's bucket-decomposed
+    // sum exactly because token counts are integers and the total order
+    // (q DESC, doc_id) is identical
+    "t_token_budget" ->
+      s"""WITH $QualityCte,
+         q AS (
+           SELECT doc_id, n_tokens,
+             ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                  + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+                  + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0, 6) AS q
+           FROM scored),
+         c AS (
+           SELECT doc_id, q, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(n_tokens AS BIGINT)) OVER
+               (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM q)
+         SELECT doc_id, q, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 10000 ORDER BY doc_id""",
     "t_topk_per_domain" ->
       s"""WITH $QualityCte,
          q AS (

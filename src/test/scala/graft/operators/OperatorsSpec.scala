@@ -195,4 +195,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, "a", 1), (2L, "a", 2),
       (5L, "b", 1), (6L, "b", 2)))
   }
+
+  test("tokenBudgetSelect: greedy best-first fill, exact running totals") {
+    // best-first order: (0.9, d2)=40, (0.9, d5)=30, (0.8, d1)=50,
+    // (0.5, d3)=100 — budget 120 keeps the first three (cum 40/70/120)
+    val df = Seq(
+      (1L, 0.8, 50L), (2L, 0.9, 40L), (3L, 0.5, 100L), (5L, 0.9, 30L)
+    ).toDF("doc_id", "q", "n_tokens")
+    val got = Sampling.tokenBudgetSelect(df, "doc_id", "q", "n_tokens", 120L)
+      .select("doc_id", "cum_tokens").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 120L), (2L, 40L), (5L, 70L)))
+    // a budget mid-document excludes it: 119 ends after d5
+    val cut = Sampling.tokenBudgetSelect(df, "doc_id", "q", "n_tokens", 119L)
+      .select("doc_id").orderBy("doc_id").as[Long].collect()
+    assert(cut.toSeq === Seq(2L, 5L))
+  }
 }
