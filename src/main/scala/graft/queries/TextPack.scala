@@ -236,6 +236,14 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // ANALYZE-style profile of the corpus table: per-column row/null/
+    // distinct counts and native-typed min/max — one agg pass, one
+    // shuffle of map-side partials.
+    "t_profile_documents" -> ((s, dir) => {
+      graft.operators.TableProfiler.profile(table(s, dir, "documents"))
+        .orderBy("column_name")
+    }),
+
     // Corpus observability report: doc/token counts by (lang, source)
     // with ROLLUP subtotals and a grand total — the multi-level
     // aggregation surface (partial-aggregated like any groupBy; rollup
@@ -532,6 +540,8 @@ object TextPack extends QueryPack {
                 + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0, 6) AS quality
          FROM scored ORDER BY doc_id""",
     "t_bm25_rank" -> Bm25.oracleSql(BmQueryTerms),
+    "t_profile_documents" -> graft.operators.TableProfiler.oracleSql(
+      "documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     // arms replayed independently (bm25 CTE = the t_bm25_rank oracle;
     // cosine = ordered-fold dot, bit-identical to Spark), fused as
     // 1/(60+r) with lex + vec added in that order

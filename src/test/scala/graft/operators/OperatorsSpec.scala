@@ -211,4 +211,23 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id").orderBy("doc_id").as[Long].collect()
     assert(cut.toSeq === Seq(2L, 5L))
   }
+
+  test("tableProfiler: per-column rows/nulls/distinct/min/max") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a"))
+    ).toDF("k", "s")
+    val got = TableProfiler.profile(df).orderBy("column_name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.toSeq === Seq(
+      ("k", 4L, 1L, 2L, "1", "3"),   // nulls excluded from distinct/min/max
+      ("s", 4L, 1L, 2L, "a", "b")))
+    // approx path returns the same shape (values HLL-estimated)
+    val approx = TableProfiler.profile(df, exact = false)
+      .orderBy("column_name").collect()
+    assert(approx.map(_.getString(0)).toSeq === Seq("k", "s"))
+    assert(approx.forall(_.getLong(3) >= 2L))
+  }
 }
