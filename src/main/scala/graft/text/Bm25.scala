@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 keyword relevance scoring over a document corpus — the standard
@@ -15,9 +16,10 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: doc length is a map-side expression (no tokenize
   * shuffle); only rows matching a query term are exploded, so the one
   * real shuffle — tf = groupBy(doc, term) — carries the matching subset,
-  * not the corpus. Per-term document frequencies and the two corpus
-  * scalars (N, avgdl) are one-row/|Q|-row aggregates that join back by
-  * broadcast. Nothing is all-pairs and no global sort is taken; chain
+  * not the corpus. Per-term document frequencies come from a window over
+  * the hits-sized tf (re-shuffling tf, never re-scanning the corpus) and
+  * the two corpus scalars (N, avgdl) are a one-row broadcast cross join.
+  * Nothing is all-pairs and no global sort is taken; chain
   * [[graft.operators.Sampling.topKPerGroup]] or a TakeOrdered limit for
   * the final cut.
   *
@@ -59,12 +61,14 @@ object Bm25 {
     val tf = hits.groupBy(col(idCol), col("tok"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
-    // per-term document frequency: |Q| rows, broadcast back
-    val dfByTerm = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-term document frequency as a window over tf — a separate
+    // groupBy would re-run the whole scan→explode lineage (Catalyst
+    // does not reuse uncached subplans), costing the corpus a second
+    // explode pass; the window re-shuffles only the hits-sized tf
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("tok"))))
 
-    val joined = tf
-      .join(broadcast(dfByTerm), "tok")
-      .crossJoin(broadcast(stats))
+    val joined = withDf.crossJoin(broadcast(stats))
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))

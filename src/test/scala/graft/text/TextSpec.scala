@@ -407,4 +407,28 @@ class TextSpec extends AnyFunSuite {
     // higher tf and shorter doc both rank higher
     assert(got(0)._2 > got(2)._2 && got(2)._2 > got(1)._2)
   }
+
+  test("bm25 plan: df and corpus stats broadcast, bounded shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val docs = (1L to 200L).map(i => (i, s"spark join doc $i word$i"))
+      .toDF("doc_id", "text")
+    val scored = Bm25.score(docs, "doc_id", "text", Seq("spark", "join"))
+    scored.count()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case o => o.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val nodes = walk(scored.queryExecution.executedPlan)
+    // the (N, avgdl) scalars ship by broadcast, never by shuffling the
+    // corpus against them
+    assert(nodes.count(_.isInstanceOf[BroadcastExchangeExec]) >= 1)
+    // the only shuffles: corpus stats agg, tf agg, df window on tf,
+    // per-doc agg — a fifth would mean the corpus explode ran twice
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) <= 4)
+  }
 }
