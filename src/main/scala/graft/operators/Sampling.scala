@@ -176,6 +176,37 @@ object Sampling {
     * counts are integers, so the decomposed sum is exactly the
     * sequential one.
     */
+  /** Curriculum tiering: split rows into quantile tiers of `scoreCol`
+    * (default quartiles → tiers 0..3, best = highest) — the bucketing a
+    * curriculum or mixed-quality training schedule samples from.
+    * Boundaries are ONE exact-percentile aggregate (one row), broadcast
+    * back; tier assignment is a map-side comparison count, so the corpus
+    * itself never sorts or shuffles.
+    *
+    * Interpolated quantile boundaries fall strictly between adjacent
+    * distinct score values, so an ulp of cross-engine interpolation
+    * difference cannot flip a `score >= boundary` comparison as long as
+    * scores are quantized (e.g. rounded to 6dp) — which also bounds the
+    * exact-percentile buffer; at extreme scale swap in
+    * `percentile_approx` for the boundary pass, assignment unchanged.
+    */
+  def scoreTiers(df: DataFrame, scoreCol: String,
+                 cuts: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
+      s"cuts must be sorted fractions in (0, 1): $cuts")
+    val bounds = df.agg(
+      expr(s"percentile($scoreCol, ${cuts.head})").as("__p0"),
+      cuts.tail.zipWithIndex.map { case (c, i) =>
+        expr(s"percentile($scoreCol, $c)").as(s"__p${i + 1}")
+      }: _*)
+    val tier = cuts.indices
+      .map(i => when(col(scoreCol) >= col(s"__p$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("tier", tier)
+      .drop(cuts.indices.map(i => s"__p$i"): _*)
+  }
+
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                         tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive (got $budget)")

@@ -236,6 +236,17 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Curriculum tiers: quartile buckets of the rounded quality score —
+    // boundaries one broadcast percentile row, assignment map-side.
+    "t_quality_tiers" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+      graft.operators.Sampling.scoreTiers(docs, "q")
+        .select("doc_id", "q", "tier")
+        .orderBy("doc_id")
+    }),
+
     // ANALYZE-style profile of the corpus table: per-column row/null/
     // distinct counts and native-typed min/max — one agg pass, one
     // shuffle of map-side partials.
@@ -575,6 +586,26 @@ object TextPack extends QueryPack {
                + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_vec), CAST(0.0 AS DOUBLE)), 6) AS rrf
          FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
          ORDER BY doc_id""",
+    // QUANTILE_CONT ≡ Spark exact percentile (a2 recipe); boundary
+    // comparisons are ulp-robust because interpolated boundaries fall
+    // strictly between distinct 6dp-quantized scores
+    "t_quality_tiers" ->
+      s"""WITH $QualityCte,
+         q AS (
+           SELECT doc_id,
+             ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                  + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+                  + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0, 6) AS q
+           FROM scored),
+         b AS (
+           SELECT QUANTILE_CONT(q, 0.25) AS p0, QUANTILE_CONT(q, 0.5) AS p1,
+                  QUANTILE_CONT(q, 0.75) AS p2
+           FROM q)
+         SELECT doc_id, q,
+           CAST((CASE WHEN q >= p0 THEN 1 ELSE 0 END
+               + CASE WHEN q >= p1 THEN 1 ELSE 0 END
+               + CASE WHEN q >= p2 THEN 1 ELSE 0 END) AS INTEGER) AS tier
+         FROM q CROSS JOIN b ORDER BY doc_id""",
     // plain sequential cumsum — equals the engine's bucket-decomposed
     // sum exactly because token counts are integers and the total order
     // (q DESC, doc_id) is identical

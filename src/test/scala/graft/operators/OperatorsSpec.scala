@@ -212,6 +212,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cut.toSeq === Seq(2L, 5L))
   }
 
+  test("scoreTiers: quartile buckets, map-side assignment") {
+    // scores 1..8: quartile boundaries 2.75 / 4.5 / 6.25
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val got = Sampling.scoreTiers(df, "score")
+      .select("id", "tier").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq === Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1),
+      (5L, 2), (6L, 2), (7L, 3), (8L, 3)))
+    // custom cuts: median only → two tiers
+    val two = Sampling.scoreTiers(df, "score", Seq(0.5))
+      .select("id", "tier").collect().map(r => r.getInt(1))
+    assert(two.count(_ === 0) === 4 && two.count(_ === 1) === 4)
+  }
+
   test("tableProfiler: per-column rows/nulls/distinct/min/max") {
     val df = Seq(
       (Some(3L), Some("b")), (Some(1L), None),
