@@ -28,13 +28,22 @@ object Bench {
     // contention is strictly additive noise, so min-of-n is the best
     // estimator of the engine's own cost (the `timeit` convention).
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
-    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to n).map { _ =>
+    // A query that throws is a FAILURE, never a timing: round 4 published
+    // 16 time-to-AnalysisException values as runtimes, poisoning the
+    // round-over-round comparison. Failed queries are dropped from the
+    // timings map and listed under "failed" in the JSON instead.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      if (times.isEmpty) { failed += name; None }
+      else Some(name -> times.min)
     }
     // reference-scale pipeline stages (33k grid × month, BASELINE.md's
     // actual workload), min of n runs with one-time setup, on tmpfs
@@ -52,11 +61,15 @@ object Bench {
         Seq.empty
       }
     val results = queryResults ++ pipelineResults
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // plan-property metrics (shuffle counts) ride along in "queries" but
+    // are not seconds — keep them out of the summed total
+    def totalSecs: Double = results
+      .filterNot(_._1.endsWith("_shuffle_exchanges")).map(_._2).sum
     def jsonLine(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = fmt(results.map(_._2).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(totalSecs)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     // The PRINTED line is capped-precision: round 3's full-precision line
     // (~90 queries × 17-digit doubles) overflowed the driver's log-tail
@@ -74,7 +87,13 @@ object Bench {
     }
     // Locale.ROOT: the f-interpolator honours the default locale, and a
     // comma decimal separator would corrupt the JSON line
-    println(jsonLine(v => "%.3f".formatLocal(java.util.Locale.ROOT, v)))
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    println(jsonLine(f3))
+    // Second, SHORT totals-only line: round 4's log-tail capture clipped
+    // the FRONT of the big line and lost the leading "metric" field, so
+    // the totals failed to machine-parse. A trailing compact line always
+    // survives a tail.
+    println(s"""{"metric":"total","value":${f3(totalSecs)},"unit":"sec","nqueries":${results.size},"nfailed":${failed.size},"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

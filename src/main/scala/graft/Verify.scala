@@ -23,7 +23,16 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A crashed query must be VISIBLE in the artifact, not absent from
+        // it: write an explicit failure marker in the query's output dir so
+        // the driver records an err row instead of silently omitting the
+        // query (a 74/90 gate read as 74/74 all-green in round 4).
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        try Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -251,6 +251,21 @@ object PipelineBench {
       graft.operators.BucketedStages.combineBucketed(spark, staged.bucketed)
         .write.mode("overwrite").parquet(s"$outRoot/combined_bucketed")
     }
+    // Shuffle counts recorded AS metrics, next to the wall-times: on a
+    // shared sandbox the timings carry co-tenant noise (round 4's bucketed
+    // figure tripled under evening load while the plan was unchanged), but
+    // the zero-exchange property — the actual 100 TB lever — is noise-free
+    // and belongs in the artifact. The require keeps a plan regression
+    // from ever publishing a bench silently.
+    val plainShuffles = graft.Explain.shuffleCount(
+      WideCombiner.combine(staged.plain))
+    val bucketedShuffles = graft.Explain.shuffleCount(
+      graft.operators.BucketedStages.combineBucketed(spark, staged.bucketed))
+    require(bucketedShuffles == 0,
+      s"bucketed combine plans $bucketedShuffles shuffle exchanges (want 0)")
+    out += "pm25_combine_month_1M_shuffle_exchanges" -> plainShuffles.toDouble
+    out += "pm25_combine_month_1M_bucketed_shuffle_exchanges" ->
+      bucketedShuffles.toDouble
 
     // K1 spatial imputation of two columns for the whole month (31 days
     // × 33k points each, parallel across dates; id+value projection only,

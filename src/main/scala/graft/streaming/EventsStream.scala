@@ -17,19 +17,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStream {
 
-  /** Schema of the harness events table once nanos are read as long. */
-  val eventsDdl: String =
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-
   /** File-streaming source over a directory of events parquet files.
-    * ts arrives as TIMESTAMP(NANOS) → read as long, converted to micros.
+    * Streaming sources need an explicit schema, so probe it from the
+    * already-present files with a batch read, then normalize `ts` exactly
+    * as the batch loader does ([[graft.core.Tables.normalizeEventsTs]]):
+    * legacy nanos-as-long files convert, native timestamp files pass
+    * through — the stream and its batch twin see identical types either way.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(eventsDdl))
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(dir).schema
+    graft.core.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregation: per (window, event_type)
