@@ -131,6 +131,73 @@ object KernelPack extends QueryPack {
         .orderBy("p_partkey")
     }),
 
+    // K5: the GEE feature-planner semantics in-engine, on a synthetic
+    // raster derived from `part`. Exact float parity by construction:
+    // band values are integers, each (date, site) composite averages at
+    // most 2 image samples (multiples of 0.5 — exact in double), and each
+    // 2×2-site cell mean sums exact doubles before one correctly-rounded
+    // divide, so both engines derive bit-identical values and the 4-dp
+    // round is safe. p_partkey < 256 keeps the mixed-radix decomposition
+    // (date × image × site) bijective at every scale factor. Dates span
+    // {01,02,03} but the plan requests only {01,02} — the date filter is
+    // exercised, d=3 rows drop.
+    "k5_daily_average_plan" -> ((s, dir) => {
+      val pixels = table(s, dir, "part")
+        .filter(col("p_partkey") < 256)
+        .select(
+          concat(lit("2023-01-0"), col("p_partkey") % 3 + 1).as("date"),
+          (expr("(p_partkey div 6) % 8") + 0.5).as("x"),
+          (expr("(p_partkey div 6) div 8 % 8") + 0.5).as("y"),
+          (col("p_partkey") * 7 % 100).cast("double").as("b1"),
+          (col("p_partkey") * 13 % 50).cast("double").as("b2"))
+      val planner = new graft.ingest.GriddedFeatureCollectionPlanner(gridCells(s))
+      val plan = planner.planDailyAverage(pixels, "TEST/COLLECTION",
+        Seq("b1", "b2"), Seq("2023-01-01", "2023-01-02"))
+      plan.frame.select(col("date"), col("grid_id"),
+          round(col("b1_mean"), 4).as("b1_mean"),
+          round(col("b2_mean"), 4).as("b2_mean"))
+        .orderBy("date", "grid_id")
+    }),
+
+    // K5 static single-image regrid: one sample per site (i < 64
+    // bijective), single band → bare "mean" export name; cell means are
+    // integer sums with one divide — exact.
+    "k5_static_feature_plan" -> ((s, dir) => {
+      val pixels = table(s, dir, "part")
+        .filter(col("p_partkey") < 64)
+        .select(
+          (col("p_partkey") % 8 + 0.5).as("x"),
+          (expr("p_partkey div 8 % 8") + 0.5).as("y"),
+          (col("p_partkey") * 11 % 70).cast("double").as("elev"))
+      val planner = new graft.ingest.GriddedFeatureCollectionPlanner(gridCells(s))
+      val plan = planner.planStaticFeature(pixels, "TEST/IMAGE", Seq("elev"))
+      plan.frame.select(col("grid_id"), round(col("mean"), 4).as("mean"))
+        .orderBy("grid_id")
+    }),
+
+    // K5 annual classified-pixel shares: class values remap to 0/1 bands,
+    // the year's image stack (2 of 4 images fall in 2023 — the year
+    // filter is exercised) averages per site, cells average their sites.
+    // Same exactness ladder as above: 0/1 over ≤2 images → multiples of
+    // 0.5; site means sum exactly before the one cell divide.
+    "k5_annual_classified_plan" -> ((s, dir) => {
+      val pixels = table(s, dir, "part")
+        .filter(col("p_partkey") < 256)
+        .select(
+          concat(when(col("p_partkey") % 4 < 2, lit("2023")).otherwise(lit("2024")),
+            lit("-06-15")).as("date"),
+          (expr("(p_partkey div 4) % 8") + 0.5).as("x"),
+          (expr("(p_partkey div 4) div 8 % 8") + 0.5).as("y"),
+          (col("p_partkey") * 3 % 7).as("land_cover"))
+      val planner = new graft.ingest.GriddedFeatureCollectionPlanner(gridCells(s))
+      val plan = planner.planAnnualClassifiedPixels(pixels, "TEST/COLLECTION",
+        "land_cover", Seq("low" -> Seq(1, 2, 3), "high" -> Seq(4, 5)), 2023)
+      plan.frame.select(col("grid_id"),
+          round(col("low_mean"), 4).as("low_mean"),
+          round(col("high_mean"), 4).as("high_mean"))
+        .orderBy("grid_id")
+    }),
+
     // K2: regrid a coarse raster (built from the region table) onto
     // customer "coordinates" by bilinear interpolation.
     "k2_regrid_bilinear" -> ((s, dir) => {
@@ -205,5 +272,51 @@ object KernelPack extends QueryPack {
       """SELECT c_custkey,
          ROUND(CAST(c_custkey % 40 AS DOUBLE)
              + 2 * CAST(c_custkey % 35 AS DOUBLE), 4) AS value
-         FROM customer ORDER BY c_custkey""")
+         FROM customer ORDER BY c_custkey""",
+    // K5 oracles replay the two-level mean explicitly: composite across
+    // the image stack per site, THEN mean across sites per cell —
+    // mean-of-means, never mean-of-rows.
+    "k5_daily_average_plan" ->
+      """WITH px AS (
+           SELECT p_partkey % 3 + 1 AS d,
+             (p_partkey // 6) % 8 + 0.5 AS x,
+             ((p_partkey // 6) // 8) % 8 + 0.5 AS y,
+             CAST(p_partkey * 7 % 100 AS DOUBLE) AS b1,
+             CAST(p_partkey * 13 % 50 AS DOUBLE) AS b2
+           FROM part WHERE p_partkey < 256 AND p_partkey % 3 + 1 <= 2),
+         comp AS (
+           SELECT d, x, y, AVG(b1) AS b1, AVG(b2) AS b2
+           FROM px GROUP BY d, x, y)
+         SELECT '2023-01-0' || CAST(d AS VARCHAR) AS date,
+           CAST(FLOOR(y / 2) * 4 + FLOOR(x / 2) AS BIGINT) AS grid_id,
+           ROUND(AVG(b1), 4) AS b1_mean, ROUND(AVG(b2), 4) AS b2_mean
+         FROM comp GROUP BY 1, 2 ORDER BY 1, 2""",
+    "k5_static_feature_plan" ->
+      """SELECT CAST(FLOOR(((p_partkey // 8) % 8 + 0.5) / 2) * 4
+               + FLOOR((p_partkey % 8 + 0.5) / 2) AS BIGINT) AS grid_id,
+           ROUND(AVG(CAST(p_partkey * 11 % 70 AS DOUBLE)), 4) AS mean
+         FROM part WHERE p_partkey < 64 GROUP BY 1 ORDER BY 1""",
+    "k5_annual_classified_plan" ->
+      """WITH px AS (
+           SELECT (p_partkey // 4) % 8 + 0.5 AS x,
+             ((p_partkey // 4) // 8) % 8 + 0.5 AS y,
+             CASE WHEN p_partkey * 3 % 7 IN (1, 2, 3) THEN 1.0 ELSE 0.0 END AS low,
+             CASE WHEN p_partkey * 3 % 7 IN (4, 5) THEN 1.0 ELSE 0.0 END AS high
+           FROM part WHERE p_partkey < 256 AND p_partkey % 4 < 2),
+         site AS (
+           SELECT x, y, AVG(low) AS low, AVG(high) AS high
+           FROM px GROUP BY x, y)
+         SELECT CAST(FLOOR(y / 2) * 4 + FLOOR(x / 2) AS BIGINT) AS grid_id,
+           ROUND(AVG(low), 4) AS low_mean, ROUND(AVG(high), 4) AS high_mean
+         FROM site GROUP BY 1 ORDER BY 1""")
+
+  /** 4×4 grid of 2×2 cells over [0,8)² — grid_id = row-major (gy·4+gx),
+    * matching the oracle's FLOOR(y/2)·4 + FLOOR(x/2).
+    */
+  private def gridCells(s: SparkSession): DataFrame =
+    s.range(16).select(col("id").as("grid_id"),
+      ((col("id") % 4) * 2).cast("double").as("xmin"),
+      (floor(col("id") / 4) * 2).cast("double").as("ymin"),
+      ((col("id") % 4) * 2 + 2).cast("double").as("xmax"),
+      (floor(col("id") / 4) * 2 + 2).cast("double").as("ymax"))
 }
