@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one iterator of rows in, one out, arrow-friendly shapes).
   *
   * Images decode for real through [[ImageIoCodec]] (JDK-builtin
-  * `javax.imageio` — PNG/BMP/GIF/JPEG, no external libraries); audio and
-  * video stay STUBBED behind [[StubCodec]] (no JDK codec exists) with a
-  * deterministic fake that derives plausible metadata from the bytes —
-  * for those kinds the Spark-side plumbing (schema, batching,
-  * partitioning, binary hygiene) is real and tested, the codec is not.
+  * `javax.imageio` — PNG/BMP/GIF/JPEG) and audio headers parse for real
+  * through JDK-builtin `javax.sound.sampled` (WAV/AIFF/AU — sample rate,
+  * channels, frame count from the actual container, no external
+  * libraries); video stays STUBBED behind [[StubCodec]] (the JDK ships no
+  * video codec) with a deterministic fake that derives plausible metadata
+  * from the bytes — for that kind the Spark-side plumbing (schema,
+  * batching, partitioning, binary hygiene) is real and tested, the codec
+  * is not.
   */
 object Multimodal {
 
@@ -36,11 +39,14 @@ object Multimodal {
     def features(bytes: Array[Byte]): Array[Float]
   }
 
-  /** Real image decode via JDK-builtin `javax.imageio` (PNG/BMP/GIF/JPEG —
-    * no external dependencies): width/height/channels come from the actual
-    * pixel raster. Audio/video kinds delegate to [[StubCodec]] (the JDK
-    * ships no codec for them). Feature vector stays the byte histogram
-    * fold — a real embedding model is out of scope for the engine.
+  /** Real image + audio decode via JDK built-ins, no external
+    * dependencies: images through `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * width/height/channels from the actual pixel raster), audio headers
+    * through `javax.sound.sampled` (WAV/AIFF/AU — sample rate, channels
+    * and frame count from the actual container format chunk). Video
+    * delegates to [[StubCodec]] (the JDK ships no video codec). Feature
+    * vector stays the byte histogram fold — a real embedding model is out
+    * of scope for the engine.
     */
   object ImageIoCodec extends Codec {
     def decode(kind: String, bytes: Array[Byte]): MediaMeta = kind match {
@@ -52,6 +58,22 @@ object Multimodal {
               "no registered javax.imageio reader recognized the container")
         MediaMeta("image", bytes.length, img.getWidth, img.getHeight,
           img.getRaster.getNumBands, 0, 1)
+      case "audio" =>
+        // getAudioFileFormat reads the header only (mark/reset stream) —
+        // sample data is never decoded, so metadata extraction stays cheap
+        // even for large payloads.
+        val aff =
+          try javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new ByteArrayInputStream(bytes))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"undecodable audio payload (${bytes.length} bytes) — " +
+                  "no registered javax.sound reader recognized the container", e)
+          }
+        val fmt = aff.getFormat
+        MediaMeta("audio", bytes.length, 0, 0, fmt.getChannels,
+          math.round(fmt.getSampleRate), aff.getFrameLength)
       case other => StubCodec.decode(other, bytes)
     }
     def features(bytes: Array[Byte]): Array[Float] = StubCodec.features(bytes)
@@ -171,6 +193,30 @@ object Multimodal {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic PCM WAV bytes (16-bit little-endian, samples keyed on
+    * `seed`) — audio fixture generator for specs and queries, the
+    * [[pngBytes]] analogue: encoded with the same `javax.sound.sampled`
+    * the decoder header-parses, so a codec that misreads the fmt chunk
+    * fails the gate.
+    */
+  def wavBytes(sampleRateHz: Int, channels: Int, nFrames: Int,
+               seed: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRateHz.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < data.length) {
+      data(i) = ((i * 31 + seed) % 251).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 

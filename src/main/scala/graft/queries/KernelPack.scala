@@ -7,9 +7,11 @@ import graft.raster.Regrid
 import graft.spatial.DailySpatialInterpolator
 
 /** The out-of-relational kernels (SURVEY.md §2.9) driven through the
-  * harness tables. Delaunay-barycentric interpolation is not portably
-  * SQL-expressible, so these are rows-only checks; exact numeric behavior
-  * is golden-tested in SpatialSpec / RasterSpec.
+  * harness tables — every entry oracle-checked: the interpolation queries
+  * seed linear fields whose interpolants are closed-form, the pivot
+  * round-trips through its dense-scaffold contract, and the GEE plans
+  * replay the two-level mean in SQL. Exact numeric behavior is also
+  * golden-tested in SpatialSpec / RasterSpec / GeePlannerSpec.
   */
 object KernelPack extends QueryPack {
 
@@ -198,6 +200,30 @@ object KernelPack extends QueryPack {
         .orderBy("grid_id")
     }),
 
+    // K4: the terminal long→raster pivot (ref: collectors/grid.py:122-185)
+    // oracle-checked through its long-form round trip: 59 bijectively
+    // placed (time, y, x, value) points (p_partkey < 60 decomposes
+    // mixed-radix into 3 times × 5 ys × 4 xs) pivot into the dense
+    // 60-cell cube — absent cells (pk=0 never exists; pk%11=0 dropped)
+    // materialize as NaN — and flatten back to long form. NaN→null at the
+    // output edge keeps the driver's hash compare engine-portable; the
+    // oracle rebuilds the dense scaffold with a cross join of the distinct
+    // axes, which is exactly the cube's shape contract.
+    "k4_pivot_longform" -> ((s, dir) => {
+      val pts = table(s, dir, "part")
+        .filter(col("p_partkey") < 60 && pmod(col("p_partkey"), lit(11)) =!= 0)
+        .select(
+          concat(lit("2024-01-0"), pmod(col("p_partkey"), lit(3)) + 1).as("time"),
+          pmod(floor(col("p_partkey") / 3), lit(5)).cast("double").as("y"),
+          floor(col("p_partkey") / 15).cast("double").as("x"),
+          pmod(col("p_partkey") * 7, lit(100)).cast("float").as("value"))
+      val cube = graft.raster.RasterPivot.toCube(pts, "time", "y", "x", "value")
+      graft.raster.RasterPivot.toLong(s, cube)
+        .select(col("time"), col("y"), col("x"),
+          nanvl(col("value"), lit(null)).cast("double").as("value"))
+        .orderBy("time", "y", "x")
+    }),
+
     // K2: regrid a coarse raster (built from the region table) onto
     // customer "coordinates" by bilinear interpolation.
     "k2_regrid_bilinear" -> ((s, dir) => {
@@ -268,6 +294,22 @@ object KernelPack extends QueryPack {
              + 3.0 * (CAST((p_partkey * 40503 + 7) % 100000 AS DOUBLE) / 100.0)
              + 10.0, 4) AS v_filled
          FROM part ORDER BY p_partkey""",
+    "k4_pivot_longform" ->
+      """WITH pts AS (
+           SELECT '2024-01-0' || CAST(p_partkey % 3 + 1 AS VARCHAR) AS time,
+             CAST((p_partkey // 3) % 5 AS DOUBLE) AS y,
+             CAST(p_partkey // 15 AS DOUBLE) AS x,
+             CAST(p_partkey * 7 % 100 AS DOUBLE) AS value
+           FROM part WHERE p_partkey < 60 AND p_partkey % 11 <> 0),
+         axes AS (
+           SELECT t.time, yy.y, xx.x
+           FROM (SELECT DISTINCT time FROM pts) t
+           CROSS JOIN (SELECT DISTINCT y FROM pts) yy
+           CROSS JOIN (SELECT DISTINCT x FROM pts) xx)
+         SELECT a.time, a.y, a.x, p.value
+         FROM axes a
+         LEFT JOIN pts p ON p.time = a.time AND p.y = a.y AND p.x = a.x
+         ORDER BY a.time, a.y, a.x""",
     "k2_regrid_bilinear" ->
       """SELECT c_custkey,
          ROUND(CAST(c_custkey % 40 AS DOUBLE)

@@ -7,8 +7,9 @@ import graft.multimodal.Multimodal
 
 /** Multimodal binary-column plumbing. The harness has no binary tables, so
   * payloads are synthesized: text bytes stand in for opaque media in the
-  * hygiene checks, and real PNG bytes (JDK imageio) feed the decode path —
-  * all three queries are oracle-checked.
+  * hygiene checks, real PNG bytes (JDK imageio) feed the image decode
+  * path, and real PCM WAV bytes (JDK javax.sound) feed the audio decode
+  * path — all four queries are oracle-checked.
   */
 object MultimodalPack extends QueryPack {
 
@@ -57,6 +58,35 @@ object MultimodalPack extends QueryPack {
       Multimodal.decode(media, Multimodal.ImageIoCodec).toDF()
         .select(col("media_id"), col("width"), col("height"), col("channels"))
         .orderBy("media_id")
+    }),
+
+    // Real audio header decode: PCM WAV payloads are synthesized per doc
+    // with javax.sound at (sample rate, channels, frame count) derived
+    // from the text byte length, then header-parsed back by ImageIoCodec's
+    // audio arm — the oracle checks the parsed format fields against the
+    // closed-form parameter formulas, so a reader that misparses the fmt
+    // chunk (rate, channel count) or the data-chunk length (frames) fails
+    // the gate.
+    "mm_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val bl = length(encode(col("text"), "UTF-8"))
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        element_at(
+          array(lit(8000), lit(16000), lit(22050), lit(44100)),
+          (pmod(bl, lit(4)) + 1).cast("int")).as("sr"),
+        (lit(1) + pmod(bl, lit(2))).cast("int").as("ch"),
+        (lit(64) + pmod(bl * 3, lit(256))).cast("int").as("nf"))
+      val mkWav = udf((id: Long, sr: Int, ch: Int, nf: Int) =>
+        Multimodal.wavBytes(sr, ch, nf, seed = id))
+      val media = params.select(col("media_id"), lit("audio").as("kind"),
+        mkWav(col("media_id"), col("sr"), col("ch"), col("nf")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decode(media, Multimodal.ImageIoCodec).toDF()
+        .select(col("media_id"),
+          col("sampleRateHz").as("sample_rate_hz"),
+          col("channels"), col("nFrames").as("n_frames"))
+        .orderBy("media_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -82,5 +112,13 @@ object MultimodalPack extends QueryPack {
          CAST(8 + OCTET_LENGTH(ENCODE(text)) % 24 AS INT) AS width,
          CAST(8 + (OCTET_LENGTH(ENCODE(text)) * 7) % 16 AS INT) AS height,
          CAST(3 AS INT) AS channels
+         FROM documents ORDER BY media_id""",
+    "mm_audio_meta" ->
+      """SELECT doc_id AS media_id,
+         CAST(CASE OCTET_LENGTH(ENCODE(text)) % 4
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate_hz,
+         CAST(1 + OCTET_LENGTH(ENCODE(text)) % 2 AS INT) AS channels,
+         CAST(64 + (OCTET_LENGTH(ENCODE(text)) * 3) % 256 AS INT) AS n_frames
          FROM documents ORDER BY media_id""")
 }

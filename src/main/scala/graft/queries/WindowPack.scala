@@ -16,11 +16,13 @@ import graft.core.Tables.table
   * Coverage: W1 7-row rolling mean w/ min_samples=1 (ref:
   * feature_generation/generate.py:71-79), W2 long rolling window
   * (generate.py:81-89), W3/A3 group mean over (key, year)
-  * (generate.py:91-92), W5 cross-chunk rolling (regression_model_predictor
-  * .py:187-229 — a plain multi-month window here, no concat trick needed),
-  * W6 "null until window full" (setup/pm25_filters.py:28-35), W7
-  * backward/forward fill (generate.py:76-77), O1 multi-key sort, A9 stride
-  * sampling (setup/dependency_injection.py:340-345).
+  * (generate.py:91-92), W4 two-year-slice all-period mean — window over
+  * the full slice, warm-up rows trimmed after (generate.py:99-145), W5
+  * cross-month rolling carry replayed with the reference's literal
+  * union + `_which_df` tag + filter dance (regression_model_predictor
+  * .py:187-229), W6 "null until window full" (setup/pm25_filters.py:28-35),
+  * W7 backward/forward fill (generate.py:76-77), O1 multi-key sort, A9
+  * stride sampling (setup/dependency_injection.py:340-345).
   */
 object WindowPack extends QueryPack {
   private val DEC = "decimal(18,2)"
@@ -73,6 +75,50 @@ object WindowPack extends QueryPack {
         .withColumn("all_sum", sum(col("total")).over(wa).cast("double"))
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
                 col("month_sum"), col("month_cnt"), col("all_sum"))
+        .orderBy("user_id", "day_s")
+    }),
+
+    // W4: the reference's two-year-slice "mean_all" subtlety (ref:
+    // feature_generation/generate.py:99-145; SURVEY.md §3.2): the
+    // per-key all-period aggregate is computed over the FULL loaded slice
+    // (target year + warm-up year), then the warm-up rows are filtered
+    // back off — so surviving rows carry an aggregate that saw rows no
+    // longer in the output. Events span one month, so days 1-15 stand in
+    // for the warm-up year and days 16+ for the target year; the filter
+    // sits ABOVE the window (not its partition key) exactly like the
+    // reference's year trim.
+    "w4_two_year_slice_mean" -> ((s, dir) => {
+      val wAll = Window.partitionBy("user_id")
+      daily(s, dir)
+        .withColumn("all_sum", sum(col("total")).over(wAll).cast("double"))
+        .withColumn("all_cnt", count(col("total")).over(wAll))
+        .filter(dayofmonth(col("day")) > 15)
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+                col("all_sum"), col("all_cnt"))
+        .orderBy("user_id", "day_s")
+    }),
+
+    // W5: the cross-month rolling carry (ref: regression_model_predictor
+    // .py:187-229): month-at-a-time prediction concats the PREVIOUS
+    // month's rows, tags origin with `_which_df`, rolls the 7-row window
+    // over the union, and keeps only current-month rows — so the current
+    // month's first days see the previous month's tail instead of a
+    // truncated frame. Replayed literally (union + tag + filter) over the
+    // two pseudo-months; the oracle rolls over the undivided table and
+    // trims, which is equivalent exactly when the carry works.
+    "w5_cross_month_carry" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val prev = d.filter(dayofmonth(col("day")) <= 15)
+        .withColumn("_which_df", lit("previous"))
+      val cur = d.filter(dayofmonth(col("day")) > 15)
+        .withColumn("_which_df", lit("current"))
+      val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+      prev.unionByName(cur)
+        .withColumn("roll_sum", sum(col("total")).over(w).cast("double"))
+        .withColumn("roll_cnt", count(col("total")).over(w))
+        .filter(col("_which_df") === "current")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+                col("roll_sum"), col("roll_cnt"))
         .orderBy("user_id", "day_s")
     }),
 
@@ -154,6 +200,26 @@ object WindowPack extends QueryPack {
            COUNT(total) OVER (PARTITION BY user_id, MONTH(day)) AS month_cnt,
            CAST(SUM(total) OVER (PARTITION BY user_id) AS DOUBLE) AS all_sum
          FROM daily ORDER BY user_id, day_s""",
+    "w4_two_year_slice_mean" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2),
+         win AS (SELECT user_id, day,
+           CAST(SUM(total) OVER (PARTITION BY user_id) AS DOUBLE) AS all_sum,
+           COUNT(total) OVER (PARTITION BY user_id) AS all_cnt
+         FROM daily)
+         SELECT user_id, CAST(day AS VARCHAR) AS day_s, all_sum, all_cnt
+         FROM win WHERE DAY(day) > 15 ORDER BY user_id, day_s""",
+    "w5_cross_month_carry" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2),
+         win AS (SELECT user_id, day,
+           CAST(SUM(total) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
+           COUNT(total) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_cnt
+         FROM daily)
+         SELECT user_id, CAST(day AS VARCHAR) AS day_s, roll_sum, roll_cnt
+         FROM win WHERE DAY(day) > 15 ORDER BY user_id, day_s""",
     "w6_full_window_only" ->
       """SELECT event_id, user_id,
            CAST(CASE WHEN COUNT(value) OVER w = 5

@@ -31,6 +31,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIoCodec header-parses real WAV and AIFF audio containers") {
+    val wav = Multimodal.wavBytes(22050, 2, 480, seed = 9L)
+    val m = Multimodal.ImageIoCodec.decode("audio", wav)
+    assert((m.sampleRateHz, m.channels, m.nFrames) === ((22050, 2, 480)))
+    assert(m.byteLen === wav.length.toLong)
+    assert(m.width === 0 && m.height === 0)
+    // second container: AIFF through the same javax.sound path
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = new Array[Byte](2 * 100)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val aiff = Multimodal.ImageIoCodec.decode("audio", out.toByteArray)
+    assert((aiff.sampleRateHz, aiff.channels, aiff.nFrames) === ((8000, 1, 100)))
+    // payloads no reader recognizes must fail loudly, not fake metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decode("audio", "not audio at all".getBytes)
+    }
+  }
+
   test("decode is deterministic and preserves byte lengths") {
     val a = Multimodal.decode(media, Multimodal.StubCodec).collect().sortBy(_.media_id)
     val b = Multimodal.decode(media, Multimodal.StubCodec).collect().sortBy(_.media_id)
