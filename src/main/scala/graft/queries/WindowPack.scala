@@ -155,6 +155,33 @@ object WindowPack extends QueryPack {
         .orderBy("user_id", "day_s")
     }),
 
+    // A5 + K7: the imputation stats columns driven through the real
+    // PredictorStats.attach path (ref: regression_model_predictor
+    // .py:132-229): flag = target missing, imputed = coalesce(target,
+    // predicted), score = predicted·meanCvR² where missing, share =
+    // mean(flag) over date (A5). Float parity: every output is a float32
+    // narrowing of a deterministic double (products and k/n divides are
+    // correctly rounded from identical inputs on both engines), and the
+    // float32 round-trips back to double exactly — so the compare is
+    // bit-stable without decimal scaffolding. The unselected __predicted
+    // and __imputed_r7d columns prune out of the plan.
+    "a5_share_imputed" -> ((s, dir) => {
+      val frame = table(s, dir, "events").select(
+        col("event_id"),
+        col("user_id").as("grid_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("date"),
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("aod"),
+        (col("value") * 0.5 + 1.0).as("pred"))
+      graft.ml.PredictorStats.attach(frame, "aod", "pred", meanCvR2 = 0.875)
+        .select(col("event_id"),
+          col("aod__imputed_flag").as("flag"),
+          col("aod__imputed").cast("double").as("imputed"),
+          col("aod__score").cast("double").as("score"),
+          col("aod__share_imputed_across_all_grids").cast("double").as("share"))
+        .orderBy("event_id")
+    }),
+
     // O1/O2: deterministic multi-key sort of a projection.
     "o1_multikey_sort" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -242,6 +269,21 @@ object WindowPack extends QueryPack {
            CAST(FIRST_VALUE(total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS bfill
          FROM scaffold ORDER BY user_id, day_s""",
+    "a5_share_imputed" ->
+      """WITH f AS (
+           SELECT event_id,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS aod,
+             value * 0.5 + 1.0 AS pred
+           FROM events)
+         SELECT event_id,
+           CASE WHEN aod IS NULL THEN 1 ELSE 0 END AS flag,
+           CAST(CAST(COALESCE(aod, pred) AS REAL) AS DOUBLE) AS imputed,
+           CAST(CAST(CASE WHEN aod IS NULL THEN pred * 0.875 ELSE aod END
+                AS REAL) AS DOUBLE) AS score,
+           CAST(CAST(AVG(CASE WHEN aod IS NULL THEN 1.0 ELSE 0.0 END)
+                OVER (PARTITION BY date) AS REAL) AS DOUBLE) AS share
+         FROM f ORDER BY event_id""",
     "o1_multikey_sort" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
          FROM lineitem
