@@ -33,7 +33,13 @@ object Bench {
     // round-over-round comparison. Failed queries are dropped from the
     // timings map and listed under "failed" in the JSON instead.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // SPARK_GRAFT_SKIP_QUERIES=1 runs only the pipeline stages — the
+    // converse of SPARK_GRAFT_SKIP_PIPELINE, for iterating on the
+    // reference-scale numbers without paying the ~5 min micro sweep
+    val queryDefs =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryResults = queryDefs.flatMap { case (name, fn) =>
       val times = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
