@@ -68,4 +68,39 @@ class PlanHygieneSpec extends AnyFunSuite {
     val s = df.queryExecution.executedPlan.toString
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"))
   }
+
+  test("two-year-slice mean: one daily-agg shuffle feeds window + output sort") {
+    // the slice filter must stay ABOVE the user_id window (filtering on
+    // day would change the aggregate's input — the W4 semantic); the
+    // whole query needs only the daily groupBy exchange, the window's
+    // user_id exchange, and the output sort
+    val df = graft.SparkEntry.queries("w4_two_year_slice_mean")(spark, sf)
+    assert(shuffles(df) <= 3)
+  }
+
+  test("cross-month carry: union does not double the window exchange") {
+    // prev/cur derive from the same daily agg; the union feeds ONE
+    // user_id window partitioning — a plan that shuffles each branch
+    // separately before the union would pay the dominant exchange twice
+    val df = graft.SparkEntry.queries("w5_cross_month_carry")(spark, sf)
+    assert(shuffles(df) <= 4)
+  }
+
+  test("share-imputed: pruned predictor windows add no extra exchange") {
+    // attach() defines 3 window families (date share, grid_id r7d) plus
+    // cast columns, but the query selects only flag/imputed/score/share —
+    // the grid_id rolling window must prune out of the executed plan,
+    // leaving the date window exchange + output sort
+    val df = graft.SparkEntry.queries("a5_share_imputed")(spark, sf)
+    assert(shuffles(df) <= 2)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("__imputed_r7d"),
+      "unselected rolling-mean window should be pruned from the plan")
+  }
+
+  test("audio decode is partition-local: synth + parse add no shuffle") {
+    val df = graft.SparkEntry.queries("mm_audio_meta")(spark, sf)
+    // only the output orderBy exchanges
+    assert(shuffles(df) <= 1)
+  }
 }
