@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.table
-import graft.text.{Bm25, QualityClassifier, TextFunctions, UrlFunctions}
+import graft.text.{Bm25, Dsir, NgramLm, QualityClassifier, TextFunctions, UrlFunctions}
 import graft.functions.expressions.TextExpressions
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -400,6 +400,29 @@ object TextPack extends QueryPack {
         .select(col("doc_id"),
           round(QualityClassifier.scoreText(col("text"), weights,
             bias = -0.1, numBuckets = m), 6).as("quality_prob"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity filtering: a smoothed bigram LM trained on
+    // the English slice scores every document; boilerplate / off-language
+    // docs land in the high-ppl tail. Model tables broadcast; the corpus
+    // shuffles once on doc_id.
+    "t_ngram_lm_ppl" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      NgramLm.score(docs, "doc_id", "text", model).orderBy("doc_id")
+    }),
+
+    // DSIR (importance resampling): hashed-unigram distribution match
+    // against the English slice as the target domain; keep the top 25%
+    // by mean log-likelihood ratio. The weight table is numBuckets-bounded
+    // and broadcast regardless of corpus size.
+    "t_dsir_select" -> ((s, dir) => {
+      val m = 64
+      val docs = table(s, dir, "documents")
+      val w = Dsir.bucketWeights(
+        docs.filter(col("lang") === "en"), docs, "text", m)
+      Dsir.select(Dsir.score(docs, "doc_id", "text", w, m), "doc_id", 0.25)
         .orderBy("doc_id")
     }))
 
@@ -926,5 +949,49 @@ object TextPack extends QueryPack {
          FROM docs d
          LEFT JOIN long_fp l USING (doc_id)
          LEFT JOIN short_fp sh USING (doc_id)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    // smoothed bigram LM trained on the lang='en' slice (add-k, k=0.5,
+    // V = distinct training tokens); ppl = exp(-mean logp) rounded to 2
+    // decimals (avg-of-logs error ~1e-13 — far below the quantum)
+    "t_ngram_lm_ppl" ->
+      """WITH base AS (
+           SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS toks
+           FROM documents WHERE LENGTH(TRIM(text)) > 0),
+         bg AS (
+           SELECT doc_id, lang,
+                  CASE WHEN i = 1 THEN '<s>' ELSE toks[i-1] END AS ctx,
+                  toks[i] AS tok
+           FROM base, UNNEST(generate_series(1, len(toks))) AS t(i)),
+         bc AS (SELECT ctx, tok, COUNT(*) AS n FROM bg WHERE lang='en' GROUP BY 1,2),
+         cc AS (SELECT ctx, COUNT(*) AS ctx_n FROM bg WHERE lang='en' GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT tok) AS v FROM bg WHERE lang='en'),
+         sc AS (
+           SELECT b.doc_id,
+                  LN((COALESCE(bc.n, 0) + 0.5) / (COALESCE(cc.ctx_n, 0) + 0.5 * v.v)) AS logp
+           FROM bg b LEFT JOIN bc ON b.ctx = bc.ctx AND b.tok = bc.tok
+                     LEFT JOIN cc ON b.ctx = cc.ctx
+                     CROSS JOIN v)
+         SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(EXP(-AVG(logp)), 2) AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // DSIR: per-bucket ln-ratio of target (lang='en') vs raw hashed
+    // unigram distributions (FNV-1a buckets — the t_quality_classifier
+    // recipe), mean per doc, top-25% kept by (score desc, doc_id)
+    "t_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok FROM documents),
+         th AS (SELECT doc_id, lang, $FnvTokenSql AS h FROM toks),
+         bk AS (SELECT doc_id, lang, CAST(((h % 64) + 64) % 64 AS INTEGER) AS b FROM th),
+         tc AS (SELECT b, COUNT(*) AS t_n FROM bk WHERE lang='en' GROUP BY 1),
+         rc AS (SELECT b, COUNT(*) AS r_n FROM bk GROUP BY 1),
+         tot AS (SELECT (SELECT COUNT(*) FROM bk WHERE lang='en') AS t_total,
+                        (SELECT COUNT(*) FROM bk) AS r_total),
+         w AS (SELECT rc.b,
+                 LN((COALESCE(tc.t_n,0)+0.5)/(tot.t_total + 0.5*64)) -
+                 LN((rc.r_n+0.5)/(tot.r_total + 0.5*64)) AS weight
+               FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+         sc AS (SELECT bk.doc_id, ROUND(AVG(w.weight), 6) AS dsir_score
+                FROM bk JOIN w ON bk.b = w.b GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM sc)
+         SELECT doc_id, dsir_score,
+                (ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) <= CEIL(n.n * 0.25)) AS kept
+         FROM sc CROSS JOIN n ORDER BY doc_id""")
 }
