@@ -98,6 +98,30 @@ class PlanHygieneSpec extends AnyFunSuite {
       "unselected rolling-mean window should be pruned from the plan")
   }
 
+  test("ngram LM scoring: model joins broadcast, corpus shuffles once on doc_id") {
+    val df = graft.SparkEntry.queries("t_ngram_lm_ppl")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      "bigram/context count tables must broadcast, not shuffle-join the corpus")
+    // 2 trusted-slice-bounded model-build aggs (inside the broadcast
+    // subtrees) + the doc_id agg + output sort; the corpus itself
+    // exchanges only once, on doc_id
+    assert(shuffles(df) <= 4)
+  }
+
+  test("DSIR scoring: weight table broadcasts; one doc_id agg + rank + sort") {
+    val df = graft.SparkEntry.queries("t_dsir_select")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"))
+    // numBuckets-bounded weight-build aggs (2) live inside the broadcast
+    // subtree; corpus-scale exchanges are the doc_id agg, the
+    // single-partition row_number rank (one row per DOC — the documented
+    // ≤10⁹ limit; keptByThreshold is the beyond path), and the sort
+    assert(shuffles(df) <= 6)
+  }
+
   test("audio decode is partition-local: synth + parse add no shuffle") {
     val df = graft.SparkEntry.queries("mm_audio_meta")(spark, sf)
     // only the output orderBy exchanges
