@@ -84,6 +84,25 @@ object JoinPack extends QueryPack {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
+    }),
+
+    // As-of join: each click attaches the user's latest purchase
+    // at-or-before it — the union-window plan (one key shuffle, no
+    // theta-join blowup), checked against DuckDB's NATIVE ASOF JOIN.
+    "j_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.backward(
+          clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_value"), matchedTsName = "purchase_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("purchase_ts"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy("event_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -120,5 +139,18 @@ object JoinPack extends QueryPack {
       """SELECT o.o_orderpriority, COUNT(*) AS n,
                 CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    // independent implementation: DuckDB's native ASOF JOIN (inclusive
+    // rightTs <= leftTs, latest wins) vs the engine's union-window plan
+    "j_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, value AS purchase_value FROM events
+                       WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                ROUND(p.purchase_value, 6) AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""")
 }

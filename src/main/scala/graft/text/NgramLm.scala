@@ -47,25 +47,34 @@ object NgramLm {
   /** Trained model: df-capped bigram counts, context totals, and the
     * training vocabulary size. `bigramCounts` and `contextCounts` are
     * both bounded by the (capped) bigram vocabulary — broadcastable.
+    * [[release]] drops the cached full count table backing them.
     */
   final case class Model(bigramCounts: DataFrame, contextCounts: DataFrame,
-                         vocabSize: Long)
+                         vocabSize: Long,
+                         private val cached: Option[DataFrame] = None) {
+    def release(): Unit = cached.foreach(_.unpersist())
+  }
 
-  /** Count bigrams over `trusted` (two linear aggregations). `minCount`
-    * drops tail bigrams from the model — the df-cap that keeps the
-    * broadcast bounded at corpus scale; context totals and V always
-    * come from the full training stream so smoothing stays consistent.
+  /** Count bigrams over `trusted` in ONE corpus pass: the full bigram
+    * count table is cached (bigram-vocab-bounded, NOT corpus-bounded),
+    * and both the context totals (sum of n per ctx) and the vocabulary
+    * size (distinct tok — every token occurs in tok position, the first
+    * one via its BOS bigram) derive from it without touching the corpus
+    * again. `minCount` then df-caps the model the broadcast ships;
+    * totals and V keep the full stream so smoothing stays consistent.
+    * Call `model.release()` when done (score's broadcasts hold their
+    * own copies).
     */
   def train(trusted: DataFrame, textCol: String,
             minCount: Long = 1L): Model = {
-    val bg = trusted
+    val full = trusted
       .select(explode(bigrams(col(textCol))).as("bg"))
-      .select(col("bg.ctx").as("ctx"), col("bg.tok").as("tok"))
-    val bc = bg.groupBy("ctx", "tok").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
-    val cc = bg.groupBy("ctx").agg(count(lit(1)).as("ctx_n"))
-    val v = bg.select(countDistinct(col("tok"))).first().getLong(0)
-    Model(bc, cc, v)
+      .groupBy(col("bg.ctx").as("ctx"), col("bg.tok").as("tok"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val cc = full.groupBy("ctx").agg(sum("n").as("ctx_n"))
+    val v = full.select(countDistinct(col("tok"))).first().getLong(0)
+    Model(full.filter(col("n") >= minCount), cc, v, Some(full))
   }
 
   /** Per-document negative log-likelihood and perplexity under `model`.
