@@ -103,6 +103,24 @@ object JoinPack extends QueryPack {
             .as("purchase_ts"),
           round(col("purchase_value"), 6).as("purchase_value"))
         .orderBy("event_id")
+    }),
+
+    // Interval join: every click inside the hour after an error by the
+    // same user — the bucketed range join (intervals explode into 1-hour
+    // buckets, points own ONE bucket, equi-join on (user, bucket) + exact
+    // containment filter; no per-key cross product, no dedup needed).
+    "j_range_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val outages = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("s"), (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+      graft.operators.RangeJoin.bucketed(
+          clicks, outages, Seq("user_id"), "ts", "s", "e",
+          bucketWidth = 3600L * 1000000L)
+        .select("click_id", "error_id")
+        .orderBy("click_id", "error_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -152,5 +170,16 @@ object JoinPack extends QueryPack {
                 ROUND(p.purchase_value, 6) AS purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND c.ts >= p.ts
-         ORDER BY c.event_id""")
+         ORDER BY c.event_id""",
+    // the oracle is the PLAIN range-predicate join — bucketing must be
+    // invisible in the result
+    "j_range_join" ->
+      """SELECT c.event_id AS click_id, o.event_id AS error_id
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+         JOIN (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error') o
+           ON c.user_id = o.user_id
+          AND c.ts >= o.ts AND c.ts <= o.ts + INTERVAL 1 HOUR
+         ORDER BY click_id, error_id""")
 }
