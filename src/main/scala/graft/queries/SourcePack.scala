@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.{Connectors, NedExportPipeline, NedGranule, OmiGranule}
+import graft.ingest.{Connectors, NedExportPipeline, NedGranule, OmiGranule, ShapefileGrid, ShapefileWriter}
 import graft.raster.NetCdf4
 
 /** Science-granule source operators (SURVEY.md §2.1 S11/S12) at the gate:
@@ -162,6 +162,31 @@ object SourcePack extends QueryPack {
       OmiGranule.readGranules(s, p, "ColumnAmountNO2",
           bbox = Some((5.0, 20.0, 5.0, 25.0)))
         .orderBy("lat", "lon")
+    }),
+
+    // S13: shapefile→grid — write a geographic-CRS shapefile of square
+    // cells with the in-repo sink, parse it back through the native
+    // .shp/.dbf/.prj reader, and emit the signed-area centroids. All
+    // coordinates are dyadic rationals and the square's shoelace
+    // centroid divides 3s³ by 6s² (the 3 cancels), so every output
+    // value is float-exact and the oracle states them in closed form.
+    "s13_shapefile_grid" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s13")
+      val half = 0.125
+      val entries = (1 to 24).map { i =>
+        val lon = 70.0 + i * 0.25
+        val lat = 10.0 + i * 0.5
+        (i.toLong, Array(
+          lon - half, lat - half, lon - half, lat + half,
+          lon + half, lat + half, lon + half, lat - half,
+          lon - half, lat - half))
+      }
+      ShapefileWriter.write(tmp, "grid", entries.map(_._2),
+        entries.map(_._1),
+        """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]""")
+      ShapefileGrid.buildFromDir(s, tmp.toString)
+        .select("grid_id", "lat", "lon")
+        .orderBy("grid_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -197,5 +222,10 @@ object SourcePack extends QueryPack {
          FROM cells
          WHERE (i + j) % 3 <> 0
            AND lat BETWEEN 5 AND 20 AND lon BETWEEN 5 AND 25
-         ORDER BY lat, lon""")
+         ORDER BY lat, lon""",
+    "s13_shapefile_grid" ->
+      """SELECT CAST(i AS BIGINT) AS grid_id,
+                10.0 + i * 0.5 AS lat, 70.0 + i * 0.25 AS lon
+         FROM (SELECT unnest(range(1, 25)) AS i)
+         ORDER BY grid_id""")
 }

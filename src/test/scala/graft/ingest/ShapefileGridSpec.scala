@@ -1,6 +1,5 @@
 package graft.ingest
 
-import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.functions._
@@ -71,61 +70,6 @@ class ShapefileGridSpec extends AnyFunSuite {
     Array(cx - half, cy - half, cx - half, cy + half, cx + half, cy + half,
       cx + half, cy - half, cx - half, cy - half)
 
-  private def writeShp(dir: Path, polys: Seq[Array[Double]]): Unit = {
-    val recs = polys.map { ring =>
-      val np = ring.length / 2
-      val content = ByteBuffer.allocate(4 + 32 + 8 + 4 + np * 16)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      content.putInt(5) // polygon
-      val xs = ring.grouped(2).map(_(0)).toSeq
-      val ys = ring.grouped(2).map(_(1)).toSeq
-      content.putDouble(xs.min).putDouble(ys.min).putDouble(xs.max).putDouble(ys.max)
-      content.putInt(1).putInt(np).putInt(0)
-      ring.foreach(content.putDouble)
-      content.array()
-    }
-    val totalLen = 100 + recs.map(8 + _.length).sum
-    val bb = ByteBuffer.allocate(totalLen)
-    bb.order(ByteOrder.BIG_ENDIAN)
-    bb.putInt(9994); bb.position(24); bb.putInt(totalLen / 2)
-    bb.order(ByteOrder.LITTLE_ENDIAN)
-    bb.putInt(1000); bb.putInt(5)
-    bb.position(36)
-    val allX = polys.flatMap(_.grouped(2).map(_(0)))
-    val allY = polys.flatMap(_.grouped(2).map(_(1)))
-    bb.putDouble(allX.min).putDouble(allY.min).putDouble(allX.max).putDouble(allY.max)
-    bb.position(100)
-    recs.zipWithIndex.foreach { case (r, i) =>
-      bb.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(r.length / 2)
-      bb.put(r)
-    }
-    Files.write(dir.resolve("grid.shp"), bb.array())
-  }
-
-  private def writeDbf(dir: Path, gridIds: Seq[Long]): Unit = {
-    val fieldLen = 10
-    val headerSize = 32 + 32 + 1
-    val recSize = 1 + fieldLen
-    val bb = ByteBuffer.allocate(headerSize + gridIds.size * recSize + 1)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(0x03.toByte).put(24.toByte).put(1.toByte).put(1.toByte)
-    bb.putInt(gridIds.size)
-    bb.putShort(headerSize.toShort).putShort(recSize.toShort)
-    bb.position(32)
-    bb.put("grid_id".getBytes("ASCII")).position(32 + 11)
-    bb.put('N'.toByte) // numeric
-    bb.position(32 + 16)
-    bb.put(fieldLen.toByte).put(0.toByte)
-    bb.position(64)
-    bb.put(0x0d.toByte)
-    gridIds.foreach { id =>
-      bb.put(' '.toByte)
-      bb.put(("%" + fieldLen + "d").format(id).getBytes("ASCII"))
-    }
-    bb.put(0x1a.toByte)
-    Files.write(dir.resolve("grid.dbf"), bb.array())
-  }
-
   private def writeAsset(centersLonLat: Seq[(Long, Double, Double)]): Path = {
     val dir = Files.createTempDirectory("graft-shp-spec")
     val l = lcc
@@ -133,9 +77,7 @@ class ShapefileGridSpec extends AnyFunSuite {
       val (x, y) = l.forward(math.toRadians(lon), math.toRadians(lat))
       cell(x, y)
     }
-    writeShp(dir, polys)
-    writeDbf(dir, centersLonLat.map(_._1))
-    Files.write(dir.resolve("grid.prj"), prjWkt.getBytes("UTF-8"))
+    ShapefileWriter.write(dir, "grid", polys, centersLonLat.map(_._1), prjWkt)
     dir
   }
 
