@@ -20,9 +20,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("j1_wide_combine")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.defs).toMap
+  /** One entry per implemented operator from SURVEY.md §2. A duplicate
+    * name across packs would silently overwrite in toMap and shrink the
+    * gate — fail loudly instead.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.defs)
+    val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names across packs: ${dups.mkString(", ")}")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
