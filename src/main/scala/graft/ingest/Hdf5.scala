@@ -25,10 +25,12 @@ import java.util.zip.Inflater
   * Scope: read-only random access over an in-memory byte array — granules
   * are a few MB and arrive via `binaryFiles`, so there is no streaming IO
   * here by design (ref granule use: collectors/ned/data_reader_merra.py:26-98,
-  * data_reader_omno2d.py:33-159). Features science granules do not use
-  * (v4 layouts, szip/nbit/scale-offset filters, huge fractal-heap
-  * objects, B-tree v2 depth > 1, compound datatypes) throw with a
-  * precise message instead of misreading.
+  * data_reader_omno2d.py:33-159). Compound (record) datatypes decode
+  * struct-of-arrays (v1/v2/v3 member layouts; numeric and fixed-string
+  * members). Features science granules do not use (v4 layouts,
+  * szip/nbit/scale-offset filters, huge fractal-heap objects, B-tree v2
+  * depth > 1, vlen/enum/array compound members) throw with a precise
+  * message instead of misreading.
   */
 object Hdf5 {
 
@@ -52,9 +54,13 @@ object Hdf5 {
   sealed trait Data
   final case class NumData(a: Array[Double]) extends Data
   final case class StrData(a: Array[String]) extends Data
+  /** Compound (record) dataset, decoded struct-of-arrays. */
+  final case class CompoundData(members: Seq[(String, Data)]) extends Data
 
+  final case class Member(name: String, offset: Int, dtype: Dtype)
   final case class Dtype(cls: Int, size: Int, signed: Boolean,
-                         bigEndian: Boolean, vlenIsString: Boolean)
+                         bigEndian: Boolean, vlenIsString: Boolean,
+                         members: Seq[Member] = Nil)
 
   final case class Dataset(name: String, dims: Array[Int],
                            attrs: Map[String, AttrVal], data: Data) {
@@ -67,6 +73,17 @@ object Hdf5 {
       case StrData(a) => a.mkString
       case NumData(_) => throw new IllegalArgumentException(
         s"dataset $name is numeric")
+    }
+    /** Compound member by name (throws on non-compound datasets). */
+    def member(n: String): Data = data match {
+      case CompoundData(ms) => ms.collectFirst { case (`n`, v) => v }
+        .getOrElse(throw new IllegalArgumentException(
+          s"dataset $name has no member '$n' (members: ${ms.map(_._1).mkString(",")})"))
+      case _ => throw new IllegalArgumentException(s"dataset $name is not compound")
+    }
+    def memberDoubles(n: String): Array[Double] = member(n) match {
+      case NumData(a) => a
+      case _ => throw new IllegalArgumentException(s"member $n is not numeric")
     }
     def attrText(n: String): Option[String] = attrs.get(n).collect {
       case Text(s) => s
@@ -270,13 +287,61 @@ object Hdf5 {
         case 7 => Dtype(7, size, signed = false, bigEndian = false, false)
         case 9 => Dtype(9, size, signed = false, bigEndian = false,
           vlenIsString = (b0 & 0xf) == 1)
-        // other classes (compound, enum, array, …) surface with their id;
+        case 6 => try {
+          val version = cv >> 4
+          val nMembers = u8(o + 1) | (u8(o + 2) << 8)
+          var p = o + 8
+          val members = Seq.newBuilder[Member]
+          var k = 0
+          while (k < nMembers) {
+            // member name: NUL-terminated; v1/v2 pad to 8 bytes, v3 not
+            var e = p
+            while (u8(e) != 0) e += 1
+            val name = new String(d, p.toInt, (e - p).toInt, "UTF-8")
+            p = if (version <= 2) p + ((e - p) / 8 + 1) * 8 else e + 1
+            val off = version match {
+              case 1 | 2 => val v = u32(p); p += 4; v
+              case 3 =>
+                // minimum bytes needed to hold the compound's size
+                var nb = 1; var lim = 256L
+                while (lim < size) { nb += 1; lim *= 256 }
+                val v = ui(p, nb); p += nb; v
+              case v => throw new IllegalArgumentException(s"compound v$v")
+            }
+            if (version == 1) p += 4 + 4 + 4 + 16 // dimensionality+perm+resv+dims
+            val mdt = parseDatatype(p)
+            p += 8 + (mdt.cls match {
+              case 0 => 4
+              case 1 => 12
+              case 3 => 0
+              case c => throw new IllegalArgumentException(
+                s"compound member class $c unsupported")
+            })
+            members += Member(name, off.toInt, mdt)
+            k += 1
+          }
+          Dtype(6, size, signed = false, bigEndian = false, false,
+            members.result())
+        } catch { case _: IllegalArgumentException =>
+          // members this reader can't walk (vlen/reference/nested —
+          // MERRA-2 carries a reference-typed compound ATTRIBUTE):
+          // surface an opaque compound; attribute reads skip it, dataset
+          // reads reject it with a precise message
+          Dtype(6, size, signed = false, bigEndian = false, false)
+        }
+        // other classes (enum, array, …) surface with their id;
         // dataset reads reject them, attribute reads skip them
         case c => Dtype(c, size, signed = false, bigEndian = false, false)
       }
     }
 
-    private def decode(dt: Dtype, buf: Array[Byte], off: Int, n: Int): AnyRef = {
+    /** Decode `n` elements at `off`, `stride` bytes apart (stride =
+      * element size for packed arrays; the enclosing record size for
+      * compound members).
+      */
+    private def decode(dt: Dtype, buf: Array[Byte], off: Int, n: Int,
+                       stride0: Int = -1): AnyRef = {
+      val stride = if (stride0 > 0) stride0 else dt.size
       val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
       dt.cls match {
         case 1 =>
@@ -284,8 +349,8 @@ object Hdf5 {
           val a = new Array[Double](n)
           var i = 0
           while (i < n) {
-            a(i) = if (dt.size == 4) bb.getFloat(off + i * 4).toDouble
-                   else bb.getDouble(off + i * 8)
+            a(i) = if (dt.size == 4) bb.getFloat(off + i * stride).toDouble
+                   else bb.getDouble(off + i * stride)
             i += 1
           }
           a
@@ -294,13 +359,14 @@ object Hdf5 {
           val a = new Array[Double](n)
           var i = 0
           while (i < n) {
+            val p = off + i * stride
             val v: Long = dt.size match {
-              case 1 => if (dt.signed) bb.get(off + i).toLong else (bb.get(off + i) & 0xffL)
-              case 2 => if (dt.signed) bb.getShort(off + i * 2).toLong
-                        else bb.getShort(off + i * 2) & 0xffffL
-              case 4 => if (dt.signed) bb.getInt(off + i * 4).toLong
-                        else bb.getInt(off + i * 4) & 0xffffffffL
-              case 8 => bb.getLong(off + i * 8)
+              case 1 => if (dt.signed) bb.get(p).toLong else (bb.get(p) & 0xffL)
+              case 2 => if (dt.signed) bb.getShort(p).toLong
+                        else bb.getShort(p) & 0xffffL
+              case 4 => if (dt.signed) bb.getInt(p).toLong
+                        else bb.getInt(p) & 0xffffffffL
+              case 8 => bb.getLong(p)
               case s => throw new IllegalArgumentException(s"int size $s")
             }
             a(i) = v.toDouble
@@ -309,14 +375,14 @@ object Hdf5 {
           a
         case 3 =>
           Array.tabulate(n) { i =>
-            val s = off + i * dt.size
+            val s = off + i * stride
             var e = s
             while (e < s + dt.size && buf(e) != 0) e += 1
             new String(buf, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
           }
         case 7 =>
           val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-          Array.tabulate(n)(i => bb.getLong(off + i * 8)): Array[Long]
+          Array.tabulate(n)(i => bb.getLong(off + i * stride)): Array[Long]
         case c => throw new IllegalArgumentException(s"decode class $c")
       }
     }
@@ -758,6 +824,16 @@ object Hdf5 {
           NumData(decode(dt, raw, 0, n.toInt).asInstanceOf[Array[Double]])
         case 3 =>
           StrData(decode(dt, raw, 0, n.toInt).asInstanceOf[Array[String]])
+        case 6 =>
+          require(dt.members.nonEmpty,
+            s"dataset $name: compound with undecodable members (vlen/ref/nested)")
+          CompoundData(dt.members.map { m =>
+            val v = decode(m.dtype, raw, m.offset, n.toInt, dt.size)
+            m.name -> (m.dtype.cls match {
+              case 3 => StrData(v.asInstanceOf[Array[String]])
+              case _ => NumData(v.asInstanceOf[Array[Double]])
+            })
+          })
         case c => throw new IllegalArgumentException(
           s"dataset $name: class $c data unsupported")
       }

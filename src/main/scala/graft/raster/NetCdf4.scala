@@ -40,6 +40,16 @@ object NetCdf4 {
   final case class I32(a: Array[Int]) extends DData
   /** One fixed-length string (HDF-EOS StructMetadata shape). */
   final case class Str(s: String) extends DData
+  /** Compound (record) data, struct-of-arrays: numeric members of equal
+    * length, written packed row-wise with a v1 compound datatype.
+    */
+  final case class Compound(members: Seq[(String, DData)]) extends DData {
+    require(members.nonEmpty, "compound needs members")
+    require(!members.exists(_._2.isInstanceOf[Str]),
+      "string compound members unsupported")
+    require(!members.exists(_._2.isInstanceOf[Compound]),
+      "nested compound unsupported")
+  }
 
   /** `chunks` + `deflate > 0` → chunked layout with the zlib filter;
     * otherwise contiguous. Chunk dims must divide into the dataspace
@@ -88,6 +98,26 @@ object NetCdf4 {
         val n = ascii(s).length + 1
         b.u8(0x13); b.u8(0); b.u8(0); b.u8(0); b.u32(n)
         (b.result(), n)
+      case Compound(members) =>
+        val parts = members.map { case (name, md) => (name, dtypeBytes(md)) }
+        val recSize = parts.map(_._2._2).sum
+        b.u8(0x16) // v1, class 6
+        b.u8(members.size & 0xff); b.u8((members.size >> 8) & 0xff); b.u8(0)
+        b.u32(recSize)
+        var off = 0
+        parts.foreach { case (name, (mdt, msz)) =>
+          val nm = ascii(name)
+          b.bytes(nm); b.u8(0)
+          var pad = (nm.length + 1) % 8
+          while (pad != 0 && pad < 8) { b.u8(0); pad += 1 }
+          b.u32(off)
+          b.u8(0); b.u8(0); b.u8(0); b.u8(0) // dimensionality + reserved
+          b.u32(0); b.u32(0)                 // dim permutation + reserved
+          (0 until 4).foreach(_ => b.u32(0)) // dim sizes
+          b.bytes(mdt)
+          off += msz
+        }
+        (b.result(), recSize)
     }
   }
 
@@ -137,6 +167,26 @@ object NetCdf4 {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       a.foreach(bb.putInt); bb.array()
     case Str(s) => ascii(s) :+ 0.toByte
+    case Compound(members) =>
+      val cols = members.map { case (_, md) => rawBytes(md) }
+      val szs = members.map { case (_, md) => dtypeBytes(md)._2 }
+      val n = members.head._2 match {
+        case F32(a) => a.length; case F64(a) => a.length
+        case I32(a) => a.length; case _ => 0
+      }
+      val rec = szs.sum
+      val out = new Array[Byte](n * rec)
+      var i = 0
+      while (i < n) {
+        var off = i * rec
+        var m = 0
+        while (m < cols.length) {
+          System.arraycopy(cols(m), i * szs(m), out, off, szs(m))
+          off += szs(m); m += 1
+        }
+        i += 1
+      }
+      out
   }
 
   // ------------------------------------------------ v1 header messages

@@ -77,4 +77,24 @@ class NetCdf4Spec extends AnyFunSuite {
     val kids = f.children(f.rootAddr).toMap
     assert(f.dataset("x", kids("x")).doubles.toSeq === Seq(1.5, -2.25, 3.75))
   }
+
+  test("compound (record) dataset roundtrip: packed rows -> struct-of-arrays") {
+    // mixed member sizes force non-trivial offsets (4 + 8 + 4 = 16-byte
+    // records); member names of different lengths exercise the 8-byte
+    // v1 name padding on both sides
+    val g = NetCdf4.Group("/", dsets = Seq(
+      NetCdf4.Dset("obs", Seq(4), Nil, NetCdf4.Compound(Seq(
+        "t" -> NetCdf4.I32(Array(0, 60, 120, 180)),
+        "value" -> NetCdf4.F64(Array(1.5, -2.25, 3.75, 0.125)),
+        "qc" -> NetCdf4.I32(Array(1, 0, 1, 1)))))))
+    val f = Hdf5.read(NetCdf4.writeBytes(g))
+    val kids = f.children(f.rootAddr).toMap
+    val ds = f.dataset("obs", kids("obs"))
+    assert(ds.dims.toSeq === Seq(4))
+    assert(ds.memberDoubles("t").toSeq === Seq(0.0, 60.0, 120.0, 180.0))
+    assert(ds.memberDoubles("value").toSeq === Seq(1.5, -2.25, 3.75, 0.125))
+    assert(ds.memberDoubles("qc").toSeq === Seq(1.0, 0.0, 1.0, 1.0))
+    val err = intercept[IllegalArgumentException](ds.member("nope"))
+    assert(err.getMessage.contains("members: t,value,qc"))
+  }
 }
