@@ -122,6 +122,24 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(shuffles(df) <= 6)
   }
 
+  test("as-of join is the union-window plan: no join operator, bounded exchanges") {
+    val df = graft.SparkEntry.queries("j_asof_join")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("NestedLoopJoin"),
+      "as-of must not plan a join (the theta-join blowup is the thing it avoids)")
+    // union's key shuffle + output sort (AQE may split the sort exchange)
+    assert(shuffles(df) <= 3)
+  }
+
+  test("range join equi-joins on (key, bucket): no nested-loop fallback") {
+    val df = graft.SparkEntry.queries("j_range_join")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("NestedLoopJoin"),
+      "bucketed range join must stay an equi-join on (key, bucket)")
+  }
+
   test("audio decode is partition-local: synth + parse add no shuffle") {
     val df = graft.SparkEntry.queries("mm_audio_meta")(spark, sf)
     // only the output orderBy exchanges
