@@ -112,6 +112,53 @@ object EventsStream {
       }
   }
 
+  // ------------------------------------------------------ as-of attach
+
+  final case class AsOfAttach(eventId: Long, userId: Long, ts: Long,
+                              purchaseTs: Option[Long],
+                              purchaseValue: Option[Double])
+  /** Per-user carried right-side state (latest purchase seen). */
+  final case class LastPurchase(ts: Long, value: Double)
+
+  /** Streaming twin of [[graft.operators.AsOfJoin.backward]] over a
+    * single event stream: every `click` emits with the latest `purchase`
+    * at-or-before it by the same user, the purchase carried as explicit
+    * per-user state across batches. In-batch ordering is restored by a
+    * per-group sort (micro-batches deliver a group's rows unordered);
+    * cross-batch ordering holds when the source respects the watermark
+    * (late purchases older than an already-emitted click are a
+    * fundamental stream-order limit, same as any streaming join).
+    */
+  def asOfAttach(events: DataFrame): Dataset[AsOfAttach] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id").as[Long], col("user_id").as[Long],
+        (col("ts").cast("double") * 1000000).cast("long").as[Long],
+        col("event_type").as[String], col("value").as[Double])
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[LastPurchase, AsOfAttach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[LastPurchase]) =>
+          // right rows sort before left rows at equal ts — the inclusive
+          // semantics of the batch operator
+          val ordered = rows.toArray.sortBy(r =>
+            (r._3, if (r._4 == "purchase") 0 else 1, r._1))
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfAttach]
+          ordered.foreach {
+            case (_, _, ts, "purchase", v) => last = Some(LastPurchase(ts, v))
+            case (id, _, ts, "click", _) =>
+              out += AsOfAttach(id, userId, ts, last.map(_.ts), last.map(_.value))
+            case _ => ()
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

@@ -55,6 +55,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful as-of attach matches the batch AsOfJoin on the same events") {
+    val dir = stageEventsDir()
+    val got = EventsStream.runToMemory(
+      EventsStream.asOfAttach(EventsStream.readEvents(spark, dir)).toDF(),
+      "asof_attach")
+      .select(col("eventId"), col("purchaseTs"), col("purchaseValue"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    val batch = graft.operators.AsOfJoin.backward(
+        clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"),
+        matchedTsName = "purchase_ts")
+      .select(col("event_id"),
+        unix_micros(col("purchase_ts")).as("pts"), col("purchase_value"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(got.size === batch.size && got.nonEmpty)
+    assert(got === batch)
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     val dir = stageEventsDir()
     // second copy of the same file = exact re-delivery of all 1000 events
