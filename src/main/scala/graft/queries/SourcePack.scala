@@ -170,6 +170,49 @@ object SourcePack extends QueryPack {
     // coordinates are dyadic rationals and the square's shoelace
     // centroid divides 3s³ by 6s² (the 3 cancels), so every output
     // value is float-exact and the oracle states them in closed form.
+    // S8: GEE-export CSV adapter — header read, rename mapping, junk
+    // column drop, non-strict float coercion (malformed → null, the
+    // polars strict=False semantics), grid_id int64 cast, and scaffold
+    // completion to the plan dates with null gaps. Values are small
+    // integers (float-exact); one cell is deliberately malformed and one
+    // plan date has no data, so both null paths land in the output.
+    "s8_gee_csv" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s8")
+      val rows = for (g <- 1 to 3; d <- 1 to 3) yield {
+        val v = if (g == 2 && d == 2) "bad" else s"${g * 10 + d}"
+        s"""$g,2023-07-0$d,$v,"{}""""
+      }
+      val csv = ("grid_id,date,mean_2m_air_temperature,.geo" +: rows)
+        .mkString("\n")
+      val p = tmp.resolve("export.csv")
+      java.nio.file.Files.writeString(p, csv)
+      graft.ingest.GeeCsvAdapter.read(s, p.toString,
+          Map("mean_2m_air_temperature" -> "era5_temp"),
+          scaffoldDates = (1 to 4).map(d => s"2023-07-0$d"))
+        .orderBy("date", "grid_id")
+    }),
+
+    // S14/J7/F17: grid-asset enrichment — broadcast left joins of the
+    // 50 km mapping (total) and region labels (partial → null gaps),
+    // then the original-CRS integer-meter rounding. Deterministic grid
+    // synthesized from the customer table, so every value is closed-form.
+    "s14_grid_enrich" -> ((s, dir) => {
+      val c = graft.core.Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("grid_id"))
+      val grid = c.select(col("grid_id"),
+        (lit(10.0) + col("grid_id") % 31).as("lat"),
+        (lit(70.0) + col("grid_id") % 5).as("lon"),
+        (col("grid_id") + lit(0.75)).as("original_x"),
+        (col("grid_id") + lit(0.25)).as("original_y"))
+      val mapping = c.select(col("grid_id"),
+        floor(col("grid_id") / 7).cast("long").as("id_50km"))
+      val regions = c.filter(col("grid_id") % 2 === 0)
+        .select(col("grid_id"), (col("grid_id") % 4).as("k_region"))
+      graft.ingest.GridAssets.normalizeOriginalCoords(
+          graft.ingest.GridAssets.enrich(grid, mapping, regions))
+        .orderBy("grid_id")
+    }),
+
     "s13_shapefile_grid" -> ((s, _) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-s13")
       val half = 0.125
@@ -223,6 +266,24 @@ object SourcePack extends QueryPack {
          WHERE (i + j) % 3 <> 0
            AND lat BETWEEN 5 AND 20 AND lon BETWEEN 5 AND 25
          ORDER BY lat, lon""",
+    "s8_gee_csv" ->
+      """SELECT CAST(g AS BIGINT) AS grid_id,
+                '2023-07-0' || d AS date,
+                CASE WHEN d = 4 THEN NULL
+                     WHEN g = 2 AND d = 2 THEN NULL
+                     ELSE CAST(g * 10 + d AS FLOAT) END AS era5_temp
+         FROM (SELECT unnest(range(1, 4)) AS g),
+              (SELECT unnest(range(1, 5)) AS d)
+         ORDER BY date, grid_id""",
+    "s14_grid_enrich" ->
+      """SELECT c_custkey AS grid_id,
+                10.0 + c_custkey % 31 AS lat,
+                70.0 + c_custkey % 5 AS lon,
+                CAST(c_custkey + 1 AS DOUBLE) AS original_x,
+                CAST(c_custkey AS DOUBLE) AS original_y,
+                c_custkey // 7 AS id_50km,
+                CASE WHEN c_custkey % 2 = 0 THEN c_custkey % 4 END AS k_region
+         FROM customer ORDER BY grid_id""",
     "s13_shapefile_grid" ->
       """SELECT CAST(i AS BIGINT) AS grid_id,
                 10.0 + i * 0.5 AS lat, 70.0 + i * 0.25 AS lon
