@@ -37,10 +37,15 @@ object NgramLm {
     */
   def bigrams(text: Column): Column = {
     val toks = TextFunctions.wsTokens(lower(text))
-    val pairs = transform(toks, (t, i) =>
-      struct(when(i === 0, lit("<s>"))
-               .otherwise(element_at(toks, i)).as("ctx"),
-             t.as("tok")))
+    // contexts = BOS ++ toks.init, zipped against toks. NOT a transform
+    // with element_at(toks, i) inside the lambda: lambda bodies are
+    // inlined per element, so that shape re-splits the text once per
+    // token — O(tokens²) per document (the same non-CSE trap the
+    // shingling kernel documents). Here every `toks` occurrence sits
+    // outside a lambda and evaluates once per row.
+    val ctxs = concat(array(lit("<s>")), slice(toks, lit(1), size(toks) - 1))
+    val pairs = zip_with(ctxs, toks, (c, t) =>
+      struct(c.as("ctx"), t.as("tok")))
     when(length(trim(text)) === 0, slice(pairs, 1, 0)).otherwise(pairs)
   }
 
