@@ -25,13 +25,12 @@ object Decontaminate {
   /** Lower-cased whitespace-token n-grams of `textCol` as an array
     * column; documents shorter than `n` tokens yield an empty array.
     */
-  def wordNgrams(textCol: Column, n: Int): Column = {
-    val toks = split(trim(lower(textCol)), "\\s+")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - lit(n)),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordNgrams(textCol: Column, n: Int): Column =
+    // native one-pass shingle kernel: the composed transform/slice form
+    // re-ran the regex split per lambda element (no CSE across lambda
+    // boundaries — O(tokens²) per doc). Distinct-per-doc output is
+    // exactly what [[ngramOverlap]]'s countDistinct consumes.
+    graft.dedup.Dedup.wordShingles(lower(textCol), n)
 
   /** Per-document overlap with the eval set: `(idCol, n_hits,
     * contaminated)` for every corpus row, where `n_hits` counts DISTINCT
