@@ -21,6 +21,16 @@ object SimilarityPack extends QueryPack {
       |""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PCA front door: the corpus-sized half of the whitening fit — the
+    // d×d sample covariance via two generators + one map-side-combining
+    // aggregate (shuffle ≤ d² rows per partition at any corpus size).
+    // The driver-side Jacobi eigensolve + projection are PcaSpec'd.
+    "ann_pca_covariance" -> ((s, dir) => {
+      graft.similarity.Pca.covariance(table(s, dir, "embeddings"), "embedding")
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .orderBy("i", "j")
+    }),
+
     // Brute-force exact cosine top-k (k=3) for query vectors vec_id < 10.
     "ann_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -141,6 +151,15 @@ object SimilarityPack extends QueryPack {
        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
 
   def oracles: Map[String, String] = Map(
+    "ann_pca_covariance" ->
+      """WITH x AS (
+           SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS xi
+           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+         p AS (SELECT a.i AS i, b.i AS j, a.xi * b.xi AS xx, a.xi AS xa, b.xi AS xb
+               FROM x a JOIN x b USING (vec_id))
+         SELECT i, j,
+                ROUND((SUM(xx) - SUM(xa) * SUM(xb) / COUNT(*)) / (COUNT(*) - 1), 6) AS cov
+         FROM p GROUP BY i, j ORDER BY i, j""",
     // nlist=1 ⇒ cell mean = global per-dimension mean; squared distance
     // folds in index order on both engines (ordered SUM vs aggregate).
     "ann_prototype_prune" ->
