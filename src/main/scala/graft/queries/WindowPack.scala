@@ -183,6 +183,18 @@ object WindowPack extends QueryPack {
     }),
 
     // O1/O2: deterministic multi-key sort of a projection.
+    // Batch sessionization (gaps-and-islands): 30-minute inactivity gap
+    // splits each user's events into sessions — lag → break flag →
+    // running-sum session id → rollup, all over ONE user_id shuffle.
+    // The streaming twin (EventsStream.sessionize, explicit state) is
+    // pinned to the same closed sessions in StreamingSpec.
+    "w_sessionize" -> ((s, dir) => {
+      graft.operators.Sessions.sessionize(
+          table(s, dir, "events"), Seq("user_id"), "ts",
+          gapMs = 30L * 60 * 1000)
+        .orderBy("user_id", "session_start")
+    }),
+
     "o1_multikey_sort" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
@@ -201,6 +213,18 @@ object WindowPack extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "w_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) // 1000 AS BIGINT) AS ms FROM events),
+         f AS (SELECT user_id, ms,
+                 CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+                      THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT user_id, ms,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+         SELECT user_id, MIN(ms) AS session_start, MAX(ms) AS session_end,
+                COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "w1_rolling_7" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(18,2))) AS total FROM events GROUP BY 1, 2)

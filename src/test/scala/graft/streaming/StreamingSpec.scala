@@ -81,6 +81,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("stateful sessionize matches the batch gaps-and-islands rollup") {
+    val dir = stageEventsDir()
+    val gapMs = 30L * 60 * 1000
+    val got = EventsStream.runToMemory(
+      EventsStream.sessionize(EventsStream.readEvents(spark, dir), gapMs).toDF(),
+      "sess_twin")
+      .select("userId", "sessionStart", "sessionEnd", "nEvents")
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+    val batch = graft.operators.Sessions.sessionize(
+        graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events"),
+        Seq("user_id"), "ts", gapMs)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3, r._4.toInt)).toSet
+
+    assert(got.nonEmpty && got === batch)
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     val dir = stageEventsDir()
     // second copy of the same file = exact re-delivery of all 1000 events
