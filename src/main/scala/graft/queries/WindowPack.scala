@@ -195,6 +195,17 @@ object WindowPack extends QueryPack {
         .orderBy("user_id", "session_start")
     }),
 
+    // Funnel: earliest signup → click-after → purchase-after chain per
+    // user — one shuffle, the chain threaded through a higher-order
+    // aggregate fold over each user's sorted step events (no per-step
+    // join cascade over the fact table).
+    "w_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.funnel(
+          table(s, dir, "events"), Seq("user_id"), "ts", "event_type",
+          Seq("signup", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
     "o1_multikey_sort" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
@@ -213,6 +224,30 @@ object WindowPack extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    // the oracle is the k-pass join-cascade formulation — the fold must
+    // be invisible in the result
+    "w_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts) // 1000) AS t1
+                     FROM events WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts) // 1000) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) // 1000 > s1.t1
+                GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts) // 1000) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) // 1000 > s2.t2
+                GROUP BY 1),
+         base AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type IN ('signup', 'click', 'purchase'))
+         SELECT b.user_id,
+                CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                          WHEN t2 IS NOT NULL THEN 2
+                          WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached,
+                t1 AS step1_ms, t2 AS step2_ms, t3 AS step3_ms
+         FROM base b LEFT JOIN s1 USING (user_id)
+                     LEFT JOIN s2 USING (user_id)
+                     LEFT JOIN s3 USING (user_id)
+         ORDER BY b.user_id""",
     "w_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(epoch_us(ts) // 1000 AS BIGINT) AS ms FROM events),
          f AS (SELECT user_id, ms,
