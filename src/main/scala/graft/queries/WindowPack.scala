@@ -206,6 +206,14 @@ object WindowPack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Cohort retention: users bucket into their first-event day, then
+    // distinct-active counts per day offset — the retention curve.
+    "w_retention" -> ((s, dir) => {
+      graft.operators.Cohorts.retention(
+          table(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     "o1_multikey_sort" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
@@ -224,6 +232,14 @@ object WindowPack extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "w_retention" ->
+      """WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+                    FROM events GROUP BY 1)
+         SELECT STRFTIME(c.cohort, '%Y-%m-%d') AS cohort_day,
+                CAST(DATEDIFF('day', c.cohort, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+                COUNT(DISTINCT e.user_id) AS n_active
+         FROM events e JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // the oracle is the k-pass join-cascade formulation — the fold must
     // be invisible in the result
     "w_funnel" ->
