@@ -140,6 +140,29 @@ class PlanHygieneSpec extends AnyFunSuite {
       "bucketed range join must stay an equi-join on (key, bucket)")
   }
 
+  test("sessionize: lag, running sum, and rollup share ONE user shuffle") {
+    val df = graft.SparkEntry.queries("w_sessionize")(spark, sf)
+    // user_id exchange (both windows + the group-by reuse it) + output sort
+    assert(shuffles(df) <= 3)
+  }
+
+  test("funnel: the fold replaces the per-step join cascade") {
+    val df = graft.SparkEntry.queries("w_funnel")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("SortMergeJoin"),
+      "funnel must not join the fact table per step")
+    // the user_id collect_list exchange + output sort
+    assert(shuffles(df) <= 2)
+  }
+
+  test("retention: cohort assignment + tagging + distinct stay bounded") {
+    val df = graft.SparkEntry.queries("w_retention")(spark, sf)
+    // key agg, join, (cohort, offset) distinct agg (2 exchanges for
+    // exact distinct), output sort
+    assert(shuffles(df) <= 6)
+  }
+
   test("audio decode is partition-local: synth + parse add no shuffle") {
     val df = graft.SparkEntry.queries("mm_audio_meta")(spark, sf)
     // only the output orderBy exchanges
