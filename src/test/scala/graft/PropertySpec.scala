@@ -145,4 +145,53 @@ object KernelProperties extends Properties("graft.kernels") {
         n >= 1 && n <= w.length
       }
     }
+
+  // ----- netCDF-4 writer ↔ HDF5 reader codec pair (both from-spec;
+  // fuzzing the pair catches any layout where they agree on the wrong
+  // bytes as well as crashes)
+
+  private val dsetGen: Gen[(Seq[Int], Option[Seq[Int]], Int, Long)] = for {
+    rank <- Gen.chooseNum(1, 3)
+    dims <- Gen.listOfN(rank, Gen.chooseNum(1, 7))
+    chunked <- Gen.oneOf(true, false)
+    chunks <- Gen.sequence[Seq[Int], Int](dims.map(d => Gen.chooseNum(1, d)))
+    deflate <- Gen.chooseNum(0, 6)
+    seed <- Gen.chooseNum(0L, Long.MaxValue - 1)
+  } yield (dims, if (chunked) Some(chunks) else None, deflate, seed)
+
+  property("netcdf4→hdf5: random shapes/chunks/deflate round-trip exactly") =
+    forAll(dsetGen) { case (dims, chunks, deflate, seed) =>
+      import graft.raster.NetCdf4
+      val rnd = new scala.util.Random(seed)
+      val n = dims.product
+      val f64 = Array.fill(n)(rnd.nextDouble() * 100 - 50)
+      val i32 = Array.fill(n)(rnd.nextInt())
+      val root = NetCdf4.Group("/", dsets = Seq(
+        NetCdf4.Dset("d", dims, Nil, NetCdf4.F64(f64),
+          chunks = chunks, deflate = if (chunks.isDefined) deflate else 0),
+        NetCdf4.Dset("i", dims, Nil, NetCdf4.I32(i32))))
+      val f = graft.ingest.Hdf5.read(NetCdf4.writeBytes(root))
+      val kids = f.children(f.rootAddr).toMap
+      f.dataset("d", kids("d")).doubles.sameElements(f64) &&
+        f.dataset("i", kids("i")).doubles.sameElements(i32.map(_.toDouble))
+    }
+
+  property("netcdf4→hdf5: random compound records round-trip per member") =
+    forAll(Gen.chooseNum(1, 40), Gen.chooseNum(0L, Long.MaxValue - 1)) {
+      (n, seed) =>
+        import graft.raster.NetCdf4
+        val rnd = new scala.util.Random(seed)
+        val a = Array.fill(n)(rnd.nextInt())
+        val b = Array.fill(n)(rnd.nextDouble())
+        val c = Array.fill(n)(rnd.nextFloat())
+        val root = NetCdf4.Group("/", dsets = Seq(
+          NetCdf4.Dset("rec", Seq(n), Nil, NetCdf4.Compound(Seq(
+            "a" -> NetCdf4.I32(a), "bb" -> NetCdf4.F64(b),
+            "ccc" -> NetCdf4.F32(c))))))
+        val f = graft.ingest.Hdf5.read(NetCdf4.writeBytes(root))
+        val ds = f.dataset("rec", f.children(f.rootAddr).toMap.apply("rec"))
+        ds.memberDoubles("a").sameElements(a.map(_.toDouble)) &&
+          ds.memberDoubles("bb").sameElements(b) &&
+          ds.memberDoubles("ccc").sameElements(c.map(_.toDouble))
+    }
 }
