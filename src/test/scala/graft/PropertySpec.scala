@@ -194,4 +194,31 @@ object KernelProperties extends Properties("graft.kernels") {
           ds.memberDoubles("bb").sameElements(b) &&
           ds.memberDoubles("ccc").sameElements(c.map(_.toDouble))
     }
+
+  property("shapefile writer↔reader: random polygons round-trip vertices and ids") =
+    forAll(Gen.chooseNum(1, 12), Gen.chooseNum(0L, Long.MaxValue - 1)) {
+      (nPolys, seed) =>
+        import graft.ingest.{ShapefileGrid, ShapefileWriter}
+        val rnd = new scala.util.Random(seed)
+        val polys = (1 to nPolys).map { _ =>
+          val nv = 3 + rnd.nextInt(5)
+          val ring = new Array[Double]((nv + 1) * 2)
+          for (i <- 0 until nv) {
+            ring(2 * i) = rnd.nextDouble() * 360 - 180
+            ring(2 * i + 1) = rnd.nextDouble() * 180 - 90
+          }
+          ring(2 * nv) = ring(0); ring(2 * nv + 1) = ring(1) // close
+          ring
+        }
+        val ids = (1 to nPolys).map(i => (i * 1000 + rnd.nextInt(999)).toLong)
+        val dir = java.nio.file.Files.createTempDirectory("graft-shp-fuzz")
+        ShapefileWriter.write(dir, "grid", polys, ids, "GEOGCS[\"WGS 84\"]")
+        val got = ShapefileGrid.readShp(dir.resolve("grid.shp"))
+        val gotIds = ShapefileGrid.readDbf(dir.resolve("grid.dbf"))
+          .map(_("grid_id").trim.toLong)
+        got.size == nPolys && gotIds == ids &&
+          got.zip(polys).forall { case (p, ring) =>
+            p.rings.size == 1 && p.rings.head.sameElements(ring)
+          }
+    }
 }
