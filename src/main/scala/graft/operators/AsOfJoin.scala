@@ -46,6 +46,22 @@ object AsOfJoin {
       left, keys, leftTs, valueCols, matchedTsName, tolerance)
   }
 
+  /** Forward as-of join: each left row picks the EARLIEST right row with
+    * `rightTs >= leftTs` (inclusive) — the "next event after" attach.
+    * Same union-window plan, timeline walked in descending order so the
+    * carried payload is the smallest right timestamp at-or-after.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, valueCols: Seq[String],
+              matchedTsName: String = "matched_ts"): DataFrame = {
+    val merged = tagAndUnion(left, right, keys, leftTs, rightTs, valueCols)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    finish(merged.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w)),
+      left, keys, leftTs, valueCols, matchedTsName, None)
+  }
+
   /** Skew-immune variant: identical output, (key × bucket)-way parallel.
     * `bucketWidth` is in the unit of `unix_micros(ts)` (e.g. 86400e6
     * for daily buckets); pick it so one key-bucket fits a task.

@@ -105,6 +105,24 @@ object JoinPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: each click attaches the user's NEXT purchase
+    // at-or-after it — the same union-window plan walked descending.
+    "j_asof_forward" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.forward(
+          clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_value"), matchedTsName = "purchase_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("purchase_ts"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // Interval join: every click inside the hour after an error by the
     // same user — the bucketed range join (intervals explode into 1-hour
     // buckets, points own ONE bucket, equi-join on (user, bucket) + exact
@@ -170,6 +188,17 @@ object JoinPack extends QueryPack {
                 ROUND(p.purchase_value, 6) AS purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+    "j_asof_forward" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, value AS purchase_value FROM events
+                       WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                ROUND(p.purchase_value, 6) AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
     // the oracle is the PLAIN range-predicate join — bucketing must be
     // invisible in the result

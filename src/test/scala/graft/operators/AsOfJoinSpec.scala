@@ -68,6 +68,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(bucketed === plain)
   }
 
+  test("forward as-of attaches the earliest right row at-or-after, inclusive") {
+    val got = AsOfJoin.forward(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === Some(2.0)) // next at 00:10
+    assert(got(2L) === Some(2.0)) // equal ts includes
+    assert(got(3L) === Some(1.0)) // earliest right at 00:04
+    assert(got(4L) === None)      // no right at-or-after 00:30 for k=20
+    assert(got(5L) === None)
+  }
+
   test("left rows keep all their columns and cardinality") {
     val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("v"))
     assert(out.columns.toSeq === Seq("id", "k", "ts", "matched_ts", "v"))
