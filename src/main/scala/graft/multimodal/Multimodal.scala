@@ -43,10 +43,12 @@ object Multimodal {
     * dependencies: images through `javax.imageio` (PNG/BMP/GIF/JPEG —
     * width/height/channels from the actual pixel raster), audio headers
     * through `javax.sound.sampled` (WAV/AIFF/AU — sample rate, channels
-    * and frame count from the actual container format chunk). Video
-    * delegates to [[StubCodec]] (the JDK ships no video codec). Feature
-    * vector stays the byte histogram fold — a real embedding model is out
-    * of scope for the engine.
+    * and frame count from the actual container format chunk), and video
+    * container metadata through the from-spec [[Mp4]] ISO-BMFF box walk
+    * (dimensions, timescale, duration — frame DECODE still needs a real
+    * codec, the one remaining stub). Feature vector stays the byte
+    * histogram fold — a real embedding model is out of scope for the
+    * engine.
     */
   object ImageIoCodec extends Codec {
     def decode(kind: String, bytes: Array[Byte]): MediaMeta = kind match {
@@ -74,6 +76,14 @@ object Multimodal {
         val fmt = aff.getFormat
         MediaMeta("audio", bytes.length, 0, 0, fmt.getChannels,
           math.round(fmt.getSampleRate), aff.getFrameLength)
+      case "video" =>
+        // ISO-BMFF box walk (from-spec Mp4 codec): movie timescale →
+        // sampleRateHz slot, duration ticks → nFrames, track dims →
+        // width/height, track count → channels. Header-only, like the
+        // audio arm — frame decode needs a real codec (javacv/ffmpeg).
+        val m = Mp4.parseMeta(bytes)
+        MediaMeta("video", bytes.length, m.widthPx, m.heightPx,
+          m.nTracks, m.timescale.toInt, m.durationTicks.toInt)
       case other => StubCodec.decode(other, bytes)
     }
     def features(bytes: Array[Byte]): Array[Float] = StubCodec.features(bytes)

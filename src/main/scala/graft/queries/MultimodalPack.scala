@@ -87,6 +87,30 @@ object MultimodalPack extends QueryPack {
           col("sampleRateHz").as("sample_rate_hz"),
           col("channels"), col("nFrames").as("n_frames"))
         .orderBy("media_id")
+    }),
+
+    // Real ISO-BMFF (MP4) container parse through the from-spec Mp4
+    // codec: per-doc width/height/timescale/duration are closed-form in
+    // doc_id, synthesized into a valid ftyp+moov box tree on executors,
+    // and recovered by the independent box-walk parser.
+    "mm_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        (lit(160) + pmod(col("doc_id"), lit(8)) * 80).cast("int").as("w"),
+        (lit(90) + pmod(col("doc_id"), lit(6)) * 90).cast("int").as("h"),
+        (lit(1000) + pmod(col("doc_id"), lit(3)) * 500).cast("long").as("tsc"),
+        (lit(2400) + pmod(col("doc_id") * 7, lit(9000))).cast("long").as("dur"))
+      val mkMp4 = udf((w: Int, h: Int, tsc: Long, dur: Long) =>
+        graft.multimodal.Mp4.write(w, h, tsc, dur))
+      val media = params.select(col("media_id"), lit("video").as("kind"),
+        mkMp4(col("w"), col("h"), col("tsc"), col("dur")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decode(media, Multimodal.ImageIoCodec).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("sampleRateHz").as("timescale"),
+          col("nFrames").as("duration_ticks"))
+        .orderBy("media_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -120,5 +144,12 @@ object MultimodalPack extends QueryPack {
               WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate_hz,
          CAST(1 + OCTET_LENGTH(ENCODE(text)) % 2 AS INT) AS channels,
          CAST(64 + (OCTET_LENGTH(ENCODE(text)) * 3) % 256 AS INT) AS n_frames
+         FROM documents ORDER BY media_id""",
+    "mm_video_meta" ->
+      """SELECT doc_id AS media_id,
+         CAST(160 + (doc_id % 8) * 80 AS INT) AS width,
+         CAST(90 + (doc_id % 6) * 90 AS INT) AS height,
+         CAST(1000 + (doc_id % 3) * 500 AS INT) AS timescale,
+         CAST(2400 + (doc_id * 7) % 9000 AS INT) AS duration_ticks
          FROM documents ORDER BY media_id""")
 }
