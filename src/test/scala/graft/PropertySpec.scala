@@ -221,4 +221,15 @@ object KernelProperties extends Properties("graft.kernels") {
             p.rings.size == 1 && p.rings.head.sameElements(ring)
           }
     }
+
+  property("mp4 writer↔parser: random dimensions and durations round-trip") =
+    forAll(Gen.chooseNum(1, 8192), Gen.chooseNum(1, 8192),
+      Gen.chooseNum(1L, 1000000L), Gen.chooseNum(0L, 2000000000L)) {
+      (w, h, timescale, duration) =>
+        val m = graft.multimodal.Mp4.parseMeta(
+          graft.multimodal.Mp4.write(w, h, timescale, duration))
+        m.widthPx == w && m.heightPx == h &&
+          m.timescale == timescale && m.durationTicks == duration &&
+          m.nTracks == 1
+    }
 }
