@@ -106,6 +106,10 @@ object AsOfJoin {
   private def tagAndUnion(left: DataFrame, right: DataFrame,
                           keys: Seq[String], leftTs: String, rightTs: String,
                           valueCols: Seq[String]): DataFrame = {
+    val clash = valueCols.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"right value columns ${clash.mkString(",")} collide with left " +
+        "columns — rename the right side before joining")
     val rPayload = struct((col(rightTs).as("__rts") +: valueCols.map(col)): _*)
     val r = right.select((keys.map(col) :+ col(rightTs).as("__ts") :+
       lit(0).as("__ord") :+ rPayload.as("__r")): _*)
