@@ -54,6 +54,15 @@ def values_equal(a, b) -> bool:
 n_pass = n_fail = n_noorc = 0
 for d in sorted(glob.glob(f"{OUT}/*/")):
     name = os.path.basename(d.rstrip("/"))
+    # Verify writes <outDir>/<name>/_FAILED (with the exception message)
+    # when a query crashes — report it as a failure, exactly like the
+    # driver gate, instead of letting read_parquet throw.
+    marker = os.path.join(d, "_FAILED")
+    if os.path.exists(marker):
+        msg = open(marker).read().strip()
+        print(f"  ✗ {name}: QUERY FAILED: {msg}")
+        n_fail += 1
+        continue
     got = pd.read_parquet(d)
     if name not in oracle:
         print(f"  ~ {name}: no oracle, rows={len(got)}")

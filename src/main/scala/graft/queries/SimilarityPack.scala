@@ -24,10 +24,15 @@ object SimilarityPack extends QueryPack {
     // PCA front door: the corpus-sized half of the whitening fit — the
     // d×d sample covariance via two generators + one map-side-combining
     // aggregate (shuffle ≤ d² rows per partition at any corpus size).
-    // The driver-side Jacobi eigensolve + projection are PcaSpec'd.
+    // Two-pass centered per the pack's float-parity convention: the
+    // centered product sums carry ~1e-15 relative partition-order wobble
+    // (no subtractive cancellation), so the 4-decimal round is stable —
+    // AVG-class quantity, AVG-class rounding. Partition-invariance of
+    // this exact query is asserted in PcaSpec. The driver-side Jacobi
+    // eigensolve + projection are PcaSpec'd.
     "ann_pca_covariance" -> ((s, dir) => {
       graft.similarity.Pca.covariance(table(s, dir, "embeddings"), "embedding")
-        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .select(col("i"), col("j"), round(col("cov"), 4).as("cov"))
         .orderBy("i", "j")
     }),
 
@@ -151,14 +156,18 @@ object SimilarityPack extends QueryPack {
        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
 
   def oracles: Map[String, String] = Map(
+    // Two-pass centered covariance, mirroring Pca.covariance: means
+    // first, then centered products — no subtractive cancellation, so
+    // the unordered double sums stay far inside the 4-decimal quantum.
     "ann_pca_covariance" ->
       """WITH x AS (
            SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS xi
            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
-         p AS (SELECT a.i AS i, b.i AS j, a.xi * b.xi AS xx, a.xi AS xa, b.xi AS xb
-               FROM x a JOIN x b USING (vec_id))
-         SELECT i, j,
-                ROUND((SUM(xx) - SUM(xa) * SUM(xb) / COUNT(*)) / (COUNT(*) - 1), 6) AS cov
+         m AS (SELECT i, AVG(xi) AS m FROM x GROUP BY i),
+         cx AS (SELECT vec_id, x.i AS i, xi - m AS ci FROM x JOIN m USING (i)),
+         p AS (SELECT a.i AS i, b.i AS j, a.ci * b.ci AS xx
+               FROM cx a JOIN cx b USING (vec_id))
+         SELECT i, j, ROUND(SUM(xx) / (COUNT(*) - 1), 4) AS cov
          FROM p GROUP BY i, j ORDER BY i, j""",
     // nlist=1 ⇒ cell mean = global per-dimension mean; squared distance
     // folds in index order on both engines (ordered SUM vs aggregate).

@@ -24,22 +24,47 @@ import graft.functions.expressions.VectorExpressions
   */
 object Pca {
 
-  /** Sample covariance as long rows (i, j, cov) — i, j in [0, d).
-    * Declarative two-generator plan; the groupBy's partial aggregation
-    * keeps the shuffle d²-bounded per partition.
+  /** Per-dimension means — a d-row aggregate, the tiny first pass of the
+    * two-pass covariance. Collected to the driver (d ≤ a few thousand)
+    * and re-broadcast as a literal array.
     */
-  def covariance(df: DataFrame, vecCol: String): DataFrame = {
+  def dimMeans(df: DataFrame, vecCol: String): Array[Double] = {
     val v = col(vecCol).cast("array<double>")
-    val x = df.select(posexplode(v).as(Seq("i", "xi")), v.as("__v"))
+    df.select(posexplode(v).as(Seq("i", "xi")))
+      .groupBy("i").agg(avg("xi").as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+  }
+
+  /** Sample covariance as long rows (i, j, cov) — i, j in [0, d).
+    *
+    * Two-pass centered form: pass 1 is the d-row mean aggregate
+    * ([[dimMeans]]); pass 2 centers each vector against the literal mean
+    * array map-side and aggregates `sum((xi−mi)(xj−mj))`. Centering
+    * first removes the subtractive cancellation of the textbook
+    * `(Σxy − ΣxΣy/n)` form, so the unordered double summation's ~1-ulp
+    * partition-order wobble stays ~1e-15 relative — far below the pack's
+    * 4-decimal rounding quantum — instead of being amplified to the
+    * rounding boundary (the round-5 `ann_pca_covariance` flake).
+    *
+    * Scale: the groupBy's partial aggregation keeps the shuffle
+    * d²-bounded per partition; the extra pass is one d-row aggregate.
+    */
+  def covariance(df: DataFrame, vecCol: String): DataFrame =
+    covarianceCentered(df, vecCol, dimMeans(df, vecCol))
+
+  private def covarianceCentered(df: DataFrame, vecCol: String,
+                                 means: Array[Double]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val centered = zip_with(v, array(means.map(lit).toIndexedSeq: _*),
+      (a, b) => a - b)
+    val x = df.select(posexplode(centered).as(Seq("i", "xi")),
+      centered.as("__v"))
     val p = x.select(col("i"), col("xi"),
       posexplode(col("__v")).as(Seq("j", "xj")))
     p.groupBy("i", "j")
-      .agg(sum(col("xi") * col("xj")).as("__sxy"),
-        sum("xi").as("__sx"), sum("xj").as("__sy"),
-        count(lit(1)).as("__n"))
+      .agg(sum(col("xi") * col("xj")).as("__s"), count(lit(1)).as("__n"))
       .select(col("i"), col("j"),
-        ((col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
-          (col("__n") - 1)).as("cov"))
+        (col("__s") / (col("__n") - 1)).as("cov"))
   }
 
   final case class Model(mean: Array[Double],
@@ -56,14 +81,11 @@ object Pca {
     val d = df.select(size(v)).head().getInt(0)
     require(d <= maxDim, s"dim $d exceeds driver eigensolve guard $maxDim")
     require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
+    val mean = dimMeans(df, vecCol)
     val c = Array.ofDim[Double](d, d)
-    covariance(df, vecCol).collect().foreach { r =>
+    covarianceCentered(df, vecCol, mean).collect().foreach { r =>
       c(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
     }
-    val mean = df
-      .select(posexplode(v).as(Seq("i", "xi")))
-      .groupBy("i").agg(avg("xi").as("m"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
     val (values, vectors) = jacobiEigSym(c)
     // sort by eigenvalue descending; fix sign so the largest-|.| entry
     // of each component is positive (eigenvectors are sign-ambiguous)

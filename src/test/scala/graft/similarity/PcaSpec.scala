@@ -42,6 +42,22 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("gate covariance query is invariant to partitioning (r5 flake)") {
+    // Replays the ann_pca_covariance gate query shape: two-pass centered
+    // covariance rounded at 4 decimals must not depend on the partition
+    // delivery order of the unordered double sums.
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map { k =>
+      (k.toLong, Array.fill(16)((rnd.nextGaussian() * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    def gate(parts: Int): Seq[(Int, Int, Double)] =
+      Pca.covariance(df.repartition(parts), "embedding")
+        .select(col("i"), col("j"), round(col("cov"), 4).as("cov"))
+        .orderBy("i", "j")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(gate(3) == gate(17))
+  }
+
   test("fit finds a planted dominant direction; projections decorrelate") {
     val rnd = new scala.util.Random(3)
     val d = 8
