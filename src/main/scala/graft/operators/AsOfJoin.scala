@@ -30,20 +30,21 @@ object AsOfJoin {
 
   /** Backward as-of join. Right columns `valueCols` (plus the matched
     * right timestamp as `matchedTsName`) attach to every left row; left
-    * rows with no match at-or-before get nulls. `tolerance` (optional,
-    * in the timestamp's unit as a Column interval/long) nulls out
-    * matches older than `leftTs - tolerance`.
+    * rows with no match at-or-before get nulls. `toleranceMicros`
+    * (optional, MICROSECONDS — the same unit as [[backwardBucketed]]'s
+    * `bucketWidth`) nulls out matches strictly older than
+    * `leftTs − tolerance`, compared at full `unix_micros` precision.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, valueCols: Seq[String],
                matchedTsName: String = "matched_ts",
-               tolerance: Option[Column] = None): DataFrame = {
+               toleranceMicros: Option[Long] = None): DataFrame = {
     val merged = tagAndUnion(left, right, keys, leftTs, rightTs, valueCols)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     finish(merged.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w)),
-      left, keys, leftTs, valueCols, matchedTsName, tolerance)
+      left, keys, leftTs, valueCols, matchedTsName, toleranceMicros)
   }
 
   /** Forward as-of join: each left row picks the EARLIEST right row with
@@ -63,14 +64,15 @@ object AsOfJoin {
   }
 
   /** Skew-immune variant: identical output, (key × bucket)-way parallel.
-    * `bucketWidth` is in the unit of `unix_micros(ts)` (e.g. 86400e6
-    * for daily buckets); pick it so one key-bucket fits a task.
+    * `bucketWidth` and `toleranceMicros` are both in MICROSECONDS (the
+    * unit of `unix_micros(ts)`, e.g. 86400e6 for daily buckets); pick
+    * the width so one key-bucket fits a task.
     */
   def backwardBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        valueCols: Seq[String], bucketWidth: Long,
                        matchedTsName: String = "matched_ts",
-                       tolerance: Option[Column] = None): DataFrame = {
+                       toleranceMicros: Option[Long] = None): DataFrame = {
     val merged = tagAndUnion(left, right, keys, leftTs, rightTs, valueCols)
       .withColumn("__bkt", floor(unix_micros(col("__ts")) / bucketWidth))
     // each bucket's closing right payload: tiny summary, one linear agg
@@ -96,7 +98,8 @@ object AsOfJoin {
       .join(carries, keys :+ "__bkt", "left")
       .withColumn("__m",
         coalesce(last(col("__r"), ignoreNulls = true).over(wb), col("__carry")))
-    finish(attached, left, keys, leftTs, valueCols, matchedTsName, tolerance)
+    finish(attached, left, keys, leftTs, valueCols, matchedTsName,
+      toleranceMicros)
   }
 
   /** Right rows as (keys, __ts, __ord=0, payload struct); left rows as
@@ -125,10 +128,12 @@ object AsOfJoin {
   private def finish(attached: DataFrame, left: DataFrame, keys: Seq[String],
                      leftTs: String, valueCols: Seq[String],
                      matchedTsName: String,
-                     tolerance: Option[Column]): DataFrame = {
-    val inWindow = tolerance match {
+                     toleranceMicros: Option[Long]): DataFrame = {
+    val inWindow = toleranceMicros match {
+      // full-precision micros on both sides: no truncation window at
+      // sub-second timestamps (a cast-to-long cutoff rounded to seconds)
       case Some(tol) => col("__m").isNotNull &&
-        col("__m.__rts") >= (col("__ts").cast("long") - tol).cast("timestamp")
+        unix_micros(col("__m.__rts")) >= unix_micros(col("__ts")) - tol
       case None => col("__m").isNotNull
     }
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))

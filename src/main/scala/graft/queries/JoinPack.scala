@@ -105,6 +105,25 @@ object JoinPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // As-of with a lookback tolerance: matches strictly older than one
+    // hour before the click are nulled out (full-micros comparison).
+    "j_asof_tolerance" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.backward(
+          clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_value"), matchedTsName = "purchase_ts",
+          toleranceMicros = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("purchase_ts"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // Forward as-of: each click attaches the user's NEXT purchase
     // at-or-after it — the same union-window plan walked descending.
     "j_asof_forward" -> ((s, dir) => {
@@ -186,6 +205,21 @@ object JoinPack extends QueryPack {
          SELECT c.event_id, c.user_id,
                 strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
                 ROUND(p.purchase_value, 6) AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+    // native ASOF picks the latest at-or-before; the tolerance then nulls
+    // the attach (not the row) when it is older than the 1-hour lookback
+    "j_asof_tolerance" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, value AS purchase_value FROM events
+                       WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id,
+                CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR
+                     THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') END AS purchase_ts,
+                CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR
+                     THEN ROUND(p.purchase_value, 6) END AS purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND c.ts >= p.ts
          ORDER BY c.event_id""",

@@ -39,10 +39,24 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   test("tolerance nulls out matches older than the lookback") {
     val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("v"),
-        tolerance = Some(lit(5L))) // seconds
+        toleranceMicros = Some(5000000L)) // 5 s
       .select("id", "v").as[(Long, Option[Double])].collect().toMap
     assert(got(1L) === Some(1.0))  // 1s old
     assert(got(4L) === None)       // 29s old > 5s
+  }
+
+  test("tolerance compares at full microsecond precision") {
+    // a seconds-truncated cutoff would keep the 5.1s-old match below
+    val l = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05.500")),
+      (2L, 10L, ts("2024-01-01 00:00:05.300"))).toDF("id", "k", "ts")
+    val r = Seq((10L, ts("2024-01-01 00:00:00.400"), 1.0))
+      .toDF("k", "rts", "v")
+    val got = AsOfJoin.backward(l, r, Seq("k"), "ts", "rts", Seq("v"),
+        toleranceMicros = Some(5000000L)) // 5 s
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === None)       // 5.1 s old > 5 s
+    assert(got(2L) === Some(1.0))  // 4.9 s old <= 5 s
   }
 
   test("bucketed variant is bit-identical to the plain plan") {
