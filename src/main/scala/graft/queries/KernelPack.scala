@@ -239,6 +239,19 @@ object KernelPack extends QueryPack {
       Regrid.interpolateAt(targets, raster, "linear")
         .select(col("c_custkey"), round(col("value"), 4).as("value"))
         .orderBy("c_custkey")
+    }),
+
+    // K6 (assignment half): the stratified group k-fold group→fold rule
+    // — greedy over (group, stratum) counts with fixed-order arithmetic
+    // and an md5 visit tie-break, so the DuckDB oracle replays it
+    // step-for-step in a recursive CTE and matches bit-exactly. Model
+    // TRAINING stays the SURVEY-blessed MLlib divergence (MlSpec); the
+    // assignment rule itself is pure and now gate-checked.
+    "k6_fold_assignment" -> ((s, dir) => {
+      graft.ml.StratifiedGroupKFold
+        .groupFolds(table(s, dir, "customer"), "c_nationkey", "c_mktsegment", 4)
+        .select(col("c_nationkey"), col("__fold").as("fold"))
+        .orderBy("c_nationkey")
     }))
 
   // K2 on a bilinear field is exact → the oracle computes the plane
@@ -350,7 +363,91 @@ object KernelPack extends QueryPack {
            FROM px GROUP BY x, y)
          SELECT CAST(FLOOR(y / 2) * 4 + FLOOR(x / 2) AS BIGINT) AS grid_id,
            ROUND(AVG(low), 4) AS low_mean, ROUND(AVG(high), 4) AS high_mean
-         FROM site GROUP BY 1 ORDER BY 1""")
+         FROM site GROUP BY 1 ORDER BY 1""",
+
+    // Step-for-step recursive-CTE replay of the greedy stratified
+    // group-k-fold assignment (k=4). State rides in the recursion as two
+    // lists: pf = per-(fold,stratum) counts flattened at index
+    // fold*ns+stratum, fs = per-fold sizes. Each step places the next
+    // group in the (spread DESC, md5(group)) visit order onto the fold
+    // minimizing (eval, size, fold-id) — eval folds strata/folds in the
+    // same fixed order as the Scala loop, so every double matches
+    // bit-exactly and the lexicographic LIST_SORT argmin needs no
+    // tolerance. Counts stay integral until the one division by the
+    // stratum total.
+    "k6_fold_assignment" ->
+      """WITH RECURSIVE
+         counts AS (
+           SELECT c_nationkey AS g, c_mktsegment AS s, COUNT(*) AS n
+           FROM customer GROUP BY 1, 2),
+         strata AS (SELECT DISTINCT s FROM counts),
+         consts AS (
+           SELECT 4 AS k, (SELECT COUNT(*) FROM strata) AS ns,
+                  (SELECT COUNT(DISTINCT g) FROM counts) AS ng,
+                  (SELECT LIST(tot ORDER BY s)
+                   FROM (SELECT s, SUM(n) AS tot FROM counts GROUP BY s)) AS tot),
+         grid AS (
+           SELECT gg.g, st.s, COALESCE(c.n, 0) AS n
+           FROM (SELECT DISTINCT g FROM counts) gg
+           CROSS JOIN strata st
+           LEFT JOIN counts c ON c.g = gg.g AND c.s = st.s),
+         g0 AS (
+           SELECT g, LIST(n ORDER BY s) AS csl, SUM(n) AS gtot
+           FROM grid GROUP BY g),
+         gstats AS (
+           SELECT g, csl, gtot,
+                  SQRT(LIST_SUM(LIST_TRANSFORM(csl,
+                    cc -> (cc - CAST(gtot AS DOUBLE) / ns)
+                        * (cc - CAST(gtot AS DOUBLE) / ns))) / ns) AS sp
+           FROM g0 CROSS JOIN consts),
+         ord AS (
+           SELECT g, csl, gtot,
+                  ROW_NUMBER() OVER (ORDER BY sp DESC, md5(CAST(g AS VARCHAR))) AS pos
+           FROM gstats),
+         assign AS (
+           SELECT 0::BIGINT AS pos, CAST(NULL AS INTEGER) AS g,
+                  CAST(NULL AS BIGINT) AS fold,
+                  (SELECT LIST_TRANSFORM(RANGE(1, k * ns + 1), x -> 0::BIGINT)
+                   FROM consts) AS pf,
+                  (SELECT LIST_TRANSFORM(RANGE(1, k + 1), x -> 0::BIGINT)
+                   FROM consts) AS fs
+           UNION ALL
+           SELECT pos, g, best AS fold,
+                  LIST_TRANSFORM(RANGE(0, k * ns), j ->
+                    pf[j + 1] + CASE WHEN j // ns = best
+                                     THEN csl[(j % ns) + 1] ELSE 0 END) AS pf,
+                  LIST_TRANSFORM(RANGE(0, k), i ->
+                    fs[i + 1] + CASE WHEN i = best THEN gtot ELSE 0 END) AS fs
+           FROM (
+             SELECT a.pos + 1 AS pos, o.g, o.csl, o.gtot, a.pf, a.fs,
+                    c.k, c.ns, c.tot, c.ng,
+                    LIST_SORT(LIST_TRANSFORM(RANGE(0, c.k), f -> {
+                      'ev': LIST_SUM(LIST_TRANSFORM(RANGE(0, c.ns), s ->
+                        CASE WHEN c.tot[s + 1] = 0 THEN 0.0 ELSE
+                          SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(0, c.k), i ->
+                            (CAST(a.pf[i * c.ns + s + 1]
+                                  + CASE WHEN i = f THEN o.csl[s + 1] ELSE 0 END
+                              AS DOUBLE) / c.tot[s + 1]
+                             - LIST_SUM(LIST_TRANSFORM(RANGE(0, c.k), i2 ->
+                                 CAST(a.pf[i2 * c.ns + s + 1]
+                                      + CASE WHEN i2 = f THEN o.csl[s + 1] ELSE 0 END
+                                   AS DOUBLE) / c.tot[s + 1])) / c.k)
+                            * (CAST(a.pf[i * c.ns + s + 1]
+                                    + CASE WHEN i = f THEN o.csl[s + 1] ELSE 0 END
+                                AS DOUBLE) / c.tot[s + 1]
+                               - LIST_SUM(LIST_TRANSFORM(RANGE(0, c.k), i2 ->
+                                   CAST(a.pf[i2 * c.ns + s + 1]
+                                        + CASE WHEN i2 = f THEN o.csl[s + 1] ELSE 0 END
+                                     AS DOUBLE) / c.tot[s + 1])) / c.k))) / c.k)
+                        END)) / c.ns,
+                      'sz': a.fs[f + 1],
+                      'f': f }))[1].f AS best
+             FROM assign a
+             JOIN ord o ON o.pos = a.pos + 1
+             CROSS JOIN consts c
+             WHERE a.pos < c.ng))
+         SELECT g AS c_nationkey, CAST(fold AS INTEGER) AS fold
+         FROM assign WHERE pos >= 1 ORDER BY g""")
 
   /** 4×4 grid of 2×2 cells over [0,8)² — grid_id = row-major (gy·4+gx),
     * matching the oracle's FLOOR(y/2)·4 + FLOOR(x/2).
