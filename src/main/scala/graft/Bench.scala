@@ -68,10 +68,11 @@ object Bench {
       }
     val results = queryResults ++ pipelineResults
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // plan-property metrics (shuffle counts) ride along in "queries" but
-    // are not seconds — keep them out of the summed total
+    // companion metrics (shuffle counts, executor-cpu seconds) ride along
+    // in "queries" but are not wall-time — keep them out of the total
     def totalSecs: Double = results
-      .filterNot(_._1.endsWith("_shuffle_exchanges")).map(_._2).sum
+      .filterNot(r => r._1.endsWith("_shuffle_exchanges") ||
+        r._1.endsWith("_cpu_sec")).map(_._2).sum
     def jsonLine(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
