@@ -276,6 +276,12 @@ object Hdf5 {
     }
 
     // -------------------------------------------------------- datatypes
+    /** Test seam: parse a datatype message at a raw byte offset (the
+      * in-repo writer only emits v1 compounds, so externally-shaped v3
+      * encodings are pinned against hand-built message bytes).
+      */
+    private[graft] def datatypeAt(o: Long): Dtype = parseDatatype(o)
+
     private def parseDatatype(o: Long): Dtype = {
       val cv = u8(o); val cls = cv & 0xf
       val b0 = u8(o + 1)
@@ -302,9 +308,12 @@ object Hdf5 {
             val off = version match {
               case 1 | 2 => val v = u32(p); p += 4; v
               case 3 =>
-                // minimum bytes needed to hold the compound's size
+                // offset width per H5VM_limit_enc_size: bytes needed to
+                // hold the compound SIZE itself, i.e. floor(log2(size))/8
+                // + 1 — a size of exactly 256 encodes in 2 bytes (256
+                // needs 9 bits), so the limit comparison is inclusive
                 var nb = 1; var lim = 256L
-                while (lim < size) { nb += 1; lim *= 256 }
+                while (lim <= size) { nb += 1; lim *= 256 }
                 val v = ui(p, nb); p += nb; v
               case v => throw new IllegalArgumentException(s"compound v$v")
             }

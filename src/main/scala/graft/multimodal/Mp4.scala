@@ -5,19 +5,31 @@ import java.nio.{ByteBuffer, ByteOrder}
 /** Minimal ISO-BMFF (MP4) container codec — metadata only, from the
   * public ISO/IEC 14496-12 box structure: `moov/mvhd` carries the movie
   * timescale and duration, `moov/trak/tkhd` the track dimensions in
-  * 16.16 fixed point. The JDK ships no video codec, so this is the
-  * video-arm analog of the WAV/AIFF header parse: real container
-  * metadata without sample decode (frame pixels stay out of scope for
-  * the engine — swap in a javacv/ffmpeg [[Multimodal.Codec]] for that).
+  * 16.16 fixed point, and `moov/trak/mdia/minf/stbl` the sample tables —
+  * `stsd` (codec fourcc), `stts` (decode timeline sample counts) and
+  * `stsz` (sample count + byte sizes), which is how real tooling gets a
+  * frame count without decoding frames. The JDK ships no video codec, so
+  * this is the video-arm analog of the WAV/AIFF header parse: real
+  * container metadata without sample decode (frame pixels stay out of
+  * scope for the engine — swap in a javacv/ffmpeg [[Multimodal.Codec]]
+  * for that).
   *
-  * [[write]] emits a minimal valid `ftyp + moov(mvhd, trak(tkhd))` tree
-  * so fixtures and the parser are independent implementations of the
-  * same spec (the NetCdf4↔Hdf5 move).
+  * [[write]] emits a minimal valid `ftyp + moov(mvhd, trak(tkhd,
+  * mdia(minf(stbl(stsd, stts, stsz)))))` tree so fixtures and the parser
+  * are independent implementations of the same spec (the NetCdf4↔Hdf5
+  * move); it switches to version-1 (64-bit) mvhd/tkhd boxes when the
+  * duration exceeds the unsigned-32 slot instead of truncating.
+  *
+  * Box sizes are validated against the enclosing extent before any
+  * recursion or field read, so truncated or hostile payloads fail with a
+  * precise "bad box size" error rather than a raw IndexOutOfBounds.
   */
 object Mp4 {
 
   final case class Meta(widthPx: Int, heightPx: Int, timescale: Long,
-                        durationTicks: Long, nTracks: Int)
+                        durationTicks: Long, nTracks: Int,
+                        codec: String = "", nSamples: Long = 0L,
+                        sampleBytes: Long = 0L)
 
   def isMp4(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 &&
@@ -32,15 +44,25 @@ object Mp4 {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     var timescale = 0L; var duration = 0L
     var w = 0; var h = 0; var tracks = 0
+    var codec = ""; var nSamples = 0L; var sampleBytes = 0L
+    // sample tables belong to the WINNING trak (largest video track, the
+    // same rule as the dimensions); tkhd precedes mdia inside trak, so a
+    // flag set at tkhd scopes the stbl handlers below it
+    var inWinner = false
     def walk(from: Int, to: Int, depth: Int): Unit = {
       var o = from
       while (o + 8 <= to) {
         val size = bb.getInt(o).toLong & 0xffffffffL
         val typ = new String(bytes, o + 4, 4, "US-ASCII")
+        require(size == 0 || (size >= 8 && o.toLong + size <= to),
+          s"bad box size $size at offset $o (extent $to) — truncated or " +
+            "corrupt container")
         val end = if (size == 0) to else (o + size).toInt
-        require(size == 0 || size >= 8, s"bad box size $size at $o")
         typ match {
-          case "moov" | "trak" => walk(o + 8, end, depth + 1)
+          case "moov" | "mdia" | "minf" | "stbl" => walk(o + 8, end, depth + 1)
+          case "trak" =>
+            walk(o + 8, end, depth + 1)
+            inWinner = false
           case "mvhd" =>
             val v = bytes(o + 8) & 0xff
             if (v == 1) {
@@ -58,7 +80,44 @@ object Mp4 {
             val wOff = o + 8 + (if (v == 1) 88 else 76)
             val tw = bb.getInt(wOff) >>> 16    // 16.16 fixed point
             val th = bb.getInt(wOff + 4) >>> 16
-            if (tw > w) { w = tw; h = th } // largest (video) track wins
+            inWinner = tw > w || tracks == 1
+            if (inWinner) { // largest (video) track wins, sample state too
+              w = tw; h = th
+              codec = ""; nSamples = 0L; sampleBytes = 0L
+            }
+          case "stsd" if inWinner =>
+            // ver/flags + entry_count, then the first sample entry:
+            // size + format fourcc (the codec identifier)
+            if (end - o >= 8 + 8 + 8 && bb.getInt(o + 8 + 4) >= 1)
+              codec = new String(bytes, o + 8 + 8 + 4, 4, "US-ASCII")
+          case "stts" if inWinner =>
+            val n = bb.getInt(o + 8 + 4).toLong & 0xffffffffL
+            require(o.toLong + 8 + 8 + 8 * n <= end,
+              s"stts entry count $n exceeds box extent")
+            // only used as the sample-count fallback when stsz is absent
+            if (nSamples == 0) {
+              var i = 0; var total = 0L
+              while (i < n) {
+                total += bb.getInt(o + 8 + 8 + 8 * i).toLong & 0xffffffffL
+                i += 1
+              }
+              nSamples = total
+            }
+          case "stsz" if inWinner =>
+            val fixed = bb.getInt(o + 8 + 4).toLong & 0xffffffffL
+            val n = bb.getInt(o + 8 + 8).toLong & 0xffffffffL
+            nSamples = n
+            if (fixed != 0) sampleBytes = fixed * n
+            else {
+              require(o.toLong + 8 + 12 + 4 * n <= end,
+                s"stsz sample count $n exceeds box extent")
+              var i = 0; var total = 0L
+              while (i < n) {
+                total += bb.getInt(o + 8 + 12 + 4 * i).toLong & 0xffffffffL
+                i += 1
+              }
+              sampleBytes = total
+            }
           case _ => ()
         }
         if (size == 0) o = to else o = end
@@ -66,13 +125,23 @@ object Mp4 {
     }
     walk(0, bytes.length, 0)
     require(timescale > 0, "no mvhd box — not a movie container")
-    Meta(w, h, timescale, duration, tracks)
+    Meta(w, h, timescale, duration, tracks, codec, nSamples, sampleBytes)
   }
 
   // ------------------------------------------------------------- write
 
+  val MaxU32: Long = 0xffffffffL
+
   def write(widthPx: Int, heightPx: Int, timescale: Long,
-            durationTicks: Long): Array[Byte] = {
+            durationTicks: Long, codec: String = "",
+            sampleSizes: Seq[Int] = Nil): Array[Byte] = {
+    require(timescale >= 1 && timescale <= MaxU32,
+      s"mvhd timescale $timescale outside the unsigned-32 slot")
+    require(durationTicks >= 0, s"negative duration $durationTicks")
+    require(codec.isEmpty || codec.length == 4,
+      s"codec fourcc must be 4 chars, got '$codec'")
+    // version-1 boxes carry 64-bit durations; v0 whenever it fits
+    val v1 = durationTicks > MaxU32
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val bb = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
       bb.putInt(8 + payload.length)
@@ -84,11 +153,19 @@ object Mp4 {
       b.put("isom".getBytes); b.putInt(0); b.put("isom".getBytes); b.array()
     })
     val mvhd = box("mvhd", {
-      val b = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
-      b.putInt(0)                      // version 0 + flags
-      b.putInt(0); b.putInt(0)         // creation, modification
-      b.putInt(timescale.toInt)
-      b.putInt(durationTicks.toInt)
+      val b = ByteBuffer.allocate(if (v1) 112 else 100)
+        .order(ByteOrder.BIG_ENDIAN)
+      if (v1) {
+        b.putInt(0x01000000)           // version 1 + flags
+        b.putLong(0); b.putLong(0)     // creation, modification (64-bit)
+        b.putInt(timescale.toInt)
+        b.putLong(durationTicks)
+      } else {
+        b.putInt(0)                    // version 0 + flags
+        b.putInt(0); b.putInt(0)       // creation, modification
+        b.putInt(timescale.toInt)
+        b.putInt(durationTicks.toInt)
+      }
       b.putInt(0x00010000)             // rate 1.0
       b.putShort(0x0100.toShort)       // volume 1.0
       b.putShort(0); b.putInt(0); b.putInt(0) // reserved
@@ -99,12 +176,21 @@ object Mp4 {
       b.array()
     })
     val tkhd = box("tkhd", {
-      val b = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
-      b.putInt(7)                      // version 0, flags enabled|in-movie
-      b.putInt(0); b.putInt(0)         // creation, modification
-      b.putInt(1)                      // track id
-      b.putInt(0)                      // reserved
-      b.putInt(durationTicks.toInt)
+      val b = ByteBuffer.allocate(if (v1) 96 else 84)
+        .order(ByteOrder.BIG_ENDIAN)
+      if (v1) {
+        b.putInt(0x01000007)           // version 1, flags enabled|in-movie
+        b.putLong(0); b.putLong(0)     // creation, modification (64-bit)
+        b.putInt(1)                    // track id
+        b.putInt(0)                    // reserved
+        b.putLong(durationTicks)
+      } else {
+        b.putInt(7)                    // version 0, flags enabled|in-movie
+        b.putInt(0); b.putInt(0)       // creation, modification
+        b.putInt(1)                    // track id
+        b.putInt(0)                    // reserved
+        b.putInt(durationTicks.toInt)
+      }
       b.putInt(0); b.putInt(0)         // reserved
       b.putShort(0); b.putShort(0)     // layer, alternate group
       b.putShort(0); b.putShort(0)     // volume (video track: 0), reserved
@@ -114,7 +200,38 @@ object Mp4 {
       b.putInt(heightPx << 16)
       b.array()
     })
-    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    // sample tables — emitted only when the fixture declares samples
+    val stbl =
+      if (codec.isEmpty && sampleSizes.isEmpty) Array.emptyByteArray
+      else {
+        val stsd = box("stsd", {
+          // ver/flags + entry_count + one minimal visual sample entry
+          // (size + fourcc + 78 zero bytes, the VisualSampleEntry shell)
+          val entry = ByteBuffer.allocate(86).order(ByteOrder.BIG_ENDIAN)
+          entry.putInt(86)
+          entry.put((if (codec.isEmpty) "avc1" else codec).getBytes("US-ASCII"))
+          val b = ByteBuffer.allocate(8 + 86).order(ByteOrder.BIG_ENDIAN)
+          b.putInt(0); b.putInt(1); b.put(entry.array()); b.array()
+        })
+        val n = sampleSizes.length
+        val stts = box("stts", {
+          val b = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+          b.putInt(0); b.putInt(1)     // one run covering every sample
+          b.putInt(n)
+          b.putInt(if (n == 0) 0
+                   else math.max(1, (durationTicks / math.max(1, n)).toInt))
+          b.array()
+        })
+        val stsz = box("stsz", {
+          val b = ByteBuffer.allocate(12 + 4 * n).order(ByteOrder.BIG_ENDIAN)
+          b.putInt(0); b.putInt(0)     // ver/flags, sample_size 0 → table
+          b.putInt(n)
+          sampleSizes.foreach(b.putInt)
+          b.array()
+        })
+        box("mdia", box("minf", box("stbl", stsd ++ stts ++ stsz)))
+      }
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++ stbl))
     ftyp ++ moov
   }
 }

@@ -22,14 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Typed metadata carried alongside each media blob. */
+  /** Typed metadata carried alongside each media blob. The trailing
+    * fields are the video container's extras: `codec` is the stsd
+    * fourcc, `durationTicks` the mvhd duration (64-bit — v1 boxes
+    * overflow an Int), `sampleBytes` the stsz total.
+    */
   case class MediaMeta(kind: String, byteLen: Long, width: Int, height: Int,
-                       channels: Int, sampleRateHz: Int, nFrames: Int)
+                       channels: Int, sampleRateHz: Int, nFrames: Int,
+                       codec: String = "", durationTicks: Long = 0L,
+                       sampleBytes: Long = 0L)
 
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
   case class DecodedRow(media_id: Long, kind: String, byteLen: Long,
                         width: Int, height: Int, channels: Int,
-                        sampleRateHz: Int, nFrames: Int, features: Array[Float])
+                        sampleRateHz: Int, nFrames: Int, features: Array[Float],
+                        codec: String, durationTicks: Long, sampleBytes: Long)
 
   /** A codec resolves media bytes to metadata + a feature vector. Swapping
     * implementations (real vs stub) never changes the pipeline shape.
@@ -78,12 +85,24 @@ object Multimodal {
           math.round(fmt.getSampleRate), aff.getFrameLength)
       case "video" =>
         // ISO-BMFF box walk (from-spec Mp4 codec): movie timescale →
-        // sampleRateHz slot, duration ticks → nFrames, track dims →
-        // width/height, track count → channels. Header-only, like the
-        // audio arm — frame decode needs a real codec (javacv/ffmpeg).
+        // sampleRateHz slot, stsz/stts sample count → nFrames (duration
+        // ticks only when the container carries no sample table), track
+        // dims → width/height, track count → channels; codec fourcc,
+        // 64-bit duration and sample-byte total ride in the dedicated
+        // fields. Header-only, like the audio arm — frame decode needs
+        // a real codec (javacv/ffmpeg). Int-slot overflow fails loudly
+        // (mvhd timescale is unsigned 32-bit, v1 durations 64-bit)
+        // instead of wrapping negative.
         val m = Mp4.parseMeta(bytes)
+        val frames = if (m.nSamples > 0) m.nSamples else m.durationTicks
+        require(m.timescale <= Int.MaxValue,
+          s"mvhd timescale ${m.timescale} overflows the Int metadata slot")
+        require(frames <= Int.MaxValue,
+          s"frame count $frames overflows the Int metadata slot")
         MediaMeta("video", bytes.length, m.widthPx, m.heightPx,
-          m.nTracks, m.timescale.toInt, m.durationTicks.toInt)
+          m.nTracks, m.timescale.toInt, frames.toInt,
+          codec = m.codec, durationTicks = m.durationTicks,
+          sampleBytes = m.sampleBytes)
       case other => StubCodec.decode(other, bytes)
     }
     def features(bytes: Array[Byte]): Array[Float] = StubCodec.features(bytes)
@@ -136,7 +155,7 @@ object Multimodal {
         val m = codec.decode(r.kind, r.bytes)
         DecodedRow(r.media_id, r.kind, m.byteLen, m.width, m.height,
           m.channels, m.sampleRateHz, m.nFrames,
-          codec.features(r.bytes))
+          codec.features(r.bytes), m.codec, m.durationTicks, m.sampleBytes)
       }
     }
   }

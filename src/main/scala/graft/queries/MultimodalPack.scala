@@ -90,9 +90,11 @@ object MultimodalPack extends QueryPack {
     }),
 
     // Real ISO-BMFF (MP4) container parse through the from-spec Mp4
-    // codec: per-doc width/height/timescale/duration are closed-form in
-    // doc_id, synthesized into a valid ftyp+moov box tree on executors,
-    // and recovered by the independent box-walk parser.
+    // codec: per-doc width/height/timescale/duration, codec fourcc and
+    // per-sample sizes are closed-form in doc_id, synthesized into a
+    // valid ftyp+moov tree (incl. stsd/stts/stsz sample tables) on
+    // executors, and recovered by the independent box-walk parser —
+    // n_frames is the REAL stsz sample count, not duration ticks.
     "mm_video_meta" -> ((s, dir) => {
       import s.implicits._
       val params = table(s, dir, "documents").select(
@@ -101,15 +103,21 @@ object MultimodalPack extends QueryPack {
         (lit(90) + pmod(col("doc_id"), lit(6)) * 90).cast("int").as("h"),
         (lit(1000) + pmod(col("doc_id"), lit(3)) * 500).cast("long").as("tsc"),
         (lit(2400) + pmod(col("doc_id") * 7, lit(9000))).cast("long").as("dur"))
-      val mkMp4 = udf((w: Int, h: Int, tsc: Long, dur: Long) =>
-        graft.multimodal.Mp4.write(w, h, tsc, dur))
+      val mkMp4 = udf((w: Int, h: Int, tsc: Long, dur: Long) => {
+        val fourcc = Seq("avc1", "hev1", "av01")((dur % 3).toInt)
+        val n = (3 + dur % 5).toInt
+        val sizes = (0 until n).map(i => (100 + (dur + i) % 7).toInt)
+        graft.multimodal.Mp4.write(w, h, tsc, dur, fourcc, sizes)
+      })
       val media = params.select(col("media_id"), lit("video").as("kind"),
         mkMp4(col("w"), col("h"), col("tsc"), col("dur")).as("bytes"))
         .as[Multimodal.MediaRow]
       Multimodal.decode(media, Multimodal.ImageIoCodec).toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("sampleRateHz").as("timescale"),
-          col("nFrames").as("duration_ticks"))
+          col("durationTicks").as("duration_ticks"),
+          col("codec"), col("nFrames").as("n_frames"),
+          col("sampleBytes").as("sample_bytes"))
         .orderBy("media_id")
     }))
 
@@ -145,11 +153,27 @@ object MultimodalPack extends QueryPack {
          CAST(1 + OCTET_LENGTH(ENCODE(text)) % 2 AS INT) AS channels,
          CAST(64 + (OCTET_LENGTH(ENCODE(text)) * 3) % 256 AS INT) AS n_frames
          FROM documents ORDER BY media_id""",
+    // the closed forms mirror the fixture generator; sample_bytes sums
+    // the same per-sample size sequence the stsz table carries (n ≤ 7,
+    // so a fixed 0..6 series filtered by i < n replays the loop — DuckDB
+    // 1.0 has no correlated generate_series)
     "mm_video_meta" ->
-      """SELECT doc_id AS media_id,
-         CAST(160 + (doc_id % 8) * 80 AS INT) AS width,
-         CAST(90 + (doc_id % 6) * 90 AS INT) AS height,
-         CAST(1000 + (doc_id % 3) * 500 AS INT) AS timescale,
-         CAST(2400 + (doc_id * 7) % 9000 AS INT) AS duration_ticks
-         FROM documents ORDER BY media_id""")
+      """WITH p AS (
+           SELECT doc_id, 2400 + (doc_id * 7) % 9000 AS dur
+           FROM documents),
+         ss AS (
+           SELECT doc_id, CAST(SUM(100 + (dur + i) % 7) AS BIGINT) AS sample_bytes
+           FROM p, range(0, 7) t(i)
+           WHERE i < 3 + dur % 5
+           GROUP BY doc_id)
+         SELECT p.doc_id AS media_id,
+         CAST(160 + (p.doc_id % 8) * 80 AS INT) AS width,
+         CAST(90 + (p.doc_id % 6) * 90 AS INT) AS height,
+         CAST(1000 + (p.doc_id % 3) * 500 AS INT) AS timescale,
+         CAST(dur AS BIGINT) AS duration_ticks,
+         CASE dur % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+              ELSE 'av01' END AS codec,
+         CAST(3 + dur % 5 AS INT) AS n_frames,
+         ss.sample_bytes
+         FROM p JOIN ss USING (doc_id) ORDER BY media_id""")
 }

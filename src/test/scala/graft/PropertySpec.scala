@@ -230,6 +230,46 @@ object KernelProperties extends Properties("graft.kernels") {
           graft.multimodal.Mp4.write(w, h, timescale, duration))
         m.widthPx == w && m.heightPx == h &&
           m.timescale == timescale && m.durationTicks == duration &&
-          m.nTracks == 1
+          m.nTracks == 1 && m.nSamples == 0L
+    }
+
+  property("mp4 writer↔parser: sample tables and v1 64-bit durations") =
+    forAll(Gen.chooseNum(1, 4096), Gen.chooseNum(1, 4096),
+      Gen.chooseNum(1L, 0xffffffffL),
+      // spans the u32 boundary: half the cases force version-1 boxes
+      Gen.chooseNum(0L, 2L * 0xffffffffL),
+      Gen.oneOf("avc1", "hev1", "av01", "vp09"),
+      Gen.listOfN(10, Gen.chooseNum(0, 1000000)).map(_.take(8))) {
+      (w, h, timescale, duration, codec, sizes) =>
+        val m = graft.multimodal.Mp4.parseMeta(
+          graft.multimodal.Mp4.write(w, h, timescale, duration, codec, sizes))
+        m.widthPx == w && m.heightPx == h &&
+          m.timescale == timescale && m.durationTicks == duration &&
+          m.nTracks == 1 && m.codec == codec &&
+          m.nSamples == sizes.length.toLong &&
+          m.sampleBytes == sizes.map(_.toLong).sum
+    }
+
+  property("mp4 parser rejects corrupt box sizes with a precise error") =
+    forAll(Gen.chooseNum(8, 200), Gen.chooseNum(9L, 0xfffffff0L)) {
+      (corruptAt, badSize) =>
+        val bytes = graft.multimodal.Mp4.write(640, 480, 1000L, 5000L,
+          "avc1", Seq(10, 20, 30))
+        val at = corruptAt % (bytes.length - 8)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        // overwrite some 4-byte window with a size-like huge value — the
+        // parser must fail with its own message, never a raw
+        // IndexOutOfBounds from walking past the buffer
+        bb.putInt(at, (badSize & 0xffffffffL).toInt)
+        try { graft.multimodal.Mp4.parseMeta(bb.array()); true }
+        catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("bad box size") ||
+              e.getMessage.contains("exceeds box extent") ||
+              e.getMessage.contains("no mvhd box") ||
+              e.getMessage.contains("not an ISO-BMFF container")
+          case _: Throwable => false
+        }
     }
 }

@@ -97,4 +97,34 @@ class NetCdf4Spec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](ds.member("nope"))
     assert(err.getMessage.contains("members: t,value,qc"))
   }
+
+  test("v3 compound with size exactly 256 uses 2-byte member offsets") {
+    // H5VM_limit_enc_size: offset width = floor(log2(size))/8 + 1, so a
+    // 256-byte record encodes offsets in TWO bytes (256 needs 9 bits).
+    // An off-by-one (while lim < size) read 1 byte here and misparsed
+    // every subsequent member of externally-written v3 compounds.
+    def i32dt: Array[Byte] = Array[Byte](
+      0x10, 0x08, 0, 0,          // class 0 v1, signed
+      4, 0, 0, 0,                // size 4
+      0, 0, 32, 0)               // bit offset 0, precision 32
+    def member(name: String, off: Int): Array[Byte] =
+      name.getBytes("US-ASCII") ++ Array[Byte](0) ++
+        Array[Byte]((off & 0xff).toByte, ((off >> 8) & 0xff).toByte) ++ i32dt
+    val msg = Array[Byte](
+      0x36.toByte,               // class 6, version 3
+      2, 0, 0,                   // 2 members
+      0, 1, 0, 0) ++             // size 256 (LE)
+      member("a", 0) ++ member("b", 128)
+    // minimal v0 superblock shell (8-byte offsets/lengths at 13/14) with
+    // the message bytes parked at offset 16; tail padding keeps the
+    // eager root-address read in bounds
+    val sb = new Array[Byte](8)
+    sb(5) = 8; sb(6) = 8 // file bytes 13, 14
+    val bytes = Hdf5.Magic ++ sb ++ msg ++ new Array[Byte](128)
+    val dt = new Hdf5.File(bytes).datatypeAt(16L)
+    assert(dt.cls === 6)
+    assert(dt.size === 256)
+    assert(dt.members.map(m => m.name -> m.offset) ===
+      Seq("a" -> 0, "b" -> 128))
+  }
 }
