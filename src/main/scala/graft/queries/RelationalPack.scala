@@ -228,6 +228,99 @@ object RelationalPack extends QueryPack {
         .distinct()
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"))
         .orderBy("user_id", "day_s")
+    }),
+
+    // S3: footer-only row count — the validator read that never scans
+    // data (ref: combined_storage.py:74-88). The count comes from parquet
+    // footer metadata via the real StageStorage path and must equal the
+    // full scan.
+    "s3_footer_count" -> ((s, dir) => {
+      import s.implicits._
+      val clicks = table(s, dir, "events")
+        .filter(col("event_type") === "click")
+      val root = java.nio.file.Files.createTempDirectory("graft-s3").toString
+      val storage = new graft.core.StageStorage(s, root)
+      val ref = graft.core.StageRef("clicks")
+      storage.writeMonth(clicks, ref, "2024-01")
+      val footer = storage.rowCount(ref, "2024-01")
+      val scanned = storage.readMonth(ref, "2024-01").count()
+      Seq((footer, scanned)).toDF("n_footer", "n_scan")
+    }),
+
+    // O3: sort + drop the working coordinates — the interpolator's
+    // output shape (ref: daily_spatial_interpolator.py:110-114).
+    "o3_sort_drop" -> ((s, dir) => {
+      table(s, dir, "events")
+        .withColumn("x", pmod(col("user_id") * 31, lit(100)))
+        .withColumn("y", pmod(col("event_id") * 17, lit(100)))
+        .orderBy("user_id", "event_id")
+        .drop("x", "y", "ts", "props")
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // O4: "latest run" = lexicographic max over a run-directory listing,
+    // through the real ModelStore path (ref: model_storage.py:155-181 —
+    // run ids are sortable strings). Run dirs are synthesized from the
+    // orders table's months so the oracle derives the same answer from
+    // data.
+    "o4_latest_run" -> ((s, dir) => {
+      import s.implicits._
+      val months = table(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+        .distinct().as[String].collect()
+      val root = java.nio.file.Files.createTempDirectory("graft-o4").toString
+      months.foreach { m =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/gbt/run-$m"))
+      }
+      val latest = new graft.ml.ModelStore(s, root).latestRun("gbt")
+      Seq(latest.getOrElse("")).toDF("latest_run")
+    }),
+
+    // U2: set algebra on column NAME sets (schema-level, the combine
+    // managers' expected-vs-actual checks, ref: combine_manager.py:103-111)
+    // — prefix-stripped customer vs supplier columns, classified by side.
+    "u2_column_set_algebra" -> ((s, dir) => {
+      import s.implicits._
+      def strip(cs: Array[String]): Set[String] =
+        cs.map(_.dropWhile(_ != '_').drop(1)).toSet
+      val l = strip(table(s, dir, "customer").columns)
+      val r = strip(table(s, dir, "supplier").columns)
+      val rows = (l & r).toSeq.map(("both", _)) ++
+        (l -- r).toSeq.map(("customer_only", _)) ++
+        (r -- l).toSeq.map(("supplier_only", _))
+      rows.toDF("side", "col").orderBy("side", "col")
+    }),
+
+    // F7: date parse/format round trip (ref: grid.py:139-142,
+    // pm25_pipeline.py:72-74 strptime/cast/format).
+    "f7_date_roundtrip" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy/MM/dd").as("d_slash"))
+        .withColumn("d_iso", date_format(
+          to_date(col("d_slash"), "yyyy/MM/dd"), "yyyy-MM-dd"))
+        .withColumn("yr", year(to_date(col("d_slash"), "yyyy/MM/dd")))
+        .orderBy("o_orderkey")
+    }),
+
+    // F12: all-null column rejection — one aggregation pass of
+    // count(col) vs count(*) per column, the GeeCsvAdapter gate
+    // (ref: gee_export_pipeline.py:186-196).
+    "f12_allnull_reject" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events")
+        .withColumn("purchase_value",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("ghost", lit(null).cast("double"))
+      val checked = Seq("value", "purchase_value", "ghost")
+      val agg = ev.agg(count(lit(1)).as("n_rows"),
+        checked.map(c => count(col(c)).as(s"nn_$c")): _*).head()
+      val n = agg.getAs[Long]("n_rows")
+      checked.map(c => (c, agg.getAs[Long](s"nn_$c"), n))
+        .toDF("col", "n_nonnull", "n_rows")
+        .withColumn("rejected", col("n_nonnull") === 0)
+        .orderBy("col")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -334,5 +427,53 @@ object RelationalPack extends QueryPack {
       """SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-21'
-         ORDER BY user_id, day_s""")
+         ORDER BY user_id, day_s""",
+    // the footer count and the scan must both equal the plain COUNT
+    "s3_footer_count" ->
+      """SELECT COUNT(*) AS n_footer, COUNT(*) AS n_scan
+         FROM events WHERE event_type = 'click'""",
+    "o3_sort_drop" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events ORDER BY user_id, event_id""",
+    "o4_latest_run" ->
+      """SELECT 'run-' || MAX(STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m'))
+           AS latest_run
+         FROM orders""",
+    // schema-level set algebra replayed over the catalog: the same
+    // prefix-strip + intersection/difference on column-name sets
+    "u2_column_set_algebra" ->
+      """WITH l AS (SELECT REGEXP_REPLACE(column_name, '^[^_]*_', '') AS c
+                    FROM information_schema.columns WHERE table_name = 'customer'),
+         r AS (SELECT REGEXP_REPLACE(column_name, '^[^_]*_', '') AS c
+               FROM information_schema.columns WHERE table_name = 'supplier')
+         SELECT 'both' AS side, c AS col FROM l WHERE c IN (SELECT c FROM r)
+         UNION ALL
+         SELECT 'customer_only', c FROM l WHERE c NOT IN (SELECT c FROM r)
+         UNION ALL
+         SELECT 'supplier_only', c FROM r WHERE c NOT IN (SELECT c FROM l)
+         ORDER BY side, col""",
+    "f7_date_roundtrip" ->
+      """SELECT o_orderkey,
+         STRFTIME(CAST(o_orderdate AS DATE), '%Y/%m/%d') AS d_slash,
+         STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_iso,
+         CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr
+         FROM orders ORDER BY o_orderkey""",
+    "f12_allnull_reject" ->
+      """WITH ev AS (
+           SELECT value,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+             CAST(NULL AS DOUBLE) AS ghost
+           FROM events),
+         counts AS (
+           SELECT COUNT(*) AS n_rows, COUNT(value) AS nn_value,
+             COUNT(purchase_value) AS nn_purchase_value, COUNT(ghost) AS nn_ghost
+           FROM ev)
+         SELECT 'ghost' AS col, nn_ghost AS n_nonnull, n_rows,
+                nn_ghost = 0 AS rejected FROM counts
+         UNION ALL
+         SELECT 'purchase_value', nn_purchase_value, n_rows,
+                nn_purchase_value = 0 FROM counts
+         UNION ALL
+         SELECT 'value', nn_value, n_rows, nn_value = 0 FROM counts
+         ORDER BY col""")
 }
