@@ -118,6 +118,40 @@ object Sampling {
       ceil(p * lit(m)).cast("long"))
   }
 
+  /** Deterministic weighted sample-without-replacement of `n` rows —
+    * priority sampling (Duffield–Lund–Thorup): each row draws a
+    * pseudorandom uniform `u = (avalancheKey(key ∥ salt) + 1) / 2^60`
+    * and gets priority `w/u`; the `n` largest priorities are the
+    * sample, selection probability ∝ weight (the weighted-subsampling
+    * rule corpus builds use to favor high-quality/underrepresented
+    * documents without a learned mixer).
+    *
+    * Engine-portable by construction: the priority is ONE multiply and
+    * ONE divide over exactly-representable integers
+    * (`w · 2^60 / (h+1)` — no ln/pow, unlike Efraimidis–Sampling's
+    * `u^(1/w)` key, whose libm calls differ across engines in the last
+    * ulp), so any SQL engine replays the identical doubles and the
+    * identical selection; re-running (or a task retry) reproduces it
+    * where `rand()` would not.
+    *
+    * 100 TB shape: priorities are map-side; the top-n resolves with
+    * TakeOrdered (per-partition partial top-n, then a driver merge of
+    * n-row partials — no global sort). Weights must be positive;
+    * non-positive-weight rows are excluded (probability 0).
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, s"n must be positive (got $n)")
+    val h = avalancheKey(concat(col(keyCol).cast("string"), lit(salt)))
+    val priority = col(weightCol).cast("double") *
+      lit(1152921504606846976L).cast("double") /
+      (h + lit(1L)).cast("double")
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", priority)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(n)
+  }
+
   /** Deterministic global corpus shuffle + sharding — the training-order
     * randomization every pretraining data build needs (decorrelate
     * neighboring documents before sequence packing): rows land in

@@ -69,6 +69,24 @@ object JoinPack extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // Bloom semi-join reduction: lineitem rows for urgent orders, with
+    // the fact side Bloom-pruned map-side before the join's shuffle.
+    // The oracle is the PLAIN join — the filter must be invisible in
+    // the result (no false negatives; false positives removed by the
+    // real join).
+    "j_bloom_semi_reduce" -> ((s, dir) => {
+      val fact = table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val dim = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.BloomJoin
+        .reduceJoin(fact, dim, Seq("l_orderkey"), expectedItems = 100000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     "j_semi_exists" -> ((s, dir) => {
       val c = table(s, dir, "customer")
       val o = table(s, dir, "orders").filter(col("o_orderstatus") === "O")
@@ -180,6 +198,15 @@ object JoinPack extends QueryPack {
                     WHERE (c_custkey * 2654435761) % 1000 < 300) s
          ON c.c_custkey = s.c_custkey
          ORDER BY 1""",
+    // Bloom routing must be invisible: the oracle is the plain join.
+    "j_bloom_semi_reduce" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem l
+         JOIN (SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderpriority = '1-URGENT') o
+           ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "j_semi_exists" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o

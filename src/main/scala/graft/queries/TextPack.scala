@@ -365,6 +365,29 @@ object TextPack extends QueryPack {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // Heavy hitters by sketch + confirm: per-partition Misra–Gries
+    // candidates, broadcast-semi-join confirm, runtime exactness
+    // certificate (k-th count above the N/(counters+1) bound) — so the
+    // exact-top-k oracle is the stated contract, not luck. Same
+    // tokenization as t_vocab_topk; the two plans must agree.
+    "t_heavy_hitters" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(graft.text.CorpusStats.tokens(col("text"))).as("token"))
+      graft.text.HeavyHitters.topKExact(toks, "token", k = 25, counters = 1024)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
+    // Deterministic weighted sampling (priority sampling): n_chars-
+    // weighted top-100 by w·2^60/(h+1) — one multiply + one divide over
+    // exactly-representable integers, so the oracle replays the
+    // identical doubles and the identical selection.
+    "t_priority_sample" -> ((s, dir) => {
+      graft.operators.Sampling
+        .prioritySample(table(s, dir, "documents"), "doc_id", "n_chars", n = 100)
+        .select("doc_id", "n_chars", "priority")
+        .orderBy("doc_id")
+    }),
+
     // Per-doc keyword extraction: top-3 terms by tf·(1/df) — rational
     // scoring so the rank is bit-reproducible across engines (see
     // CorpusStats.keywordTopK scaladoc).
@@ -885,6 +908,26 @@ object TextPack extends QueryPack {
            FROM documents)
          SELECT token, COUNT(*) AS cnt FROM toks
          GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+    // the sketch+confirm plan must equal the exact top-k — same
+    // tokenization as t_vocab_topk, smaller k
+    "t_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                     t -> LENGTH(t) > 0)) AS token
+           FROM documents)
+         SELECT token, COUNT(*) AS cnt FROM toks
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 25""",
+    // priority = w·2^60/(h+1): one multiply + one divide over exactly-
+    // representable integers — the doubles replay bit-identically
+    "t_priority_sample" ->
+      s"""WITH p AS (
+           SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+               / CAST(${graft.operators.Sampling.avalancheKeySql("doc_id")} + 1
+                      AS DOUBLE) AS priority
+           FROM documents WHERE n_chars > 0)
+         SELECT doc_id, n_chars, priority FROM p
+         ORDER BY priority DESC, doc_id LIMIT 100""",
     "t_keyword_topk" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -20,7 +20,7 @@ object CorpusStats {
   /** Lower-cased whitespace tokens, empties filtered (so blank docs
     * contribute nothing, same as the SQL mirror).
     */
-  private def tokens(text: Column): Column =
+  private[graft] def tokens(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
 
   /** The `k` most frequent tokens corpus-wide with their counts; ties

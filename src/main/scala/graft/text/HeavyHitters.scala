@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters by sketch + confirm — "top-k most frequent items"
+  * without a corpus-wide groupBy.
+  *
+  * The direct plan (`groupBy(item).count.orderBy.limit`) shuffles one
+  * row per DISTINCT item; over 100 TB of tokens/URLs/hosts that is
+  * billions of shuffle rows to answer a question about the top few
+  * hundred. This operator runs the classic two-pass scheme instead:
+  *
+  *   1. CANDIDATES — a per-partition Misra–Gries summary with `counters`
+  *      slots (one map pass, no shuffle, bounded memory). Any item
+  *      absent from EVERY partition's summary has a per-partition count
+  *      ≤ N_p/(counters+1), hence a global count ≤ N/(counters+1).
+  *   2. CONFIRM — exact counts of the candidate set only: a broadcast
+  *      semi-join prunes the corpus map-side (candidates ≤
+  *      counters × partitions, tiny), then one aggregation whose
+  *      shuffle is candidate-sized, then TakeOrdered for the top k.
+  *
+  * EXACTNESS CERTIFICATE: if the confirmed k-th count is strictly
+  * greater than N/(counters+1), no non-candidate can reach the top k
+  * (the step-1 bound), so the result provably equals the exact top-k —
+  * which is what the gate oracle states. The certificate is CHECKED at
+  * runtime: a corpus too flat for the configured `counters` fails
+  * loudly with sizing guidance instead of silently returning an
+  * approximation.
+  */
+object HeavyHitters {
+
+  /** Per-partition Misra–Gries survivor items (superset of every item
+    * with global count > N/(counters+1)).
+    */
+  def candidates(items: DataFrame, itemCol: String, counters: Int): DataFrame = {
+    require(counters > 0, s"counters must be positive (got $counters)")
+    import items.sparkSession.implicits._
+    items.select(col(itemCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { s =>
+          counts.get(s) match {
+            case Some(c) => counts(s) = c + 1
+            case None if counts.size < counters => counts(s) = 1L
+            case None =>
+              // decrement-all step; items reaching zero free their slot
+              val dead = List.newBuilder[String]
+              counts.foreach { case (k, c) =>
+                if (c == 1L) dead += k else counts(k) = c - 1
+              }
+              dead.result().foreach(counts.remove)
+          }
+        }
+        counts.keysIterator
+      }
+      .toDF(itemCol).distinct()
+  }
+
+  /** Provably-exact top `k` (count DESC, item ASC) via candidates +
+    * confirm. Throws when the exactness certificate fails — raise
+    * `counters` (bound ≈ N / k-th frequency) and re-run.
+    */
+  def topKExact(items: DataFrame, itemCol: String, k: Int,
+                counters: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val cand = candidates(items, itemCol, counters)
+    val top = items
+      .join(broadcast(cand), Seq(itemCol), "left_semi")
+      .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(itemCol))
+      .limit(k)
+      .cache()
+    val n = items.count()
+    val kth = top.orderBy(col("cnt"), col(itemCol)).head().getLong(1)
+    require(kth > n / (counters + 1),
+      s"heavy-hitter certificate failed: k-th count $kth is not above the " +
+        s"Misra-Gries bound ${n / (counters + 1)} (N=$n, counters=$counters) " +
+        "— a non-candidate could tie into the top k; raise `counters`")
+    top
+  }
+}

@@ -244,4 +244,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.map(_.getString(0)).toSeq === Seq("k", "s"))
     assert(approx.forall(_.getLong(3) >= 2L))
   }
+
+  test("prioritySample: deterministic, weight-respecting, excludes w<=0") {
+    val df = (1 to 2000).map { i =>
+      (i.toLong, if (i == 77) 1e9 else if (i % 13 == 0) 0.0 else 1.0)
+    }.toDF("id", "w")
+    val a = Sampling.prioritySample(df, "id", "w", n = 50)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.prioritySample(df.repartition(7), "id", "w", n = 50)
+      .select("id").as[Long].collect().toSet
+    assert(a === b, "selection must not depend on partitioning")
+    assert(a.size === 50)
+    // the one 10^9-weight row is ~certain to be sampled: its priority
+    // beats a unit weight unless its uniform draw is 10^9 times larger
+    assert(a.contains(77L))
+    // zero-weight rows are never sampled
+    assert(a.forall(_ % 13 != 0))
+    // a different salt draws a different (but equally deterministic) set
+    val c = Sampling.prioritySample(df, "id", "w", n = 50, salt = "epoch2")
+      .select("id").as[Long].collect().toSet
+    assert(c !== a)
+    assert(c.contains(77L))
+  }
 }
