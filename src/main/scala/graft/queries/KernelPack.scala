@@ -241,6 +241,18 @@ object KernelPack extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // Z-order layout kernel: the Morton interleave that gives data at
+    // rest 2-D locality (grid × time tiles) — exact public bit cascade,
+    // replayed bit-for-bit in SQL.
+    "k_zorder_curve" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .select(col("c_custkey"),
+          pmod(col("c_custkey"), lit(256L)).as("x"),
+          pmod(col("c_custkey") * 7, lit(256L)).as("y"))
+        .withColumn("z", graft.operators.ZOrder.zValue(col("x"), col("y")))
+        .orderBy("c_custkey")
+    }),
+
     // K6 (assignment half): the stratified group k-fold group→fold rule
     // — greedy over (group, stratum) counts with fixed-order arithmetic
     // and an md5 visit tie-break, so the DuckDB oracle replays it
@@ -365,6 +377,15 @@ object KernelPack extends QueryPack {
            ROUND(AVG(low), 4) AS low_mean, ROUND(AVG(high), 4) AS high_mean
          FROM site GROUP BY 1 ORDER BY 1""",
 
+    // the Morton bit cascade replayed exactly (DuckDB & | << on BIGINT)
+    "k_zorder_curve" ->
+      s"""WITH p AS (
+           SELECT c_custkey, c_custkey % 256 AS x, (c_custkey * 7) % 256 AS y
+           FROM customer)
+         SELECT c_custkey, x, y,
+           (${spreadSql("x")}) | ((${spreadSql("y")}) << 1) AS z
+         FROM p ORDER BY c_custkey""",
+
     // Step-for-step recursive-CTE replay of the greedy stratified
     // group-k-fold assignment (k=4). State rides in the recursion as two
     // lists: pf = per-(fold,stratum) counts flattened at index
@@ -448,6 +469,16 @@ object KernelPack extends QueryPack {
              WHERE a.pos < c.ng))
          SELECT g AS c_nationkey, CAST(fold AS INTEGER) AS fold
          FROM assign WHERE pos >= 1 ORDER BY g""")
+
+  /** The textbook magic-number bit spread (low 16 bits to even
+    * positions) expanded textually for the z-order oracle.
+    */
+  private def spreadSql(v: String): String = {
+    val a = s"((($v) | (($v) << 8)) & 16711935)"
+    val b = s"((($a) | (($a) << 4)) & 252645135)"
+    val c = s"((($b) | (($b) << 2)) & 858993459)"
+    s"((($c) | (($c) << 1)) & 1431655765)"
+  }
 
   /** 4×4 grid of 2×2 cells over [0,8)² — grid_id = row-major (gy·4+gx),
     * matching the oracle's FLOOR(y/2)·4 + FLOOR(x/2).
