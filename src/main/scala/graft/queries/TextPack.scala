@@ -247,6 +247,23 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Mergeable KMV distinct-count sketch per group: the k smallest
+    // avalanche-hash values — sketch content AND estimate are
+    // deterministic functions of the input, so the oracle replays the
+    // whole sketch in SQL (unlike HLL registers). est is one IEEE
+    // division over exactly-representable integers — bit-identical.
+    "t_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val sk = graft.operators.KmvSketch.sketch(
+        table(s, dir, "events"), Seq("event_type"), "user_id", k)
+      sk.select(col("event_type"),
+          size(col("kmv")).as("n_kept"),
+          graft.operators.KmvSketch.estimate(col("kmv"), k).as("est"),
+          element_at(col("kmv"), 1).as("h_min"),
+          when(size(col("kmv")) === k, element_at(col("kmv"), k)).as("h_kth"))
+        .orderBy("event_type")
+    }),
+
     // ANALYZE-style profile of the corpus table: per-column row/null/
     // distinct counts and native-typed min/max — one agg pass, one
     // shuffle of map-side partials.
@@ -597,6 +614,26 @@ object TextPack extends QueryPack {
                 + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0, 6) AS quality
          FROM scored ORDER BY doc_id""",
     "t_bm25_rank" -> Bm25.oracleSql(BmQueryTerms),
+    // the whole sketch replayed: distinct hashes, bottom-64 window, and
+    // the (k-1)·2^60/h_k estimate — exact division parity
+    "t_kmv_distinct" ->
+      s"""WITH h AS (
+           SELECT DISTINCT event_type,
+             ${graft.operators.Sampling.avalancheKeySql("user_id")} AS h
+           FROM events),
+         r AS (SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         s AS (SELECT event_type, LIST(h ORDER BY h) AS kmv,
+                 CAST(COUNT(*) AS INT) AS n_kept
+               FROM r WHERE rn <= 64 GROUP BY event_type)
+         SELECT event_type, n_kept,
+           CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(kmv[64] AS DOUBLE) END AS est,
+           kmv[1] AS h_min,
+           CASE WHEN n_kept = 64 THEN kmv[64] END AS h_kth
+         FROM s ORDER BY event_type""",
     "t_profile_documents" -> graft.operators.TableProfiler.oracleSql(
       "documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     // arms replayed independently (bm25 CTE = the t_bm25_rank oracle;
