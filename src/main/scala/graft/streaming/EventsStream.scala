@@ -159,6 +159,38 @@ object EventsStream {
       }
   }
 
+  // ------------------------------------------------- mergeable KMV sketch
+
+  final case class KmvUpdate(key: String, kmv: Array[Long])
+
+  /** Streaming twin of [[graft.operators.KmvSketch]]: per-key bottom-k
+    * avalanche-hash state carried across batches with
+    * `mapGroupsWithState`. The sketch is mergeable (bottom-k of a union
+    * is associative), so each micro-batch folds its new hashes into the
+    * k-value state and the final state equals the batch sketch of
+    * everything ever seen — distinct-counts over an unbounded stream
+    * with O(k) state per key and engine-portable estimates, where a
+    * streaming `COUNT(DISTINCT)` would keep the whole distinct set.
+    */
+  def kmvSketchStream(events: DataFrame, keyCol: String, valueCol: String,
+                      k: Int): Dataset[KmvUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string").as[String],
+        graft.operators.Sampling.avalancheKey(col(valueCol)).as[Long])
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[Array[Long]]) =>
+          val merged = (state.getOption.getOrElse(Array.empty[Long]) ++
+            rows.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          KmvUpdate(key, merged)
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

@@ -168,4 +168,52 @@ class PlanHygieneSpec extends AnyFunSuite {
     // only the output orderBy exchanges
     assert(shuffles(df) <= 1)
   }
+
+  test("bloom semi-reduce: native probe filters the fact side before the join") {
+    val df = graft.SparkEntry.queries("j_bloom_semi_reduce")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("bloom_probe"),
+      "the broadcast-variable BloomProbeExpr must prune map-side")
+    // agg + join + output sort: the pruned fact never shuffles twice
+    assert(shuffles(df) <= 4)
+  }
+
+  test("heavy hitters: candidates confirm via broadcast semi-join") {
+    val toks = graft.core.Tables.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.CorpusStats.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("token"))
+    val top = graft.text.HeavyHitters.topKExact(toks, "token",
+      k = 10, counters = 1024)
+    val s = top.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "the candidate set must broadcast, never shuffle the corpus for it")
+    assert(s.contains("TakeOrderedAndProject"), "top-k must avoid a global sort")
+  }
+
+  test("priority sample resolves with TakeOrdered, no global sort exchange") {
+    val docs = graft.core.Tables.table(spark, sf, "documents")
+    val df = graft.operators.Sampling
+      .prioritySample(docs, "doc_id", "n_chars", n = 50)
+    assert(shuffles(df) === 0)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("KMV sketch: one group shuffle, state is the k-window not the set") {
+    val df = graft.SparkEntry.queries("t_kmv_distinct")(spark, sf)
+    // distinct agg + window repartition + final agg + output sort
+    assert(shuffles(df) <= 4)
+  }
+
+  test("z-order layout plans a range exchange (tiles, not hash buckets)") {
+    val docs = graft.core.Tables.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("x"),
+        (org.apache.spark.sql.functions.col("doc_id") * 7 % 256).as("y"))
+    val laid = graft.operators.ZOrder.layoutByZ(docs, "x", "y", numFiles = 4)
+    laid.count()
+    val s = laid.queryExecution.executedPlan.toString
+    assert(s.contains("rangepartitioning"),
+      s"expected RangePartitioning in:\n$s")
+  }
 }

@@ -187,4 +187,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.getAs[Int]("nEvents") === 2)
     assert(open.map(r => r.getAs[Long]("userId")).toSet === Set(1L, 2L))
   }
+
+  test("streaming KMV sketch converges to the batch sketch across batches") {
+    val k = 32
+    val dir = stageEventsDir()
+    val stream = EventsStream.kmvSketchStream(
+      EventsStream.readEvents(spark, dir), "event_type", "user_id", k).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("kmv_stream").start()
+    try {
+      q.processAllAvailable()
+      // a second batch re-delivers the same file: the mergeable state
+      // must absorb it (same distinct users → same sketch)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // fold every emitted update per key — merging intermediate sketches
+    // is idempotent, so the fold equals the final state
+    val got = spark.table("kmv_stream").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rows) =>
+        key -> rows.flatMap(r => r.getSeq[Long](r.fieldIndex("kmv")))
+          .distinct.sorted.take(k).toSeq
+      }
+    val batch = graft.operators.KmvSketch.sketch(
+        graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events"),
+        Seq("event_type"), "user_id", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
 }
