@@ -195,6 +195,33 @@ object Sampling {
       .filter(col("group_rank") <= k)
   }
 
+  /** [[topKPerGroup]] with the skew pre-thin its scaladoc promises,
+    * built on the custom bounded-heap aggregate
+    * ([[graft.functions.expressions.TopKStructsAgg]]): partial
+    * aggregation truncates each partition's contribution to k rows per
+    * group MAP-SIDE, so the group shuffle carries ≤ k·partitions rows
+    * per group and a hot domain never serializes into one task's sort
+    * (the rank-window plan ships every row of every group to a single
+    * task each).
+    *
+    * `orderKey` must be a struct/column whose ASCENDING order is
+    * "best first" and total (negate a score for descending, append a
+    * unique id for the tie) — then the result is row-identical to
+    * [[topKPerGroup]] with the equivalent window ordering.
+    */
+  def topKPerGroupSkewSafe(df: DataFrame, groupCols: Seq[String],
+                           orderKey: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val item = struct(orderKey.as("__k"),
+      struct(df.columns.map(col).toIndexedSeq: _*).as("__row"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.expressions.TopKExpressions
+        .topKStructs(item, k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__item")))
+      .select(col("__item.__row.*"),
+        (col("__pos") + 1).cast("int").as("group_rank"))
+  }
+
   /** Greedy token-budget selection: walk documents best-first
     * (`scoreCol` desc, `idCol` asc) and keep every row whose running
     * token total stays within `budget` — "fill N training tokens with

@@ -222,6 +222,20 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The skew-safe twin of t_topk_per_domain: the custom bounded-heap
+    // aggregate (TopKStructsAgg) truncates each partition's contribution
+    // to k rows per group MAP-SIDE — same oracle, the heap must be
+    // invisible in the result.
+    "t_topk_skew_safe" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("q", round(TextFunctions.qualityScore(col("text")), 6))
+      graft.operators.Sampling.topKPerGroupSkewSafe(
+          docs, Seq("source"),
+          struct((-col("q")).as("nq"), col("doc_id").as("id")), k = 5)
+        .select("doc_id", "source", "q", "group_rank")
+        .orderBy("doc_id")
+    }),
+
     // Token-budget selection: best documents first (rounded quality
     // desc, doc_id tie-break) until 10k tokens are filled — exact-int
     // running sums, decomposed per score bucket (no global sort task).
@@ -708,6 +722,22 @@ object TextPack extends QueryPack {
          SELECT doc_id, q, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= 10000 ORDER BY doc_id""",
     "t_topk_per_domain" ->
+      s"""WITH $QualityCte,
+         q AS (
+           SELECT doc_id,
+             ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                  + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+                  + GREATEST(0.0, 1.0 - CAST(n_punct AS DOUBLE) / n_chars * 5.0)) / 3.0, 6) AS q
+           FROM scored),
+         r AS (
+           SELECT d.doc_id, d.source, q.q,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY q.q DESC, d.doc_id) AS INTEGER) AS group_rank
+           FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         SELECT doc_id, source, q, group_rank FROM r
+         WHERE group_rank <= 5 ORDER BY doc_id""",
+    // identical contract to t_topk_per_domain — the bounded-heap
+    // aggregate must be invisible in the result
+    "t_topk_skew_safe" ->
       s"""WITH $QualityCte,
          q AS (
            SELECT doc_id,
