@@ -1,0 +1,55 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.TextExpressions
+
+/** Fuzzy (edit-distance) matching via symmetric deletes — the SymSpell
+  * scheme (Garbe), distributed.
+  *
+  * Naive fuzzy dedup compares all pairs (O(n²) Levenshtein calls);
+  * length- or prefix-blocking is cheaper but INCOMPLETE. Symmetric
+  * deletes are both cheap and complete: any two strings within
+  * Levenshtein distance `d` share at least one string reachable from
+  * each by ≤ d character deletions (delete the edited positions on
+  * both sides), so
+  *
+  *   1. each distinct string emits its deletion-variant set (a native
+    *    codegen'd expression; ≤ Σ C(len,i) variants, bounded for the
+    *    short keys this is meant for — words, titles, normalized ids);
+  *   2. candidates equi-join on the variant (hash join, no theta scan);
+  *   3. a single Levenshtein verification per candidate pair keeps
+  *      exactly the true matches — the variants route, the distance
+  *      decides, so the oracle is the brute-force pair scan.
+  *
+  * `maxBucket` df-caps pathologically hot variants (the empty string is
+  * every ≤d-length string's variant); capped buckets trade completeness
+  * for boundedness exactly like [[Dedup]]'s df-capped n-gram index —
+  * the default keeps the gate uncapped.
+  */
+object FuzzyDedup {
+
+  /** All (a, b, dist) pairs with `levenshtein(a, b) <= maxEdit`,
+    * a < b, over the DISTINCT values of `strCol`.
+    */
+  def pairsWithinEdit(df: DataFrame, strCol: String, maxEdit: Int,
+                      maxBucket: Long = 100000L): DataFrame = {
+    require(maxEdit >= 1 && maxEdit <= 3, s"maxEdit out of range: $maxEdit")
+    val strs = df.select(col(strCol).cast("string").as("w"))
+      .filter(col("w").isNotNull).distinct()
+    val variants = strs.select(col("w"),
+      explode(TextExpressions.deletion_variants(col("w"), maxEdit)).as("v"))
+    val keptBuckets = variants.groupBy("v")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("v")
+    val capped = variants.join(keptBuckets, Seq("v"))
+    val candidates = capped.select(col("v"), col("w").as("a"))
+      .join(capped.select(col("v"), col("w").as("b")), Seq("v"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= maxEdit)
+  }
+}

@@ -71,8 +71,79 @@ case class FnvBucketsExpr(child: Expression, m: Int) extends UnaryExpression {
   override def prettyName: String = "fnv_buckets"
 }
 
+/** Unicode NFC normalization (java.text.Normalizer — the JDK's
+  * implementation of the Unicode standard's canonical composition).
+  * Corpus text arrives in mixed composed/decomposed forms; every
+  * hash-keyed operator (dedup, URL canon, vocab) silently treats them
+  * as different documents unless normalized first. Codegen'd; the
+  * DuckDB oracle replays it with `nfc_normalize` (both implement the
+  * same Unicode algorithm, so outputs are byte-identical).
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextExprHelpers.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExprHelpers.nfc($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+/** All distinct strings reachable from `child` with at most `d`
+  * character deletions (including the string itself) — the SymSpell
+  * symmetric-delete key set: two strings within Levenshtein distance d
+  * always share at least one such variant, so an equi-join on variants
+  * is a COMPLETE candidate generator for edit-distance matching (no
+  * per-pair distance scan of the corpus).
+  */
+case class DeletionVariantsExpr(child: Expression, d: Int)
+    extends UnaryExpression {
+  require(d >= 0 && d <= 3, s"deletion depth out of range: $d")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExprHelpers.deletionVariants(input.asInstanceOf[UTF8String], d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExprHelpers" +
+        s".deletionVariants($c, $d);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "deletion_variants"
+}
+
 /** Static helpers the generated code calls. */
 object TextExprHelpers {
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  def deletionVariants(s: UTF8String, d: Int): ArrayData = {
+    val seen = new java.util.LinkedHashSet[String]()
+    var frontier: List[String] = List(s.toString)
+    seen.add(s.toString)
+    var depth = 0
+    while (depth < d && frontier.nonEmpty) {
+      val next = List.newBuilder[String]
+      frontier.foreach { w =>
+        var i = 0
+        while (i < w.length) {
+          val v = w.substring(0, i) + w.substring(i + 1)
+          if (seen.add(v)) next += v
+          i += 1
+        }
+      }
+      frontier = next.result()
+      depth += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
   def simhashArray(arr: ArrayData): Long = {
     val it = (0 until arr.numElements()).iterator
       .map(i => arr.getUTF8String(i).toString)
@@ -102,4 +173,9 @@ object TextExpressions {
 
   def fnv_buckets(tokens: Column, m: Int): Column =
     toColumn(FnvBucketsExpr(toExpr(tokens), m))
+
+  def nfc_normalize(c: Column): Column = toColumn(NfcNormalizeExpr(toExpr(c)))
+
+  def deletion_variants(c: Column, d: Int): Column =
+    toColumn(DeletionVariantsExpr(toExpr(c), d))
 }

@@ -139,6 +139,18 @@ object DedupPack extends QueryPack {
           pages, "doc_id", "text", maxDocFreq = 2L)
         .withColumnRenamed("text", "clean_text")
         .orderBy("doc_id")
+    }),
+
+    // Fuzzy (edit-distance) matching via symmetric deletes: the
+    // deletion-variant equi-join is a COMPLETE candidate generator for
+    // levenshtein <= d, verified per candidate — so the oracle is the
+    // brute-force pair scan the operator exists to avoid.
+    "dedup_fuzzy_words" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(graft.text.CorpusStats.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 3)
+      graft.dedup.FuzzyDedup.pairsWithinEdit(toks, "w", maxEdit = 2)
+        .orderBy("a", "b")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -269,5 +281,18 @@ object DedupPack extends QueryPack {
                                     chr(10) ORDER BY ne.pos), '') AS clean_text,
                 CAST(SUM(CASE WHEN f.pdf > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
          FROM ne JOIN freq f USING (para)
-         GROUP BY ne.doc_id ORDER BY ne.doc_id""")
+         GROUP BY ne.doc_id ORDER BY ne.doc_id""",
+    // brute-force pair scan — the symmetric-delete routing must be
+    // invisible in the result
+    "dedup_fuzzy_words" ->
+      """WITH toks AS (
+           SELECT DISTINCT UNNEST(LIST_FILTER(
+             STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+             t -> LENGTH(t) >= 3)) AS w
+           FROM documents)
+         SELECT a.w AS a, b.w AS b,
+                CAST(levenshtein(a.w, b.w) AS INT) AS dist
+         FROM toks a JOIN toks b ON a.w < b.w
+         WHERE levenshtein(a.w, b.w) <= 2
+         ORDER BY a, b""")
 }

@@ -396,6 +396,24 @@ object TextPack extends QueryPack {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // Unicode NFC normalization (native codegen'd expression wrapping
+    // the JDK's Normalizer): decomposed sequences are planted on both
+    // engines (combining acute/circumflex appended to the ASCII corpus
+    // text) and must compose identically — JDK and DuckDB both
+    // implement the Unicode canonical-composition algorithm, so outputs
+    // are byte-identical.
+    "t_unicode_nfc" -> ((s, dir) => {
+      val decomposed = concat(substring(col("text"), 1, 10),
+        lit(" e\u0301 o\u0302 n\u0303")) // combining acute/circumflex/tilde
+      table(s, dir, "documents").select(col("doc_id"),
+          graft.functions.expressions.TextExpressions
+            .nfc_normalize(decomposed).as("norm"),
+          length(decomposed).as("n_raw"),
+          length(graft.functions.expressions.TextExpressions
+            .nfc_normalize(decomposed)).as("n_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // Heavy hitters by sketch + confirm: per-partition Misra–Gries
     // candidates, broadcast-semi-join confirm, runtime exactness
     // certificate (k-th count above the N/(counters+1) bound) — so the
@@ -975,6 +993,18 @@ object TextPack extends QueryPack {
            FROM documents)
          SELECT token, COUNT(*) AS cnt FROM toks
          GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+    // decomposed marks built with chr(); nfc_normalize is DuckDB's
+    // implementation of the same Unicode canonical composition
+    "t_unicode_nfc" ->
+      """WITH d AS (
+           SELECT doc_id,
+             SUBSTRING(text, 1, 10) || ' e' || chr(769) || ' o' || chr(770)
+               || ' n' || chr(771) AS raw
+           FROM documents)
+         SELECT doc_id, nfc_normalize(raw) AS norm,
+                CAST(LENGTH(raw) AS INT) AS n_raw,
+                CAST(LENGTH(nfc_normalize(raw)) AS INT) AS n_nfc
+         FROM d ORDER BY doc_id""",
     // the sketch+confirm plan must equal the exact top-k — same
     // tokenization as t_vocab_topk, smaller k
     "t_heavy_hitters" ->
