@@ -32,13 +32,21 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+# The driver gate hashes typed values EXACTLY; a loose local float
+# compare can pass a query the driver will fail (the round-5 PCA flake
+# sat inside a 1e-9 tolerance). Default to exact; set GRAFT_CHECK_TOL
+# to a relative tolerance only while debugging a known-noisy draft.
+TOL = float(os.environ.get("GRAFT_CHECK_TOL", "0"))
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        if a == b:
+            return True
+        return TOL > 0 and abs(a - b) <= TOL * max(1.0, abs(a), abs(b))
     try:
         if pd.isna(a) and pd.isna(b):
             return True
