@@ -21,11 +21,22 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# bound the oracle engine: the all-pairs similarity CTEs at sf0.1 blow
+# past DuckDB's default allocation on a shared sandbox (observed OOM +
+# thread-exhaustion crash); both knobs are overridable for bigger boxes
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
+con.execute(f"SET threads={os.environ.get('GRAFT_DUCKDB_THREADS', '8')}")
 for p in glob.glob(f"{SF}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+# GRAFT_CHECK_SKIP=a,b,c — for scale points beyond the driver's gate SF,
+# where an ORACLE itself exceeds local DuckDB memory (the all-pairs
+# similarity CTEs at sf0.1: 4M ordered-aggregate groups don't spill in
+# DuckDB 1.0). Skipped queries are reported, never silently dropped.
+SKIP = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
@@ -72,6 +83,10 @@ for d in sorted(glob.glob(f"{OUT}/*/")):
         n_fail += 1
         continue
     got = pd.read_parquet(d)
+    if name in SKIP:
+        print(f"  ~ {name}: SKIPPED (GRAFT_CHECK_SKIP), rows={len(got)}")
+        n_noorc += 1
+        continue
     if name not in oracle:
         print(f"  ~ {name}: no oracle, rows={len(got)}")
         n_noorc += 1
