@@ -64,4 +64,17 @@ object KmvSketch {
     */
   def merge(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate of the UNION of two sketched sets (the
+    * merged sketch's estimate). With [[estimate]] on each side this
+    * gives `|A∩B| ≈ estA + estB − estUnion` by inclusion–exclusion —
+    * join-cardinality estimation from sketches alone, no join run. All
+    * arithmetic stays in the exact-division regime, so the whole
+    * estimator replays bit-identically in SQL.
+    */
+  def unionEstimate(a: Column, b: Column, k: Int): Column =
+    estimate(merge(a, b, k), k)
+
+  def intersectionEstimate(a: Column, b: Column, k: Int): Column =
+    estimate(a, k) + estimate(b, k) - unionEstimate(a, b, k)
 }

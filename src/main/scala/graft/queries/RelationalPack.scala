@@ -304,6 +304,19 @@ object RelationalPack extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // Per-group winsorization: values clamped to exact [5%, 95%] group
+    // percentiles — the heavy-tail complement of the IQR row filters
+    // (cap, don't drop). Boundaries are one tiny agg broadcast back;
+    // the clamp is map-side.
+    "a_winsorize" -> ((s, dir) => {
+      graft.operators.Winsorize.winsorize(
+          table(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice", lo = 0.05, hi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice_w"), 4).as("price_w"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // F12: all-null column rejection — one aggregation pass of
     // count(col) vs count(*) per column, the GeeCsvAdapter gate
     // (ref: gee_export_pipeline.py:186-196).
@@ -458,6 +471,18 @@ object RelationalPack extends QueryPack {
          STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_iso,
          CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr
          FROM orders ORDER BY o_orderkey""",
+    // QUANTILE_CONT ≡ Spark percentile (the a2/scoreTiers parity surface)
+    "a_winsorize" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             QUANTILE_CONT(l_extendedprice, 0.05) AS plo,
+             QUANTILE_CONT(l_extendedprice, 0.95) AS phi
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           ROUND(LEAST(GREATEST(CAST(l.l_extendedprice AS DOUBLE), b.plo),
+                       b.phi), 4) AS price_w
+         FROM lineitem l JOIN b USING (l_returnflag)
+         ORDER BY l_orderkey, l_linenumber""",
     "f12_allnull_reject" ->
       """WITH ev AS (
            SELECT value,

@@ -278,6 +278,27 @@ object TextPack extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // KMV set-operation estimates: per-event-type user sketches pair up
+    // into union / intersection cardinality estimates by inclusion–
+    // exclusion — join-size estimation with no join run, every number an
+    // exact-division double the oracle replays bit-identically.
+    "t_kmv_overlap" -> ((s, dir) => {
+      val k = 64
+      val sk = graft.operators.KmvSketch.sketch(
+        table(s, dir, "events"), Seq("event_type"), "user_id", k)
+      val a = sk.select(col("event_type").as("type_a"), col("kmv").as("ka"))
+      val b = sk.select(col("event_type").as("type_b"), col("kmv").as("kb"))
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          graft.operators.KmvSketch.estimate(col("ka"), k).as("est_a"),
+          graft.operators.KmvSketch.estimate(col("kb"), k).as("est_b"),
+          graft.operators.KmvSketch.unionEstimate(col("ka"), col("kb"), k)
+            .as("est_union"),
+          graft.operators.KmvSketch
+            .intersectionEstimate(col("ka"), col("kb"), k).as("est_inter"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ANALYZE-style profile of the corpus table: per-column row/null/
     // distinct counts and native-typed min/max — one agg pass, one
     // shuffle of map-side partials.
@@ -666,6 +687,38 @@ object TextPack extends QueryPack {
            kmv[1] AS h_min,
            CASE WHEN n_kept = 64 THEN kmv[64] END AS h_kth
          FROM s ORDER BY event_type""",
+    // sketches replayed per type, paired, merged with list ops, and the
+    // same exact divisions applied — inclusion–exclusion in SQL
+    "t_kmv_overlap" ->
+      s"""WITH h AS (
+           SELECT DISTINCT event_type,
+             ${graft.operators.Sampling.avalancheKeySql("user_id")} AS h
+           FROM events),
+         r AS (SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         s AS (SELECT event_type, LIST(h ORDER BY h) AS kmv
+               FROM r WHERE rn <= 64 GROUP BY event_type),
+         pairs AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  a.kmv AS ka, b.kmv AS kb,
+                  LIST_SORT(LIST_DISTINCT(a.kmv || b.kmv))[1:64] AS ku
+           FROM s a, s b WHERE a.event_type < b.event_type),
+         est AS (
+           SELECT type_a, type_b,
+             CASE WHEN LEN(ka) < 64 THEN CAST(LEN(ka) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(ka[64] AS DOUBLE) END AS est_a,
+             CASE WHEN LEN(kb) < 64 THEN CAST(LEN(kb) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(kb[64] AS DOUBLE) END AS est_b,
+             CASE WHEN LEN(ku) < 64 THEN CAST(LEN(ku) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(ku[64] AS DOUBLE) END AS est_union
+           FROM pairs)
+         SELECT type_a, type_b, est_a, est_b, est_union,
+                est_a + est_b - est_union AS est_inter
+         FROM est ORDER BY type_a, type_b""",
     "t_profile_documents" -> graft.operators.TableProfiler.oracleSql(
       "documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     // arms replayed independently (bm25 CTE = the t_bm25_rank oracle;

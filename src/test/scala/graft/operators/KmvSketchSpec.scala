@@ -44,6 +44,30 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(merged === whole)
   }
 
+  test("intersection estimate tracks the true overlap (incl-excl)") {
+    val k = 256
+    val a = (1 to 8000).map(i => ("a", s"u$i")).toDF("g", "v")
+    val b = (6001 to 14000).map(i => ("a", s"u$i")).toDF("g", "v")
+    val sa = KmvSketch.sketch(a, Seq("g"), "v", k).select(col("kmv").as("ka"))
+    val sb = KmvSketch.sketch(b, Seq("g"), "v", k).select(col("kmv").as("kb"))
+    val row = sa.crossJoin(sb).select(
+      KmvSketch.unionEstimate(col("ka"), col("kb"), k).as("u"),
+      KmvSketch.intersectionEstimate(col("ka"), col("kb"), k).as("i")).head()
+    val (u, i) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(u - 14000) / 14000 < 4.0 / math.sqrt(k - 2.0))
+    // intersection error compounds three estimates — allow a wider band
+    assert(math.abs(i - 2000) < 14000 * 3 * (4.0 / math.sqrt(k - 2.0)))
+    // exact regime: small disjoint sets give exact 0 intersection
+    val xa = (1 to 10).map(i => ("a", s"x$i")).toDF("g", "v")
+    val xb = (11 to 25).map(i => ("a", s"y$i")).toDF("g", "v")
+    val r2 = KmvSketch.sketch(xa, Seq("g"), "v", K)
+      .select(col("kmv").as("ka"))
+      .crossJoin(KmvSketch.sketch(xb, Seq("g"), "v", K)
+        .select(col("kmv").as("kb")))
+      .select(KmvSketch.intersectionEstimate(col("ka"), col("kb"), K)).head()
+    assert(r2.getDouble(0) === 0.0)
+  }
+
   test("sketch is invariant to partitioning and row order") {
     val df = (1 to 5000).map(i => (s"g${i % 3}", s"u${i * 7 % 1200}"))
       .toDF("g", "v")

@@ -245,6 +245,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.forall(_.getLong(3) >= 2L))
   }
 
+  test("winsorize clamps to exact group percentiles, nulls pass through") {
+    val df = ((1 to 99).map(i => ("g", i.toDouble)) :+ ("g", Double.NaN))
+      .toDF("g", "v").filter(!isnan(col("v")))
+    val out = Winsorize.winsorize(df, Seq("g"), "v", 0.10, 0.90)
+      .select("v", "v_w").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // percentiles of 1..99: p10 = 10.8, p90 = 89.2 (linear interpolation)
+    assert(math.abs(out(5.0) - 10.8) < 1e-9)   // below → clamped up
+    assert(out(50.0) === 50.0)                 // inside → untouched
+    assert(math.abs(out(95.0) - 89.2) < 1e-9)  // above → clamped down
+  }
+
   test("prioritySample: deterministic, weight-respecting, excludes w<=0") {
     val df = (1 to 2000).map { i =>
       (i.toLong, if (i == 77) 1e9 else if (i % 13 == 0) 0.0 else 1.0)
