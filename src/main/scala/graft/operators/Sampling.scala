@@ -94,12 +94,33 @@ object Sampling {
 
   /** Stride sampling — every `n`-th row of a deterministic order
     * ("mini" pipeline mode, ref: setup/dependency_injection.py:340-345).
+    *
+    * The naive `row_number over (ORDER BY ...)` is a single-partition
+    * window — one task ranks the whole corpus. The global rank
+    * decomposes instead: range-partition on the order columns, rank
+    * within each range (parallel windows), and add each range's exact
+    * row-count offset — a prefix sum over the partition-count summary
+    * (≤ numShufflePartitions rows), the same decomposition as
+    * [[tokenBudgetSelect]]'s score buckets. Range boundaries come from
+    * Spark's deterministic sampler, so the two executions of the
+    * exchange (counts + ranks) agree. `orderCols` must be a total
+    * order, as before.
     */
   def strideSample(df: DataFrame, orderCols: Seq[String], n: Int): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
+    require(n > 0, s"stride must be positive (got $n)")
+    val ranged = df.repartitionByRange(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .select("__pid", "__off")
+    val inW = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__rn", col("__off") + row_number().over(inW))
       .filter(pmod(col("__rn") - 1, lit(n)) === 0)
-      .drop("__rn")
+      .drop("__pid", "__off", "__rn")
   }
 
   /** Score-weighted sampling: keep each row with probability

@@ -221,12 +221,13 @@ object WindowPack extends QueryPack {
         .orderBy(col("l_returnflag").desc, col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // A9: stride ("gather_every(10)") sampling over a deterministic order.
+    // A9: stride ("gather_every(10)") sampling over a deterministic
+    // order — through the decomposed-rank operator (range partitions +
+    // parallel in-range windows + exact offsets), so the gate exercises
+    // the plan with NO single-partition window.
     "a9_stride_sample" -> ((s, dir) => {
-      val w = Window.orderBy("event_id")
-      table(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(pmod(col("rn") - 1, lit(10)) === 0)
+      graft.operators.Sampling.strideSample(
+          table(s, dir, "events"), Seq("event_id"), n = 10)
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     }))

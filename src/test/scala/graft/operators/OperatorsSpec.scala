@@ -35,6 +35,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Seq(1L, 11L, 21L, 31L, 41L, 51L, 61L, 71L, 81L, 91L))
   }
 
+  test("stride sample's decomposed rank is invariant to input layout") {
+    // the range-partitioned offsets must reproduce the exact global rank
+    // however the input arrives (the decomposition replaced a
+    // single-partition window — same answer, parallel plan)
+    val df = (1L to 5000L).map(i => (i * 2654435761L % 9973L, i)).toDF("k", "id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.strideSample(d, Seq("k", "id"), 7)
+        .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run(df.repartition(17))
+    val b = run(df.orderBy(col("id").desc))
+    assert(a === b)
+    assert(a.length === (5000 + 6) / 7)
+  }
+
   test("rolling full-window-only counts non-null samples like polars") {
     import graft.functions.Rolling
     // null at position 3: every 5-row window containing it has only 4
