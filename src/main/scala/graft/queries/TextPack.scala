@@ -278,6 +278,18 @@ object TextPack extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // FFD bin packing (documents stay WHOLE, unlike concat-and-chunk):
+    // hash-sharded greedy first-fit-decreasing, replayed step-for-step
+    // by the recursive-CTE oracle — integer loads, deterministic visit
+    // order, exact parity.
+    "t_pack_bins" -> ((s, dir) => {
+      graft.text.BinPacking.packBinsFFD(
+          table(s, dir, "documents"), "doc_id", "n_chars",
+          capacity = 1024L, numShards = 8)
+        .select("doc_id", "n_chars", "shard", "bin")
+        .orderBy("doc_id")
+    }),
+
     // KMV set-operation estimates: per-event-type user sketches pair up
     // into union / intersection cardinality estimates by inclusion–
     // exclusion — join-size estimation with no join run, every number an
@@ -687,6 +699,44 @@ object TextPack extends QueryPack {
            kmv[1] AS h_min,
            CASE WHEN n_kept = 64 THEN kmv[64] END AS h_kth
          FROM s ORDER BY event_type""",
+    // the FFD greedy replayed per shard in lockstep: state = per-shard
+    // bin-load list, each step places the next (length DESC, id) doc in
+    // the first bin that fits (or appends a bin) — the k6 recursion move
+    "t_pack_bins" ->
+      s"""WITH RECURSIVE
+         d AS (
+           SELECT doc_id, n_chars,
+             CAST(${graft.operators.Sampling.avalancheKeySql("doc_id")} % 8
+               AS INT) AS shard
+           FROM documents),
+         ord AS (
+           SELECT doc_id, n_chars, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_chars DESC, doc_id) AS pos
+           FROM d),
+         pack AS (
+           SELECT shard, CAST(0 AS BIGINT) AS pos,
+                  CAST(NULL AS BIGINT) AS doc_id,
+                  CAST(NULL AS BIGINT) AS n_chars,
+                  CAST(NULL AS INT) AS bin,
+                  CAST([] AS BIGINT[]) AS loads
+           FROM (SELECT DISTINCT shard FROM ord)
+           UNION ALL
+           SELECT shard, pos, doc_id, n_chars, CAST(b - 1 AS INT) AS bin,
+                  CASE WHEN b <= LEN(loads)
+                       THEN LIST_TRANSFORM(RANGE(1, LEN(loads) + 1),
+                         i -> CASE WHEN i = b THEN loads[i] + n_chars
+                                   ELSE loads[i] END)
+                       ELSE LIST_APPEND(loads, n_chars) END AS loads
+           FROM (
+             SELECT p.shard, p.pos + 1 AS pos, o.doc_id, o.n_chars, p.loads,
+                    COALESCE(LIST_FILTER(RANGE(1, LEN(p.loads) + 1),
+                      i -> p.loads[i] + o.n_chars <= 1024)[1],
+                      LEN(p.loads) + 1) AS b
+             FROM pack p
+             JOIN ord o ON o.shard = p.shard AND o.pos = p.pos + 1))
+         SELECT doc_id, n_chars, shard, bin
+         FROM pack WHERE pos >= 1 ORDER BY doc_id""",
     // sketches replayed per type, paired, merged with list ops, and the
     // same exact divisions applied — inclusion–exclusion in SQL
     "t_kmv_overlap" ->
