@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two frames — the data-quality
+  * check a production pipeline runs on every new stage output ("did
+  * today's batch shift against the training distribution?").
+  *
+  * PSI (population stability index), the standard industry metric:
+  * bucket both sides on a FIXED equal-width grid, compare bucket
+  * shares, `PSI = Σ (p_cur − p_ref) · ln(p_cur / p_ref)` with epsilon
+  * smoothing for empty buckets (rule of thumb: < 0.1 stable, > 0.25
+  * action). Fixed explicit bounds — not data-driven percentiles — so
+  * the grid is identical on both sides and across days.
+  *
+  * 100 TB shape: each side is ONE map-side-combined bucket count
+  * (shuffle = nBuckets rows per side), joined on the bucket id; no row
+  * ever crosses between the frames. ln() is the only transcendental —
+  * per the pack convention its contributions are reported rounded,
+  * with error ~1e-16 against a 1e-6 quantum.
+  */
+object Drift {
+
+  /** Per-bucket drift table: (bucket, p_ref, p_cur, contrib) +
+    * lo/hi clamped edges; sum `contrib` for the PSI.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          nBuckets: Int, lo: Double, hi: Double,
+          eps: Double = 1e-4): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"bad grid [$lo, $hi) x $nBuckets")
+    val w = (hi - lo) / nBuckets
+    def bucket(c: Column): Column =
+      least(greatest(floor((c.cast("double") - lo) / w), lit(0.0)),
+        lit((nBuckets - 1).toDouble)).cast("int")
+    def shares(df: DataFrame, name: String): DataFrame = {
+      val b = df.select(bucket(col(valueCol)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("__n"))
+      val total = b.agg(sum(col("__n")).as("__tot")) // one-row broadcast
+      b.crossJoin(broadcast(total))
+        .select(col("bucket"),
+          (col("__n").cast("double") / col("__tot").cast("double")).as(name))
+    }
+    val grid = ref.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val p = grid
+      .join(shares(ref, "p_ref"), Seq("bucket"), "left")
+      .join(shares(cur, "p_cur"), Seq("bucket"), "left")
+      .na.fill(0.0, Seq("p_ref", "p_cur"))
+    val pr = greatest(col("p_ref"), lit(eps))
+    val pc = greatest(col("p_cur"), lit(eps))
+    p.withColumn("contrib", (pc - pr) * log(pc / pr))
+  }
+}

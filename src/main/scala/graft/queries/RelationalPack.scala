@@ -304,6 +304,36 @@ object RelationalPack extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // PSI distribution drift between two slices over a fixed bucket
+    // grid — per-bucket shares are exact divisions; ln() contributions
+    // follow the transcendental-rounding convention.
+    "a_psi_drift" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      graft.operators.Drift.psi(
+          li.filter(col("l_returnflag") === "A"),
+          li.filter(col("l_returnflag") === "N"),
+          "l_quantity", nBuckets = 10, lo = 1.0, hi = 51.0)
+        .select(col("bucket"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("contrib"), 6).as("contrib"))
+        .orderBy("bucket")
+    }),
+
+    // Rolling-origin (walk-forward) CV folds: train ≤ cut_f, test on
+    // the next slice — summarized per (fold, role) so the oracle pins
+    // both the rank-based cuts and the assignment.
+    "a_rolling_origin_folds" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      graft.ml.TemporalCv.rollingOriginFolds(ev, "day", k = 4)
+        .groupBy("fold", "role")
+        .agg(count(lit(1)).as("n"),
+          min("day").as("d_min"), max("day").as("d_max"))
+        .orderBy("fold", "role")
+    }),
+
     // Per-group winsorization: values clamped to exact [5%, 95%] group
     // percentiles — the heavy-tail complement of the IQR row filters
     // (cap, don't drop). Boundaries are one tiny agg broadcast back;
@@ -471,6 +501,50 @@ object RelationalPack extends QueryPack {
          STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_iso,
          CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr
          FROM orders ORDER BY o_orderkey""",
+    "a_psi_drift" ->
+      """WITH a AS (SELECT LEAST(GREATEST(FLOOR((l_quantity - 1.0) / 5.0), 0),
+                                 9) AS bucket, COUNT(*) AS n
+                    FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+         b AS (SELECT LEAST(GREATEST(FLOOR((l_quantity - 1.0) / 5.0), 0),
+                            9) AS bucket, COUNT(*) AS n
+               FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1),
+         g AS (SELECT UNNEST(RANGE(0, 10)) AS bucket),
+         p AS (SELECT g.bucket,
+                 COALESCE(CAST(a.n AS DOUBLE) /
+                   (SELECT SUM(n) FROM a), 0.0) AS p_ref,
+                 COALESCE(CAST(b.n AS DOUBLE) /
+                   (SELECT SUM(n) FROM b), 0.0) AS p_cur
+               FROM g LEFT JOIN a ON a.bucket = g.bucket
+                      LEFT JOIN b ON b.bucket = g.bucket)
+         SELECT CAST(bucket AS INT) AS bucket,
+           ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+           ROUND((GREATEST(p_cur, 0.0001) - GREATEST(p_ref, 0.0001))
+                 * LN(GREATEST(p_cur, 0.0001) / GREATEST(p_ref, 0.0001)), 6)
+             AS contrib
+         FROM p ORDER BY bucket""",
+    // rank-based cuts over the distinct-date sequence + the
+    // train/test assignment, replayed with the same arithmetic
+    "a_rolling_origin_folds" ->
+      """WITH d AS (SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+                    FROM events),
+         dd AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS r
+                FROM (SELECT DISTINCT day FROM d)),
+         nn AS (SELECT COUNT(*) AS n FROM dd),
+         cuts AS (SELECT f, day AS cut
+                  FROM dd, nn, range(1, 6) t(f)
+                  WHERE r = CEIL(n * f / 5.0)),
+         folds AS (SELECT lo.f AS fold, lo.cut AS cut_lo, hi.cut AS cut_hi
+                   FROM cuts lo JOIN cuts hi ON hi.f = lo.f + 1
+                   WHERE lo.f <= 4),
+         asg AS (SELECT d.event_id, f.fold,
+                   CASE WHEN d.day <= f.cut_lo THEN 'train'
+                        WHEN d.day <= f.cut_hi THEN 'test' END AS role,
+                   d.day
+                 FROM d CROSS JOIN folds f)
+         SELECT CAST(fold AS INT) AS fold, role, COUNT(*) AS n,
+                MIN(day) AS d_min, MAX(day) AS d_max
+         FROM asg WHERE role IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // QUANTILE_CONT ≡ Spark percentile (the a2/scoreTiers parity surface)
     "a_winsorize" ->
       """WITH b AS (
