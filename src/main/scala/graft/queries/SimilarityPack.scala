@@ -12,12 +12,30 @@ import graft.similarity.Ann
   */
 object SimilarityPack extends QueryPack {
 
-  /** Oracle CTE: (vec_id, i, x) exploded double view + per-vector norms. */
+  /** Oracle CTE: (vec_id, i, x) exploded double view + per-vector norms
+    * (used by the per-dimension queries, e.g. prototype pruning).
+    */
   private val VecCte =
     """e AS (SELECT vec_id, embedding,
       |       UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i FROM embeddings),
       |v AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x FROM e),
       |nrm AS (SELECT vec_id, SQRT(SUM(x * x ORDER BY i)) AS nm FROM v GROUP BY vec_id)
+      |""".stripMargin
+
+  /** List-based variant for the ALL-PAIRS queries: `list_sum` folds
+    * left-to-right (empirically order-sensitive-verified), identical to
+    * Spark's `aggregate` left fold, WITHOUT the exploded per-element
+    * join whose ordered aggregates exhaust DuckDB 1.0's memory at
+    * sf0.1 (4M sort-state groups don't spill) — the dots compute
+    * row-at-a-time over list values instead.
+    */
+  private val ListCte =
+    """ed AS (SELECT vec_id,
+      |         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |       FROM embeddings),
+      |lnrm AS (SELECT vec_id,
+      |           SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nm
+      |         FROM ed)
       |""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -135,18 +153,19 @@ object SimilarityPack extends QueryPack {
     * brute-force query and the exhaustive-probe IVF and LSH queries.
     */
   private val BruteTopKSql =
-    s"""WITH $VecCte,
+    s"""WITH $ListCte,
        dots AS (
          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                SUM(a.x * b.x ORDER BY a.i) AS dot
-         FROM v a JOIN v b ON a.i = b.i
-         WHERE a.vec_id < 10 GROUP BY 1, 2),
+                LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.e) + 1),
+                  i -> a.e[i] * b.e[i])) AS dot
+         FROM ed a CROSS JOIN ed b
+         WHERE a.vec_id < 10),
        cos AS (
          SELECT query_id, neighbor_id,
                 CASE WHEN na.nm * nb.nm = 0 THEN 0.0
                      ELSE dot / (na.nm * nb.nm) END AS c
-         FROM dots JOIN nrm na ON na.vec_id = query_id
-                   JOIN nrm nb ON nb.vec_id = neighbor_id),
+         FROM dots JOIN lnrm na ON na.vec_id = query_id
+                   JOIN lnrm nb ON nb.vec_id = neighbor_id),
        ranked AS (
          SELECT query_id, neighbor_id, c,
                 ROW_NUMBER() OVER (PARTITION BY query_id
@@ -210,33 +229,35 @@ object SimilarityPack extends QueryPack {
     // Exhaustive multi-probe LSH (probeRadius = planes) ≡ brute force.
     "ann_lsh_topk" -> BruteTopKSql,
     "ann_cosine_neardup" ->
-      s"""WITH $VecCte,
+      s"""WITH $ListCte,
          dots AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                  SUM(a.x * b.x ORDER BY a.i) AS dot
-           FROM v a JOIN v b ON a.i = b.i
-           WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.e) + 1),
+                    i -> a.e[i] * b.e[i])) AS dot
+           FROM ed a CROSS JOIN ed b
+           WHERE a.vec_id < b.vec_id),
          cos AS (
            SELECT id_a, id_b,
                   CASE WHEN na.nm * nb.nm = 0 THEN 0.0
                        ELSE dot / (na.nm * nb.nm) END AS c
-           FROM dots JOIN nrm na ON na.vec_id = id_a
-                     JOIN nrm nb ON nb.vec_id = id_b)
+           FROM dots JOIN lnrm na ON na.vec_id = id_a
+                     JOIN lnrm nb ON nb.vec_id = id_b)
          SELECT id_a, id_b, ROUND(c, 6) AS cos
          FROM cos WHERE c >= 0.4 ORDER BY id_a, id_b""",
     "ann_semdedup" ->
-      s"""WITH $VecCte,
+      s"""WITH $ListCte,
          dots AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                  SUM(a.x * b.x ORDER BY a.i) AS dot
-           FROM v a JOIN v b ON a.i = b.i
-           WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.e) + 1),
+                    i -> a.e[i] * b.e[i])) AS dot
+           FROM ed a CROSS JOIN ed b
+           WHERE a.vec_id < b.vec_id),
          cos AS (
            SELECT id_a, id_b,
                   CASE WHEN na.nm * nb.nm = 0 THEN 0.0
                        ELSE dot / (na.nm * nb.nm) END AS c
-           FROM dots JOIN nrm na ON na.vec_id = id_a
-                     JOIN nrm nb ON nb.vec_id = id_b),
+           FROM dots JOIN lnrm na ON na.vec_id = id_a
+                     JOIN lnrm nb ON nb.vec_id = id_b),
          dropped AS (SELECT DISTINCT id_b FROM cos WHERE c >= 0.4)
          SELECT e.vec_id, d.id_b IS NULL AS kept
          FROM embeddings e LEFT JOIN dropped d ON d.id_b = e.vec_id
