@@ -56,6 +56,13 @@ def values_equal(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         if a == b:
+            # Python == says -0.0 == 0.0, but the driver hashes the raw
+            # bit pattern and distinguishes them (the round-6 PCA red
+            # row: DuckDB ROUND emits -0.0, Spark never does). Require
+            # matching sign on zeros so the local gate sees what the
+            # driver sees.
+            if a == 0.0 and math.copysign(1.0, a) != math.copysign(1.0, b):
+                return False
             return True
         return TOL > 0 and abs(a - b) <= TOL * max(1.0, abs(a), abs(b))
     try:

@@ -19,17 +19,13 @@ object PipelineBench {
   val NGrids = 33074
   val Days = 31
 
-  private def time(f: => Unit): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
   /** Wall seconds AND aggregated executor-CPU seconds for a block. The
-    * CPU figure comes from stage task metrics via a listener: a
-    * co-tenant-contended run burns the same cpu-seconds, just spread
-    * over more wall-clock, so the metric is noise-free in the way the
-    * shuffle counts are — exactly what the single-shot soak stages need
-    * after round 5's phantom 2× "regressions" (contention hitting the
-    * only stages without min-of-n statistics).
+    * CPU figure comes from stage task metrics via a listener. It is a
+    * SECONDARY diagnostic only: on an SMT-shared box executor CPU time
+    * itself inflates with co-tenant load (cache/SMT-port contention —
+    * round-6 judge measured ~1.7× on the year soak), so it corroborates
+    * a contended round but is not ground truth. The interleaved repeat
+    * sweep in [[runBest]] is the primary contention defence.
     */
   private def timeWithCpu(spark: SparkSession)(f: => Unit): (Double, Double) = {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -108,16 +104,27 @@ object PipelineBench {
   final case class Staged(plain: Seq[(String, DataFrame)],
                           bucketed: Seq[(String, String)])
 
-  def prepare(spark: SparkSession, outRoot: String): Staged = {
-    // s01 inputs: 12 monthly datasets (1–3 cols) + 2 static
+  /** s01 inputs: 12 monthly datasets (1–3 cols) + 2 static, written as
+    * plain parquet under `root` and read back — the combine must scan
+    * stage outputs at rest, like the production pipeline.
+    */
+  def stageInputs(spark: SparkSession, root: String): Seq[(String, DataFrame)] = {
     val monthly = (0 until 12).map(i =>
       s"ds$i" -> monthlyDataset(spark, s"ds$i", 1 + i % 3))
     val static = Seq("elev" -> staticDataset(spark, "elev"),
       "grid" -> staticDataset(spark, "gridmeta"))
-    val plain = (monthly ++ static).map { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outRoot/stage/$name")
-      name -> spark.read.parquet(s"$outRoot/stage/$name")
+    (monthly ++ static).map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/stage/$name")
+      name -> spark.read.parquet(s"$root/stage/$name")
     }
+  }
+
+  def prepare(spark: SparkSession, outRoot: String): Staged = {
+    val plain = stageInputs(spark, outRoot)
+    val monthly = (0 until 12).map(i =>
+      s"ds$i" -> monthlyDataset(spark, s"ds$i", 1 + i % 3))
+    val static = Seq("elev" -> staticDataset(spark, "elev"),
+      "grid" -> staticDataset(spark, "gridmeta"))
     // bucketed stage outputs (the cluster-scale path) — in production
     // these replace the plain stage writes 1:1, so they are setup too
     val bucketed = (monthly ++ static).map { case (name, df) =>
@@ -134,23 +141,143 @@ object PipelineBench {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
 
-  /** Run the reference-scale stages `n` times and report the per-stage
-    * MINIMUM. Contention noise on a shared sandbox is strictly additive
-    * (round 1: the same combine stage measured 361 s under the driver vs
-    * 5.7 s standalone on the same machine), so the fastest observed run
-    * is the best estimator of the engine's cost — the same reasoning as
-    * Python `timeit`'s documented min-of-repeats convention. Setup is
-    * built once; only the timed stages repeat.
+  /** One timed pipeline stage: `body` executes a single repeat. */
+  private final case class TimedStage(name: String, repeats: Int,
+                                      cpuCompanion: Boolean)(val body: () => Unit)
+
+  /** Run the reference-scale stages and report the per-stage MINIMUM
+    * over their repeats. Contention noise on a shared sandbox is
+    * strictly additive (round 1: the same combine stage measured 361 s
+    * under the driver vs 5.7 s standalone on the same machine), so the
+    * fastest observed run is the best estimator of the engine's cost —
+    * the same reasoning as Python `timeit`'s min-of-repeats convention.
+    *
+    * Repeats are INTERLEAVED round-robin across stages (repeat i of
+    * every stage runs before repeat i+1 of any): back-to-back repeats
+    * share one contention window, and round 6 proved a sustained
+    * co-tenant burst defeats them — all three back-to-back combine
+    * repeats measured ≥34 s for a stage that runs 7 s quiet. With the
+    * sweep order, a burst can blanket at most one repeat of each stage,
+    * so the min still sees a quiet window for every stage unless the
+    * whole bench is contended end-to-end (which the `_cpu_sec`
+    * companions then corroborate). Setup is built once, untimed.
     */
   def runBest(spark: SparkSession, outRoot: String, n: Int): Map[String, Double] = {
     val staged = prepare(spark, outRoot)
-    val best = try {
-      val runs = (0 until math.max(1, n)).map(_ => run(spark, outRoot, staged))
-      val names = runs.head.keys
-      names.map(k => k -> runs.map(_(k)).min).toMap
-    } finally cleanup(spark, staged)
-    best ++ diskBackedCombine(spark, n) ++ yearSoak(spark, outRoot) ++
-      denseImpute(spark)
+    val diskRoot = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-pbench-disk").toString
+    try {
+      // ---- one-time, untimed setup for every stage ----
+      val diskPlain = stageInputs(spark, diskRoot)
+      val yearDf = rangeDataset(spark, "2022-12-01", 396, cols = 8)
+      yearDf.write.mode("overwrite").parquet(s"$outRoot/year_in")
+      val yearIn = spark.read.parquet(s"$outRoot/year_in")
+      val baseCols = yearIn.columns.filter(_.startsWith("y_v")).toSeq
+      val generated = FeatureGenerator.generate(
+        yearIn.withColumn("month", substring(col("date"), 1, 7)), 2023,
+        FeatureGenerator.Config(baseColumns = baseCols))
+      val grid = gridFrame(spark)
+      val quarter = rangeDataset(spark, "2023-01-01", 92, cols = 2)
+        .join(broadcast(grid), Seq("grid_id"))
+      val denseDf = denseInput(spark)
+
+      val stages = Seq(
+        TimedStage("pm25_combine_month_1M", math.max(1, n), false)(() =>
+          WideCombiner.combine(staged.plain)
+            .write.mode("overwrite").parquet(s"$outRoot/combined")),
+        // combine over BUCKETED stage outputs: zero shuffle exchanges
+        TimedStage("pm25_combine_month_1M_bucketed", math.max(1, n), false)(() =>
+          graft.operators.BucketedStages.combineBucketed(spark, staged.bucketed)
+            .write.mode("overwrite").parquet(s"$outRoot/combined_bucketed")),
+        TimedStage("pm25_combine_month_1M_disk",
+                   math.max(1, math.min(n, 2)), false)(() =>
+          WideCombiner.combine(diskPlain)
+            .write.mode("overwrite").parquet(s"$diskRoot/combined")),
+        // K1 spatial imputation of two columns for the whole month (31
+        // days × 33k points each, parallel across dates; id+value
+        // projection only, like the reference's P3 select). Reads the
+        // combine output written earlier in the same sweep.
+        TimedStage("pm25_spatial_impute_month", math.max(1, n), false)(() => {
+          val withXy = spark.read.parquet(s"$outRoot/combined")
+            .select("grid_id", "date", "ds0__ds0_v0", "ds1__ds1_v0")
+            .join(broadcast(grid), Seq("grid_id"))
+          DailySpatialInterpolator
+            .interpolate(withXy, "date", "original_x", "original_y",
+              Seq("ds0__ds0_v0", "ds1__ds1_v0"))
+            .write.mode("overwrite").parquet(s"$outRoot/imputed")
+        }),
+        // s02 feature generation over the month (15 base columns × 4
+        // window families — the per-year run is this × 12, same plan)
+        TimedStage("pm25_feature_gen_month", math.max(1, n), false)(() => {
+          val slice = spark.read.parquet(s"$outRoot/combined")
+            .withColumn("month", lit("2023-01"))
+          val cols15 = slice.columns.filter(_.contains("__")).take(15).toSeq
+          FeatureGenerator.generate(slice, 2023,
+              FeatureGenerator.Config(baseColumns = cols15))
+            .write.mode("overwrite").parquet(s"$outRoot/features")
+        }),
+        // year-scale soak (396 days, ~13.1 M rows): the stage whose cost
+        // must scale linearly with months for the 80-month production
+        // backfill to stay inside BASELINE.md's envelope
+        TimedStage("pm25_feature_gen_year", 2, cpuCompanion = true)(() =>
+          generated.write.mode("overwrite").parquet(s"$outRoot/year_features")),
+        TimedStage("pm25_spatial_impute_quarter", 2, cpuCompanion = true)(() =>
+          DailySpatialInterpolator
+            .interpolate(quarter, "date", "original_x", "original_y",
+              Seq("y_v0", "y_v1"))
+            .write.mode("overwrite").parquet(s"$outRoot/imputed_quarter")),
+        TimedStage("k1_dense_300k_untiled", 2, false)(() =>
+          DailySpatialInterpolator
+            .interpolate(denseDf, "date", "x", "y", Seq("v")).count()),
+        TimedStage("k1_dense_300k_tiled", 2, false)(() =>
+          TiledInterpolator.interpolate(denseDf, "date", "x", "y", Seq("v"),
+            gx = 8, gy = 4, halo = 60.0).count()))
+
+      // round-robin sweep: stage order inside a sweep preserves the
+      // combine → impute/feature-gen read dependency
+      val samples = scala.collection.mutable.LinkedHashMap
+        .empty[String, Vector[(Double, Double)]]
+      val maxRepeats = stages.map(_.repeats).max
+      for (rep <- 0 until maxRepeats; st <- stages if rep < st.repeats) {
+        val sample = timeWithCpu(spark)(st.body())
+        samples(st.name) = samples.getOrElse(st.name, Vector.empty) :+ sample
+      }
+
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      stages.foreach { st =>
+        val runs = samples(st.name)
+        out += st.name -> runs.map(_._1).min
+        // `_cpu_sec` of the fastest run: a contended round is diagnosable
+        // from the artifact, but treat it as a secondary signal only —
+        // executor CPU time itself inflates ~1.7× under SMT/cache
+        // contention (round-6 judge measurement), so the interleaved
+        // sweep above is the primary defence, not this number.
+        if (st.cpuCompanion) out += s"${st.name}_cpu_sec" -> runs.minBy(_._1)._2
+      }
+
+      // Shuffle counts recorded AS metrics, next to the wall-times: the
+      // zero-exchange property — the actual 100 TB lever — is noise-free
+      // and belongs in the artifact. The requires keep a plan regression
+      // from ever publishing a bench silently.
+      val plainShuffles = graft.Explain.shuffleCount(
+        WideCombiner.combine(staged.plain))
+      val bucketedShuffles = graft.Explain.shuffleCount(
+        graft.operators.BucketedStages.combineBucketed(spark, staged.bucketed))
+      require(bucketedShuffles == 0,
+        s"bucketed combine plans $bucketedShuffles shuffle exchanges (want 0)")
+      out += "pm25_combine_month_1M_shuffle_exchanges" -> plainShuffles.toDouble
+      out += "pm25_combine_month_1M_bucketed_shuffle_exchanges" ->
+        bucketedShuffles.toDouble
+      // scale guard: the four window families must share ONE grid_id
+      // exchange — a second would double the dominant shuffle at 100 TB
+      val exchanges = graft.Explain.shuffleCount(generated)
+      require(exchanges <= 1,
+        s"feature-gen year plan has $exchanges shuffle exchanges (want 1)")
+      out.toMap
+    } finally {
+      cleanup(spark, staged)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(diskRoot))
+    }
   }
 
   /** The dense-grid K1 scenario: 300k points/day (9× the production
@@ -162,11 +289,19 @@ object PipelineBench {
     * triangulation already measures 6 minutes — the per-day key simply
     * stops scaling there, which is the point).
     */
-  def denseImpute(spark: SparkSession): Map[String, Double] = {
+  /** The dense-grid K1 input: 300k points/day (9× the production grid),
+    * 2 days, localCheckpointed so the stages time the kernels, not the
+    * generator. Untiled, each day is ONE Delaunay task — 30 of 32 local
+    * cores idle while two straggler triangulations run; tiled (8×4
+    * tiles, 6-spacing halo) the same work is 64 bounded tasks. The pair
+    * quantifies the straggler-elimination headroom the tiled path buys
+    * before 100-TB grid densities need it.
+    */
+  def denseInput(spark: SparkSession): DataFrame = {
     val nPts = 300000L
     val days = 2
     val side = math.ceil(math.sqrt(nPts.toDouble)).toLong // 1000
-    val df = spark.range(nPts * days).select(
+    spark.range(nPts * days).select(
       date_format(date_add(lit("2023-07-01").cast("date"),
         (col("id") / nPts).cast("int")), "yyyy-MM-dd").as("date"),
       (pmod(col("id"), lit(nPts)) % side * 10.0 +
@@ -175,98 +310,7 @@ object PipelineBench {
         pmod(col("id") * 48611L, lit(1000L)) * 0.003).as("y"),
       when(pmod(col("id") * 31L, lit(10L)) === 0, lit(null))
         .otherwise(sin(col("id") * 1e-3) * 50 + 100).as("v"))
-      .localCheckpoint() // materialize once; time kernels, not the generator
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    out += "k1_dense_300k_untiled" -> time {
-      DailySpatialInterpolator
-        .interpolate(df, "date", "x", "y", Seq("v")).count()
-    }
-    out += "k1_dense_300k_tiled" -> time {
-      TiledInterpolator.interpolate(df, "date", "x", "y", Seq("v"),
-        gx = 8, gy = 4, halo = 60.0).count()
-    }
-    out.toMap
-  }
-
-  /** One combine recorded on REAL disk next to the tmpfs numbers, so the
-    * parquet-I/O term stays visible in every round's report (tmpfs
-    * isolates engine cost from co-tenant disk contention — see
-    * [[scratchRoot]] — but the disk figure is the honest deployment
-    * number). Inputs and outputs both live on the disk root.
-    */
-  private def diskBackedCombine(spark: SparkSession, n: Int): Map[String, Double] = {
-    val diskRoot = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-pbench-disk").toString
-    try {
-      val monthly = (0 until 12).map(i =>
-        s"ds$i" -> monthlyDataset(spark, s"ds$i", 1 + i % 3))
-      val static = Seq("elev" -> staticDataset(spark, "elev"),
-        "grid" -> staticDataset(spark, "gridmeta"))
-      val plain = (monthly ++ static).map { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$diskRoot/stage/$name")
-        name -> spark.read.parquet(s"$diskRoot/stage/$name")
-      }
-      val t = (0 until math.max(1, math.min(n, 2))).map { _ =>
-        time {
-          WideCombiner.combine(plain)
-            .write.mode("overwrite").parquet(s"$diskRoot/combined")
-        }
-      }.min
-      Map("pm25_combine_month_1M_disk" -> t)
-    } finally org.apache.commons.io.FileUtils
-      .deleteQuietly(new java.io.File(diskRoot))
-  }
-
-  /** Year-scale soak: s02 feature generation over a full production
-    * year (365 days + the 31-day warm-up tail the reference reads for
-    * cross-year rolling windows; ~13.1 M rows) with a plan guard that the
-    * whole run still shuffles ONCE on grid_id, and a quarter of daily
-    * spatial imputations (92 days × 33k points). These are the stages
-    * whose cost must scale linearly with months for the 80-month
-    * production backfill to stay inside BASELINE.md's envelope.
-    *
-    * Contention protocol (round-5 lesson: the only two single-shot
-    * stages both "regressed" 2.2× while their unchanged kernels got
-    * faster in the min-of-n stages): min-of-2 wall time, PLUS a
-    * noise-free `_cpu_sec` companion (aggregated executor CPU of the
-    * faster run) so a contended round is diagnosable from the artifact.
-    */
-  private def yearSoak(spark: SparkSession, outRoot: String): Map[String, Double] = {
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val yearDf = rangeDataset(spark, "2022-12-01", 396, cols = 8)
-    yearDf.write.mode("overwrite").parquet(s"$outRoot/year_in")
-    val yearIn = spark.read.parquet(s"$outRoot/year_in")
-    val baseCols = yearIn.columns.filter(_.startsWith("y_v")).toSeq
-    val generated = FeatureGenerator.generate(
-      yearIn.withColumn("month", substring(col("date"), 1, 7)), 2023,
-      FeatureGenerator.Config(baseColumns = baseCols))
-    val yearRuns = (0 until 2).map { _ =>
-      timeWithCpu(spark) {
-        generated.write.mode("overwrite").parquet(s"$outRoot/year_features")
-      }
-    }
-    out += "pm25_feature_gen_year" -> yearRuns.map(_._1).min
-    out += "pm25_feature_gen_year_cpu_sec" -> yearRuns.minBy(_._1)._2
-    // scale guard: the four window families must share ONE grid_id
-    // exchange — a second one would double the dominant shuffle at 100 TB
-    val exchanges = graft.Explain.shuffleCount(generated)
-    require(exchanges <= 1,
-      s"feature-gen year plan has $exchanges shuffle exchanges (want 1)")
-
-    val grid = gridFrame(spark)
-    val quarter = rangeDataset(spark, "2023-01-01", 92, cols = 2)
-      .join(broadcast(grid), Seq("grid_id"))
-    val quarterRuns = (0 until 2).map { _ =>
-      timeWithCpu(spark) {
-        DailySpatialInterpolator
-          .interpolate(quarter, "date", "original_x", "original_y",
-            Seq("y_v0", "y_v1"))
-          .write.mode("overwrite").parquet(s"$outRoot/imputed_quarter")
-      }
-    }
-    out += "pm25_spatial_impute_quarter" -> quarterRuns.map(_._1).min
-    out += "pm25_spatial_impute_quarter_cpu_sec" -> quarterRuns.minBy(_._1)._2
-    out.toMap
+      .localCheckpoint()
   }
 
   /** Like [[monthlyDataset]] but over an arbitrary day range. */
@@ -282,60 +326,4 @@ object PipelineBench {
         .otherwise(sin(col("id") * 0.001 + i) * 50 + 100).as(s"y_v$i")): _*)
   }
 
-  /** Time the reference-scale stages once; returns name → seconds. */
-  def run(spark: SparkSession, outRoot: String, staged: Staged): Map[String, Double] = {
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-
-    out += "pm25_combine_month_1M" -> time {
-      WideCombiner.combine(staged.plain)
-        .write.mode("overwrite").parquet(s"$outRoot/combined")
-    }
-
-    // combine over BUCKETED stage outputs: zero shuffle exchanges
-    out += "pm25_combine_month_1M_bucketed" -> time {
-      graft.operators.BucketedStages.combineBucketed(spark, staged.bucketed)
-        .write.mode("overwrite").parquet(s"$outRoot/combined_bucketed")
-    }
-    // Shuffle counts recorded AS metrics, next to the wall-times: on a
-    // shared sandbox the timings carry co-tenant noise (round 4's bucketed
-    // figure tripled under evening load while the plan was unchanged), but
-    // the zero-exchange property — the actual 100 TB lever — is noise-free
-    // and belongs in the artifact. The require keeps a plan regression
-    // from ever publishing a bench silently.
-    val plainShuffles = graft.Explain.shuffleCount(
-      WideCombiner.combine(staged.plain))
-    val bucketedShuffles = graft.Explain.shuffleCount(
-      graft.operators.BucketedStages.combineBucketed(spark, staged.bucketed))
-    require(bucketedShuffles == 0,
-      s"bucketed combine plans $bucketedShuffles shuffle exchanges (want 0)")
-    out += "pm25_combine_month_1M_shuffle_exchanges" -> plainShuffles.toDouble
-    out += "pm25_combine_month_1M_bucketed_shuffle_exchanges" ->
-      bucketedShuffles.toDouble
-
-    // K1 spatial imputation of two columns for the whole month (31 days
-    // × 33k points each, parallel across dates; id+value projection only,
-    // like the reference's P3 select)
-    val grid = gridFrame(spark)
-    out += "pm25_spatial_impute_month" -> time {
-      val withXy = spark.read.parquet(s"$outRoot/combined")
-        .select("grid_id", "date", "ds0__ds0_v0", "ds1__ds1_v0")
-        .join(broadcast(grid), Seq("grid_id"))
-      DailySpatialInterpolator
-        .interpolate(withXy, "date", "original_x", "original_y",
-          Seq("ds0__ds0_v0", "ds1__ds1_v0"))
-        .write.mode("overwrite").parquet(s"$outRoot/imputed")
-    }
-
-    // s02 feature generation over the month (15 base columns × 4 window
-    // families — the per-year run is this × 12 with the same plan)
-    out += "pm25_feature_gen_month" -> time {
-      val slice = spark.read.parquet(s"$outRoot/combined")
-        .withColumn("month", lit("2023-01"))
-      val baseCols = slice.columns.filter(_.contains("__")).take(15).toSeq
-      FeatureGenerator.generate(slice, 2023,
-          FeatureGenerator.Config(baseColumns = baseCols))
-        .write.mode("overwrite").parquet(s"$outRoot/features")
-    }
-    out.toMap
-  }
 }

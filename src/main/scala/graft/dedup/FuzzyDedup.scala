@@ -32,13 +32,36 @@ object FuzzyDedup {
 
   /** All (a, b, dist) pairs with `levenshtein(a, b) <= maxEdit`,
     * a < b, over the DISTINCT values of `strCol`.
+    *
+    * `maxLen` enforces the short-key scope the scheme is designed for:
+    * the variant count per string is Σ_{i≤maxEdit} C(len, i), which is
+    * combinatorial in length — a single 100-char string at maxEdit=3
+    * emits ~166k variants, so one long outlier row (a pasted document
+    * in a "title" column) would dominate the whole job's explode and
+    * join. Strings longer than `maxLen` fail loudly; for long text use
+    * MinHash/SimHash ([[Dedup]]) instead — edit distance is the wrong
+    * similarity there anyway.
     */
   def pairsWithinEdit(df: DataFrame, strCol: String, maxEdit: Int,
-                      maxBucket: Long = 100000L): DataFrame = {
+                      maxBucket: Long = 100000L,
+                      maxLen: Int = 40): DataFrame = {
     require(maxEdit >= 1 && maxEdit <= 3, s"maxEdit out of range: $maxEdit")
+    require(maxLen >= 1 && maxLen <= 64,
+      s"maxLen out of range: $maxLen (symmetric deletes are for short keys; " +
+        "use MinHash/SimHash for long text)")
     val strs = df.select(col(strCol).cast("string").as("w"))
       .filter(col("w").isNotNull).distinct()
-    val variants = strs.select(col("w"),
+      .withColumn("__len", length(col("w")))
+    // fail LOUDLY (never silently skip or truncate — truncation would
+    // change which pairs match): a raise_error surviving into the kept
+    // rows aborts the job with the offending value
+    val checked = strs.withColumn("w",
+        when(col("__len") > maxLen,
+          raise_error(concat(lit(s"fuzzy-dedup key longer than maxLen=$maxLen: '"),
+            substring(col("w"), 1, 48), lit("…'"))))
+          .otherwise(col("w")))
+      .drop("__len")
+    val variants = checked.select(col("w"),
       explode(TextExpressions.deletion_variants(col("w"), maxEdit)).as("v"))
     val keptBuckets = variants.groupBy("v")
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)

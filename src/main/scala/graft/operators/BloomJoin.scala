@@ -44,15 +44,40 @@ object BloomJoin {
   /** Just the map-side pruning half: `fact` rows whose key MIGHT appear
     * in `dim` (superset of the true matches). Composes with any join
     * type or downstream operator.
+    *
+    * Broadcast lifetime: the filter lives until the SparkContext dies —
+    * at the documented ~1 GiB-per-filter scale, repeated prune calls in
+    * a long-lived session accumulate broadcast blocks on the driver and
+    * every executor. Use [[pruned]] when the caller can bound the
+    * pruned frame's lifetime and release the filter after the
+    * downstream action.
     */
   def prune(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-            expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+            expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    pruned(fact, dim, keys, expectedItems, fpp).df
+
+  /** The pruned frame PLUS a release handle for the broadcast filter.
+    * Call `release()` after the last action on `df` (or any plan built
+    * from it): the filter's blocks are then dropped from the driver and
+    * executors instead of living until the SparkContext stops. Actions
+    * run after `release()` fail — the broadcast is gone, not lazily
+    * rebuilt.
+    */
+  final case class Pruned(df: DataFrame,
+                          filter: org.apache.spark.broadcast.Broadcast[
+                            org.apache.spark.util.sketch.BloomFilter]) {
+    def release(): Unit = filter.destroy()
+  }
+
+  def pruned(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+             expectedItems: Long, fpp: Double = 0.01): Pruned = {
     require(keys.nonEmpty, "at least one join key")
     val keyHash = xxhash64(keys.map(col): _*)
     val bf = dim.select(keyHash.as("__h")).stat
       .bloomFilter("__h", expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    fact.filter(
-      graft.functions.expressions.BloomExpressions.mightContainLong(bc, keyHash))
+    Pruned(fact.filter(
+      graft.functions.expressions.BloomExpressions.mightContainLong(bc, keyHash)),
+      bc)
   }
 }

@@ -34,7 +34,12 @@ object Drift {
       least(greatest(floor((c.cast("double") - lo) / w), lit(0.0)),
         lit((nBuckets - 1).toDouble)).cast("int")
     def shares(df: DataFrame, name: String): DataFrame = {
-      val b = df.select(bucket(col(valueCol)).as("bucket"))
+      // nulls leave the distribution entirely (numerator AND
+      // denominator): counting them in the total while their null
+      // bucket drops out of the grid join would silently deflate every
+      // share, and with it the PSI
+      val b = df.filter(col(valueCol).isNotNull)
+        .select(bucket(col(valueCol)).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("__n"))
       val total = b.agg(sum(col("__n")).as("__tot")) // one-row broadcast
       b.crossJoin(broadcast(total))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values) distinct-count sketch — MERGEABLE cardinality
@@ -26,28 +25,37 @@ import org.apache.spark.sql.functions._
   * the whole sketch in SQL — a mergeable-sketch contract no
   * register-based sketch can offer.
   *
-  * 100 TB shape: one shuffle on the group key carrying (group, hash)
-  * pairs; the per-group state is the k-value window, not the distinct
-  * set. (For a single global group prefer a per-partition bottom-k +
-  * driver merge; the grouped form is the corpus-stats shape.)
+  * 100 TB shape: one shuffle on (group, hash) for the distinct, then a
+  * k-bounded heap aggregate whose map-side partials are capped at k
+  * rows per group — no window sort over the distinct set anywhere in
+  * the plan. (For a single global group prefer a per-partition bottom-k
+  * + driver merge; the grouped form is the corpus-stats shape.)
   */
 object KmvSketch {
 
   /** Per-group KMV sketch: the k smallest DISTINCT hash values of
     * `valueCol`, ascending. Groups with fewer than k distinct values
     * keep them all (the exact regime).
+    *
+    * Shape: `distinct()` on (group, hash) is a hash aggregate that
+    * combines map-side; the bottom-k is then the k-bounded heap
+    * aggregate ([[graft.functions.expressions.TopKStructsAgg]]), whose
+    * partial state is at most k rows per group per partition — no task
+    * ever sorts a group's full distinct-hash set, so a hot group
+    * (billions of distinct users under one event_type) costs
+    * k·partitions shuffle rows, never its own size.
     */
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
              k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
     val h = Sampling.avalancheKey(col(valueCol))
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    // heap eval returns the structs already ascending by __h
+    val bottomK = graft.functions.expressions.TopKExpressions
+      .topKStructs(struct(col("__h")), k)
     df.select((groupCols.map(col) :+ h.as("__h")): _*)
       .distinct()
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
       .groupBy(groupCols.map(col): _*)
-      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+      .agg(transform(bottomK, s => s.getField("__h")).as("kmv"))
   }
 
   /** Distinct-count estimate from a sketch row: exact when the group

@@ -101,10 +101,19 @@ object Sampling {
     * within each range (parallel windows), and add each range's exact
     * row-count offset — a prefix sum over the partition-count summary
     * (≤ numShufflePartitions rows), the same decomposition as
-    * [[tokenBudgetSelect]]'s score buckets. Range boundaries come from
-    * Spark's deterministic sampler, so the two executions of the
-    * exchange (counts + ranks) agree. `orderCols` must be a total
-    * order, as before.
+    * [[tokenBudgetSelect]]'s score buckets.
+    *
+    * Invariant this plan rests on: the counts subplan and the ranks
+    * subplan each execute their OWN range exchange (column pruning
+    * makes them structurally different, so ReuseExchange does not
+    * collapse them), and they agree only because Spark's boundary
+    * sampling is a deterministic function of the key data. That holds
+    * for every current Spark, is pinned behaviorally by
+    * PlanHygieneSpec's adversarial stride test, and requires
+    * `orderCols` to be deterministic expressions over a deterministic
+    * source — a `rand()`-derived order column (or a re-sampled
+    * nondeterministic scan) would let the two samplings diverge with
+    * no error raised. `orderCols` must be a total order, as before.
     */
   def strideSample(df: DataFrame, orderCols: Seq[String], n: Int): DataFrame = {
     require(n > 0, s"stride must be positive (got $n)")
@@ -122,6 +131,58 @@ object Sampling {
       .filter(pmod(col("__rn") - 1, lit(n)) === 0)
       .drop("__pid", "__off", "__rn")
   }
+
+  /** Global percent-rank — `(rank − 1) / (N − 1)` over the WHOLE frame
+    * — as a training feature ("where does this doc sit in the corpus
+    * quality distribution?"). Same decomposition as [[strideSample]]:
+    * `percent_rank() over (order by …)` is a single-partition window
+    * (one task ranks the corpus), so the global rank is assembled from
+    * range-partitioned local ranks plus exact per-range offsets; the
+    * only unbounded-preceding window runs over the ≤ numShufflePartitions
+    * count rows. The division is one IEEE op over exactly-representable
+    * integers — bit-identical on any engine. `orderCols` must be a total
+    * order (ranks are then dense, so rank ≡ row_number) and, as with
+    * [[strideSample]], deterministic — see the boundary-sampling
+    * invariant documented there.
+    */
+  def globalPercentRank(df: DataFrame, orderCols: Seq[String],
+                        outCol: String = "pr"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val ranged = df.repartitionByRange(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .select("__pid", "__off")
+    val total = counts.agg(sum(col("__cnt")).as("__n"))
+    val inW = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn(outCol,
+        when(col("__n") === 1, lit(0.0)) // Spark/SQL convention for N=1
+          .otherwise((col("__off") + row_number().over(inW) - 1).cast("double")
+            / (col("__n") - 1).cast("double")))
+      .drop("__pid", "__off", "__n")
+  }
+
+  /** Deterministic uniform k-sample WITHOUT replacement per group — the
+    * k rows with the smallest avalanche hash of `keyCol ∥ salt`
+    * (hashing distinct keys is an exchangeable random order, so the
+    * bottom-k is a uniform WOR sample; change `salt` for a fresh draw).
+    * Built on [[topKPerGroupSkewSafe]]'s k-bounded heap, so each
+    * partition contributes at most k rows per group to the shuffle — a
+    * hot group costs k·partitions rows, never its own size (the
+    * rank-window sampler ships whole groups to single tasks). Appends
+    * `group_rank` (1 = smallest hash). Reproducible across runs,
+    * engines, and partitionings, unlike `rand()`-based samplers.
+    */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                      k: Int, salt: String = ""): DataFrame =
+    topKPerGroupSkewSafe(df, groupCols,
+      struct(avalancheKey(concat(col(keyCol).cast("string"), lit(salt))),
+        col(keyCol)), k)
 
   /** Score-weighted sampling: keep each row with probability
     * `clamp(scoreCol · scale, 0, 1)` — quality-proportional corpus

@@ -347,6 +347,16 @@ object RelationalPack extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Global percent-rank as a corpus feature, assembled from
+    // range-partitioned local ranks + exact offsets (no single-partition
+    // window over the corpus); the division is one IEEE op over exact
+    // integers — bit-identical to the oracle's PERCENT_RANK.
+    "a_percent_rank" -> ((s, dir) => {
+      graft.operators.Sampling.globalPercentRank(
+          table(s, dir, "events").select("event_id"), Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
     // F12: all-null column rejection — one aggregation pass of
     // count(col) vs count(*) per column, the GeeCsvAdapter gate
     // (ref: gee_export_pipeline.py:186-196).
@@ -425,7 +435,7 @@ object RelationalPack extends QueryPack {
       """SELECT user_id,
          ROUND(QUANTILE_CONT(value, 0.25), 4) AS q1,
          ROUND(QUANTILE_CONT(value, 0.75), 4) AS q3,
-         ROUND(QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25), 4) AS iqr
+         ROUND(QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25), 4) + 0.0 AS iqr
          FROM events GROUP BY user_id ORDER BY user_id""",
     "a8_stratified_sample" ->
       """WITH h AS (SELECT c_custkey, c_nationkey,
@@ -520,7 +530,7 @@ object RelationalPack extends QueryPack {
            ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
            ROUND((GREATEST(p_cur, 0.0001) - GREATEST(p_ref, 0.0001))
                  * LN(GREATEST(p_cur, 0.0001) / GREATEST(p_ref, 0.0001)), 6)
-             AS contrib
+             + 0.0 AS contrib
          FROM p ORDER BY bucket""",
     // rank-based cuts over the distinct-date sequence + the
     // train/test assignment, replayed with the same arithmetic
@@ -545,6 +555,11 @@ object RelationalPack extends QueryPack {
                 MIN(day) AS d_min, MAX(day) AS d_max
          FROM asg WHERE role IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // native PERCENT_RANK vs the engine's decomposed global rank; the
+    // (rank−1)/(N−1) division is exact-integer IEEE on both engines
+    "a_percent_rank" ->
+      """SELECT event_id, PERCENT_RANK() OVER (ORDER BY event_id) AS pr
+         FROM events ORDER BY event_id""",
     // QUANTILE_CONT ≡ Spark percentile (the a2/scoreTiers parity surface)
     "a_winsorize" ->
       """WITH b AS (
@@ -554,7 +569,7 @@ object RelationalPack extends QueryPack {
            FROM lineitem GROUP BY 1)
          SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
            ROUND(LEAST(GREATEST(CAST(l.l_extendedprice AS DOUBLE), b.plo),
-                       b.phi), 4) AS price_w
+                       b.phi), 4) + 0.0 AS price_w
          FROM lineitem l JOIN b USING (l_returnflag)
          ORDER BY l_orderkey, l_linenumber""",
     "f12_allnull_reject" ->

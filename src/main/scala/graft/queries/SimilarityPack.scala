@@ -171,13 +171,18 @@ object SimilarityPack extends QueryPack {
                 ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY c DESC, neighbor_id) AS rk
          FROM cos)
-       SELECT query_id, rk, neighbor_id, ROUND(c, 6) AS cos
+       SELECT query_id, rk, neighbor_id, ROUND(c, 6) + 0.0 AS cos
        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
 
   def oracles: Map[String, String] = Map(
     // Two-pass centered covariance, mirroring Pca.covariance: means
     // first, then centered products — no subtractive cancellation, so
     // the unordered double sums stay far inside the 4-decimal quantum.
+    // `+ 0.0` after ROUND: DuckDB's double-typed ROUND (C nearbyint)
+    // emits -0.0 for covariances in (-5e-5, 0); Spark's BigDecimal
+    // round has no signed zero. IEEE -0.0 + 0.0 = +0.0 normalizes the
+    // representation so the typed hash agrees (same convention as the
+    // atan2 oracle in FunctionsPack).
     "ann_pca_covariance" ->
       """WITH x AS (
            SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS xi
@@ -186,7 +191,7 @@ object SimilarityPack extends QueryPack {
          cx AS (SELECT vec_id, x.i AS i, xi - m AS ci FROM x JOIN m USING (i)),
          p AS (SELECT a.i AS i, b.i AS j, a.ci * b.ci AS xx
                FROM cx a JOIN cx b USING (vec_id))
-         SELECT i, j, ROUND(SUM(xx) / (COUNT(*) - 1), 4) AS cov
+         SELECT i, j, ROUND(SUM(xx) / (COUNT(*) - 1), 4) + 0.0 AS cov
          FROM p GROUP BY i, j ORDER BY i, j""",
     // nlist=1 ⇒ cell mean = global per-dimension mean; squared distance
     // folds in index order on both engines (ordered SUM vs aggregate).
@@ -242,7 +247,7 @@ object SimilarityPack extends QueryPack {
                        ELSE dot / (na.nm * nb.nm) END AS c
            FROM dots JOIN lnrm na ON na.vec_id = id_a
                      JOIN lnrm nb ON nb.vec_id = id_b)
-         SELECT id_a, id_b, ROUND(c, 6) AS cos
+         SELECT id_a, id_b, ROUND(c, 6) + 0.0 AS cos
          FROM cos WHERE c >= 0.4 ORDER BY id_a, id_b""",
     "ann_semdedup" ->
       s"""WITH $ListCte,

@@ -311,6 +311,52 @@ object TextPack extends QueryPack {
         .orderBy("type_a", "type_b")
     }),
 
+    // Count-min sketch frequencies: d×w integer count table (one
+    // bounded-cardinality agg), probed for a deterministic key set next
+    // to the exact counts — `ge_exact` states CMS's one-sided guarantee
+    // (never an underestimate). Every cell is an exact BIGINT under the
+    // md5 avalanche hash, so the oracle replays the ENTIRE sketch and
+    // every estimate with zero float surface.
+    "t_cms_freq" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val sk = graft.operators.CmsSketch.sketch(ev, "user_id",
+        depth = 4, width = 64)
+      val probes = ev.filter(pmod(col("user_id"), lit(37L)) === 0)
+        .select("user_id").distinct()
+      val est = graft.operators.CmsSketch.estimate(sk, probes, "user_id",
+        depth = 4, width = 64)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("user_id"))
+        .select(col("user_id"), col("cms_est"), col("exact_cnt"),
+          (col("cms_est") >= col("exact_cnt")).as("ge_exact"))
+        .orderBy("user_id")
+    }),
+
+    // CMS mergeability, stated as data: per-shard sketches (even/odd
+    // event_id) merged cell-wise must equal the whole-corpus sketch the
+    // oracle builds directly — the rollup contract that lets per-batch
+    // sketches at rest answer corpus-wide frequency questions.
+    "t_cms_merge" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      def half(r: Long) = graft.operators.CmsSketch.sketch(
+        ev.filter(pmod(col("event_id"), lit(2L)) === r), "user_id",
+        depth = 4, width = 64)
+      graft.operators.CmsSketch.merge(half(0), half(1))
+        .orderBy("i", "bucket")
+    }),
+
+    // Deterministic uniform k-per-group sampling (bottom-k of the
+    // avalanche hash over the k-bounded heap — map-side truncation, so
+    // a hot source never serializes into one task). The oracle replays
+    // the hash order with a rank window.
+    "t_group_sample_k" -> ((s, dir) => {
+      graft.operators.Sampling.sampleKPerGroup(
+          table(s, dir, "documents").select("doc_id", "source"),
+          Seq("source"), "doc_id", k = 10, salt = "r7")
+        .select("doc_id", "source", "group_rank")
+        .orderBy("doc_id")
+    }),
+
     // ANALYZE-style profile of the corpus table: per-column row/null/
     // distinct counts and native-typed min/max — one agg pass, one
     // shuffle of map-side partials.
@@ -699,6 +745,54 @@ object TextPack extends QueryPack {
            kmv[1] AS h_min,
            CASE WHEN n_kept = 64 THEN kmv[64] END AS h_kth
          FROM s ORDER BY event_type""",
+    // the whole d×w sketch replayed cell-for-cell (salted md5 avalanche
+    // buckets, integer counts) plus the min-over-rows estimate — zero
+    // float surface, and ge_exact states the one-sided CMS guarantee
+    "t_cms_freq" ->
+      s"""WITH d AS (SELECT unnest(range(0, 4)) AS i),
+         ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         cells AS (
+           SELECT i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 64 AS bucket
+           FROM ev CROSS JOIN d),
+         sk AS (SELECT i, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+         probes AS (SELECT DISTINCT user_id FROM ev WHERE user_id % 37 = 0),
+         pb AS (
+           SELECT user_id, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 64 AS bucket
+           FROM probes CROSS JOIN d),
+         est AS (SELECT user_id, MIN(COALESCE(sk.cnt, 0)) AS cms_est
+                 FROM pb LEFT JOIN sk ON sk.i = pb.i AND sk.bucket = pb.bucket
+                 GROUP BY 1),
+         exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY 1)
+         SELECT est.user_id, est.cms_est, exact.exact_cnt,
+                est.cms_est >= exact.exact_cnt AS ge_exact
+         FROM est JOIN exact USING (user_id) ORDER BY user_id""",
+    // mergeability as data: the oracle builds the WHOLE-corpus sketch
+    // directly; the engine's cell-wise merge of the two halves must
+    // equal it exactly
+    "t_cms_merge" ->
+      s"""WITH d AS (SELECT unnest(range(0, 4)) AS i),
+         ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         cells AS (
+           SELECT i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 64 AS bucket
+           FROM ev CROSS JOIN d)
+         SELECT i, bucket, COUNT(*) AS cnt FROM cells
+         GROUP BY 1, 2 ORDER BY i, bucket""",
+    // the hash order replayed with a rank window — the engine's heap
+    // must be invisible in the result
+    "t_group_sample_k" ->
+      s"""WITH h AS (
+           SELECT doc_id, source, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(doc_id AS VARCHAR) || 'r7'")} AS hk
+           FROM documents),
+         r AS (SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY hk, doc_id) AS INT) AS group_rank
+               FROM h)
+         SELECT doc_id, source, group_rank FROM r
+         WHERE group_rank <= 10 ORDER BY doc_id""",
     // the FFD greedy replayed per shard in lockstep: state = per-shard
     // bin-load list, each step places the next (length DESC, id) doc in
     // the first bin that fits (or appends a bin) — the k6 recursion move
@@ -1231,7 +1325,7 @@ object TextPack extends QueryPack {
                  LN((COALESCE(tc.t_n,0)+0.5)/(tot.t_total + 0.5*64)) -
                  LN((rc.r_n+0.5)/(tot.r_total + 0.5*64)) AS weight
                FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
-         sc AS (SELECT bk.doc_id, ROUND(AVG(w.weight), 6) AS dsir_score
+         sc AS (SELECT bk.doc_id, ROUND(AVG(w.weight), 6) + 0.0 AS dsir_score
                 FROM bk JOIN w ON bk.b = w.b GROUP BY 1),
          n AS (SELECT COUNT(*) AS n FROM sc)
          SELECT doc_id, dsir_score,

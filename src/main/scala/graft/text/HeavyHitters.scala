@@ -61,22 +61,43 @@ object HeavyHitters {
     * confirm. Throws when the exactness certificate fails — raise
     * `counters` (bound ≈ N / k-th frequency) and re-run.
     */
-  def topKExact(items: DataFrame, itemCol: String, k: Int,
-                counters: Int): DataFrame = {
+  /** The lazy confirm plan: exact counts of the candidate set only,
+    * top k by (count DESC, item ASC). Exposed for plan audits; result
+    * is only provably exact after [[topKExact]]'s certificate check.
+    */
+  def confirmTopK(items: DataFrame, itemCol: String, k: Int,
+                  counters: Int): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     val cand = candidates(items, itemCol, counters)
-    val top = items
+    items
       .join(broadcast(cand), Seq(itemCol), "left_semi")
       .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(itemCol))
       .limit(k)
-      .cache()
-    val n = items.count()
-    val kth = top.orderBy(col("cnt"), col(itemCol)).head().getLong(1)
-    require(kth > n / (counters + 1),
-      s"heavy-hitter certificate failed: k-th count $kth is not above the " +
-        s"Misra-Gries bound ${n / (counters + 1)} (N=$n, counters=$counters) " +
-        "— a non-candidate could tie into the top k; raise `counters`")
-    top
+  }
+
+  def topKExact(items: DataFrame, itemCol: String, k: Int,
+                counters: Int): DataFrame = {
+    val top = confirmTopK(items, itemCol, k, counters).cache()
+    // the top is ≤ k rows: collect it once (certificate + result), then
+    // drop the cache — returning the cached frame would leak its blocks
+    // for the app lifetime, and returning it uncached would recompute
+    // the confirm pass on every downstream action
+    val rows = try {
+      val n = items.count()
+      val collected = top.collect()
+      require(collected.nonEmpty,
+        "heavy-hitter certificate failed: no candidate survived the confirm " +
+          s"pass (empty input, or corpus too flat for counters=$counters) " +
+          "— raise `counters`")
+      val kth = collected.iterator.map(_.getLong(1)).min
+      require(kth > n / (counters + 1),
+        s"heavy-hitter certificate failed: k-th count $kth is not above the " +
+          s"Misra-Gries bound ${n / (counters + 1)} (N=$n, counters=$counters) " +
+          "— a non-candidate could tie into the top k; raise `counters`")
+      collected
+    } finally top.unpersist()
+    items.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), top.schema)
   }
 }

@@ -58,6 +58,23 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(got === Set(("aa", "ab"), ("zy", "zz")))
   }
 
+  test("hostile-length keys fail loudly instead of exploding variants") {
+    // a 100-char key at maxEdit=3 would emit ~166k deletion variants —
+    // the guard must abort with the offending value, not truncate
+    // (truncation changes which pairs match) and not hang
+    val df = (Seq("short", "a" * 100)).map(Tuple1(_)).toDF("w")
+    val e = intercept[Exception] {
+      FuzzyDedup.pairsWithinEdit(df, "w", maxEdit = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxLen")), s"got: ${e.getMessage}")
+    // raising maxLen admits the key again
+    val ok = FuzzyDedup.pairsWithinEdit(
+      Seq("abcd", "abce").map(Tuple1(_)).toDF("w"), "w", maxEdit = 1, maxLen = 64)
+    assert(ok.count() === 1)
+  }
+
   test("nfc normalization composes decomposed sequences (native expr)") {
     // explicit escapes: input decomposed (e+U+0301, o+U+0302), output composed
     val out = Seq(Tuple1("e\u0301 o\u0302 plain")).toDF("s")

@@ -260,15 +260,67 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("winsorize clamps to exact group percentiles, nulls pass through") {
-    val df = ((1 to 99).map(i => ("g", i.toDouble)) :+ ("g", Double.NaN))
-      .toDF("g", "v").filter(!isnan(col("v")))
-    val out = Winsorize.winsorize(df, Seq("g"), "v", 0.10, 0.90)
+    // an ACTUAL null row: greatest/least SKIP nulls, so an unguarded
+    // clamp would silently turn it into the lo boundary
+    val df = ((1 to 99).map(i => ("g", Option(i.toDouble))) :+ ("g", None))
+      .toDF("g", "v")
+    val rows = Winsorize.winsorize(df, Seq("g"), "v", 0.10, 0.90)
       .select("v", "v_w").collect()
+    val out = rows.filter(!_.isNullAt(0))
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     // percentiles of 1..99: p10 = 10.8, p90 = 89.2 (linear interpolation)
     assert(math.abs(out(5.0) - 10.8) < 1e-9)   // below → clamped up
     assert(out(50.0) === 50.0)                 // inside → untouched
     assert(math.abs(out(95.0) - 89.2) < 1e-9)  // above → clamped down
+    val nullRows = rows.filter(_.isNullAt(0))
+    assert(nullRows.length === 1)
+    assert(nullRows.head.isNullAt(1), "null value must stay null, not clamp")
+  }
+
+  test("winsorize approx boundary pass: clamp equal on quantized scores") {
+    // quantized scores in runs of 10: both percentile positions land
+    // strictly INSIDE a run of identical values, so exact interpolation
+    // (between two equal neighbours) and the G-K sketch's member value
+    // (rank error < 1 at accuracy=10000) give the SAME boundary — the
+    // documented condition under which the approx swap changes nothing
+    val df = (1 to 500).map(i => ("g", ((i - 1) / 10 + 1).toDouble)).toDF("g", "v")
+    def runs(approx: Boolean) =
+      Winsorize.winsorize(df, Seq("g"), "v", 0.05, 0.95, approx = approx)
+        .select("v", "v_w").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq
+    val exact = runs(approx = false)
+    val appr = runs(approx = true)
+    assert(exact.map(_._2).min === 3.0 && exact.map(_._2).max === 48.0)
+    assert(appr === exact)
+  }
+
+  test("globalPercentRank equals the window percent_rank; N=1 edge is 0") {
+    val df = (1 to 4000).map(i => Tuple1((i * 7919) % 100000)).toDF("k")
+      .distinct().repartition(11)
+    val got = Sampling.globalPercentRank(df, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val exp = df.withColumn("pr",
+        percent_rank().over(org.apache.spark.sql.expressions.Window.orderBy("k")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got === exp)
+    val one = Sampling.globalPercentRank(Seq(Tuple1(5)).toDF("k"), Seq("k"))
+      .head().getDouble(1)
+    assert(one === 0.0)
+  }
+
+  test("sampleKPerGroup: k per group, layout-invariant, salt-sensitive") {
+    val df = (1 to 3000).map(i => (s"g${i % 5}", i.toLong)).toDF("g", "id")
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.sampleKPerGroup(d, Seq("g"), "id", k = 7, salt = salt)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = run(df, "s1")
+    assert(a.size === 35 && a.groupBy(_._1).forall(_._2.size == 7))
+    assert(run(df.repartition(13), "s1") === a, "must not depend on layout")
+    assert(run(df, "s2") !== a, "a different salt must draw differently")
+    // short group keeps everything (exact regime)
+    val short = Sampling.sampleKPerGroup(
+      (1 to 3).map(i => ("g", i.toLong)).toDF("g", "id"), Seq("g"), "id", 7)
+    assert(short.count() === 3)
   }
 
   test("prioritySample: deterministic, weight-respecting, excludes w<=0") {

@@ -183,7 +183,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.explode(
         graft.text.CorpusStats.tokens(
           org.apache.spark.sql.functions.col("text"))).as("token"))
-    val top = graft.text.HeavyHitters.topKExact(toks, "token",
+    // confirmTopK is the lazy plan topKExact certifies-then-collects
+    // (topKExact itself returns a collected k-row local relation)
+    val top = graft.text.HeavyHitters.confirmTopK(toks, "token",
       k = 10, counters = 1024)
     val s = top.queryExecution.executedPlan.toString
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
@@ -200,10 +202,43 @@ class PlanHygieneSpec extends AnyFunSuite {
       .contains("TakeOrderedAndProject"))
   }
 
-  test("KMV sketch: one group shuffle, state is the k-window not the set") {
+  test("KMV sketch: one group shuffle, state is the k-heap not the set") {
     val df = graft.SparkEntry.queries("t_kmv_distinct")(spark, sf)
-    // distinct agg + window repartition + final agg + output sort
-    assert(shuffles(df) <= 4)
+    // distinct agg + heap agg + output sort — the old rank-window plan
+    // needed a 4th exchange for the window repartition
+    assert(shuffles(df) <= 3)
+    // the bottom-k must be the k-bounded heap aggregate, never a window
+    // sort over the group's full distinct-hash set (one task per group
+    // would sort billions of hashes for a hot event_type)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("topk_structs"), "expected the TopKStructsAgg heap")
+    assert(!s.contains("Window"), s"window sort leaked into the KMV plan")
+  }
+
+  test("stride sample: offset and rank boundary samplings agree (invariant)") {
+    // strideSample's correctness rests on the offsets subplan and the
+    // rank subplan assigning IDENTICAL range-partition boundaries.
+    // Column pruning gives the two consumers structurally DIFFERENT
+    // exchanges (the offsets side reads only the order column), so
+    // ReuseExchange does NOT collapse them — the invariant holds only
+    // because Spark's range-boundary sampling is a deterministic
+    // function of the key data. This test pins that behaviorally on
+    // adversarial input (skewed, shuffled, many input partitions):
+    // if a Spark upgrade ever seeds the boundary sampler per-RDD, the
+    // decomposed rank skews against the exact rank and this fails
+    // instead of the gate silently corrupting.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val df = (1 to 60000).map(_ => math.abs(rnd.nextGaussian() * 1e6).toLong)
+      .distinct.map(Tuple1(_)).toDF("k").repartition(17)
+    val got = graft.operators.Sampling.strideSample(df, Seq("k"), 7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val exact = df.withColumn("__rn", row_number().over(Window.orderBy(col("k"))))
+      .filter(pmod(col("__rn") - 1, lit(7)) === 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === exact, s"sizes got=${got.length} exact=${exact.length}")
   }
 
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
