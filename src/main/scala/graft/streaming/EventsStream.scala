@@ -191,6 +191,47 @@ object EventsStream {
       }
   }
 
+  // -------------------------------------------------- mergeable CMS sketch
+
+  final case class CmsUpdate(key: String, cells: Array[Long])
+
+  /** Streaming twin of [[graft.operators.CmsSketch]]: a per-key d×w
+    * count-min table carried across batches with `mapGroupsWithState`.
+    * Cell-wise addition is the CMS merge, so each micro-batch adds its
+    * occurrence counts into the flat d·w state array and the final
+    * state equals the batch sketch of everything ever seen — answer
+    * "how often has ANY value occurred under this key, ever" from
+    * O(d·w) state per key, where a streaming exact count would keep one
+    * state entry per distinct value forever. `cells(i*width + b)` is
+    * row i, bucket b, under the same salted avalanche hash as the batch
+    * operator, so estimates agree engine-for-engine.
+    */
+  def cmsSketchStream(events: DataFrame, keyCol: String, valueCol: String,
+                      depth: Int, width: Int): Dataset[CmsUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val buckets = array((0 until depth).map(i =>
+      pmod(graft.operators.Sampling.avalancheKey(
+        concat(col(valueCol).cast("string"), lit(s":$i"))),
+        lit(width.toLong)).cast("int")): _*)
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as[String], buckets.as[Array[Int]])
+      .as[(String, Array[Int])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], CmsUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Array[Int])],
+         state: GroupState[Array[Long]]) =>
+          val cells = state.getOption.getOrElse(new Array[Long](depth * width))
+          rows.foreach { case (_, bs) =>
+            var i = 0
+            while (i < depth) { cells(i * width + bs(i)) += 1L; i += 1 }
+          }
+          state.update(cells)
+          CmsUpdate(key, cells)
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful
