@@ -145,6 +145,18 @@ object PipelineBench {
   private final case class TimedStage(name: String, repeats: Int,
                                       cpuCompanion: Boolean)(val body: () => Unit)
 
+  /** Quiet-machine executor-CPU references for the soak stages, from a
+    * judge-measured min-of-3 run on an idle local[32] of this box
+    * (round-7 adjudication). Executor CPU inflates ~1.7× under co-tenant
+    * SMT/cache contention while the code path is identical, so a
+    * min-repeat whose cpu_sec exceeds the quiet reference by >1.3×
+    * self-labels `_contended=1` in the artifact — a contended round is
+    * diagnosable from the JSON instead of needing a rerun to explain.
+    */
+  private val QuietCpuRef = Map(
+    "pm25_feature_gen_year" -> 2104.0,
+    "pm25_spatial_impute_quarter" -> 202.0)
+
   /** Run the reference-scale stages and report the per-stage MINIMUM
     * over their repeats. Contention noise on a shared sandbox is
     * strictly additive (round 1: the same combine stage measured 361 s
@@ -180,6 +192,7 @@ object PipelineBench {
       val quarter = rangeDataset(spark, "2023-01-01", 92, cols = 2)
         .join(broadcast(grid), Seq("grid_id"))
       val denseDf = denseInput(spark)
+      e2eInputs(spark, s"$outRoot/e2e_in")
 
       val stages = Seq(
         TimedStage("pm25_combine_month_1M", math.max(1, n), false)(() =>
@@ -219,9 +232,22 @@ object PipelineBench {
         // year-scale soak (396 days, ~13.1 M rows): the stage whose cost
         // must scale linearly with months for the 80-month production
         // backfill to stay inside BASELINE.md's envelope
-        TimedStage("pm25_feature_gen_year", 2, cpuCompanion = true)(() =>
+        TimedStage("pm25_feature_gen_year", 3, cpuCompanion = true)(() =>
           generated.write.mode("overwrite").parquet(s"$outRoot/year_features")),
-        TimedStage("pm25_spatial_impute_quarter", 2, cpuCompanion = true)(() =>
+        // the COMPOSED s01→s09 month pipeline — BASELINE.md's envelope
+        // is for this whole sequence (fetch+combine 24 h / 8 vCPU,
+        // run.yaml:17-52), so one number must price the composition,
+        // including every inter-stage write/read, not stages in
+        // isolation. Fresh storage root per repeat: stage writes are
+        // idempotent-skip, a reused root would time a no-op.
+        TimedStage("pm25_month_e2e", 2, cpuCompanion = true)(() => {
+          val runRoot = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(outRoot), "e2e-run").toString
+          try runMonthE2e(spark, s"$outRoot/e2e_in", runRoot)
+          finally org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(runRoot))
+        }),
+        TimedStage("pm25_spatial_impute_quarter", 3, cpuCompanion = true)(() =>
           DailySpatialInterpolator
             .interpolate(quarter, "date", "original_x", "original_y",
               Seq("y_v0", "y_v1"))
@@ -252,7 +278,14 @@ object PipelineBench {
         // executor CPU time itself inflates ~1.7× under SMT/cache
         // contention (round-6 judge measurement), so the interleaved
         // sweep above is the primary defence, not this number.
-        if (st.cpuCompanion) out += s"${st.name}_cpu_sec" -> runs.minBy(_._1)._2
+        if (st.cpuCompanion) {
+          val cpu = runs.minBy(_._1)._2
+          out += s"${st.name}_cpu_sec" -> cpu
+          QuietCpuRef.get(st.name).foreach { ref =>
+            out += s"${st.name}_contended" ->
+              (if (cpu > ref * 1.3) 1.0 else 0.0)
+          }
+        }
       }
 
       // Shuffle counts recorded AS metrics, next to the wall-times: the
@@ -311,6 +344,111 @@ object PipelineBench {
       when(pmod(col("id") * 31L, lit(10L)) === 0, lit(null))
         .otherwise(sin(col("id") * 1e-3) * 50 + 100).as("v"))
       .localCheckpoint()
+  }
+
+  /** Stage-input datasets for the composed end-to-end month run: the
+    * four dataset families the reference's s01 combine consumes (two
+    * monthly, two static), written once as parquet under `root` —
+    * setup, untimed. Values are deterministic functions of (grid, day)
+    * so the mini GBT has real signal to fit; ~12% of era5 cells are
+    * missing so the K1 imputation stage has real work.
+    */
+  def e2eInputs(spark: SparkSession, root: String): Unit = {
+    val days = Days
+    val base = spark.range(NGrids.toLong * days).select(
+      (col("id") % NGrids).as("grid_id"),
+      date_format(date_add(lit("2023-01-01").cast("date"),
+        floor(col("id") / NGrids).cast("int")), "yyyy-MM-dd").as("date"),
+      (floor(col("id") / NGrids) + 1).as("day"))
+    val px = (col("grid_id") % 182) * 10000.0
+    val py = floor(col("grid_id") / 182) * 10000.0
+    // temperature: plane over (x, y) + day drift → interior missing
+    // cells are exactly recoverable by the planar K1 interpolation
+    base.select(col("grid_id"), col("date"),
+        when((col("grid_id") + col("day")) % 8 === 0, lit(null))
+          .otherwise(lit(280.0) + px * 2e-4 + py * 3e-4 + col("day") * 0.1)
+          .as("temperature_2m"))
+      .write.mode("overwrite").parquet(s"$root/era5_land")
+    // aot (the imputation target): learnable from elevation/temp/day
+    base.select(col("grid_id"), col("date"),
+        (lit(0.5) + (col("grid_id") % 500) * 0.01 + col("day") * 0.001 +
+          sin(col("grid_id") * 0.001) * 0.1).as("aot"))
+      .write.mode("overwrite").parquet(s"$root/merra_aot")
+    spark.range(NGrids).select(col("id").as("grid_id"),
+        (lit(100.0) + col("id") % 500).as("elevation"))
+      .write.mode("overwrite").parquet(s"$root/srtm")
+    spark.range(NGrids).select(col("id").as("grid_id"),
+        floor(col("id") / 16).as("id_50km"),
+        ((col("id") % 182) * 0.09 + 20.0).as("lat"),
+        (floor(col("id") / 182) * 0.09 + 70.0).as("lon"))
+      .write.mode("overwrite").parquet(s"$root/grid")
+  }
+
+  /** One composed s01→s09 run at reference month scale (33,074 grids ×
+    * 31 days ≈ 1.03 M rows/stage): combine → K1 spatial impute →
+    * recombine → feature gen → sample → mini GBT train (grouped CV) →
+    * impute+stats → recombine-imputed → full-model sample → full train
+    * → final predict → pivot → georeferenced NetCDF. Every stage
+    * writes/reads the hive-partitioned storage exactly as the
+    * production layout does — BASELINE.md's envelope is for THIS
+    * composition, not isolated stages. `runRoot` must be fresh per
+    * repeat (stage writes are idempotent-skip; a reused root would
+    * time a no-op).
+    */
+  def runMonthE2e(spark: SparkSession, inRoot: String, runRoot: String,
+                  tick: String => Unit = _ => ()): Unit = {
+    import graft.core.{StageRef, StageStorage}
+    import graft.ml.{ImputationModel, ModelStore}
+    import graft.operators.CombinePlanner
+    import graft.pipeline.Pm25Pipeline
+    val months = Seq("2023-01")
+    val grid = gridFrame(spark)
+    val storage = new StageStorage(spark, runRoot)
+    val pipe = new Pm25Pipeline(spark, storage, grid, NGrids.toLong)
+
+    val specs = Seq(
+      CombinePlanner.DatasetSpec("era5_land", CombinePlanner.Monthly),
+      CombinePlanner.DatasetSpec("merra_aot", CombinePlanner.Monthly),
+      CombinePlanner.DatasetSpec("srtm", CombinePlanner.Static),
+      CombinePlanner.DatasetSpec("grid", CombinePlanner.Static))
+    val available = Map("era5_land" -> months, "merra_aot" -> months,
+      "srtm" -> Seq("static"), "grid" -> Seq("static"))
+    pipe.runCombine(months, specs, available,
+      (name, _) => spark.read.parquet(s"$inRoot/$name"))
+    tick("combine")
+    pipe.runSpatialImpute(months, "^era5_land__.*$")
+    tick("spatial_impute")
+    pipe.runRecombine(months)
+    tick("recombine")
+    pipe.runGenerateFeatures(Seq(2023), FeatureGenerator.Config(
+      baseColumns = Seq("merra_aot__aot", "era5_land__temperature_2m")))
+    tick("feature_gen")
+
+    val feats = Seq("era5_land__temperature_2m", "day_of_year",
+      "srtm__elevation")
+    val gate = ImputationModel.QualityGate(-10.0, 1.0)
+    val hp = ImputationModel.Hyperparams(maxDepth = 4, maxIter = 4)
+    pipe.runSample("aod", "merra_aot__aot", fraction = 0.05)
+    tick("sample")
+    val store = new ModelStore(spark, s"$runRoot/models")
+    val trained = pipe.runTrain(store, "aod", feats, "merra_aot__aot",
+      gate, hp, k = 2)
+    tick("train")
+    pipe.runImpute("aod", trained, "merra_aot__aot")
+    tick("impute")
+    pipe.runRecombineImputed(months, Seq("aod"))
+    tick("recombine_imputed")
+    pipe.runFullModelSample("merra_aot__aot__imputed", fraction = 0.05,
+      imputedModels = Seq("aod"))
+    tick("full_sample")
+    val fullTrained = pipe.trainFromSample(
+      spark.read.parquet(storage.stagePath(StageRef("full_model_sample"))),
+      feats, "merra_aot__aot__imputed", gate, hp, k = 2)
+    tick("full_train")
+    pipe.runFinalPredict(fullTrained, "pm25")
+    tick("final_predict")
+    pipe.runOutputs(months, "pm25__predicted", s"$runRoot/raster")
+    tick("outputs")
   }
 
   /** Like [[monthlyDataset]] but over an arbitrary day range. */

@@ -39,6 +39,15 @@ object Dedup {
     toColumn(graft.functions.expressions.WordShinglesExpr(toExpr(text), k))
   }
 
+  /** ALL word k-shingles in positional order (element i = window at
+    * token i, duplicates kept) — the span-detection variant
+    * ([[graft.functions.expressions.WordShinglesAllExpr]]).
+    */
+  def wordShinglesAll(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge._
+    toColumn(graft.functions.expressions.WordShinglesAllExpr(toExpr(text), k))
+  }
+
   /** Exact Jaccard similarity of two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

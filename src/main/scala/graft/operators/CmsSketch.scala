@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * (every occurrence lands in all d counted cells), overestimates only
   * via collisions (≤ 2N/w with probability ≥ 1 − 2^−d).
   *
+  * With `groupCols` the sketch is keyed: one independent d×w table per
+  * group (the per-source n-gram frequency question — "how often does
+  * this token occur PER domain?"). The grouped build stays one
+  * map-side-combined aggregation; its shuffle is bounded by
+  * `groups × depth × width` cells, never the corpus.
+  *
   * Engine-portable by construction, like the repo's other sketches:
   * the salted hash is the md5 avalanche key of `value ∥ ':' ∥ i`
   * ([[Sampling.avalancheKey]]), and every cell is an exact BIGINT — the
@@ -22,63 +28,95 @@ import org.apache.spark.sql.functions._
   * zero float parity surface (unlike implementation-defined CMS
   * libraries, whose hash families differ across engines).
   *
+  * The (depth, width, groupCols) parameters travel WITH the sketch in
+  * the [[Cms]] wrapper, so [[Cms.merge]] and [[Cms.estimate]] can never
+  * probe a table built under different parameters — a width mismatch
+  * would silently miss every join and coalesce estimates to 0, breaking
+  * the one-sided guarantee. Mismatches now fail loudly at plan time.
+  *
   * 100 TB shape: the build is one map-side-combined aggregation whose
-  * shuffle carries at most depth×width rows PER PARTITION (the hash
-  * agg combines occurrences of the same cell before the exchange) and
-  * exactly depth×width rows after it — the corpus never shuffles.
-  * Merge is cell-wise addition (associative/commutative), so per-shard
-  * or per-batch sketches at rest roll up in a bounded agg. Estimation
-  * broadcasts the d×w table to the probe side.
+  * shuffle carries at most groups×depth×width rows PER PARTITION (the
+  * hash agg combines occurrences of the same cell before the exchange)
+  * — the corpus never shuffles. Merge is cell-wise addition
+  * (associative/commutative), so per-shard or per-batch sketches at
+  * rest roll up in a bounded agg. Estimation broadcasts the sketch
+  * table to the probe side (≤ groups·d·w rows; for a group domain too
+  * large to broadcast, drop the hint and let AQE pick a shuffled join —
+  * the join keys already include the group columns).
   */
 object CmsSketch {
+
+  /** A count-min sketch table plus the parameters it was built under.
+    * `cells` holds one row per non-empty cell:
+    * `(groupCols…, i, bucket, cnt)`. Operations that combine or probe
+    * a sketch live here so parameter agreement is enforced by
+    * construction.
+    */
+  final case class Cms(cells: DataFrame, depth: Int, width: Int,
+                       groupCols: Seq[String] = Nil) {
+
+    private def requireSameShape(other: Cms): Unit =
+      require(depth == other.depth && width == other.width &&
+        groupCols == other.groupCols,
+        s"CMS parameter mismatch: ($depth,$width,$groupCols) vs " +
+          s"(${other.depth},${other.width},${other.groupCols}) — merging or " +
+          "probing across different hash shapes silently corrupts estimates")
+
+    /** Cell-wise merge with a sketch of the SAME shape — the per-shard
+      * rollup. Union + sum keeps the bounded-cardinality shape: the agg
+      * never exceeds groups×depth×width groups.
+      */
+    def merge(other: Cms): Cms = {
+      requireSameShape(other)
+      val merged = cells.unionByName(other.cells)
+        .groupBy((groupCols :+ "i" :+ "bucket").map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+      Cms(merged, depth, width, groupCols)
+    }
+
+    /** Estimated occurrence count for each row of `probes.valueCol`
+      * (within the probe row's group, when grouped):
+      * `min_i cnt[i][h_i(x)]`, with absent cells counting 0. The sketch
+      * broadcasts; the probe side never shuffles.
+      */
+    def estimate(probes: DataFrame, valueCol: String): DataFrame = {
+      val probed = (0 until depth).foldLeft(probes) { (d, i) =>
+        d.withColumn(s"__b$i", bucket(col(valueCol), i, width))
+      }
+      val est = (0 until depth).foldLeft(probed) { (d, i) =>
+        val slice = cells.where(col("i") === i)
+          .select((groupCols.map(col) :+ col("bucket").as(s"__b$i") :+
+            col("cnt").as(s"__c$i")): _*)
+        d.join(broadcast(slice), groupCols :+ s"__b$i", "left")
+      }
+      val counts = (0 until depth).map(i => coalesce(col(s"__c$i"), lit(0L)))
+      est.withColumn("cms_est", least(counts: _*))
+        .drop((0 until depth).flatMap(i => Seq(s"__b$i", s"__c$i")): _*)
+    }
+  }
 
   /** Salted bucket of `c` for sketch row `i`: avalanche(value:i) mod w. */
   private def bucket(c: org.apache.spark.sql.Column, i: Int, width: Int) =
     pmod(Sampling.avalancheKey(concat(c.cast("string"), lit(s":$i"))),
       lit(width.toLong)).cast("int")
 
-  /** Build the d×w sketch of `valueCol` occurrences: one row per
-    * non-empty cell, `(i, bucket, cnt)`. Null values are excluded (they
-    * are absence, not a key). Cells never hit stay absent — [[estimate]]
+  /** Build the d×w sketch of `valueCol` occurrences — one per group
+    * when `groupCols` is non-empty: one row per non-empty cell,
+    * `(groupCols…, i, bucket, cnt)`. Null values are excluded (they are
+    * absence, not a key). Cells never hit stay absent — [[Cms.estimate]]
     * treats them as 0.
     */
-  def sketch(df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame = {
+  def sketch(df: DataFrame, valueCol: String, depth: Int, width: Int,
+             groupCols: Seq[String] = Nil): Cms = {
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
     require(width >= 2, s"width out of range: $width")
     val rows = df.filter(col(valueCol).isNotNull)
     val cells = explode(array((0 until depth).map(i =>
       struct(lit(i).as("i"), bucket(col(valueCol), i, width).as("bucket"))): _*))
-    rows.select(cells.as("c"))
-      .groupBy(col("c.i").as("i"), col("c.bucket").as("bucket"))
+    val table = rows.select((groupCols.map(col) :+ cells.as("c")): _*)
+      .groupBy((groupCols.map(col) :+ col("c.i").as("i") :+
+        col("c.bucket").as("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
-  }
-
-  /** Cell-wise merge of two sketches built with the same (depth, width)
-    * — the per-shard rollup. Union + sum keeps the bounded-cardinality
-    * shape: the agg never exceeds depth×width groups.
-    */
-  def merge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
-      .groupBy("i", "bucket")
-      .agg(sum(col("cnt")).as("cnt"))
-
-  /** Estimated occurrence count for each row of `probes.valueCol`:
-    * `min_i cnt[i][h_i(x)]`, with absent cells counting 0. The sketch
-    * (≤ depth×width rows) broadcasts; the probe side never shuffles.
-    */
-  def estimate(sk: DataFrame, probes: DataFrame, valueCol: String,
-               depth: Int, width: Int): DataFrame = {
-    require(depth >= 1, s"depth out of range: $depth")
-    val probed = (0 until depth).foldLeft(probes) { (d, i) =>
-      d.withColumn(s"__b$i", bucket(col(valueCol), i, width))
-    }
-    val est = (0 until depth).foldLeft(probed) { (d, i) =>
-      d.join(broadcast(sk.where(col("i") === i)
-          .select(col("bucket").as(s"__b$i"), col("cnt").as(s"__c$i"))),
-        Seq(s"__b$i"), "left")
-    }
-    val counts = (0 until depth).map(i => coalesce(col(s"__c$i"), lit(0L)))
-    est.withColumn("cms_est", least(counts: _*))
-      .drop((0 until depth).flatMap(i => Seq(s"__b$i", s"__c$i")): _*)
+    Cms(table, depth, width, groupCols)
   }
 }

@@ -143,12 +143,22 @@ object Sampling {
     * integers — bit-identical on any engine. `orderCols` must be a total
     * order (ranks are then dense, so rank ≡ row_number) and, as with
     * [[strideSample]], deterministic — see the boundary-sampling
-    * invariant documented there.
+    * invariant documented there. Order keys must also be NON-NULL:
+    * engines disagree on where nulls sort (Spark windows default NULLS
+    * FIRST, DuckDB NULLS LAST), so a null key would silently diverge
+    * from any SQL replay — the guard below aborts the job with the
+    * offending row instead (map-side codegen, no extra pass).
     */
   def globalPercentRank(df: DataFrame, orderCols: Seq[String],
                         outCol: String = "pr"): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
-    val ranged = df.repartitionByRange(orderCols.map(col): _*)
+    val guarded = orderCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).isNull,
+          raise_error(lit(s"globalPercentRank: null order key in '$c' — " +
+            "null sort position is engine-defined; filter or coalesce first")))
+        .otherwise(col(c)))
+    }
+    val ranged = guarded.repartitionByRange(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
     val offW = Window.orderBy(col("__pid"))

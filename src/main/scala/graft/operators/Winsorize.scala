@@ -40,7 +40,7 @@ object Winsorize {
                 accuracy: Int = 10000): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"bad percentile range [$lo, $hi]")
     def pct(p: Double) =
-      if (approx) expr(s"percentile_approx($valueCol, $p, $accuracy)").cast("double")
+      if (approx) percentile_approx(col(valueCol), lit(p), lit(accuracy)).cast("double")
       else percentile(col(valueCol), lit(p))
     val bounds = df.groupBy(groupCols.map(col): _*)
       .agg(pct(lo).as("__p_lo"), pct(hi).as("__p_hi"))

@@ -101,6 +101,30 @@ object DedupPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // MAXIMAL exact-substring spans (Lee et al. 2022 ExactSubstr): the
+    // seed-and-extend construction must report every maximal shared
+    // token span ≥ 5 tokens with its exact extents — the oracle replays
+    // seeds, the df cap, and the gaps-and-islands extension verbatim.
+    // All-integer output: zero float surface.
+    "dedup_exactsubstr_spans" -> ((s, dir) => {
+      graft.dedup.ExactSubstr.maximalSharedSpans(table(s, dir, "documents"),
+          "doc_id", "text", spanTokens = 5)
+        .orderBy("id_a", "id_b", "a_start", "b_start")
+    }),
+
+    // The ExactSubstr removal ACTION: every maximal shared span is cut
+    // from the LATER doc (first occurrence kept) and the texts
+    // re-joined — the oracle rebuilds every cleaned text token-for-
+    // token, so span extents, the keep-first convention, and the
+    // reassembly all face SQL.
+    "dedup_exactsubstr_cut" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val spans = graft.dedup.ExactSubstr.maximalSharedSpans(docs,
+        "doc_id", "text", spanTokens = 5)
+      graft.dedup.ExactSubstr.cutSpans(docs, "doc_id", "text", spans)
+        .orderBy("doc_id")
+    }),
+
     // Incremental batch-vs-snapshot dedup: the snapshot is the documents
     // table; the batch re-submits every doc with 1/3 of the texts
     // unchanged (true dups) and 2/3 edited (new). Bloom misses are
@@ -248,6 +272,61 @@ object DedupPack extends QueryPack {
                    GROUP BY 1, 2)
          SELECT id_a, id_b, n_shared FROM inter
          WHERE n_shared >= 3 ORDER BY id_a, id_b""",
+    // seeds (positional 5-token windows) → df cap → cross-doc position
+    // pairs → per-(pair, diagonal) gaps-and-islands → maximal spans
+    "dedup_exactsubstr_spans" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS a
+                       FROM documents),
+         idx AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a)-4)) AS i
+                 FROM toks WHERE LEN(a) >= 5),
+         w AS (SELECT doc_id, i, ARRAY_TO_STRING(a[i:i+4], ' ') AS g FROM idx),
+         df AS (SELECT g, COUNT(*) AS c FROM w GROUP BY 1),
+         wk AS (SELECT w.doc_id, w.i, w.g FROM w JOIN df USING (g)
+                WHERE df.c BETWEEN 2 AND 10000),
+         p AS (SELECT w1.doc_id AS id_a, w2.doc_id AS id_b, w1.i AS ia, w2.i AS ib
+               FROM wk w1 JOIN wk w2 ON w1.g = w2.g AND w1.doc_id < w2.doc_id),
+         isl AS (SELECT id_a, id_b, ia, ib, ia - ib AS d,
+                   ia - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, ia - ib
+                                           ORDER BY ia) AS k
+                 FROM p)
+         SELECT id_a, id_b, CAST(MIN(ia) AS INT) AS a_start,
+                CAST(MIN(ib) AS INT) AS b_start,
+                CAST(COUNT(*) + 4 AS INT) AS span_tokens
+         FROM isl GROUP BY id_a, id_b, d, k
+         ORDER BY id_a, id_b, a_start, b_start""",
+    // spans replayed (same CTEs), then every covered token of the
+    // later doc dropped and the survivors re-joined in order
+    "dedup_exactsubstr_cut" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS a
+                       FROM documents),
+         idx AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a)-4)) AS i
+                 FROM toks WHERE LEN(a) >= 5),
+         w AS (SELECT doc_id, i, ARRAY_TO_STRING(a[i:i+4], ' ') AS g FROM idx),
+         df AS (SELECT g, COUNT(*) AS c FROM w GROUP BY 1),
+         wk AS (SELECT w.doc_id, w.i, w.g FROM w JOIN df USING (g)
+                WHERE df.c BETWEEN 2 AND 10000),
+         p AS (SELECT w1.doc_id AS id_a, w2.doc_id AS id_b, w1.i AS ia, w2.i AS ib
+               FROM wk w1 JOIN wk w2 ON w1.g = w2.g AND w1.doc_id < w2.doc_id),
+         isl AS (SELECT id_a, id_b, ia, ib, ia - ib AS d,
+                   ia - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, ia - ib
+                                           ORDER BY ia) AS k
+                 FROM p),
+         spans AS (SELECT id_b, CAST(MIN(ib) AS INT) AS b_start,
+                     CAST(COUNT(*) + 4 AS INT) AS span_tokens
+                   FROM isl GROUP BY id_a, id_b, d, k),
+         pos AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a))) AS i
+                 FROM toks),
+         kept AS (SELECT pos.doc_id, pos.i, pos.a[pos.i] AS t FROM pos
+                  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.id_b = pos.doc_id AND pos.i >= s.b_start
+                      AND pos.i < s.b_start + s.span_tokens)),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                   ARRAY_TO_STRING(LIST(t ORDER BY i), ' ') AS text_clean
+                 FROM kept GROUP BY 1)
+         SELECT d.doc_id, COALESCE(agg.n_kept, 0) AS n_kept,
+                COALESCE(agg.text_clean, '') AS text_clean
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
     "dedup_incremental" ->
       """WITH batch AS (
            SELECT doc_id + 1000000 AS doc_id,

@@ -347,6 +347,23 @@ object RelationalPack extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // The winsorize APPROX boundary pass facing the exact oracle: on
+    // quantized scores (runs of thousands of identical values, G-K rank
+    // error ≪ run length at accuracy=100000) the sketch boundary equals
+    // the exact interpolated one, so approx must be INVISIBLE in the
+    // result — the spec-proven equality, now driver-checked.
+    "a_winsorize_approx" -> ((s, dir) => {
+      val quantized = table(s, dir, "lineitem")
+        .withColumn("price_q",
+          (floor(col("l_extendedprice") / 5000) * 5000).cast("double"))
+      graft.operators.Winsorize.winsorize(
+          quantized, Seq("l_returnflag"), "price_q",
+          lo = 0.05, hi = 0.95, approx = true, accuracy = 100000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("price_q_w"), 4).as("price_w"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Global percent-rank as a corpus feature, assembled from
     // range-partitioned local ranks + exact offsets (no single-partition
     // window over the corpus); the division is one IEEE op over exact
@@ -571,6 +588,22 @@ object RelationalPack extends QueryPack {
            ROUND(LEAST(GREATEST(CAST(l.l_extendedprice AS DOUBLE), b.plo),
                        b.phi), 4) + 0.0 AS price_w
          FROM lineitem l JOIN b USING (l_returnflag)
+         ORDER BY l_orderkey, l_linenumber""",
+    // the approx path faces the EXACT oracle: on quantized scores the
+    // sketch boundary must coincide with QUANTILE_CONT's
+    "a_winsorize_approx" ->
+      """WITH q AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(FLOOR(l_extendedprice / 5000) * 5000 AS DOUBLE) AS price_q
+           FROM lineitem),
+         b AS (
+           SELECT l_returnflag,
+             QUANTILE_CONT(price_q, 0.05) AS plo,
+             QUANTILE_CONT(price_q, 0.95) AS phi
+           FROM q GROUP BY 1)
+         SELECT q.l_orderkey, q.l_linenumber, q.l_returnflag,
+           ROUND(LEAST(GREATEST(q.price_q, b.plo), b.phi), 4) + 0.0 AS price_w
+         FROM q JOIN b USING (l_returnflag)
          ORDER BY l_orderkey, l_linenumber""",
     "f12_allnull_reject" ->
       """WITH ev AS (

@@ -323,8 +323,7 @@ object TextPack extends QueryPack {
         depth = 4, width = 64)
       val probes = ev.filter(pmod(col("user_id"), lit(37L)) === 0)
         .select("user_id").distinct()
-      val est = graft.operators.CmsSketch.estimate(sk, probes, "user_id",
-        depth = 4, width = 64)
+      val est = sk.estimate(probes, "user_id")
       val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       est.join(exact, Seq("user_id"))
         .select(col("user_id"), col("cms_est"), col("exact_cnt"),
@@ -341,8 +340,37 @@ object TextPack extends QueryPack {
       def half(r: Long) = graft.operators.CmsSketch.sketch(
         ev.filter(pmod(col("event_id"), lit(2L)) === r), "user_id",
         depth = 4, width = 64)
-      graft.operators.CmsSketch.merge(half(0), half(1))
+      half(0).merge(half(1)).cells
         .orderBy("i", "bucket")
+    }),
+
+    // Grouped CMS: one independent d×w table PER event_type — the
+    // per-source frequency question ("how often does this key occur in
+    // THIS slice of the corpus?"). The whole grouped cell table is
+    // replayed in SQL, exact BIGINTs, zero float surface.
+    "t_cms_by_group" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.operators.CmsSketch.sketch(ev, "user_id", depth = 4, width = 64,
+          groupCols = Seq("event_type"))
+        .cells.orderBy("event_type", "i", "bucket")
+    }),
+
+    // Grouped CMS estimates: probe (event_type, user_id) pairs against
+    // the per-group tables; exact per-group counts ride along and
+    // ge_exact states the one-sided guarantee within every group.
+    "t_cms_group_est" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val sk = graft.operators.CmsSketch.sketch(ev, "user_id",
+        depth = 4, width = 64, groupCols = Seq("event_type"))
+      val probes = ev.filter(pmod(col("user_id"), lit(37L)) === 0)
+        .select("event_type", "user_id").distinct()
+      val est = sk.estimate(probes, "user_id")
+      val exact = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("event_type", "user_id"))
+        .select(col("event_type"), col("user_id"), col("cms_est"),
+          col("exact_cnt"), (col("cms_est") >= col("exact_cnt")).as("ge_exact"))
+        .orderBy("event_type", "user_id")
     }),
 
     // Deterministic uniform k-per-group sampling (bottom-k of the
@@ -503,6 +531,21 @@ object TextPack extends QueryPack {
         .select(explode(graft.text.CorpusStats.tokens(col("text"))).as("token"))
       graft.text.HeavyHitters.topKExact(toks, "token", k = 25, counters = 1024)
         .orderBy(col("cnt").desc, col("token"))
+    }),
+
+    // Per-GROUP heavy hitters: the bounded Misra–Gries aggregate finds
+    // each source's candidates map-side, the confirm pass recounts them
+    // exactly, the k-bounded heap takes each group's top 10, and the
+    // in-plan certificate proves exactness per group — so the oracle is
+    // the exact per-group top-k, stated as the contract.
+    "t_heavy_hitters_by_group" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.text.CorpusStats.tokens(col("text"))).as("token"))
+      graft.text.HeavyHitters.topKExactByGroup(toks, Seq("source"), "token",
+          k = 10, counters = 1024)
+        .select("source", "token", "cnt", "group_rank")
+        .orderBy("source", "group_rank")
     }),
 
     // Deterministic weighted sampling (priority sampling): n_chars-
@@ -780,6 +823,49 @@ object TextPack extends QueryPack {
            FROM ev CROSS JOIN d)
          SELECT i, bucket, COUNT(*) AS cnt FROM cells
          GROUP BY 1, 2 ORDER BY i, bucket""",
+    // the grouped d×w tables replayed cell-for-cell: same salted
+    // buckets, one independent table per event_type
+    "t_cms_by_group" ->
+      s"""WITH d AS (SELECT unnest(range(0, 4)) AS i),
+         ev AS (SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL),
+         cells AS (
+           SELECT event_type, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 64 AS bucket
+           FROM ev CROSS JOIN d)
+         SELECT event_type, i, bucket, COUNT(*) AS cnt FROM cells
+         GROUP BY 1, 2, 3 ORDER BY event_type, i, bucket""",
+    // grouped estimates replayed: min over the probe row's OWN group
+    // table, with the per-group exact count and one-sided check
+    "t_cms_group_est" ->
+      s"""WITH d AS (SELECT unnest(range(0, 4)) AS i),
+         ev AS (SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL),
+         cells AS (
+           SELECT event_type, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 64 AS bucket
+           FROM ev CROSS JOIN d),
+         sk AS (SELECT event_type, i, bucket, COUNT(*) AS cnt
+                FROM cells GROUP BY 1, 2, 3),
+         probes AS (SELECT DISTINCT event_type, user_id FROM ev
+                    WHERE user_id % 37 = 0),
+         pb AS (
+           SELECT event_type, user_id, i,
+             ${graft.operators.Sampling.avalancheKeySql(
+               "CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 64 AS bucket
+           FROM probes CROSS JOIN d),
+         est AS (SELECT pb.event_type, pb.user_id,
+                   MIN(COALESCE(sk.cnt, 0)) AS cms_est
+                 FROM pb LEFT JOIN sk ON sk.event_type = pb.event_type
+                   AND sk.i = pb.i AND sk.bucket = pb.bucket
+                 GROUP BY 1, 2),
+         exact AS (SELECT event_type, user_id, COUNT(*) AS exact_cnt
+                   FROM ev GROUP BY 1, 2)
+         SELECT est.event_type, est.user_id, est.cms_est, exact.exact_cnt,
+                est.cms_est >= exact.exact_cnt AS ge_exact
+         FROM est JOIN exact ON est.event_type = exact.event_type
+           AND est.user_id = exact.user_id
+         ORDER BY est.event_type, est.user_id""",
     // the hash order replayed with a rank window — the engine's heap
     // must be invisible in the result
     "t_group_sample_k" ->
@@ -1211,6 +1297,22 @@ object TextPack extends QueryPack {
            FROM documents)
          SELECT token, COUNT(*) AS cnt FROM toks
          GROUP BY token ORDER BY cnt DESC, token LIMIT 25""",
+    // the sketch+confirm+certificate plan must equal the exact
+    // per-group top-k — same tokenization, rank window per source
+    "t_heavy_hitters_by_group" ->
+      """WITH toks AS (
+           SELECT source,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                t -> LENGTH(t) > 0)) AS token
+           FROM documents),
+         c AS (SELECT source, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+         r AS (SELECT source, token, cnt,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY cnt DESC, token) AS INT)
+                   AS group_rank
+               FROM c)
+         SELECT source, token, cnt, group_rank FROM r
+         WHERE group_rank <= 10 ORDER BY source, group_rank""",
     // priority = w·2^60/(h+1): one multiply + one divide over exactly-
     // representable integers — the doubles replay bit-identically
     "t_priority_sample" ->

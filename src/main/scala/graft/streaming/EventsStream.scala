@@ -228,7 +228,10 @@ object EventsStream {
             while (i < depth) { cells(i * width + bs(i)) += 1L; i += 1 }
           }
           state.update(cells)
-          CmsUpdate(key, cells)
+          // defensive copy: the live state array must not escape — a
+          // caller mutating or retaining the emitted cells would
+          // corrupt every later batch's state
+          CmsUpdate(key, cells.clone())
       }
   }
 

@@ -100,4 +100,72 @@ object HeavyHitters {
     items.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), top.schema)
   }
+
+  /** Per-GROUP Misra–Gries candidates: for every group, a superset of
+    * the items with in-group count > N_g/(counters+1). One map-side-
+    * combining aggregation ([[graft.functions.expressions.MisraGriesAgg]])
+    * — each partition ships ≤ counters strings per group, a hot group
+    * costs counters·partitions rows, never its token count. Null items
+    * are excluded (absence, not a key).
+    */
+  def candidatesByGroup(items: DataFrame, groupCols: Seq[String],
+                        itemCol: String, counters: Int): DataFrame =
+    items.filter(col(itemCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.expressions.MisraGriesAgg
+        .misraGries(col(itemCol).cast("string"), counters).as("__cands"))
+      .select((groupCols.map(col) :+ explode(col("__cands")).as(itemCol)): _*)
+
+  /** Provably-exact top `k` (count DESC, item ASC) WITHIN every group —
+    * the per-domain boilerplate question ("the most frequent tokens per
+    * source"), with the same sketch + confirm + certificate scheme as
+    * the global [[topKExact]]:
+    *
+    *   1. per-group candidates via the bounded Misra–Gries aggregate;
+    *   2. confirm: broadcast semi-join prunes the corpus to candidate
+    *      (group, item) pairs, one candidate-sized aggregation counts
+    *      them exactly, and the k-bounded [[graft.functions.expressions
+    *      .TopKStructsAgg]] heap takes each group's top k (skew-safe —
+    *      no rank window, no group ships to a single task);
+    *   3. CERTIFICATE, per group and IN-PLAN: every returned row
+    *      carries `cnt > N_g/(counters+1)` enforced by a codegen'd
+    *      `raise_error` guard, and a group whose candidates all died
+    *      resurfaces via the totals join with a null count — also fatal.
+    *      The first action on a corpus too flat for `counters` aborts
+    *      with sizing guidance instead of silently approximating.
+    *
+    * Output: groupCols…, item, cnt, group_rank (1 = most frequent).
+    */
+  def topKExactByGroup(items: DataFrame, groupCols: Seq[String],
+                       itemCol: String, k: Int, counters: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val nonNull = items.filter(col(itemCol).isNotNull)
+    val cand = candidatesByGroup(items, groupCols, itemCol, counters)
+    val joinCols = groupCols :+ itemCol
+    val confirmed = nonNull
+      .join(broadcast(cand), joinCols, "left_semi")
+      .groupBy(joinCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val top = graft.operators.Sampling.topKPerGroupSkewSafe(
+      confirmed, groupCols,
+      struct((-col("cnt")).as("__neg"), col(itemCol)), k)
+    val totals = nonNull.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    // left join FROM totals: a group with no surviving row shows up as
+    // a null cnt and fails the same guard (instead of silently
+    // vanishing from the result)
+    totals.join(top, groupCols, "left")
+      .withColumn("cnt",
+        when(col("cnt").isNull ||
+            col("cnt") <= expr(s"__n DIV ${counters + 1}"),
+          raise_error(concat(
+            lit("heavy-hitter certificate failed for group ("),
+            concat_ws(",", groupCols.map(c => col(c).cast("string")): _*),
+            lit(s"): k-th count "),
+            coalesce(col("cnt").cast("string"), lit("<no survivor>")),
+            lit(" is not above the Misra-Gries bound N_g/(counters+1) with N_g="),
+            col("__n").cast("string"),
+            lit(s", counters=$counters - raise `counters`"))))
+          .otherwise(col("cnt")))
+      .drop("__n")
+  }
 }

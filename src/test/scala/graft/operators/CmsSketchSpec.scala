@@ -18,15 +18,14 @@ class CmsSketchSpec extends AnyFunSuite {
     val df = (1 to 1000).map(i => Tuple1(s"k${i % 8}")).toDF("v")
     val sk = CmsSketch.sketch(df, "v", D, 1024)
     val probes = (0 until 8).map(i => Tuple1(s"k$i")).toDF("v")
-    val est = CmsSketch.estimate(sk, probes, "v", D, 1024)
+    val est = sk.estimate(probes, "v")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (0 until 8).foreach { i =>
       val exact = (1 to 1000).count(_ % 8 == i)
       assert(est(s"k$i") === exact, s"k$i")
     }
     // under a deliberately tiny width, estimates only ever go UP
-    val tiny = CmsSketch.estimate(CmsSketch.sketch(df, "v", D, 4),
-        probes, "v", D, 4)
+    val tiny = CmsSketch.sketch(df, "v", D, 4).estimate(probes, "v")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (0 until 8).foreach { i =>
       val exact = (1 to 1000).count(_ % 8 == i)
@@ -37,10 +36,10 @@ class CmsSketchSpec extends AnyFunSuite {
   test("merge of shard sketches equals the whole-corpus sketch") {
     val a = (1 to 400).map(i => Tuple1(s"u${i % 50}")).toDF("v")
     val b = (1 to 300).map(i => Tuple1(s"u${i % 70}")).toDF("v")
-    def cells(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val merged = cells(CmsSketch.merge(
-      CmsSketch.sketch(a, "v", D, W), CmsSketch.sketch(b, "v", D, W)))
+    def cells(c: CmsSketch.Cms) =
+      c.cells.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = cells(CmsSketch.sketch(a, "v", D, W)
+      .merge(CmsSketch.sketch(b, "v", D, W)))
     val whole = cells(CmsSketch.sketch(a.union(b), "v", D, W))
     assert(merged === whole)
   }
@@ -49,17 +48,77 @@ class CmsSketchSpec extends AnyFunSuite {
     val df = Seq(Some("a"), Some("a"), None).map(Tuple1(_)).toDF("v")
     val sk = CmsSketch.sketch(df, "v", D, 1024)
     // only 'a' was counted: 4 cells, 2 each
-    assert(sk.agg(sum("cnt")).head().getLong(0) === 2L * D)
-    val est = CmsSketch.estimate(sk, Seq(Tuple1("zzz-not-there")).toDF("v"),
-      "v", D, 1024).head().getAs[Long]("cms_est")
+    assert(sk.cells.agg(sum("cnt")).head().getLong(0) === 2L * D)
+    val est = sk.estimate(Seq(Tuple1("zzz-not-there")).toDF("v"), "v")
+      .head().getAs[Long]("cms_est")
     assert(est === 0L)
   }
 
   test("sketch is invariant to partitioning and row order") {
     val df = (1 to 5000).map(i => Tuple1(s"u${i * 7 % 300}")).toDF("v")
     def run(d: org.apache.spark.sql.DataFrame) =
-      CmsSketch.sketch(d, "v", D, W).collect()
+      CmsSketch.sketch(d, "v", D, W).cells.collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(run(df.repartition(13)) === run(df.orderBy(col("v").desc)))
+  }
+
+  test("merging or probing sketches of different shapes fails loudly") {
+    val df = Seq("a", "b").map(Tuple1(_)).toDF("v")
+    val sk = CmsSketch.sketch(df, "v", D, W)
+    intercept[IllegalArgumentException] {
+      sk.merge(CmsSketch.sketch(df, "v", D, W * 2))
+    }
+    intercept[IllegalArgumentException] {
+      sk.merge(CmsSketch.sketch(df, "v", D - 1, W))
+    }
+    intercept[IllegalArgumentException] {
+      sk.merge(CmsSketch.sketch(df.withColumn("g", lit("x")), "v", D, W,
+        groupCols = Seq("g")))
+    }
+  }
+
+  test("grouped sketch: each group's table equals the filtered global sketch") {
+    val df = (1 to 2000).map(i => (s"g${i % 3}", s"u${i % 40}")).toDF("g", "v")
+    val grouped = CmsSketch.sketch(df, "v", D, W, groupCols = Seq("g"))
+    (0 until 3).foreach { g =>
+      val slice = grouped.cells.filter(col("g") === s"g$g").drop("g")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val solo = CmsSketch.sketch(df.filter(col("g") === s"g$g"), "v", D, W)
+        .cells.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(slice === solo, s"group g$g")
+    }
+  }
+
+  test("grouped estimate probes the probe row's OWN group table") {
+    // 'u1' appears 10× in gA and 1× in gB: the grouped estimate must
+    // keep them apart where a global sketch would blend them
+    val df = ((1 to 10).map(_ => ("gA", "u1")) ++ Seq(("gB", "u1")))
+      .toDF("g", "v")
+    val sk = CmsSketch.sketch(df, "v", D, 1024, groupCols = Seq("g"))
+    val probes = Seq(("gA", "u1"), ("gB", "u1"), ("gC", "u1")).toDF("g", "v")
+    val est = sk.estimate(probes, "v")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("cms_est")).toMap
+    assert(est === Map("gA" -> 10L, "gB" -> 1L, "gC" -> 0L))
+  }
+
+  test("grouped sketch is invariant to partitioning per group") {
+    val df = (1 to 5000).map(i => (s"g${i % 5}", s"u${i * 7 % 300}")).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CmsSketch.sketch(d, "v", D, W, groupCols = Seq("g")).cells.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(run(df.repartition(13)) === run(df.orderBy(col("v").desc)))
+  }
+
+  test("grouped merge rolls shards up cell-wise within every group") {
+    val a = (1 to 400).map(i => (s"g${i % 2}", s"u${i % 50}")).toDF("g", "v")
+    val b = (1 to 300).map(i => (s"g${i % 3}", s"u${i % 70}")).toDF("g", "v")
+    val G = Seq("g")
+    def cells(c: CmsSketch.Cms) = c.cells.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val merged = cells(CmsSketch.sketch(a, "v", D, W, G)
+      .merge(CmsSketch.sketch(b, "v", D, W, G)))
+    val whole = cells(CmsSketch.sketch(a.union(b), "v", D, W, G))
+    assert(merged === whole)
   }
 }

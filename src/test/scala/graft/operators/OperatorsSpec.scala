@@ -308,6 +308,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one === 0.0)
   }
 
+  test("globalPercentRank rejects null order keys loudly") {
+    // null sort position is engine-defined (Spark NULLS FIRST, DuckDB
+    // NULLS LAST) — a null key must abort, never silently rank
+    val df = Seq(Some(1), None, Some(3)).map(Tuple1(_)).toDF("k")
+    val e = intercept[Exception] {
+      Sampling.globalPercentRank(df, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null order key")), e.toString)
+  }
+
   test("sampleKPerGroup: k per group, layout-invariant, salt-sensitive") {
     val df = (1 to 3000).map(i => (s"g${i % 5}", i.toLong)).toDF("g", "id")
     def run(d: org.apache.spark.sql.DataFrame, salt: String) =

@@ -241,6 +241,46 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(got === exact, s"sizes got=${got.length} exact=${exact.length}")
   }
 
+  test("global percent-rank: decomposed and single-window ranks agree (invariant)") {
+    // globalPercentRank rests on the SAME two-exchange agreement as
+    // strideSample (offsets subplan and rank subplan must see identical
+    // range boundaries) — pin it on its own adversarial input rather
+    // than inheriting the stride test's: skewed values, shuffled
+    // arrival, many input partitions.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 60000).map(_ => math.abs(rnd.nextGaussian() * 1e6).toLong)
+      .distinct.map(Tuple1(_)).toDF("k").repartition(17)
+    val got = graft.operators.Sampling.globalPercentRank(df, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = df.withColumn("pr",
+        percent_rank().over(Window.orderBy(col("k"))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === exact.size)
+    assert(got === exact)
+  }
+
+  test("grouped heavy hitters: bounded MG + heap aggregates, no rank window") {
+    val df = graft.SparkEntry.queries("t_heavy_hitters_by_group")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    // candidates come from the bounded Misra–Gries aggregate and the
+    // per-group top-k from the k-bounded heap — never a rank window that
+    // would ship a whole group's distinct items to one task
+    assert(s.contains("misra_gries"), "expected the MisraGriesAgg candidates")
+    assert(s.contains("topk_structs"), "expected the TopKStructsAgg heap")
+    assert(!s.contains("Window"), s"rank window leaked into the plan")
+  }
+
+  test("grouped CMS sketch is one map-side-combined aggregation") {
+    val df = graft.SparkEntry.queries("t_cms_by_group")(spark, sf)
+    // cell agg exchange + the output sort — the corpus itself must
+    // never shuffle (the explode×depth happens before the partial agg)
+    assert(shuffles(df) <= 2)
+  }
+
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
     val docs = graft.core.Tables.table(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id").as("x"),

@@ -219,4 +219,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
     assert(got.nonEmpty)
   }
+
+  test("streaming CMS sketch final state equals the batch sketch of all batches") {
+    val (d, w) = (4, 64)
+    val dir = stageEventsDir()
+    val stream = EventsStream.cmsSketchStream(
+      EventsStream.readEvents(spark, dir), "event_type", "user_id", d, w).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("cms_stream").start()
+    try {
+      q.processAllAvailable()
+      // a second batch re-delivers the same file: cell-wise addition
+      // must absorb it — every count doubles, exactly as the batch
+      // sketch over the doubled corpus would
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per key = the LAST emitted update (update mode emits
+    // one row per key per batch; batch id orders them, so fold by
+    // taking the row with the largest total — counts only ever grow)
+    val got = spark.table("cms_stream").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rows) =>
+        key -> rows.map(_.getSeq[Long](1).toArray).maxBy(_.sum).toSeq
+      }
+    // batch twin: grouped sketch over BOTH deliveries (the union), as a
+    // dense d×w array per key for cell-for-cell comparison
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val both = ev.union(ev)
+    val sk = graft.operators.CmsSketch.sketch(both, "user_id", d, w,
+      groupCols = Seq("event_type"))
+    val batch = sk.cells.collect()
+      .groupBy(_.getString(0))
+      .map { case (key, rows) =>
+        val dense = new Array[Long](d * w)
+        rows.foreach(r => dense(r.getInt(1) * w + r.getInt(2)) = r.getLong(3))
+        key -> dense.toSeq
+      }
+    assert(got.nonEmpty && got === batch)
+  }
 }

@@ -51,4 +51,75 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(heavy.subsetOf(cand),
       s"missing provably-heavy items: ${(heavy -- cand).take(5)}")
   }
+
+  private def groupedZipf(n: Int, groups: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      val g = rnd.nextInt(groups)
+      val u = rnd.nextDouble().max(1e-6)
+      // group-distinct vocabularies so per-group and global top-k differ
+      (s"g$g", s"g$g-item${math.min((1 / u).toInt, 5000)}")
+    }.toDF("src", "token")
+  }
+
+  test("topKExactByGroup equals the exact per-group top-k on skewed groups") {
+    val items = groupedZipf(30000, groups = 3, seed = 11).repartition(8)
+    val exact = items.groupBy("src", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rk") <= 7)
+      .select("src", "token", "cnt", "rk")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val got = HeavyHitters.topKExactByGroup(items, Seq("src"), "token",
+        k = 7, counters = 256)
+      .select("src", "token", "cnt", "group_rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got === exact)
+    assert(got.nonEmpty)
+  }
+
+  test("grouped result is invariant to partitioning and row order") {
+    val items = groupedZipf(20000, groups = 4, seed = 23)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      HeavyHitters.topKExactByGroup(d, Seq("src"), "token", k = 5,
+          counters = 256)
+        .select("src", "token", "cnt", "group_rank")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getInt(3))).toSet
+    assert(run(items.repartition(17)) === run(items.orderBy(col("token").desc)))
+  }
+
+  test("grouped certificate fails loudly when ONE group is too flat") {
+    // gA is heavily skewed, gB is flat — only gB's certificate fails,
+    // and it must take the whole job down (never silently approximate)
+    val skew = (1 to 5000).map(_ => ("gA", "hot")) ++
+      (1 to 3000).map(i => ("gB", s"u$i"))
+    val items = skew.toDF("src", "token").repartition(4)
+    val e = intercept[Exception] {
+      HeavyHitters.topKExactByGroup(items, Seq("src"), "token",
+        k = 5, counters = 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("certificate failed") &&
+      m.contains("gB")), e.toString)
+  }
+
+  test("grouped candidates superset per group under adversarial merge orders") {
+    val items = groupedZipf(40000, groups = 5, seed = 31).repartition(16)
+    val counters = 128
+    val totals = items.groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val heavy = items.groupBy("src", "token").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .filter(r => r.getLong(2) > totals(r.getString(0)) / (counters + 1))
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val cand = HeavyHitters.candidatesByGroup(items, Seq("src"), "token", counters)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(heavy.subsetOf(cand),
+      s"missing provably-heavy pairs: ${(heavy -- cand).take(5)}")
+  }
 }
