@@ -40,11 +40,17 @@ import org.apache.spark.sql.functions._
   * — the corpus never shuffles. Merge is cell-wise addition
   * (associative/commutative), so per-shard or per-batch sketches at
   * rest roll up in a bounded agg. Estimation broadcasts the sketch
-  * table to the probe side (≤ groups·d·w rows; for a group domain too
-  * large to broadcast, drop the hint and let AQE pick a shuffled join —
-  * the join keys already include the group columns).
+  * table to the probe side while it fits (≤ groups·d·w rows) and
+  * otherwise drops the hint for a shuffled join — see
+  * [[Cms.estimate]]'s size-conditional strategy.
   */
 object CmsSketch {
+
+  /** Measured grouped-sketch cell counts above this are not
+    * broadcast-hinted in [[Cms.estimate]] — a web-scale group domain
+    * times d·w cells outgrows the driver/broadcast budget.
+    */
+  val DefaultMaxBroadcastCells: Long = 4L * 1000 * 1000
 
   /** A count-min sketch table plus the parameters it was built under.
     * `cells` holds one row per non-empty cell:
@@ -76,10 +82,25 @@ object CmsSketch {
 
     /** Estimated occurrence count for each row of `probes.valueCol`
       * (within the probe row's group, when grouped):
-      * `min_i cnt[i][h_i(x)]`, with absent cells counting 0. The sketch
-      * broadcasts; the probe side never shuffles.
+      * `min_i cnt[i][h_i(x)]`, with absent cells counting 0.
+      *
+      * The sketch side broadcasts only while it fits: ungrouped, the
+      * cell table is ≤ depth×width rows by construction (a plan-time
+      * bound — always hinted). Grouped, it is ≤ groups×depth×width and
+      * unbounded in the group cardinality, so the MEASURED cell count
+      * decides: at or below `maxBroadcastCells` the d slices broadcast
+      * and the probe side never shuffles; above it the hint is dropped
+      * and the joins shuffle on (groupCols, bucket) — AQE still
+      * upgrades them back to broadcast if the runtime size allows.
+      * The deciding count (and each slice join) replays a lazily-built
+      * sketch's aggregation; callers probing a grouped sketch built
+      * over a large corpus should persist or write out `cells` first.
       */
-    def estimate(probes: DataFrame, valueCol: String): DataFrame = {
+    def estimate(probes: DataFrame, valueCol: String,
+                 maxBroadcastCells: Long = DefaultMaxBroadcastCells): DataFrame = {
+      val useBroadcast =
+        if (groupCols.isEmpty) depth.toLong * width <= maxBroadcastCells
+        else cells.count() <= maxBroadcastCells
       val probed = (0 until depth).foldLeft(probes) { (d, i) =>
         d.withColumn(s"__b$i", bucket(col(valueCol), i, width))
       }
@@ -87,7 +108,8 @@ object CmsSketch {
         val slice = cells.where(col("i") === i)
           .select((groupCols.map(col) :+ col("bucket").as(s"__b$i") :+
             col("cnt").as(s"__c$i")): _*)
-        d.join(broadcast(slice), groupCols :+ s"__b$i", "left")
+        d.join(if (useBroadcast) broadcast(slice) else slice,
+          groupCols :+ s"__b$i", "left")
       }
       val counts = (0 until depth).map(i => coalesce(col(s"__c$i"), lit(0L)))
       est.withColumn("cms_est", least(counts: _*))

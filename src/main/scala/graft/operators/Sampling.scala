@@ -302,16 +302,29 @@ object Sampling {
     * [[topKPerGroup]] with the equivalent window ordering.
     */
   def topKPerGroupSkewSafe(df: DataFrame, groupCols: Seq[String],
-                           orderKey: Column, k: Int): DataFrame = {
+                           orderKey: Column, k: Int): DataFrame =
+    topKPerGroupSkewSafeCounted(df, groupCols, orderKey, k).drop("group_k")
+
+  /** [[topKPerGroupSkewSafe]] that also appends `group_k` — how many
+    * rows the group actually yielded (= min(k, group size)), read for
+    * free from the heap array's size. Callers that must distinguish "a
+    * full top-k" from "the group ran out of rows"
+    * ([[graft.text.HeavyHitters.topKExactByGroup]]'s completeness
+    * certificate) get it without a second aggregation or a rank
+    * window over the result.
+    */
+  def topKPerGroupSkewSafeCounted(df: DataFrame, groupCols: Seq[String],
+                                  orderKey: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     val item = struct(orderKey.as("__k"),
       struct(df.columns.map(col).toIndexedSeq: _*).as("__row"))
     df.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.expressions.TopKExpressions
         .topKStructs(item, k).as("__top"))
-      .select(posexplode(col("__top")).as(Seq("__pos", "__item")))
+      .select(size(col("__top")).as("group_k"),
+        posexplode(col("__top")).as(Seq("__pos", "__item")))
       .select(col("__item.__row.*"),
-        (col("__pos") + 1).cast("int").as("group_rank"))
+        (col("__pos") + 1).cast("int").as("group_rank"), col("group_k"))
   }
 
   /** Greedy token-budget selection: walk documents best-first

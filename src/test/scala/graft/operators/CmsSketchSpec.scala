@@ -110,6 +110,35 @@ class CmsSketchSpec extends AnyFunSuite {
     assert(run(df.repartition(13)) === run(df.orderBy(col("v").desc)))
   }
 
+  test("grouped estimate join regimes: broadcast under the cap, shuffled over it, same result") {
+    val df = (1 to 3000).map(i => (s"g${i % 6}", s"u${i % 80}")).toDF("g", "v")
+    val sk = CmsSketch.sketch(df, "v", D, W, groupCols = Seq("g"))
+    val probes = (0 until 30).map(i => (s"g${i % 6}", s"u$i")).toDF("g", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[String]("v")) ->
+        r.getAs[Long]("cms_est")).toMap
+
+    val hinted = sk.estimate(probes, "v")
+    hinted.count()
+    assert(hinted.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "under-cap slices must broadcast")
+    val expected = rows(hinted)
+
+    // over-cap regime with every automatic broadcast disabled: the d
+    // slice joins must shuffle and the estimates must not move
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = sk.estimate(probes, "v", maxBroadcastCells = 0L)
+      assert(rows(shuffled) === expected)
+      shuffled.count()
+      val s = shuffled.queryExecution.executedPlan.toString
+      assert(!s.contains("BroadcastHashJoin"),
+        s"over-cap regime must not broadcast:\n$s")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("grouped merge rolls shards up cell-wise within every group") {
     val a = (1 to 400).map(i => (s"g${i % 2}", s"u${i % 50}")).toDF("g", "v")
     val b = (1 to 300).map(i => (s"g${i % 3}", s"u${i % 70}")).toDF("g", "v")

@@ -272,6 +272,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(s.contains("misra_gries"), "expected the MisraGriesAgg candidates")
     assert(s.contains("topk_structs"), "expected the TopKStructsAgg heap")
     assert(!s.contains("Window"), s"rank window leaked into the plan")
+    // the gate's group domain (a handful of sources) is far under the
+    // candidate cap, so the confirm semi-join must take the broadcast
+    // regime (the over-cap shuffled regime is pinned in HeavyHittersSpec)
+    assert(s.contains("BroadcastHashJoin"),
+      "small-domain confirm must broadcast the candidate set")
   }
 
   test("grouped CMS sketch is one map-side-combined aggregation") {
