@@ -105,6 +105,9 @@ object DedupPack extends QueryPack {
     // seed-and-extend construction must report every maximal shared
     // token span ≥ 5 tokens with its exact extents — the oracle replays
     // seeds, the df cap, and the gaps-and-islands extension verbatim.
+    // The engine keys its seed index by xxhash64 and exact-verifies the
+    // window text; the oracle keys by the window text directly, so
+    // agreement certifies the hashed fast path is result-invisible.
     // All-integer output: zero float surface.
     "dedup_exactsubstr_spans" -> ((s, dir) => {
       graft.dedup.ExactSubstr.maximalSharedSpans(table(s, dir, "documents"),
@@ -317,7 +320,8 @@ object DedupPack extends QueryPack {
          pos AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a))) AS i
                  FROM toks),
          kept AS (SELECT pos.doc_id, pos.i, pos.a[pos.i] AS t FROM pos
-                  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                  WHERE LEN(pos.a[pos.i]) > 0
+                    AND NOT EXISTS (SELECT 1 FROM spans s
                     WHERE s.id_b = pos.doc_id AND pos.i >= s.b_start
                       AND pos.i < s.b_start + s.span_tokens)),
          agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,

@@ -160,6 +160,21 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // SPAN-level decontamination (ExactSubstr across two corpora): flag
+    // training docs containing any VERBATIM token span ≥ 5 shared with
+    // the held-out eval split, with the span count and the longest
+    // extent. The engine keys seeds by xxhash64 + exact-verifies; the
+    // oracle replays seeds, the train-side df cap, and gaps-and-islands
+    // on the window text directly — agreement certifies the hashed
+    // cross path end-to-end. All-integer output.
+    "t_decontaminate_spans" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(29L)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(29L)) =!= 0)
+      graft.text.Decontaminate.spanOverlap(train, evalSet, spanTokens = 5)
+        .orderBy("doc_id")
+    }),
+
     // Domain-mixture sampling: per-source target fractions applied as a
     // deterministic hash-threshold filter (map-side, shuffle-free).
     "t_domain_mix" -> ((s, dir) => {
@@ -1139,6 +1154,37 @@ object TextPack extends QueryPack {
          SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                 COALESCE(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    // cross-corpus ExactSubstr replay: train/eval windows, train-side
+    // df cap, cross pairs, per-(pair, diagonal) islands, then the
+    // per-train-doc rollup (verbatim case-sensitive windows — unlike
+    // t_decontaminate's lower-cased gram sets)
+    "t_decontaminate_spans" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS a
+                       FROM documents),
+         idx AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a)-4)) AS i
+                 FROM toks WHERE LEN(a) >= 5),
+         w AS (SELECT doc_id, i, ARRAY_TO_STRING(a[i:i+4], ' ') AS g FROM idx),
+         tw AS (SELECT * FROM w WHERE doc_id % 29 <> 0),
+         ew AS (SELECT * FROM w WHERE doc_id % 29 = 0),
+         tdf AS (SELECT g, COUNT(*) AS c FROM tw GROUP BY 1),
+         twk AS (SELECT tw.doc_id, tw.i, tw.g FROM tw JOIN tdf USING (g)
+                 WHERE tdf.c <= 10000),
+         p AS (SELECT twk.doc_id AS tid, ew.doc_id AS eid, twk.i AS ia, ew.i AS ib
+               FROM twk JOIN ew ON twk.g = ew.g),
+         isl AS (SELECT tid, eid, ia, ib, ia - ib AS d,
+                   ia - ROW_NUMBER() OVER (PARTITION BY tid, eid, ia - ib
+                                           ORDER BY ia) AS k
+                 FROM p),
+         spans AS (SELECT tid, eid, COUNT(*) + 4 AS span_tokens
+                   FROM isl GROUP BY tid, eid, d, k),
+         agg AS (SELECT tid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_spans,
+                   CAST(MAX(span_tokens) AS INT) AS max_span_tokens
+                 FROM spans GROUP BY 1)
+         SELECT d.doc_id, COALESCE(a.n_eval_spans, 0) AS n_eval_spans,
+                COALESCE(a.max_span_tokens, 0) AS max_span_tokens,
+                COALESCE(a.n_eval_spans, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN agg a USING (doc_id)
          WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
     "corpus_report" ->
       """WITH t AS (SELECT lang, source,

@@ -54,4 +54,38 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** SPAN-level decontamination — the strongest public signal: flag
+    * every corpus document sharing a VERBATIM token span ≥ `spanTokens`
+    * with any eval document, with the spans' exact extents behind the
+    * counts ([[graft.dedup.ExactSubstr.crossSpans]] does the seeds →
+    * df cap → exact verify → gaps-and-islands work; this wrapper folds
+    * its output into the per-train-doc decision). Where [[ngramOverlap]]
+    * counts shared n-grams as a SET (lower-cased, position-free), this
+    * reports maximal contiguous case-sensitive spans — "this train doc
+    * contains 40 consecutive tokens of the benchmark", not "40 grams
+    * overlap somewhere".
+    *
+    * Output, one row per corpus doc: `(idCol, n_eval_spans,
+    * max_span_tokens, contaminated)` — the number of maximal shared
+    * spans across all eval docs, the longest one (0 when clean), and
+    * the flag. Scale shape: the span table is tiny (hits only), so the
+    * re-attach left join is AQE-broadcast in the common sparse case —
+    * the same posture as [[ngramOverlap]]'s hit join.
+    */
+  def spanOverlap(corpus: DataFrame, eval: DataFrame, spanTokens: Int,
+                  maxSeedDf: Int = 10000,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spans = graft.dedup.ExactSubstr.crossSpans(corpus, eval, idCol, textCol,
+      spanTokens, maxSeedDf)
+    val agg = spans.groupBy(col("train_id").as(idCol))
+      .agg(count(lit(1)).as("n_eval_spans"),
+        max(col("span_tokens")).as("max_span_tokens"))
+    corpus.select(idCol)
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_eval_spans"), lit(0L)).as("n_eval_spans"),
+        coalesce(col("max_span_tokens"), lit(0)).as("max_span_tokens"),
+        (coalesce(col("n_eval_spans"), lit(0L)) > 0).as("contaminated"))
+  }
 }

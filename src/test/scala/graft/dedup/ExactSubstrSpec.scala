@@ -68,6 +68,70 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(s1.count(t => t._5 >= 30) === 20 * 19 / 2)
   }
 
+  test("hash collisions are rejected by the exact verify, never reported as spans") {
+    // a deliberately degenerate seed key (constant) collides EVERY
+    // window into one bucket: docs 1/2 share a real 6-token span, docs
+    // 3/4 share nothing — under the collision-only key the 3/4 seed
+    // pairs are pure hash noise and the verify step must kill them all,
+    // leaving exactly the text-keyed answer
+    val docs = Seq(
+      (1L, "u1 u2 m1 m2 m3 m4 m5 m6"),
+      (2L, "m1 m2 m3 m4 m5 m6 v1"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7")).toDF("doc_id", "text")
+    val collideAll = ExactSubstr.maximalSharedSpans(docs, "doc_id", "text",
+        spanTokens = 4, maxSeedDf = 10000,
+        seedKey = _ => org.apache.spark.sql.functions.lit(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(collideAll === Set((1L, 2L, 3, 1, 6)))
+    // and the default 64-bit key agrees
+    assert(spans(docs, 4) === Set((1L, 2L, 3, 1, 6)))
+  }
+
+  test("a near-miss window pair (same length, one differing token) is rejected") {
+    // under a length-based key these windows collide; the verify must
+    // compare the actual text and reject the off-by-one-token match
+    val docs = Seq(
+      (1L, "k1 k2 k3 k4 k5"),
+      (2L, "k1 k2 XX k4 k5")).toDF("doc_id", "text")
+    val got = ExactSubstr.maximalSharedSpans(docs, "doc_id", "text",
+        spanTokens = 5, maxSeedDf = 10000,
+        seedKey = w => org.apache.spark.sql.functions.length(w).cast("long"))
+      .collect()
+    assert(got.isEmpty)
+  }
+
+  test("crossSpans reports only train×eval pairs, never train×train") {
+    // train docs 1 and 2 share a span with EACH OTHER and doc 1 also
+    // shares one with eval doc 10 — only the cross pair may surface
+    val train = Seq(
+      (1L, "t1 t2 e1 e2 e3 e4 e5 s1 s2 s3 s4 s5"),
+      (2L, "s1 s2 s3 s4 s5 zz")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "e1 e2 e3 e4 e5 qq")).toDF("doc_id", "text")
+    val got = ExactSubstr.crossSpans(train, eval, "doc_id", "text",
+        spanTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(got === Set((1L, 10L, 3, 1, 5)))
+  }
+
+  test("spanOverlap flags exactly the train docs containing an eval span") {
+    val train = Seq(
+      (1L, "a1 a2 m1 m2 m3 m4 m5 m6 a3"), // 6-token eval span
+      (2L, "m1 m2 m3 XX m5 m6 b1"),       // broken — no 5-window survives
+      (3L, "c1 c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text")
+    val eval = Seq((10L, "m1 m2 m3 m4 m5 m6")).toDF("doc_id", "text")
+    val got = graft.text.Decontaminate.spanOverlap(train, eval, spanTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 6, true)),
+      2L -> ((0L, 0, false)),
+      3L -> ((0L, 0, false))))
+  }
+
   private def cut(docs: org.apache.spark.sql.DataFrame, l: Int) = {
     val spans = ExactSubstr.maximalSharedSpans(docs, "doc_id", "text", l)
     ExactSubstr.cutSpans(docs, "doc_id", "text", spans)
@@ -92,5 +156,14 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(got(1L) === ((6, d1)))
     assert(got(2L) === ((6, d2)))
     assert(got(3L) === ((0, "")), "union of [1,5] and [3,7] covers all 7 tokens")
+  }
+
+  test("cutSpans reports n_kept = 0 for empty and whitespace-only docs") {
+    val docs = Seq((1L, "a1 a2 a3 a4 a5"), (2L, "a1 a2 a3 a4 a5 b"),
+      (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    val got = cut(docs, 5)
+    assert(got(3L) === ((0, "")), "empty doc must not report a phantom token")
+    assert(got(4L) === ((0, "")), "whitespace-only doc must not report a phantom token")
+    assert(got(2L) === ((1, "b")))
   }
 }
