@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dyadic count-min QUANTILE sketch — the mergeable rank/quantile
+  * summary that completes the repo's sketch family ([[KmvSketch]]
+  * distinct counts, [[CmsSketch]] frequencies,
+  * [[graft.text.HeavyHitters]] exact top-k): "what is the q-quantile /
+  * the rank of v", answerable from `levels × depth × width` integers,
+  * with per-shard sketches that roll up without touching raw data.
+  *
+  * Construction (Cormode & Muthukrishnan 2005, §4 range queries): the
+  * value domain is the integer universe `[0, 2^levels)`; each value
+  * feeds one count-min row per dyadic LEVEL (level l counts the prefix
+  * `v >> l`), so any rank query decomposes into ≤ `levels` dyadic
+  * interval counts, each answered by that level's CMS in O(depth).
+  * Everything downstream is integer min/sum arithmetic:
+  *
+  *  - `rank(v)` = Σ over set bits l of v of est(level l, prefix
+  *    `(v >> l) − 1`) — the classic [0, v) dyadic decomposition. Like
+  *    every CMS estimate it NEVER underestimates (each element lands in
+  *    all its cells); it overestimates only via hash collisions
+  *    (≤ 2·levels·N/width with probability ≥ 1 − levels·2^−depth).
+  *  - `quantiles(q)` walks the dyadic tree root-to-leaf: at each node
+  *    descend into the left child iff the remaining target rank fits in
+  *    its estimated count — `levels` bounded steps, each a lookup in
+  *    one level's CMS.
+  *
+  * Unlike GK/KLL summaries — whose content depends on the merge tree,
+  * so two equal corpora sharded differently yield different summaries —
+  * every operation here is a cell-wise integer add or min: sketches,
+  * ranks and quantile walks are IDENTICAL under any partitioning,
+  * shard split or merge order. That determinism is what lets the gate
+  * oracle replay the whole sketch, every rank and the full tree walk in
+  * SQL (the same salted md5 avalanche hash as [[CmsSketch]]), a parity
+  * contract no randomized quantile sketch can offer.
+  *
+  * Values must already be quantized to `[0, 2^levels)` (token counts,
+  * scores scaled to a fixed grid, epoch-days...) — out-of-domain values
+  * fail loudly rather than silently aliasing. Quantile answers are
+  * exact-to-the-grid: the walk returns a universe value, and on data
+  * that lives on the grid the q-quantile IS a data value (the
+  * PERCENTILE_DISC convention), so precision is set by the
+  * quantization, error by (levels, depth, width).
+  *
+  * With `groupCols` one independent sketch per group, like the CMS —
+  * and the same scale postures: the build is ONE map-side-combined
+  * aggregation whose shuffle is bounded by groups×levels×depth×width
+  * cells per partition (the corpus never shuffles); `merge` is a
+  * bounded cell-wise add; `rank` broadcasts the sketch while the
+  * MEASURED cell count fits and falls back to a shuffled join for
+  * web-scale group domains; the `quantiles` walk iterates over a
+  * (groups × #quantiles)-row state frame — never corpus-sized.
+  */
+object QuantileSketch {
+
+  /** Same posture as [[CmsSketch.DefaultMaxBroadcastCells]]. */
+  val DefaultMaxBroadcastCells: Long = 4L * 1000 * 1000
+
+  /** Salted bucket of prefix `p` at level `l`, CMS row `i`. */
+  private def bucket(p: Column, l: Int, i: Int, width: Int): Column =
+    pmod(Sampling.avalancheKey(concat(p.cast("string"), lit(s":$l:$i"))),
+      lit(width.toLong)).cast("int")
+
+  /** A dyadic quantile sketch plus the parameters it was built under
+    * (the [[CmsSketch.Cms]] contract: parameter agreement enforced by
+    * construction, mismatches fail loudly at plan time). `cells` holds
+    * one row per non-empty cell: `(groupCols…, lvl, i, bucket, cnt)`.
+    */
+  final case class Dq(cells: DataFrame, levels: Int, depth: Int, width: Int,
+                      groupCols: Seq[String] = Nil) {
+
+    private def requireSameShape(other: Dq): Unit =
+      require(levels == other.levels && depth == other.depth &&
+        width == other.width && groupCols == other.groupCols,
+        s"quantile-sketch parameter mismatch: ($levels,$depth,$width," +
+          s"$groupCols) vs (${other.levels},${other.depth},${other.width}," +
+          s"${other.groupCols}) — merging or probing across different " +
+          "shapes silently corrupts estimates")
+
+    /** Cell-wise merge with a sketch of the SAME shape — the per-shard
+      * rollup; the agg never exceeds groups×levels×depth×width groups.
+      */
+    def merge(other: Dq): Dq = {
+      requireSameShape(other)
+      val merged = cells.unionByName(other.cells)
+        .groupBy((groupCols :+ "lvl" :+ "i" :+ "bucket").map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+      Dq(merged, levels, depth, width, groupCols)
+    }
+
+    /** Per-group element count, exactly: every element contributes 1 to
+      * level 0 row 0, so the level-(0,0) cell sum is N.
+      */
+    def totals: DataFrame = {
+      val n = cells.where(col("lvl") === 0 && col("i") === 0)
+      if (groupCols.isEmpty) n.agg(sum(col("cnt")).as("n"))
+      else n.groupBy(groupCols.map(col): _*).agg(sum(col("cnt")).as("n"))
+    }
+
+    /** Estimated rank — the number of sketched values STRICTLY below
+      * each probe value (within the probe row's group, when grouped),
+      * as `rank_est`. Never an underestimate. Probes must lie in
+      * `[0, 2^levels)` (fail loudly otherwise; the rank of the domain
+      * ceiling is [[totals]]). Duplicate probe rows collapse to one.
+      *
+      * Plan shape: each probe explodes into its ≤ `levels` dyadic
+      * intervals, the sketch joins once per CMS row on
+      * `(groupCols, lvl, bucket)` — `depth` joins total regardless of
+      * `levels` — and one bounded agg folds min-over-rows /
+      * sum-over-intervals back to a row per probe. The sketch side
+      * broadcasts under the same measured-size condition as
+      * [[CmsSketch.Cms.estimate]].
+      */
+    def rank(probes: DataFrame, valueCol: String,
+             maxBroadcastCells: Long = DefaultMaxBroadcastCells): DataFrame = {
+      val useBroadcast = cells.count() <= maxBroadcastCells
+      val v = checkedValue(probes, valueCol, levels)
+      val probeCols = probes.columns.map(col).toSeq
+      // [0, v) = ⋃ over set bits l: dyadic interval (l, (v >> l) − 1).
+      // Unset bits stay as NULL array entries — explode keeps them as
+      // null rows, so a probe of 0 (no intervals) still surfaces with
+      // rank_est 0 instead of vanishing from the output.
+      val ivs = array((0 until levels).map(l =>
+        when(shiftright(v, l) % 2 === 1,
+          struct(lit(l).as("lvl"), (shiftright(v, l) - 1).as("p")))): _*)
+      val exploded = probes
+        .select(probeCols :+ explode(ivs).as("__iv"): _*)
+        .select(probeCols :+ col("__iv.lvl").as("lvl") :+ col("__iv.p").as("p"): _*)
+      // bucket per CMS row is a different hash of (p, lvl) — one join per
+      // row i, each keyed (groupCols, lvl, bucket)
+      val est = (0 until depth).foldLeft(
+        (0 until depth).foldLeft(exploded) { (d, i) =>
+          d.withColumn(s"__b$i", pmod(Sampling.avalancheKey(
+              concat(col("p").cast("string"), lit(":"),
+                col("lvl").cast("string"), lit(s":$i"))),
+            lit(width.toLong)).cast("int"))
+        }) { (d, i) =>
+        val slice = cells.where(col("i") === i)
+          .select(groupCols.map(col) :+ col("lvl") :+
+            col("bucket").as(s"__b$i") :+ col("cnt").as(s"__c$i"): _*)
+        d.join(if (useBroadcast) broadcast(slice) else slice,
+          groupCols ++ Seq("lvl", s"__b$i"), "left")
+      }
+      val ivEst = least((0 until depth).map(i =>
+        coalesce(col(s"__c$i"), lit(0L))): _*)
+      est.withColumn("__ivest", ivEst)
+        .groupBy(probeCols: _*)
+        .agg(sum(col("__ivest")).as("rank_est"))
+    }
+
+    /** q-quantile values per group via the dyadic tree walk: target
+      * rank `t = ceil(q·N)` clamped to `[1, N]`; from the root, descend
+      * into the left child iff `t ≤` its estimated count, else subtract
+      * and go right; the level-0 prefix reached is the answer
+      * (PERCENTILE_DISC-convention up to CMS overestimate error).
+      * Output: one row per (group, q): `(groupCols…, q, q_value)`;
+      * empty groups yield no row.
+      *
+      * The walk is `levels` bounded joins over a (groups × #quantiles)-
+      * row state frame against one level's cells each — sketch-sized
+      * work, never corpus-sized. State is localCheckpointed every few
+      * levels so the plan stays shallow for deep universes.
+      */
+    def quantiles(qs: Seq[Double],
+                  maxBroadcastCells: Long = DefaultMaxBroadcastCells): DataFrame = {
+      require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+        s"quantiles must be in [0, 1]: $qs")
+      val spark = cells.sparkSession
+      val useBroadcast = cells.count() <= maxBroadcastCells
+      val qdf = spark.createDataFrame(
+        qs.distinct.sorted.map(Tuple1(_))).toDF("q")
+      // ceil(q·N) via integer arithmetic on the exactly-representable
+      // double q (q·N is exact for the gate's dyadic qs; for arbitrary
+      // qs the double product is the standard quantile-index convention)
+      var state = totals.where(col("n") > 0).crossJoin(broadcast(qdf))
+        .withColumn("__t", greatest(ceil(col("q") * col("n")).cast("long"), lit(1L)))
+        .withColumn("__p", lit(0L))
+      val stateKeys = groupCols :+ "q"
+      for (l <- (levels - 1) to 0 by -1) {
+        val lc = col("__p") * 2 // left-child prefix at level l
+        val withB = (0 until depth).foldLeft(state) { (d, i) =>
+          d.withColumn(s"__b$i", pmod(Sampling.avalancheKey(
+              concat(lc.cast("string"), lit(s":$l:$i"))),
+            lit(width.toLong)).cast("int"))
+        }
+        val joined = (0 until depth).foldLeft(withB) { (d, i) =>
+          val slice = cells.where(col("lvl") === l && col("i") === i)
+            .select(groupCols.map(col) :+ col("bucket").as(s"__b$i") :+
+              col("cnt").as(s"__c$i"): _*)
+          d.join(if (useBroadcast) broadcast(slice) else slice,
+            groupCols :+ s"__b$i", "left")
+        }
+        val leftCnt = least((0 until depth).map(i =>
+          coalesce(col(s"__c$i"), lit(0L))): _*)
+        state = joined
+          .withColumn("__lc", leftCnt)
+          .withColumn("__p", when(col("__t") <= col("__lc"), col("__p") * 2)
+            .otherwise(col("__p") * 2 + 1))
+          .withColumn("__t", when(col("__t") <= col("__lc"), col("__t"))
+            .otherwise(col("__t") - col("__lc")))
+          .drop((0 until depth).flatMap(i => Seq(s"__b$i", s"__c$i")) :+ "__lc": _*)
+        if (l % 4 == 0 && l > 0) state = state.localCheckpoint()
+      }
+      state.select((stateKeys.map(col) :+ col("__p").as("q_value")): _*)
+    }
+  }
+
+  private def checkedValue(df: DataFrame, valueCol: String,
+                           levels: Int): Column = {
+    val v = col(valueCol).cast("long")
+    when(v < 0 || v >= (1L << levels),
+        raise_error(concat(
+          lit(s"quantile-sketch value outside [0, 2^$levels): "),
+          v.cast("string"))))
+      .otherwise(v)
+  }
+
+  /** Build the dyadic sketch of `valueCol` — one per group when
+    * `groupCols` is non-empty: one row per non-empty cell,
+    * `(groupCols…, lvl, i, bucket, cnt)`. Values must be integers in
+    * `[0, 2^levels)` (fail loudly otherwise); nulls are excluded.
+    *
+    * 100 TB shape: the per-row explode is `levels × depth` structs
+    * folded immediately by a map-side-combining hash aggregation over
+    * the ≤ groups×levels×depth×width cell domain — the shuffle carries
+    * cells, never the corpus.
+    */
+  def sketch(df: DataFrame, valueCol: String, levels: Int, depth: Int,
+             width: Int, groupCols: Seq[String] = Nil): Dq = {
+    require(levels >= 1 && levels <= 40, s"levels out of range: $levels")
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 2, s"width out of range: $width")
+    val rows = df.filter(col(valueCol).isNotNull)
+    val v = checkedValue(rows, valueCol, levels)
+    val cellsCol = explode(array((for (l <- 0 until levels; i <- 0 until depth)
+      yield struct(lit(l).as("lvl"), lit(i).as("i"),
+        bucket(shiftright(v, l), l, i, width).as("bucket"))): _*))
+    val table = rows.select(groupCols.map(col) :+ cellsCol.as("c"): _*)
+      .groupBy(groupCols.map(col) :+ col("c.lvl").as("lvl") :+
+        col("c.i").as("i") :+ col("c.bucket").as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    Dq(table, levels, depth, width, groupCols)
+  }
+}

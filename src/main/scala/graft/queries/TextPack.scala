@@ -388,6 +388,56 @@ object TextPack extends QueryPack {
         .orderBy("event_type", "user_id")
     }),
 
+    // Dyadic count-min QUANTILE sketch (Cormode & Muthukrishnan 2005
+    // range queries) — the mergeable rank/quantile summary completing
+    // the sketch family (KMV distincts, CMS frequencies, MG top-k).
+    // Every cell is an exact BIGINT under the salted md5 avalanche
+    // hash and every downstream answer is integer min/sum arithmetic,
+    // so the oracle replays the WHOLE level×d×w table — a parity
+    // contract no randomized quantile summary (GK/KLL) can offer.
+    "t_dq_cells" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(floor(col("value")).cast("long").as("v"))
+      graft.operators.QuantileSketch
+        .sketch(ev, "v", levels = 10, depth = 4, width = 256)
+        .cells.orderBy("lvl", "i", "bucket")
+    }),
+
+    // Ranks from the sketch: each probe decomposes into ≤ levels
+    // dyadic intervals, each answered by its level's CMS row-min. The
+    // exact rank rides along; ge_exact states the one-sided guarantee
+    // (a dyadic rank, like any CMS estimate, NEVER underestimates).
+    "t_dq_rank" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(floor(col("value")).cast("long").as("v"))
+      val sk = graft.operators.QuantileSketch
+        .sketch(ev, "v", levels = 10, depth = 4, width = 256)
+      val probes = ev.distinct().filter(pmod(col("v"), lit(13L)) === 0)
+      val cum = ev.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("exact_rank",
+          sum(col("c")).over(Window.orderBy("v")) - col("c"))
+      sk.rank(probes, "v")
+        .join(cum.select("v", "exact_rank"), Seq("v"))
+        .select(col("v"), col("rank_est"), col("exact_rank"),
+          (col("rank_est") >= col("exact_rank")).as("ge_exact"))
+        .orderBy("v")
+    }),
+
+    // Per-group quantiles via the root-to-leaf dyadic tree walk — one
+    // independent sketch per event_type, five qs each. The walk is
+    // deterministic integer arithmetic, so the oracle replays it
+    // step-for-step in a recursive CTE: identical descent decisions,
+    // identical leaf values.
+    "t_dq_quantile" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      graft.operators.QuantileSketch
+        .sketch(ev, "v", levels = 10, depth = 4, width = 256,
+          groupCols = Seq("event_type"))
+        .quantiles(Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+        .orderBy("event_type", "q")
+    }),
+
     // Deterministic uniform k-per-group sampling (bottom-k of the
     // avalanche hash over the k-bounded heap — map-side truncation, so
     // a hot source never serializes into one task). The oracle replays
@@ -881,6 +931,113 @@ object TextPack extends QueryPack {
          FROM est JOIN exact ON est.event_type = exact.event_type
            AND est.user_id = exact.user_id
          ORDER BY est.event_type, est.user_id""",
+    // the whole dyadic-level × d × w sketch replayed cell-for-cell:
+    // level l counts the prefix v >> l under the same salted md5
+    // buckets — exact BIGINTs, zero float surface
+    "t_dq_cells" ->
+      s"""WITH d AS (SELECT unnest(range(0, 4)) AS i),
+         lv AS (SELECT unnest(range(0, 10)) AS lvl),
+         ev AS (SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
+                WHERE value IS NOT NULL),
+         cells AS (
+           SELECT lvl, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(v >> lvl AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)" +
+               " || ':' || CAST(i AS VARCHAR)")} % 256 AS bucket
+           FROM ev CROSS JOIN lv CROSS JOIN d)
+         SELECT lvl, i, bucket, COUNT(*) AS cnt FROM cells
+         GROUP BY 1, 2, 3 ORDER BY lvl, i, bucket""",
+    // the [0, v) dyadic decomposition replayed: one interval per set
+    // bit of the probe (level l, prefix (v >> l) − 1), each estimated
+    // as the min over the level's CMS rows, summed — never below the
+    // exact rank computed alongside
+    "t_dq_rank" ->
+      s"""WITH d AS (SELECT unnest(range(0, 4)) AS i),
+         lv AS (SELECT unnest(range(0, 10)) AS lvl),
+         ev AS (SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
+                WHERE value IS NOT NULL),
+         cells AS (
+           SELECT lvl, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(v >> lvl AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)" +
+               " || ':' || CAST(i AS VARCHAR)")} % 256 AS bucket
+           FROM ev CROSS JOIN lv CROSS JOIN d),
+         sk AS (SELECT lvl, i, bucket, COUNT(*) AS cnt FROM cells
+                GROUP BY 1, 2, 3),
+         probes AS (SELECT DISTINCT v FROM ev WHERE v % 13 = 0),
+         iv AS (SELECT v, lvl, (v >> lvl) - 1 AS p
+                FROM probes CROSS JOIN lv WHERE ((v >> lvl) % 2) = 1),
+         pb AS (SELECT v, lvl, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(p AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)" +
+               " || ':' || CAST(i AS VARCHAR)")} % 256 AS bucket
+                FROM iv CROSS JOIN d),
+         ivest AS (SELECT pb.v, pb.lvl, MIN(COALESCE(sk.cnt, 0)) AS e
+                   FROM pb LEFT JOIN sk ON sk.lvl = pb.lvl AND sk.i = pb.i
+                     AND sk.bucket = pb.bucket
+                   GROUP BY 1, 2),
+         rk AS (SELECT probes.v,
+                       CAST(COALESCE(SUM(ivest.e), 0) AS BIGINT) AS rank_est
+                FROM probes LEFT JOIN ivest ON ivest.v = probes.v
+                GROUP BY 1),
+         cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) - c AS BIGINT)
+                        AS exact_rank
+                 FROM (SELECT v, COUNT(*) AS c FROM ev GROUP BY 1))
+         SELECT rk.v, rk.rank_est, cum.exact_rank,
+                rk.rank_est >= cum.exact_rank AS ge_exact
+         FROM rk JOIN cum ON cum.v = rk.v ORDER BY rk.v""",
+    // the per-group root-to-leaf walk replayed step-for-step: target
+    // rank t = max(ceil(q·N), 1); at each level descend into the left
+    // child iff t fits in its estimated count (min over the level's
+    // CMS rows), else subtract and go right — the level-0 prefix
+    // reached is the answer, identical descent decisions and all
+    "t_dq_quantile" ->
+      s"""WITH RECURSIVE
+         d AS (SELECT unnest(range(0, 4)) AS i),
+         lv AS (SELECT unnest(range(0, 10)) AS lvl),
+         ev AS (SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+         cells AS (
+           SELECT event_type, lvl, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(v >> lvl AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)" +
+               " || ':' || CAST(i AS VARCHAR)")} % 256 AS bucket
+           FROM ev CROSS JOIN lv CROSS JOIN d),
+         sk AS (SELECT event_type, lvl, i, bucket, COUNT(*) AS cnt
+                FROM cells GROUP BY 1, 2, 3, 4),
+         tot AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+         qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q),
+         walk AS (
+           SELECT tot.event_type, qs.q, 10 AS l,
+                  GREATEST(CAST(CEIL(qs.q * tot.n) AS BIGINT),
+                           CAST(1 AS BIGINT)) AS t,
+                  CAST(0 AS BIGINT) AS p
+           FROM tot CROSS JOIN qs WHERE tot.n > 0
+           UNION ALL
+           SELECT event_type, q, l - 1,
+                  CASE WHEN t <= lc THEN t ELSE t - lc END,
+                  CASE WHEN t <= lc THEN p * 2 ELSE p * 2 + 1 END
+           FROM (
+             SELECT w.event_type, w.q, w.l, w.t, w.p, LEAST(
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.event_type = w.event_type AND sk.lvl = w.l - 1
+                   AND sk.i = 0 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':0'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.event_type = w.event_type AND sk.lvl = w.l - 1
+                   AND sk.i = 1 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':1'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.event_type = w.event_type AND sk.lvl = w.l - 1
+                   AND sk.i = 2 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':2'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.event_type = w.event_type AND sk.lvl = w.l - 1
+                   AND sk.i = 3 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':3'")} % 256), 0)) AS lc
+             FROM walk w WHERE w.l > 0) z)
+         SELECT event_type, q, p AS q_value FROM walk WHERE l = 0
+         ORDER BY event_type, q""",
     // the hash order replayed with a rank window — the engine's heap
     // must be invisible in the result
     "t_group_sample_k" ->

@@ -235,6 +235,70 @@ object EventsStream {
       }
   }
 
+  // -------------------------------------- mergeable Misra–Gries candidates
+
+  final case class MgUpdate(key: String, items: Array[String],
+                            counts: Array[Long], evicted: Boolean,
+                            nTotal: Long)
+
+  /** Streaming twin of
+    * [[graft.text.HeavyHitters.candidatesByGroup]]: a per-key bounded
+    * Misra–Gries counter map carried across batches with
+    * `mapGroupsWithState` — the last sketch family member without a
+    * stream form. Each micro-batch folds its rows through the classic
+    * MG update ([[graft.functions.expressions.MisraGriesCore.add]],
+    * the exact logic the batch `TypedImperativeAggregate` runs), so
+    * after any number of batches the state is a valid MG summary of
+    * everything ever seen: at most `counters` slots per key, any item
+    * whose true stream count exceeds N_key/(counters+1) is GUARANTEED
+    * present, and each reported count understates the true count by at
+    * most that bound. Candidate CONTENT below the guarantee line is
+    * merge-tree-dependent (exactly as the batch aggregate's is
+    * partition-dependent) — callers needing provable exact top-k run
+    * the batch confirm pass over the stream's candidate union.
+    *
+    * Emits `(key, items, counts, evicted, nTotal)` per key per batch:
+    * the sorted candidate items, their MG counts, whether any
+    * decrement has EVER run for this key (cumulative — `evicted =
+    * false` certifies the counts are exact, the same certificate the
+    * batch aggregate carries), and the total rows ever folded for the
+    * key. `nTotal` is monotone, so the final state is the emission
+    * with the largest `nTotal` (MG totals themselves can SHRINK on a
+    * decrement, unlike the CMS twin's cells), and
+    * `nTotal / (counters + 1)` is the count-error / survival bound.
+    */
+  def mgHeavyHittersStream(events: DataFrame, keyCol: String, valueCol: String,
+                           counters: Int): Dataset[MgUpdate] = {
+    require(counters >= 1, s"counters must be >= 1: $counters")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as[String],
+        col(valueCol).cast("string").as[String])
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Map[String, Long], Boolean, Long), MgUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[(Map[String, Long], Boolean, Long)]) =>
+          val (m0, ev0, n0) = state.getOption
+            .getOrElse((Map.empty[String, Long], false, 0L))
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          buf ++= m0
+          var evicted = ev0
+          var n = n0
+          rows.foreach { case (_, v) =>
+            n += 1
+            if (graft.functions.expressions.MisraGriesCore
+                .add(buf, v, counters, identity[String])) evicted = true
+          }
+          state.update((buf.toMap, evicted, n))
+          val items = buf.keys.toArray.sorted
+          MgUpdate(key, items, items.map(buf), evicted, n)
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

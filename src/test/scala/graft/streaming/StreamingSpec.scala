@@ -260,4 +260,100 @@ class StreamingSpec extends AnyFunSuite {
       }
     assert(got.nonEmpty && got === batch)
   }
+
+  test("streaming Misra-Gries with enough counters is exact across a re-delivered batch") {
+    // events has 15 distinct users per type — counters = 16 means no
+    // decrement can ever run, so the stream state must equal the exact
+    // doubled counts and evicted = false must certify it
+    val dir = stageEventsDir()
+    val stream = EventsStream.mgHeavyHittersStream(
+      EventsStream.readEvents(spark, dir), "event_type", "user_id", 16).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("mg_stream").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per key = the emission with the largest nTotal (MG
+    // totals can shrink on a decrement; nTotal is monotone)
+    val fin = spark.table("mg_stream").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rows) =>
+        val r = rows.maxBy(_.getAs[Long]("nTotal"))
+        key -> ((r.getSeq[String](r.fieldIndex("items"))
+            .zip(r.getSeq[Long](r.fieldIndex("counts"))).toMap,
+          r.getAs[Boolean]("evicted")))
+      }
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val exact = ev.union(ev)
+      .groupBy(col("event_type").cast("string").as("k"),
+        col("user_id").cast("string").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    assert(fin.keySet === exact.keySet)
+    fin.foreach { case (key, (cand, evicted)) =>
+      assert(!evicted, s"$key must not evict with counters > domain")
+      assert(cand === exact(key))
+    }
+  }
+
+  test("streaming Misra-Gries under eviction keeps every item above the guarantee bound") {
+    // skewed stream: key "hot" has one dominant item among a wide tail,
+    // counters = 4 forces decrements; batch 2 re-delivers batch 1, so
+    // the truth is the doubled counts. MG guarantees: (a) any item with
+    // true count > nTotal/(counters+1) survives, (b) counts understate
+    // by at most that bound, (c) ≤ counters slots, (d) evicted = true
+    // is reported.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val batch1 = (1 to 60).map(_ => ("hot", "dom")) ++
+      (1 to 40).map(i => ("hot", s"tail$i")) ++
+      (1 to 30).map(i => ("flat", s"u${i % 10}"))
+    val stream = EventsStream.mgHeavyHittersStream(
+      mem.toDF().toDF("k", "v"), "k", "v", counters = 4).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("mg_skew").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch1: _*) // re-delivery: truth doubles
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("mg_skew").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rows) =>
+        val r = rows.maxBy(_.getAs[Long]("nTotal"))
+        key -> ((r.getSeq[String](r.fieldIndex("items"))
+            .zip(r.getSeq[Long](r.fieldIndex("counts"))).toMap,
+          r.getAs[Boolean]("evicted"), r.getAs[Long]("nTotal")))
+      }
+    val truth = (batch1 ++ batch1).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    Seq("hot", "flat").foreach { key =>
+      val (cand, evicted, n) = fin(key)
+      val keyTruth = truth.collect { case ((k, v), c) if k == key => v -> c }
+      assert(n === keyTruth.values.sum)
+      assert(evicted, s"$key saw > 4 distinct items — a decrement must run")
+      assert(cand.size <= 4)
+      val bound = n / 5
+      keyTruth.filter(_._2 > bound).foreach { case (v, c) =>
+        assert(cand.contains(v), s"$key/$v (count $c > bound $bound) missing")
+        assert(cand(v) <= c && c - cand(v) <= bound,
+          s"$key/$v count ${cand(v)} outside [${c - bound}, $c]")
+      }
+      cand.foreach { case (v, c) =>
+        val t = keyTruth.getOrElse(v, 0L)
+        assert(c <= t && t - c <= bound)
+      }
+    }
+    // the dominant item specifically: 120 > 260/5 = 52 — must survive
+    assert(fin("hot")._1.contains("dom"))
+  }
 }
