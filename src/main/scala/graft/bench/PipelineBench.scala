@@ -154,26 +154,31 @@ object PipelineBench {
     * published 12.35 s wall with no way to tell contention from
     * regression; every stage now carries the companion).
     *
-    * PROVENANCE / REFRESH: each value is the `<stage>_cpu_sec` reported
-    * by this bench itself on an idle local[32] of this box (load avg
-    * < 1 before launch; min over the interleaved repeats) —
-    * `MAIN_CLASS=graft.Bench SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32
-    * scripts/run_verify.sh`. To refresh after a code change: rerun on a
-    * quiet machine and copy the published `_cpu_sec` values here. The
-    * year/quarter soak values are additionally corroborated by the
-    * round-7/8 judge adjudication runs (2001–2104 and 166–202 cpu-sec
-    * respectively on the same box).
+    * PROVENANCE / REFRESH: each value is the MINIMUM `<stage>_cpu_sec`
+    * this bench has published across its recorded runs on this box —
+    * min, because contention is strictly additive to executor CPU, so
+    * the lowest ever observed is the best quiet estimate (the same
+    * reasoning as the min-of-repeats wall convention below). Sources
+    * folded in: the round-8 driver artifact and judge adjudication
+    * (e2e/soak stages), plus two round-9 local sweeps
+    * (`MAIN_CLASS=graft.Bench SPARK_GRAFT_SF_DIR=<sf0.1>
+    * SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_QUERIES=1
+    * scripts/run_verify.sh` at repeat counts 1 and 3) — the per-month
+    * stages got their first cpu companions in round 9, so their only
+    * sources are the local sweeps. To refresh after a code change:
+    * rerun that command on a quiet box and fold the published
+    * `_cpu_sec` values in with min.
     */
   private val QuietCpuRef = Map(
-    "pm25_combine_month_1M" -> 60.0,
-    "pm25_combine_month_1M_bucketed" -> 75.0,
-    "pm25_combine_month_1M_disk" -> 60.0,
-    "pm25_spatial_impute_month" -> 58.0,
-    "pm25_feature_gen_month" -> 132.0,
-    "pm25_feature_gen_year" -> 2104.0,
-    "pm25_month_e2e" -> 560.0,
-    "pm25_quarter_e2e" -> 1650.0,
-    "pm25_spatial_impute_quarter" -> 202.0)
+    "pm25_combine_month_1M" -> 152.0,
+    "pm25_combine_month_1M_bucketed" -> 80.0,
+    "pm25_combine_month_1M_disk" -> 179.0,
+    "pm25_spatial_impute_month" -> 92.0,
+    "pm25_feature_gen_month" -> 226.0,
+    "pm25_feature_gen_year" -> 1797.0,
+    "pm25_month_e2e" -> 537.0,
+    "pm25_quarter_e2e" -> 897.0,
+    "pm25_spatial_impute_quarter" -> 166.0)
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
     * over their repeats. Contention noise on a shared sandbox is

@@ -222,25 +222,46 @@ object QuantileSketch {
     * `(groupCols…, lvl, i, bucket, cnt)`. Values must be integers in
     * `[0, 2^levels)` (fail loudly otherwise); nulls are excluded.
     *
+    * With `weightCol` each row contributes its integer weight instead
+    * of 1 — the WEIGHTED sketch, cell-for-cell equal to sketching the
+    * row replicated `weight` times: `rank` becomes "total weight of
+    * values strictly below v" and `quantiles` the weighted
+    * (mass-based) quantile — "half the corpus's CHARACTERS live in
+    * documents shorter than the w=n_chars median", the corpus-report
+    * statistic a plain quantile can't state. Weights must be
+    * non-negative longs (fail loudly otherwise); nulls excluded; all
+    * guarantees carry over with N = the total weight.
+    *
     * 100 TB shape: the per-row explode is `levels × depth` structs
     * folded immediately by a map-side-combining hash aggregation over
     * the ≤ groups×levels×depth×width cell domain — the shuffle carries
     * cells, never the corpus.
     */
   def sketch(df: DataFrame, valueCol: String, levels: Int, depth: Int,
-             width: Int, groupCols: Seq[String] = Nil): Dq = {
+             width: Int, groupCols: Seq[String] = Nil,
+             weightCol: Option[String] = None): Dq = {
     require(levels >= 1 && levels <= 40, s"levels out of range: $levels")
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
     require(width >= 2, s"width out of range: $width")
-    val rows = df.filter(col(valueCol).isNotNull)
+    val rows = weightCol.foldLeft(df.filter(col(valueCol).isNotNull))(
+      (d, wc) => d.filter(col(wc).isNotNull))
     val v = checkedValue(rows, valueCol, levels)
     val cellsCol = explode(array((for (l <- 0 until levels; i <- 0 until depth)
       yield struct(lit(l).as("lvl"), lit(i).as("i"),
         bucket(shiftright(v, l), l, i, width).as("bucket"))): _*))
-    val table = rows.select(groupCols.map(col) :+ cellsCol.as("c"): _*)
+    val w = weightCol.map { wc =>
+      val c = col(wc).cast("long")
+      when(c < 0, raise_error(concat(
+          lit("quantile-sketch weight must be non-negative: "),
+          c.cast("string"))))
+        .otherwise(c)
+    }
+    val table = rows
+      .select(groupCols.map(col) ++ Seq(cellsCol.as("c")) ++
+        w.map(_.as("__w")).toSeq: _*)
       .groupBy(groupCols.map(col) :+ col("c.lvl").as("lvl") :+
         col("c.i").as("i") :+ col("c.bucket").as("bucket"): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(w.map(_ => sum(col("__w"))).getOrElse(count(lit(1))).as("cnt"))
     Dq(table, levels, depth, width, groupCols)
   }
 }

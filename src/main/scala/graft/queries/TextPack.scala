@@ -438,6 +438,22 @@ object TextPack extends QueryPack {
         .orderBy("event_type", "q")
     }),
 
+    // WEIGHTED quantiles — every doc weighted by its own length, so
+    // q=0.5 answers "half the corpus's CHARACTERS live in documents
+    // shorter than this" (the mass-based length profile of a corpus
+    // report, not the doc-count median). Same deterministic walk, with
+    // N = total weight; the oracle replays it with SUM(w) cells.
+    "t_dq_wmass" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("v"),
+          col("n_chars").as("w"))
+      graft.operators.QuantileSketch
+        .sketch(docs, "v", levels = 10, depth = 4, width = 256,
+          groupCols = Seq("source"), weightCol = Some("w"))
+        .quantiles(Seq(0.5, 0.9))
+        .orderBy("source", "q")
+    }),
+
     // Deterministic uniform k-per-group sampling (bottom-k of the
     // avalanche hash over the k-bounded heap — map-side truncation, so
     // a hot source never serializes into one task). The oracle replays
@@ -1038,6 +1054,59 @@ object TextPack extends QueryPack {
              FROM walk w WHERE w.l > 0) z)
          SELECT event_type, q, p AS q_value FROM walk WHERE l = 0
          ORDER BY event_type, q""",
+    // the same walk with SUM(weight) cells: N is total characters, the
+    // descent decisions replay over weighted counts — exact BIGINTs
+    "t_dq_wmass" ->
+      s"""WITH RECURSIVE
+         d AS (SELECT unnest(range(0, 4)) AS i),
+         lv AS (SELECT unnest(range(0, 10)) AS lvl),
+         ev AS (SELECT source, n_chars AS v, n_chars AS w
+                FROM documents WHERE n_chars IS NOT NULL),
+         cells AS (
+           SELECT source, w, lvl, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(v >> lvl AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)" +
+               " || ':' || CAST(i AS VARCHAR)")} % 256 AS bucket
+           FROM ev CROSS JOIN lv CROSS JOIN d),
+         sk AS (SELECT source, lvl, i, bucket, CAST(SUM(w) AS BIGINT) AS cnt
+                FROM cells GROUP BY 1, 2, 3, 4),
+         tot AS (SELECT source, CAST(SUM(w) AS BIGINT) AS n
+                 FROM ev GROUP BY 1),
+         qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+         walk AS (
+           SELECT tot.source, qs.q, 10 AS l,
+                  GREATEST(CAST(CEIL(qs.q * tot.n) AS BIGINT),
+                           CAST(1 AS BIGINT)) AS t,
+                  CAST(0 AS BIGINT) AS p
+           FROM tot CROSS JOIN qs WHERE tot.n > 0
+           UNION ALL
+           SELECT source, q, l - 1,
+                  CASE WHEN t <= lc THEN t ELSE t - lc END,
+                  CASE WHEN t <= lc THEN p * 2 ELSE p * 2 + 1 END
+           FROM (
+             SELECT w.source, w.q, w.l, w.t, w.p, LEAST(
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.source = w.source AND sk.lvl = w.l - 1
+                   AND sk.i = 0 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':0'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.source = w.source AND sk.lvl = w.l - 1
+                   AND sk.i = 1 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':1'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.source = w.source AND sk.lvl = w.l - 1
+                   AND sk.i = 2 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':2'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.source = w.source AND sk.lvl = w.l - 1
+                   AND sk.i = 3 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':3'")} % 256), 0)) AS lc
+             FROM walk w WHERE w.l > 0) z)
+         SELECT source, q, p AS q_value FROM walk WHERE l = 0
+         ORDER BY source, q""",
     // the hash order replayed with a rank window — the engine's heap
     // must be invisible in the result
     "t_group_sample_k" ->

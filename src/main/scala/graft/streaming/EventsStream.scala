@@ -299,6 +299,68 @@ object EventsStream {
       }
   }
 
+  // ------------------------------------------- mergeable quantile sketch
+
+  final case class DqUpdate(key: String, cells: Array[Long])
+
+  /** Streaming twin of [[graft.operators.QuantileSketch]]: a per-key
+    * dyadic count-min table carried across batches with
+    * `mapGroupsWithState` — completing the stream forms of the sketch
+    * family (KMV distincts, CMS frequencies, MG heavy hitters, and now
+    * ranks/quantiles). Each value adds 1 to one cell per (level, CMS
+    * row) under the same salted avalanche hash as the batch operator,
+    * and cell-wise addition IS the dyadic-sketch merge, so after any
+    * number of batches the state equals the batch sketch of everything
+    * ever seen — "what is the running p99 of this key's values" from
+    * O(levels·d·w) state per key, where an exact streaming quantile
+    * would keep every value forever. `cells(((l*depth)+i)*width + b)`
+    * is level l, row i, bucket b; feed the emission into
+    * [[graft.operators.QuantileSketch.Dq]] (exploded back to cell rows)
+    * for rank/quantile answers that agree with the batch path
+    * cell-for-cell. Values must lie in `[0, 2^levels)` — out-of-domain
+    * rows fail the query loudly rather than aliasing, like the batch
+    * build.
+    */
+  def dqSketchStream(events: DataFrame, keyCol: String, valueCol: String,
+                     levels: Int, depth: Int, width: Int): Dataset[DqUpdate] = {
+    require(levels >= 1 && levels <= 24,
+      s"levels out of streaming-state range: $levels")
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 2, s"width out of range: $width")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val v = {
+      val c = col(valueCol).cast("long")
+      when(c < 0 || c >= (1L << levels),
+          raise_error(concat(
+            lit(s"quantile-sketch value outside [0, 2^$levels): "),
+            c.cast("string"))))
+        .otherwise(c)
+    }
+    val buckets = array((for (l <- 0 until levels; i <- 0 until depth) yield
+      pmod(graft.operators.Sampling.avalancheKey(
+        concat(shiftright(v, l).cast("string"), lit(s":$l:$i"))),
+        lit(width.toLong)).cast("int")): _*)
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as[String], buckets.as[Array[Int]])
+      .as[(String, Array[Int])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], DqUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Array[Int])],
+         state: GroupState[Array[Long]]) =>
+          val cells = state.getOption
+            .getOrElse(new Array[Long](levels * depth * width))
+          rows.foreach { case (_, bs) =>
+            var j = 0
+            while (j < levels * depth) { cells(j * width + bs(j)) += 1L; j += 1 }
+          }
+          state.update(cells)
+          // defensive copy — the live state array must not escape
+          DqUpdate(key, cells.clone())
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

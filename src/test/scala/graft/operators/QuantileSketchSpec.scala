@@ -116,6 +116,39 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(answers(df.repartition(1)) === answers(df.repartition(13)))
   }
 
+  test("weighted sketch equals the sketch of weight-replicated rows, cells and answers") {
+    val weighted = values.take(400).zipWithIndex
+      .map { case (v, i) => (v, (i % 4).toLong) } // weights 0..3 incl. zero
+    val replicated = weighted.flatMap { case (v, w) =>
+      Seq.fill(w.toInt)(v)
+    }
+    val wdf = weighted.toDF("v", "w")
+    val skW = QuantileSketch.sketch(wdf, "v", L, D, 512,
+      weightCol = Some("w"))
+    val skR = QuantileSketch.sketch(
+      replicated.map(Tuple1(_)).toDF("v"), "v", L, D, 512)
+    def cells(s: QuantileSketch.Dq) = s.cells.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .filter(_._2 != 0L).toMap // zero-weight rows leave empty cells
+    assert(cells(skW) === cells(skR))
+    val qs = Seq(0.25, 0.5, 0.75)
+    def ans(s: QuantileSketch.Dq) = s.quantiles(qs).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(ans(skW) === ans(skR))
+    // total weight, not row count, is N
+    assert(skW.totals.collect().head.getLong(0) ===
+      weighted.map(_._2).sum)
+  }
+
+  test("negative weights fail loudly") {
+    val bad = Seq((5L, -1L)).toDF("v", "w")
+    val err = intercept[Exception] {
+      QuantileSketch.sketch(bad, "v", L, D, 512,
+        weightCol = Some("w")).cells.collect()
+    }
+    assert(err.getMessage.contains("non-negative"))
+  }
+
   test("parameter mismatch and out-of-domain values fail loudly") {
     val df = values.map(Tuple1(_)).toDF("v")
     val a = QuantileSketch.sketch(df, "v", L, D, 512)

@@ -286,6 +286,27 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(shuffles(df) <= 2)
   }
 
+  test("dyadic quantile sketch build is one map-side-combined aggregation") {
+    val df = graft.SparkEntry.queries("t_dq_cells")(spark, sf)
+    // cell agg exchange + the output sort — the corpus explodes into
+    // levels×depth structs BEFORE the partial agg, so the shuffle
+    // carries ≤ levels·d·w cells per partition, never the corpus
+    assert(shuffles(df) <= 2)
+  }
+
+  test("quantile walk joins sketch slices, sketch side broadcast under the cap") {
+    val df = graft.SparkEntry.queries("t_dq_quantile")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    // the walk's state frame is (groups × #quantiles) rows; each level
+    // joins one sketch slice, broadcast under the measured-cell cap —
+    // no corpus-sized side ever reaches a join input
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "under-cap sketch slices must broadcast into the walk")
+    assert(!s.contains("SortMergeJoin"),
+      "no sort-merge join should appear in the under-cap walk")
+  }
+
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
     val docs = graft.core.Tables.table(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id").as("x"),

@@ -261,6 +261,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === batch)
   }
 
+  test("streaming dyadic quantile sketch final state equals the batch sketch") {
+    val (levels, d, w) = (10, 2, 32)
+    val dir = stageEventsDir()
+    val in = EventsStream.readEvents(spark, dir)
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+    val stream = EventsStream.dqSketchStream(
+      in, "event_type", "v", levels, d, w).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("dq_stream").start()
+    try {
+      q.processAllAvailable()
+      // re-delivery: cell-wise addition must absorb the doubled corpus
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dq_stream").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rows) =>
+        key -> rows.map(_.getSeq[Long](1).toArray).maxBy(_.sum).toSeq
+      }
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+    val sk = graft.operators.QuantileSketch.sketch(
+      ev.union(ev), "v", levels, d, w, groupCols = Seq("event_type"))
+    val batch = sk.cells.collect()
+      .groupBy(_.getString(0))
+      .map { case (key, rows) =>
+        val dense = new Array[Long](levels * d * w)
+        rows.foreach(r => dense(
+          (r.getInt(1) * d + r.getInt(2)) * w + r.getInt(3)) = r.getLong(4))
+        key -> dense.toSeq
+      }
+    assert(got.nonEmpty && got === batch)
+  }
+
   test("streaming Misra-Gries with enough counters is exact across a re-delivered batch") {
     // events has 15 distinct users per type — counters = 16 means no
     // decrement can ever run, so the stream state must equal the exact
