@@ -111,6 +111,21 @@ object SimilarityPack extends QueryPack {
         .orderBy("query_id", "rk")
     }),
 
+    // Hard-negative mining (contrastive training): for each anchor, the
+    // k most-similar vectors with a DIFFERENT label — the nearest
+    // wrong-class examples that carry gradient signal. nprobe = nlist
+    // makes the IVF celling exhaustive, so the exact wrong-key brute
+    // top-k oracle applies; celled recall is AnnSpec'd. Output filtered
+    // to 20 anchors (per-anchor ranks are independent, so the filter is
+    // placement-invariant).
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val index = Ann.trainIvf(emb, nlist = 16)
+      Ann.hardNegativeTopK(emb, index, k = 2, nprobe = 16)
+        .filter(col("query_id") < 20)
+        .orderBy("query_id", "rk")
+    }),
+
     // SemDeDup: cluster + within-cluster cosine pruning. Run at nlist=1
     // (single cluster ⇒ the pass is exhaustive and equals the brute-force
     // "dropped iff a lower-id neighbor has cos ≥ t" rule), which is what
@@ -227,6 +242,33 @@ object SimilarityPack extends QueryPack {
            LIST_MAX(LIST_TRANSFORM(codes, x -> ABS(x))) AS code_max
          FROM c ORDER BY vec_id""",
     "ann_topk_brute" -> BruteTopKSql,
+    // exact wrong-key top-k (the nprobe = nlist mining is exhaustive)
+    "ann_hard_negatives" ->
+      s"""WITH $ListCte,
+         lbl AS (SELECT vec_id, CAST(label AS VARCHAR) AS key FROM embeddings),
+         dots AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  la.key AS anchor_key, lb.key AS negative_key,
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.e) + 1),
+                    i -> a.e[i] * b.e[i])) AS dot
+           FROM ed a CROSS JOIN ed b
+           JOIN lbl la ON la.vec_id = a.vec_id
+           JOIN lbl lb ON lb.vec_id = b.vec_id
+           WHERE la.key <> lb.key AND a.vec_id < 20),
+         cos AS (
+           SELECT query_id, neighbor_id, anchor_key, negative_key,
+                  CASE WHEN na.nm * nb.nm = 0 THEN 0.0
+                       ELSE dot / (na.nm * nb.nm) END AS c
+           FROM dots JOIN lnrm na ON na.vec_id = query_id
+                     JOIN lnrm nb ON nb.vec_id = neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, anchor_key, negative_key, c,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, neighbor_id) AS rk
+           FROM cos)
+         SELECT query_id, rk, neighbor_id, anchor_key, negative_key,
+                ROUND(c, 6) + 0.0 AS cos
+         FROM ranked WHERE rk <= 2 ORDER BY query_id, rk""",
     // Exhaustive refine (k·refineFactor ≥ n) ≡ brute force → same oracle.
     "ann_quantized_refine" -> BruteTopKSql,
     // Exhaustive IVF (nprobe = nlist) ≡ brute force → same oracle.

@@ -33,6 +33,55 @@ object TextPack extends QueryPack {
   private def pinnedMergesSql: String =
     PinnedMerges.map { case (a, b) => s"'$a\u0001$b'" }.mkString("[", ",", "]")
 
+  /** DuckDB replay of [[graft.text.Bpe.trainFromCorpus]]: the capped
+    * word-count cut, then `k` unrolled merge rounds — each counts every
+    * adjacent (overlapping) pair weighted by word count, picks the
+    * argmax with the (count desc, left, right) tie-break, and applies
+    * the merge per word in a recursive CTE as repeat-LEFTMOST single
+    * merges (after a merge at i, positions < i can never newly match —
+    * the merged token l||r never equals the single-token l or r — so
+    * the fixpoint equals the trainer's one-pass greedy scan). Word
+    * tokenization and char splitting mirror the t_bpe_tokens oracle.
+    */
+  private def bpeTrainOracleSql(k: Int, maxVocab: Int): String = {
+    val stages = (0 until k).map { j =>
+      s"""pairs_$j AS (
+         SELECT toks[i] AS l, toks[i+1] AS r, SUM(cnt) AS pc
+         FROM t$j CROSS JOIN pos WHERE i <= length(toks) - 1
+         GROUP BY 1, 2),
+       best_$j AS (SELECT l, r FROM pairs_$j ORDER BY pc DESC, l, r LIMIT 1),
+       m_$j AS (SELECT $j AS merge_rank, l, r FROM best_$j),
+       r_$j AS (
+         SELECT word, cnt, toks FROM t$j
+         UNION ALL
+         SELECT word, cnt,
+           list_concat(list_concat(toks[1:bi-1], [toks[bi] || toks[bi+1]]),
+                       toks[bi+2:]) AS toks
+         FROM (
+           SELECT word, cnt, toks,
+             list_min(list_filter(list_transform(range(1, length(toks)), i ->
+               CASE WHEN toks[i] = bl AND toks[i+1] = br THEN i END),
+               x -> x IS NOT NULL)) AS bi
+           FROM (SELECT word, cnt, toks, b.l AS bl, b.r AS br
+                 FROM r_$j CROSS JOIN best_$j b) q) s
+         WHERE bi IS NOT NULL),
+       t${j + 1} AS (SELECT word, cnt, arg_min(toks, length(toks)) AS toks
+                     FROM r_$j GROUP BY word, cnt)"""
+    }.mkString(",\n")
+    val union = (0 until k).map(j => s"SELECT * FROM m_$j")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+       pos AS (SELECT unnest(range(1, 64)) AS i),
+       w0 AS (SELECT unnest(list_filter(regexp_split_to_array(
+                trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+              FROM documents),
+       vc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w0
+              GROUP BY 1 ORDER BY cnt DESC, word LIMIT $maxVocab),
+       t0 AS (SELECT word, cnt, string_split(word, '') AS toks FROM vc),
+       $stages
+       SELECT merge_rank, l, r FROM ($union) ORDER BY merge_rank"""
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // URL canonicalization — the standard first dedup pass on a web
     // corpus. Raw URLs are derived deterministically from doc_id with the
@@ -564,10 +613,9 @@ object TextPack extends QueryPack {
     // ties, rescan after every merge) is replayed independently by the
     // DuckDB oracle as a recursive CTE — chained merges like
     // t+a→ta+b→tab+l→tabl+e exercise multi-level resolution. Corpus
-    // TRAINING (distributed word-count pass + driver merge loop) stays
-    // covered by BpeSpec's hand-computed goldens; training output feeds
-    // this same encoder, so the oracle checks the half that reaches
-    // query results.
+    // TRAINING is oracled separately (t_bpe_train re-learns the merges
+    // from scratch in SQL); the pinned table here keeps the ENCODER's
+    // oracle independent of the trainer's.
     "t_bpe_tokens" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val toks = graft.text.Bpe.tokens(col("text"), TextPack.PinnedMerges)
@@ -575,6 +623,31 @@ object TextPack extends QueryPack {
           size(toks).as("n_subwords"),
           element_at(toks, 1).as("first_subword"))
         .orderBy("doc_id")
+    }),
+
+    // BPE TRAINING (Sennrich et al. merge learning), previously covered
+    // only by hand-computed goldens: one distributed word-count pass +
+    // the deterministic driver-side merge loop (ties break on the
+    // lexicographically smallest pair, so the learned table is
+    // reproducible across runs and layouts). The oracle re-learns the
+    // same 8 merges from scratch in SQL — the capped vocab cut, every
+    // round's overlap-counted pair frequencies, the argmax with the
+    // tie-break, and the greedy left-to-right merge application
+    // (replayed as repeat-leftmost single merges in a recursive CTE,
+    // which converges to the same fixpoint) — so a drift in ANY of
+    // those conventions hash-fails. The tiny synthetic vocab (31 words)
+    // makes count ties pervasive, stressing exactly the tie-break
+    // contract; maxVocabWords=20 < 31 makes the deterministic cap cut
+    // load-bearing too.
+    "t_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val merges = graft.text.Bpe.trainFromCorpus(
+        table(s, dir, "documents"), "text",
+        numMerges = 8, maxVocabWords = 20)
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("merge_rank", "l", "r")
+        .orderBy("merge_rank")
     }),
 
     // Corpus vocabulary: top-100 tokens by frequency (TakeOrdered — no
@@ -827,6 +900,9 @@ object TextPack extends QueryPack {
          SELECT d.doc_id, CAST(COALESCE(a.n_subwords, 0) AS INT) AS n_subwords,
                 a.first_subword
          FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+    // the merge table re-LEARNED from scratch in SQL (see
+    // bpeTrainOracleSql) — same k and vocab cap as the gate query
+    "t_bpe_train" -> bpeTrainOracleSql(8, 20),
     "t_token_stats" ->
       """SELECT doc_id,
          CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0

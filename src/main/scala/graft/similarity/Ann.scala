@@ -379,6 +379,53 @@ object Ann {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the `k` most-similar corpus vectors whose `keyCol` DIFFERS
+    * from the anchor's — the nearest wrong-class/wrong-source examples,
+    * the negatives that carry gradient signal (self-pairs share a key,
+    * so they are excluded for free). Ties break on neighbor id; output
+    * one row per (anchor, rank) with both keys and the rounded cosine.
+    *
+    * 100 TB shape: anchors here are the WHOLE corpus, so unlike
+    * [[ivfTopK]] (whose probe side is query-sized and broadcasts)
+    * nothing is broadcast — both sides bucket by IVF cell and the join
+    * co-locates on `cell`, so the within-cell candidate product is
+    * bounded by cell occupancy (corpus²/nlist expected), never
+    * all-pairs; the rank window partitions by anchor. Exhaustive —
+    * provably the exact wrong-key top-k — at `nprobe = nlist`.
+    */
+  def hardNegativeTopK(vectors: DataFrame, index: IvfIndex, k: Int,
+                       nprobe: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       keyCol: String = "label"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"), col(keyCol).cast("string").as("key"))
+      .withColumn("nm", norm(col("v")))
+    val probes = base.as[(Long, Array[Double], String, Double)]
+      .flatMap { case (id, v, key, n) =>
+        index.nearestCentroids(v, nprobe).map(cell => (id, v, key, n, cell))
+      }.toDF("query_id", "qv", "qkey", "qn", "cell")
+    val cand = base.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("key").as("ckey"), col("nm").as("cn"))
+      .withColumn("cell", ivfCell(col("cv"), index))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(probes, Seq("cell"))
+      .filter(col("ckey") =!= col("qkey"))
+      .withColumn("cos",
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      // a pair can match through two probed cells — dedupe before ranking
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("qkey").as("anchor_key"), col("ckey").as("negative_key"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
     * threshold.
     *

@@ -100,6 +100,40 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.5, s"ivf recall=$recall") // nprobe=4 of 16 cells
   }
 
+  test("hard negatives: wrong key only, exact when exhaustive, celled recall") {
+    val emb = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val index = Ann.trainIvf(emb, nlist = 16)
+    val exhaustive = Ann.hardNegativeTopK(emb, index, k = 3, nprobe = 16)
+      .collect()
+    // every row crosses the key boundary (self excluded for free)
+    exhaustive.foreach { r =>
+      assert(r.getAs[String]("anchor_key") !== r.getAs[String]("negative_key"))
+      assert(r.getAs[Long]("query_id") !== r.getAs[Long]("neighbor_id"))
+    }
+    // exhaustive mining ≡ brute-force wrong-key top-k
+    val labels = emb.select(col("vec_id"), col("label").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = Ann.bruteForceTopK(
+        emb.withColumnRenamed("vec_id", "query_id"), emb, k = emb.count().toInt)
+      .collect()
+      .filter(r => labels(r.getLong(0)) != labels(r.getLong(2)))
+      .groupBy(_.getLong(0))
+      .toSeq
+      .flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r.getDouble(3), r.getLong(2))).take(3)
+          .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      }.toSet
+    val got = exhaustive.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got === brute)
+    // celled (nprobe < nlist): still wrong-key-only, recall stays useful
+    val celled = Ann.hardNegativeTopK(emb, index, k = 3, nprobe = 4)
+      .collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & celled).size.toDouble / brute.size
+    assert(recall > 0.5, s"celled hard-negative recall=$recall")
+  }
+
   test("int8 quantization: bounded error, cosine preserved, zero-safe") {
     val emb = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(50)
