@@ -68,6 +68,25 @@ object CmsSketch {
           s"(${other.depth},${other.width},${other.groupCols}) — merging or " +
           "probing across different hash shapes silently corrupts estimates")
 
+    /** The cell table, persisted on first probe. Estimation reads it
+      * once per sketch row (`depth` slice joins) plus the size
+      * measurement, and a lazily-built sketch would re-run its
+      * corpus-sized aggregation for EVERY one of those scans —
+      * persisting makes the build run exactly once however many probes
+      * follow (the table itself is sketch-sized: ≤ groups·d·w rows).
+      * Call [[release]] when done probing.
+      */
+    @transient private lazy val probeCells: DataFrame = {
+      val m = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      m
+    }
+
+    @transient private lazy val probeCellCount: Long = probeCells.count()
+
+    /** Drop the persisted cell table (no-op if never probed). */
+    def release(): Unit = { cells.unpersist(); () }
+
     /** Cell-wise merge with a sketch of the SAME shape — the per-shard
       * rollup. Union + sum keeps the bounded-cardinality shape: the agg
       * never exceeds groups×depth×width groups.
@@ -92,20 +111,20 @@ object CmsSketch {
       * and the probe side never shuffles; above it the hint is dropped
       * and the joins shuffle on (groupCols, bucket) — AQE still
       * upgrades them back to broadcast if the runtime size allows.
-      * The deciding count (and each slice join) replays a lazily-built
-      * sketch's aggregation; callers probing a grouped sketch built
-      * over a large corpus should persist or write out `cells` first.
+      * The deciding count and every slice join read [[probeCells]],
+      * so the sketch's corpus aggregation runs exactly once however
+      * many probes follow; [[release]] drops the persisted table.
       */
     def estimate(probes: DataFrame, valueCol: String,
                  maxBroadcastCells: Long = DefaultMaxBroadcastCells): DataFrame = {
       val useBroadcast =
         if (groupCols.isEmpty) depth.toLong * width <= maxBroadcastCells
-        else cells.count() <= maxBroadcastCells
+        else probeCellCount <= maxBroadcastCells
       val probed = (0 until depth).foldLeft(probes) { (d, i) =>
         d.withColumn(s"__b$i", bucket(col(valueCol), i, width))
       }
       val est = (0 until depth).foldLeft(probed) { (d, i) =>
-        val slice = cells.where(col("i") === i)
+        val slice = probeCells.where(col("i") === i)
           .select((groupCols.map(col) :+ col("bucket").as(s"__b$i") :+
             col("cnt").as(s"__c$i")): _*)
         d.join(if (useBroadcast) broadcast(slice) else slice,

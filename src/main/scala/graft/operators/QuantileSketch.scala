@@ -79,6 +79,26 @@ object QuantileSketch {
           s"${other.groupCols}) — merging or probing across different " +
           "shapes silently corrupts estimates")
 
+    /** The cell table, persisted on first probe. The quantile walk
+      * joins one slice per (level, sketch row) — levels·depth scans —
+      * and `rank` another `depth`, each of which would re-run a
+      * lazily-built sketch's corpus-sized aggregation (measured: the
+      * walk turned a seconds-long build into minutes at sf0.1 before
+      * this); persisting makes the build run exactly once (the table
+      * itself is sketch-sized: ≤ groups·levels·d·w rows). Call
+      * [[release]] when done probing.
+      */
+    @transient private lazy val probeCells: DataFrame = {
+      val m = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      m
+    }
+
+    @transient private lazy val probeCellCount: Long = probeCells.count()
+
+    /** Drop the persisted cell table (no-op if never probed). */
+    def release(): Unit = { cells.unpersist(); () }
+
     /** Cell-wise merge with a sketch of the SAME shape — the per-shard
       * rollup; the agg never exceeds groups×levels×depth×width groups.
       */
@@ -94,7 +114,7 @@ object QuantileSketch {
       * level 0 row 0, so the level-(0,0) cell sum is N.
       */
     def totals: DataFrame = {
-      val n = cells.where(col("lvl") === 0 && col("i") === 0)
+      val n = probeCells.where(col("lvl") === 0 && col("i") === 0)
       if (groupCols.isEmpty) n.agg(sum(col("cnt")).as("n"))
       else n.groupBy(groupCols.map(col): _*).agg(sum(col("cnt")).as("n"))
     }
@@ -115,7 +135,7 @@ object QuantileSketch {
       */
     def rank(probes: DataFrame, valueCol: String,
              maxBroadcastCells: Long = DefaultMaxBroadcastCells): DataFrame = {
-      val useBroadcast = cells.count() <= maxBroadcastCells
+      val useBroadcast = probeCellCount <= maxBroadcastCells
       val v = checkedValue(probes, valueCol, levels)
       val probeCols = probes.columns.map(col).toSeq
       // [0, v) = ⋃ over set bits l: dyadic interval (l, (v >> l) − 1).
@@ -137,7 +157,7 @@ object QuantileSketch {
                 col("lvl").cast("string"), lit(s":$i"))),
             lit(width.toLong)).cast("int"))
         }) { (d, i) =>
-        val slice = cells.where(col("i") === i)
+        val slice = probeCells.where(col("i") === i)
           .select(groupCols.map(col) :+ col("lvl") :+
             col("bucket").as(s"__b$i") :+ col("cnt").as(s"__c$i"): _*)
         d.join(if (useBroadcast) broadcast(slice) else slice,
@@ -158,17 +178,84 @@ object QuantileSketch {
       * Output: one row per (group, q): `(groupCols…, q, q_value)`;
       * empty groups yield no row.
       *
-      * The walk is `levels` bounded joins over a (groups × #quantiles)-
-      * row state frame against one level's cells each — sketch-sized
-      * work, never corpus-sized. State is localCheckpointed every few
-      * levels so the plan stays shallow for deep universes.
+      * The walk is sketch-sized work either way, in two regimes on the
+      * MEASURED cell count (same gate as [[rank]]):
+      *  - at or below `maxBroadcastCells`, the cells collect to the
+      *    driver ONCE (bounded by the cap, by construction) and the
+      *    walk runs driver-side over a hash map — zero joins, no
+      *    per-slice broadcast jobs (the distributed walk spent
+      *    levels·depth broadcast builds ≈ 10 s of pure scheduling on an
+      *    under-cap sketch before this); the result returns as a local
+      *    frame. The driver hash is [[Sampling.avalancheKeyLocal]],
+      *    spec-pinned identical to the column expression.
+      *  - above the cap, `levels` rounds of joins over a
+      *    (groups × #quantiles)-row state frame against one level's
+      *    cells each, unhinted (AQE upgrades what fits), state
+      *    localCheckpointed every few levels so the plan stays shallow.
+      * QuantileSketchSpec pins the two regimes row-identical.
       */
     def quantiles(qs: Seq[Double],
                   maxBroadcastCells: Long = DefaultMaxBroadcastCells): DataFrame = {
       require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
         s"quantiles must be in [0, 1]: $qs")
+      if (probeCellCount <= maxBroadcastCells) quantilesLocal(qs)
+      else quantilesDistributed(qs)
+    }
+
+    /** Under-cap walk: the collected cell map IS the index. */
+    private def quantilesLocal(qs: Seq[Double]): DataFrame = {
       val spark = cells.sparkSession
-      val useBroadcast = cells.count() <= maxBroadcastCells
+      val groupIdx = groupCols.indices
+      val collected = probeCells.collect()
+      def gkey(r: org.apache.spark.sql.Row): Seq[Any] =
+        groupIdx.map(i => r.getAs[Any](groupCols(i)))
+      val cellMap = collected.map { r =>
+        (gkey(r), r.getAs[Int]("lvl"), r.getAs[Int]("i"),
+          r.getAs[Int]("bucket")) -> r.getAs[Long]("cnt")
+      }.toMap
+      val ns = collected
+        .filter(r => r.getAs[Int]("lvl") == 0 && r.getAs[Int]("i") == 0)
+        .groupBy(gkey).map { case (g, rs) =>
+          g -> rs.map(_.getAs[Long]("cnt")).sum
+        }
+      val rows = for {
+        (g, n) <- ns.toSeq if n > 0
+        q <- qs.distinct.sorted
+      } yield {
+        // ceil(q·N) on the double product — the same quantile-index
+        // convention as the distributed ceil(col)·cast(long)
+        var t = math.max(math.ceil(q * n).toLong, 1L)
+        var p = 0L
+        for (l <- (levels - 1) to 0 by -1) {
+          val lc = (0 until depth).map { i =>
+            val b = (Sampling.avalancheKeyLocal(s"${p * 2}:$l:$i") %
+              width.toLong).toInt
+            cellMap.getOrElse((g, l, i, b), 0L)
+          }.min
+          if (t <= lc) p = p * 2
+          else { t = t - lc; p = p * 2 + 1 }
+        }
+        // Seq[Any], NOT Seq(q, p): Long weakly conforms to Double, so
+        // an untyped Seq would widen p to Double and poison the
+        // LongType slot
+        org.apache.spark.sql.Row.fromSeq(g ++ Seq[Any](q, p))
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        groupCols.map(c => cells.schema(c)) ++ Seq(
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("q_value",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }
+
+    /** Over-cap walk: `levels` rounds of unhinted joins over the
+      * (groups × #quantiles)-row state frame.
+      */
+    private def quantilesDistributed(qs: Seq[Double]): DataFrame = {
+      val spark = cells.sparkSession
       val qdf = spark.createDataFrame(
         qs.distinct.sorted.map(Tuple1(_))).toDF("q")
       // ceil(q·N) via integer arithmetic on the exactly-representable
@@ -186,11 +273,10 @@ object QuantileSketch {
             lit(width.toLong)).cast("int"))
         }
         val joined = (0 until depth).foldLeft(withB) { (d, i) =>
-          val slice = cells.where(col("lvl") === l && col("i") === i)
+          val slice = probeCells.where(col("lvl") === l && col("i") === i)
             .select(groupCols.map(col) :+ col("bucket").as(s"__b$i") :+
               col("cnt").as(s"__c$i"): _*)
-          d.join(if (useBroadcast) broadcast(slice) else slice,
-            groupCols :+ s"__b$i", "left")
+          d.join(slice, groupCols :+ s"__b$i", "left")
         }
         val leftCnt = least((0 until depth).map(i =>
           coalesce(col(s"__c$i"), lit(0L))): _*)

@@ -40,6 +40,19 @@ object Sampling {
   def avalancheKeySql(x: String): String =
     s"CAST('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15) AS BIGINT)"
 
+  /** Driver-side twin of [[avalancheKey]], byte-identical: first 15 hex
+    * chars of the md5 of the string, parsed base 16 (60 bits — always
+    * non-negative, so `% m` equals `pmod`). For probing sketch-sized
+    * structures on the driver; equality with the column expression is
+    * spec-pinned (OperatorsSpec).
+    */
+  def avalancheKeyLocal(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Mark `fraction` of rows per stratum as "training", the rest "test"
     * (ref: imputation_sampler.py:75-105 incl. the J8 left join + default).
     */

@@ -8,6 +8,18 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("avalancheKeyLocal is byte-identical to the column expression") {
+    val keys = Seq("", "0:0:0", "5:9:3", "1023:0:1", "hello world",
+      "é:2:0", "-7", "a" * 100)
+    val fromCol = keys.map(Tuple1(_)).toDF("k")
+      .select(col("k"), Sampling.avalancheKey(col("k")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(Sampling.avalancheKeyLocal(k) === fromCol(k), s"key=$k")
+      assert(Sampling.avalancheKeyLocal(k) >= 0L)
+    }
+  }
+
   test("stratified split: exact per-stratum fraction, deterministic") {
     val df = (1L to 1000L).map(i => (i, (i % 7).toString)).toDF("key", "stratum")
     val a = Sampling.stratifiedSplit(df, "stratum", 0.1, Seq("key"))

@@ -106,6 +106,18 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("walk regimes agree: driver-side under the cap, joined over it") {
+    val df = values.zipWithIndex
+      .map { case (v, i) => (s"g${i % 3}", v) }.toDF("g", "v")
+    val qs = Seq(0.1, 0.5, 0.9)
+    def ans(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val sk = QuantileSketch.sketch(df, "v", L, D, 256, groupCols = Seq("g"))
+    // maxBroadcastCells = 0 forces the distributed joined walk; the
+    // default takes the collected driver-side walk — identical rows
+    assert(ans(sk.quantiles(qs)) === ans(sk.quantiles(qs, maxBroadcastCells = 0)))
+  }
+
   test("result is invariant to partitioning") {
     val df = values.map(Tuple1(_)).toDF("v")
     def answers(d: org.apache.spark.sql.DataFrame) = {

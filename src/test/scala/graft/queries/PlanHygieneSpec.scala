@@ -294,17 +294,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(shuffles(df) <= 2)
   }
 
-  test("quantile walk joins sketch slices, sketch side broadcast under the cap") {
+  test("quantile walk under the cap is driver-side: a local result, no joins") {
     val df = graft.SparkEntry.queries("t_dq_quantile")(spark, sf)
     df.count()
     val s = df.queryExecution.executedPlan.toString
-    // the walk's state frame is (groups × #quantiles) rows; each level
-    // joins one sketch slice, broadcast under the measured-cell cap —
-    // no corpus-sized side ever reaches a join input
-    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
-      "under-cap sketch slices must broadcast into the walk")
-    assert(!s.contains("SortMergeJoin"),
-      "no sort-merge join should appear in the under-cap walk")
+    // the gate sketch is far under the broadcast cap, so the walk runs
+    // on the collected (sketch-sized) cells — the result plan is a
+    // local scan plus the output sort, with no join of any kind (the
+    // levels×depth per-slice broadcast-build jobs of the joined walk
+    // were pure scheduling overhead on an under-cap sketch); the
+    // over-cap joined regime is pinned row-identical in
+    // QuantileSketchSpec
+    assert(s.contains("LocalTableScan"),
+      s"under-cap walk should return a local frame:\n$s")
+    assert(!s.contains("Join"), s"no join should appear:\n$s")
   }
 
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
