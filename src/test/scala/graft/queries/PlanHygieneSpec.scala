@@ -286,12 +286,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(shuffles(df) <= 2)
   }
 
-  test("dyadic quantile sketch build is one map-side-combined aggregation") {
+  test("dyadic quantile sketch build: distinct pre-agg + cell agg + sort only") {
     val df = graft.SparkEntry.queries("t_dq_cells")(spark, sf)
-    // cell agg exchange + the output sort — the corpus explodes into
-    // levels×depth structs BEFORE the partial agg, so the shuffle
-    // carries ≤ levels·d·w cells per partition, never the corpus
-    assert(shuffles(df) <= 2)
+    // three exchanges, all bounded: the distinct-(group, value) pre-agg
+    // (≤ groups×2^levels per partition by construction — only these
+    // rows pay the levels×depth hash explode), the cell agg
+    // (≤ groups×levels×d×w), and the output sort. The corpus itself
+    // never shuffles and is hashed zero times per row
+    assert(shuffles(df) <= 3)
   }
 
   test("quantile walk under the cap is driver-side: a local result, no joins") {
