@@ -14,7 +14,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalPack, WindowPack, FunctionsPack, JoinPack,
     DedupPack, TextPack, SimilarityPack, MultimodalPack, KernelPack,
-    SourcePack)
+    SourcePack, GraphPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

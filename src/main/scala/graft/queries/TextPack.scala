@@ -503,6 +503,31 @@ object TextPack extends QueryPack {
         .orderBy("source", "q")
     }),
 
+    // HyperLogLog registers — the fixed-memory cardinality sketch
+    // completing the pair with KMV: per-event-type max-trailing-zero-
+    // rank registers over the shared avalanche hash, every register an
+    // exact integer the oracle replays bucket-for-bucket.
+    "t_hll_registers" -> ((s, dir) => {
+      graft.operators.HllSketch.sketch(
+          table(s, dir, "events"), "user_id", p = 6,
+          groupCols = Seq("event_type"))
+        .registers.orderBy("event_type", "bucket")
+    }),
+
+    // HLL cardinality estimates per group: the harmonic mass S is an
+    // exact BIGINT sum of powers of two (order-independent), est_raw
+    // one IEEE division — both bit-replayed; the linear-counting `est`
+    // carries the one transcendental (ln), rounded per convention.
+    "t_hll_card" -> ((s, dir) => {
+      graft.operators.HllSketch.sketch(
+          table(s, dir, "events"), "user_id", p = 6,
+          groupCols = Seq("event_type"))
+        .estimate()
+        .select(col("event_type"), col("n_buckets"), col("v_empty"),
+          col("s_mass"), col("est_raw"), round(col("est"), 4).as("est"))
+        .orderBy("event_type")
+    }),
+
     // Deterministic uniform k-per-group sampling (bottom-k of the
     // avalanche hash over the k-bounded heap — map-side truncation, so
     // a hot source never serializes into one task). The oracle replays
@@ -1023,6 +1048,27 @@ object TextPack extends QueryPack {
          FROM est JOIN exact ON est.event_type = exact.event_type
            AND est.user_id = exact.user_id
          ORDER BY est.event_type, est.user_id""",
+    // the HLL register table replayed bucket-for-bucket: same avalanche
+    // hash, same trailing-zero rank, same per-group max
+    "t_hll_registers" ->
+      s"""WITH regs AS (${graft.operators.HllSketch.registersSql(
+             """SELECT event_type, user_id AS v FROM events
+                WHERE user_id IS NOT NULL""",
+             p = 6, groupCols = Seq("event_type"))})
+         SELECT event_type, bucket, reg FROM regs
+         ORDER BY event_type, bucket""",
+    // estimates: exact-integer harmonic mass + one-division est_raw
+    // replayed bit-for-bit; the ln-corrected est rounded at 4
+    "t_hll_card" ->
+      s"""WITH regs AS (${graft.operators.HllSketch.registersSql(
+             """SELECT event_type, user_id AS v FROM events
+                WHERE user_id IS NOT NULL""",
+             p = 6, groupCols = Seq("event_type"))}),
+         e AS (${graft.operators.HllSketch.estimateSql(
+             p = 6, groupCols = Seq("event_type"))})
+         SELECT event_type, n_buckets, v_empty, s_mass, est_raw,
+           ROUND(est, 4) AS est
+         FROM e ORDER BY event_type""",
     // the whole dyadic-level × d × w sketch replayed cell-for-cell:
     // level l counts the prefix v >> l under the same salted md5
     // buckets — exact BIGINTs, zero float surface
