@@ -528,6 +528,19 @@ object TextPack extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Mergeable moments summary: exact integer power sums per group
+    // (order-independent by construction) and the derived mean/var/
+    // skew/kurt from one pinned +−×÷/sqrt expression tree — every
+    // float bit-replayed, no pow, no transcendentals.
+    "t_moments_by_group" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      graft.operators.Moments
+        .summarize(ev, "v", groupCols = Seq("event_type"))
+        .derived()
+        .orderBy("event_type")
+    }),
+
     // Deterministic uniform k-per-group sampling (bottom-k of the
     // avalanche hash over the k-bounded heap — map-side truncation, so
     // a hot source never serializes into one task). The oracle replays
@@ -1057,6 +1070,15 @@ object TextPack extends QueryPack {
              p = 6, groupCols = Seq("event_type"))})
          SELECT event_type, bucket, reg FROM regs
          ORDER BY event_type, bucket""",
+    // power sums replayed as exact BIGINTs; derived floats from the
+    // identical expression tree (IEEE ops only — bit parity)
+    "t_moments_by_group" ->
+      s"""WITH sums AS (${graft.operators.Moments.sumsSql(
+             """SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL""",
+             groupCols = Seq("event_type"))})
+         ${graft.operators.Moments.derivedSql(Seq("event_type"))}
+         ORDER BY event_type""",
     // estimates: exact-integer harmonic mass + one-division est_raw
     // replayed bit-for-bit; the ln-corrected est rounded at 4
     "t_hll_card" ->

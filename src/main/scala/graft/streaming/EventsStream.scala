@@ -361,6 +361,95 @@ object EventsStream {
       }
   }
 
+  // ----------------------------------------------- mergeable HLL registers
+
+  final case class HllUpdate(key: String, regs: Array[Int])
+
+  /** Streaming twin of [[graft.operators.HllSketch]]: per-key dense
+    * `m = 2^p` register array carried across batches with
+    * `mapGroupsWithState`. Register-wise MAX is the HLL merge —
+    * idempotent as well as associative, so re-delivered rows cannot
+    * move the state (the strongest re-delivery posture of any sketch
+    * here) — and after any number of batches the state equals the
+    * batch registers of everything ever seen: running cardinality per
+    * key from O(2^p) ints of state. `regs(b)` is bucket b under the
+    * same avalanche-hash trailing-zero rank as the batch operator;
+    * absent values hold 0 (an empty register).
+    */
+  def hllSketchStream(events: DataFrame, keyCol: String, valueCol: String,
+                      p: Int): Dataset[HllUpdate] = {
+    require(p >= 4 && p <= 16, s"precision out of range: $p")
+    val m = 1 << p
+    val capRho = 61 - p
+    val spark = events.sparkSession
+    import spark.implicits._
+    val h = graft.operators.Sampling.avalancheKey(col(valueCol).cast("string"))
+    val w = expr(s"__h div $m")
+    events
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__h", h)
+      .select(col(keyCol).cast("string").as[String],
+        pmod(col("__h"), lit(m.toLong)).cast("int").as[Int],
+        when(w === 0L, lit(capRho))
+          .otherwise(bit_count(w.bitwiseAND(-w) - 1) + lit(1))
+          .cast("int").as[Int])
+      .as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Int], HllUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int, Int)],
+         state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(new Array[Int](m))
+          rows.foreach { case (_, b, rho) =>
+            if (rho > regs(b)) regs(b) = rho
+          }
+          state.update(regs)
+          // defensive copy — the live state array must not escape
+          HllUpdate(key, regs.clone())
+      }
+  }
+
+  // ------------------------------------------------ mergeable moment sums
+
+  final case class MomentsUpdate(key: String, n: Long, s1: Long, s2: Long,
+                                 s3: Long, s4: Long)
+
+  /** Streaming twin of [[graft.operators.Moments]]: per-key exact power
+    * sums carried across batches — five longs of state, merged by plain
+    * addition, so the running state equals the batch summary of
+    * everything ever seen and feeds the same derived mean/var/skew/kurt
+    * formulas. Values are cast to long (the quantized-grid convention);
+    * overflow of the fourth-power sum throws rather than wrapping.
+    */
+  def momentsStream(events: DataFrame, keyCol: String,
+                    valueCol: String): Dataset[MomentsUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as[String],
+        col(valueCol).cast("long").as[Long])
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[MomentsUpdate, MomentsUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[MomentsUpdate]) =>
+          var acc = state.getOption.getOrElse(
+            MomentsUpdate(key, 0L, 0L, 0L, 0L, 0L))
+          rows.foreach { case (_, v) =>
+            val v2 = java.lang.Math.multiplyExact(v, v)
+            val v3 = java.lang.Math.multiplyExact(v2, v)
+            val v4 = java.lang.Math.multiplyExact(v3, v)
+            acc = MomentsUpdate(key, acc.n + 1L,
+              java.lang.Math.addExact(acc.s1, v),
+              java.lang.Math.addExact(acc.s2, v2),
+              java.lang.Math.addExact(acc.s3, v3),
+              java.lang.Math.addExact(acc.s4, v4))
+          }
+          state.update(acc)
+          acc
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

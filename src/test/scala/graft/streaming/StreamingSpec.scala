@@ -393,4 +393,75 @@ class StreamingSpec extends AnyFunSuite {
     // the dominant item specifically: 120 > 260/5 = 52 — must survive
     assert(fin("hot")._1.contains("dom"))
   }
+
+  test("streaming HLL registers: re-delivery is a no-op, state equals batch") {
+    val p = 6
+    val m = 1 << p
+    val dir = stageEventsDir()
+    val stream = EventsStream.hllSketchStream(
+      EventsStream.readEvents(spark, dir), "event_type", "user_id", p).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("hll_stream").start()
+    try {
+      q.processAllAvailable()
+      // re-delivery: register-wise max is IDEMPOTENT — unlike the
+      // additive sketches, the doubled corpus must not move a register
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hll_stream").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rows) =>
+        // registers only grow; elementwise max folds the updates
+        key -> rows.map(_.getSeq[Int](1)).reduce(
+          (a, b) => a.zip(b).map(t => math.max(t._1, t._2))).toSeq
+      }
+    val batch = graft.operators.HllSketch.sketch(
+        graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events"),
+        "user_id", p, groupCols = Seq("event_type"))
+      .registers.collect()
+      .groupBy(_.getString(0))
+      .map { case (key, rows) =>
+        val dense = new Array[Int](m)
+        rows.foreach(r => dense(r.getLong(1).toInt) = r.getInt(2))
+        key -> dense.toSeq
+      }
+    assert(got.nonEmpty && got === batch)
+  }
+
+  test("streaming moments: re-delivered batch doubles the sums exactly") {
+    val dir = stageEventsDir()
+    val in = EventsStream.readEvents(spark, dir)
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+    val stream = EventsStream.momentsStream(in, "event_type", "v").toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("mom_stream").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per key: sums only grow — take the max-n update
+    val got = spark.table("mom_stream").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rows) =>
+        val last = rows.maxBy(_.getAs[Long]("n"))
+        key -> (last.getAs[Long]("n"), last.getAs[Long]("s1"),
+          last.getAs[Long]("s2"), last.getAs[Long]("s3"),
+          last.getAs[Long]("s4"))
+      }
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+    val batch = graft.operators.Moments
+      .summarize(ev.union(ev), "v", Seq("event_type"))
+      .sums.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.nonEmpty && got === batch)
+  }
 }
