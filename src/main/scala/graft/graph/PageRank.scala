@@ -109,30 +109,29 @@ object PageRank {
 
     val tele = ((dampDen - dampNum) * n * scale) / (dampDen * sN)
 
-    var ranks = info.select(col("node"), lit(scale).as("rank"))
-      .localCheckpoint(true)
+    // state carries (out_deg, is_seed) alongside the rank so no
+    // iteration re-joins the node-info table — one join (the edge
+    // contribution) and one bounded agg per step
+    var state = info.withColumn("rank", lit(scale)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val withInfo = ranks.join(info.select("node", "out_deg", "is_seed"), Seq("node"))
-      val dang = withInfo.where(col("out_deg") === 0)
+      val dang = state.where(col("out_deg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__d"))
-      val inc = withInfo.where(col("out_deg") > 0)
+      val inc = state.where(col("out_deg") > 0)
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node"),
           expr("rank div out_deg").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__inc"))
-      ranks = info.select("node", "is_seed")
+      state = state.select("node", "out_deg", "is_seed")
         .join(inc, Seq("node"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
+        .select(col("node"), col("out_deg"), col("is_seed"),
           (when(col("is_seed"), lit(tele)).otherwise(lit(0L)) +
             expr(s"($dampNum * (coalesce(__inc, 0L) + " +
               s"(CASE WHEN is_seed THEN __d div $sN ELSE 0L END))) div $dampDen"))
             .as("rank"))
         .localCheckpoint(true)
     }
-    val out = ranks.join(info.select("node", "out_deg"), Seq("node"))
-      .select("node", "rank", "out_deg")
-      .localCheckpoint(true)
+    val out = state.select("node", "rank", "out_deg").localCheckpoint(true)
     e.unpersist()
     info.unpersist()
     out

@@ -312,6 +312,35 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!s.contains("Join"), s"no join should appear:\n$s")
   }
 
+  test("HLL register build is one map-side-combined aggregation") {
+    val df = graft.SparkEntry.queries("t_hll_registers")(spark, sf)
+    // register max-agg exchange + the output sort; each partition emits
+    // at most groups×2^p register rows however large the corpus
+    assert(shuffles(df) <= 2)
+  }
+
+  test("moments summary is one map-side-combined aggregation, no window") {
+    val df = graft.SparkEntry.queries("t_moments_by_group")(spark, sf)
+    df.count()
+    assert(shuffles(df) <= 2) // sum agg + output sort
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Window"), s"no window should appear:\n$s")
+  }
+
+  test("pagerank iteration plan stays one step deep (localCheckpoint truncation)") {
+    // 8 iterations on the gate graph: if the loop accreted lineage, the
+    // final plan would chain 8 iterations of joins/aggs; per-iteration
+    // checkpointing means the output frame reads the materialized state
+    // RDD with at most one iteration's operators above it
+    val df = graft.SparkEntry.queries("g_pagerank")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("Scan ExistingRDD"),
+      s"final frame should read the checkpointed state:\n$s")
+    val joins = "(?i)join".r.findAllIn(s).size
+    assert(joins <= 3, s"plan should be one iteration deep, found $joins joins:\n$s")
+  }
+
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
     val docs = graft.core.Tables.table(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id").as("x"),
