@@ -112,6 +112,52 @@ class GraphSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("headroom"))
   }
 
+  test("convergence stop: a vertex-transitive cycle stops after one step") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    // on a cycle every iteration maps scale -> scale: the L1 delta is 0
+    // after step 1, so tolPpb stops the loop; the result must equal the
+    // full fixed-iteration run (the fixed point was already reached)
+    val converged = PageRank.ranks(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 50, scale = Scale, tolPpb = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(converged === simulate(edges, 50, Scale))
+  }
+
+  test("weighted ranks split contributions by weight; match a local simulation") {
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val got = PageRank.weightedRanks(
+        edges.toDF("src", "dst", "w").repartition(3), "src", "dst", "w",
+        iterations = 12, scale = Scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent local replay of the weighted recurrence
+    val outw = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val tele = (15L * n * Scale) / (100L * n)
+    var r = nodes.map(_ -> Scale).toMap
+    for (_ <- 1 to 12) {
+      val inc = edges.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _, w) => (r(u) * w) / outw(u) }.sum
+      }
+      r = nodes.map(v => v -> (tele + (85L * inc.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    assert(got === r)
+    // node 2 receives 3/4 of node 1's mass, node 3 only 1/4
+    assert(got(2L) > got(3L))
+  }
+
+  test("weighted ranks reject non-positive weights loudly") {
+    val ex = intercept[Exception] {
+      PageRank.weightedRanks(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), "src", "dst", "w",
+        iterations = 2, scale = Scale)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("positive integer weights")),
+      ex.toString)
+  }
+
   test("oracleSql replays the Spark ranks over an in-memory DuckDB-free check") {
     // not a DuckDB run (driver-side only) — but the generated SQL must at
     // least reference every parameter it was built from
