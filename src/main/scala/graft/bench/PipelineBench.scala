@@ -215,6 +215,7 @@ object PipelineBench {
       val quarter = rangeDataset(spark, "2023-01-01", 92, cols = 2)
         .join(broadcast(grid), Seq("grid_id"))
       val denseDf = denseInput(spark)
+      val graphEdgesDf = graphEdges(spark)
       e2eInputs(spark, s"$outRoot/e2e_in")
       // Q1 2023 inputs for the linearity pin: 90 days through the same
       // composed pipeline (setup, untimed)
@@ -300,7 +301,14 @@ object PipelineBench {
             .interpolate(denseDf, "date", "x", "y", Seq("v")).count()),
         TimedStage("k1_dense_300k_tiled", 2, false)(() =>
           TiledInterpolator.interpolate(denseDf, "date", "x", "y", Seq("v"),
-            gx = 8, gy = 4, halo = 60.0).count()))
+            gx = 8, gy = 4, halo = 60.0).count()),
+        // iterative graph analytics at realistic edge scale: 8 integer
+        // power iterations over 1M skewed edges / 200k nodes (the gate's
+        // co-purchase graph is only 16k edges — this prices the
+        // per-iteration join+agg+checkpoint loop itself)
+        TimedStage("graph_pagerank_1M_edges", 2, cpuCompanion = true)(() =>
+          graft.graph.PageRank.ranks(graphEdgesDf, "src", "dst",
+            iterations = 8).count()))
 
       // round-robin sweep: stage order inside a sweep preserves the
       // combine → impute/feature-gen read dependency
@@ -393,6 +401,22 @@ object PipelineBench {
     * quantifies the straggler-elimination headroom the tiled path buys
     * before 100-TB grid densities need it.
     */
+  /** Synthetic skewed link graph for the PageRank stage: 1M edges over
+    * 200k nodes, 10% of edges aimed at 100 hub nodes (the web-graph
+    * in-degree skew that stresses the contribution aggregation), the
+    * rest spread by a Knuth-multiplicative mix. localCheckpointed so
+    * the stage times the algorithm, not the generator.
+    */
+  def graphEdges(spark: SparkSession): DataFrame = {
+    val nNodes = 200000L
+    val nEdges = 1000000L
+    spark.range(nEdges).select(
+        (col("id") % nNodes).as("src"),
+        when(col("id") % 10 === 0, col("id") % 100)
+          .otherwise((col("id") * 2654435761L) % nNodes).as("dst"))
+      .localCheckpoint()
+  }
+
   def denseInput(spark: SparkSession): DataFrame = {
     val nPts = 300000L
     val days = 2

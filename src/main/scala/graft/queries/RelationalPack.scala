@@ -364,6 +364,22 @@ object RelationalPack extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Median/MAD robust z-scores per group (50% breakdown point — the
+    // outliers can't drag the yardstick): two percentile aggs broadcast
+    // back, score map-side; quantized values keep the interpolation
+    // dyadic-exact. Zero-MAD groups yield NULL, identically both sides.
+    "a_robust_z" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value")).cast("long").as("v"))
+      graft.operators.RobustScore.robustZ(ev, Seq("event_type"), "v")
+        .select(col("event_id"), col("event_type"), col("v"),
+          round(col("v_med"), 4).as("v_med"),
+          round(col("v_mad"), 4).as("v_mad"),
+          round(col("v_rz"), 4).as("v_rz"))
+        .orderBy("event_id")
+    }),
+
     // Global percent-rank as a corpus feature, assembled from
     // range-partitioned local ranks + exact offsets (no single-partition
     // window over the corpus); the division is one IEEE op over exact
@@ -589,6 +605,28 @@ object RelationalPack extends QueryPack {
                        b.phi), 4) + 0.0 AS price_w
          FROM lineitem l JOIN b USING (l_returnflag)
          ORDER BY l_orderkey, l_linenumber""",
+    // median/MAD replayed: same two QUANTILE_CONT passes, same pinned
+    // (v - med) / (1.4826 * mad) tree, same NULL guard
+    "a_robust_z" ->
+      """WITH ev AS (
+           SELECT event_id, event_type, CAST(FLOOR(value) AS BIGINT) AS v
+           FROM events),
+         med AS (
+           SELECT event_type,
+             QUANTILE_CONT(CAST(v AS DOUBLE), 0.5) AS v_med
+           FROM ev GROUP BY 1),
+         mad AS (
+           SELECT e.event_type,
+             QUANTILE_CONT(ABS(CAST(e.v AS DOUBLE) - m.v_med), 0.5) AS v_mad
+           FROM ev e JOIN med m USING (event_type) GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.v,
+           ROUND(m.v_med, 4) + 0.0 AS v_med,
+           ROUND(d.v_mad, 4) + 0.0 AS v_mad,
+           CASE WHEN e.v IS NOT NULL AND d.v_mad > 0
+                THEN ROUND((CAST(e.v AS DOUBLE) - m.v_med)
+                           / (1.4826 * d.v_mad), 4) + 0.0 END AS v_rz
+         FROM ev e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+         ORDER BY e.event_id""",
     // the approx path faces the EXACT oracle: on quantized scores the
     // sketch boundary must coincide with QUANTILE_CONT's
     "a_winsorize_approx" ->
