@@ -178,7 +178,9 @@ object PipelineBench {
     "pm25_feature_gen_year" -> 1797.0,
     "pm25_month_e2e" -> 537.0,
     "pm25_quarter_e2e" -> 897.0,
-    "pm25_spatial_impute_quarter" -> 166.0)
+    "pm25_spatial_impute_quarter" -> 166.0,
+    // first published by the round-10 local sweep (same command/box)
+    "graph_pagerank_1M_edges" -> 47.0)
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
     * over their repeats. Contention noise on a shared sandbox is

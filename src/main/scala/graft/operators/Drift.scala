@@ -56,4 +56,50 @@ object Drift {
     val pc = greatest(col("p_cur"), lit(eps))
     p.withColumn("contrib", (pc - pr) * log(pc / pr))
   }
+
+  /** Kolmogorov–Smirnov drift table — the binning-free complement of
+    * [[psi]] (PSI answers "how much mass moved between my buckets"; KS
+    * answers "what is the largest CDF gap anywhere", catching shifts a
+    * coarse grid averages away). Values are compared on their OWN
+    * support (the distinct values of both frames), so there is no grid
+    * parameter to mis-set; quantize heavy-tailed floats first, the
+    * house convention, which also makes every output exact: counts are
+    * integers, CDFs are single IEEE divisions over exact integer prefix
+    * sums, the gap one subtraction — bit-replayable in SQL.
+    *
+    * Output: one row per distinct value — `(v, cdf_ref, cdf_cur, gap)`
+    * with `gap = |cdf_ref − cdf_cur|`; `MAX(gap)` is the KS statistic
+    * (take it with one more bounded agg, or `.agg(max("gap"))`).
+    *
+    * 100 TB shape: each side collapses to (value, count) in one
+    * map-side-combined agg — bounded by the quantized domain however
+    * large the corpus — and the prefix sums run over that bounded
+    * domain in a single-ordered window WHOSE INPUT IS DOMAIN-SIZED,
+    * never corpus-sized (the [[graft.operators.Sampling
+    * .globalPercentRank]] decomposition exists for when a window's
+    * input is not bounded; here it is, by quantization).
+    */
+  def ksTable(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as(name))
+    val joined = counts(ref, "__nr").join(counts(cur, "__nc"), Seq("v"), "full")
+      .na.fill(0L, Seq("__nr", "__nc"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = joined.agg(sum(col("__nr")).as("__tr"), sum(col("__nc")).as("__tc"))
+    joined
+      .withColumn("__cr", sum(col("__nr")).over(w))
+      .withColumn("__cc", sum(col("__nc")).over(w))
+      .crossJoin(broadcast(tot))
+      // an empty side has no CDF: null (guarded — ANSI aborts on /0)
+      .select(col("v"),
+        when(col("__tr") > 0,
+          col("__cr").cast("double") / col("__tr").cast("double")).as("cdf_ref"),
+        when(col("__tc") > 0,
+          col("__cc").cast("double") / col("__tc").cast("double")).as("cdf_cur"))
+      .withColumn("gap", abs(col("cdf_ref") - col("cdf_cur")))
+  }
 }

@@ -364,6 +364,19 @@ object RelationalPack extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Kolmogorov–Smirnov drift: the largest CDF gap anywhere between
+    // purchase and non-purchase value distributions — binning-free
+    // (PSI's complement); every CDF one IEEE division over exact
+    // integer prefix sums, the gap a subtraction — all bit-replayed.
+    "a_ks_drift" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      graft.operators.Drift.ksTable(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") =!= "purchase"), "v")
+        .orderBy("v")
+    }),
+
     // Median/MAD robust z-scores per group (50% breakdown point — the
     // outliers can't drag the yardstick): two percentile aggs broadcast
     // back, score map-side; quantized values keep the interpolation
@@ -605,6 +618,30 @@ object RelationalPack extends QueryPack {
                        b.phi), 4) + 0.0 AS price_w
          FROM lineitem l JOIN b USING (l_returnflag)
          ORDER BY l_orderkey, l_linenumber""",
+    // prefix-sum CDFs over the joint support, exact integer counts,
+    // one division each — the KS table replayed bit-for-bit
+    "a_ks_drift" ->
+      """WITH r AS (SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
+                    WHERE event_type = 'purchase' AND value IS NOT NULL),
+         c AS (SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events
+               WHERE event_type <> 'purchase' AND value IS NOT NULL),
+         rc AS (SELECT v, COUNT(*) AS nr FROM r GROUP BY v),
+         cc AS (SELECT v, COUNT(*) AS nc FROM c GROUP BY v),
+         j AS (SELECT COALESCE(rc.v, cc.v) AS v,
+                 COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+               FROM rc FULL JOIN cc ON rc.v = cc.v),
+         p AS (SELECT v,
+                 SUM(nr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cr,
+                 SUM(nc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cu,
+                 (SELECT SUM(nr) FROM j) AS tr,
+                 (SELECT SUM(nc) FROM j) AS tc
+               FROM j)
+         SELECT v,
+           CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE) AS cdf_ref,
+           CAST(cu AS DOUBLE) / CAST(tc AS DOUBLE) AS cdf_cur,
+           ABS(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE)
+               - CAST(cu AS DOUBLE) / CAST(tc AS DOUBLE)) AS gap
+         FROM p ORDER BY v""",
     // median/MAD replayed: same two QUANTILE_CONT passes, same pinned
     // (v - med) / (1.4826 * mad) tree, same NULL guard
     "a_robust_z" ->

@@ -36,4 +36,39 @@ class DriftSpec extends AnyFunSuite {
     assert(rows.forall(r => !r.getAs[Double]("contrib").isNaN &&
       !r.getAs[Double]("contrib").isInfinite))
   }
+
+  test("KS gap matches a hand computation and is 0 on identical frames") {
+    import spark.implicits._
+    // ref: 1,1,2,3 — cur: 1,3,3,3  →  CDFs at v=1: .5 vs .25 (gap .25),
+    // v=2: .75 vs .25 (gap .5), v=3: 1 vs 1 (gap 0) → KS = 0.5
+    val ref = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val cur = Seq(1L, 3L, 3L, 3L).toDF("v")
+    val rows = Drift.ksTable(ref, cur, "v").orderBy("v").collect()
+    assert(rows.map(_.getAs[Double]("gap")).toSeq === Seq(0.25, 0.5, 0.0))
+    val ks = Drift.ksTable(ref, cur, "v").agg(max(col("gap"))).head().getDouble(0)
+    assert(ks === 0.5)
+    val same = Drift.ksTable(ref, ref, "v")
+      .agg(max(col("gap"))).head().getDouble(0)
+    assert(same === 0.0)
+  }
+
+  test("KS: a value present on one side only still carries both CDFs") {
+    import spark.implicits._
+    val ref = Seq(1L, 2L).toDF("v")
+    val cur = Seq(3L).toDF("v")
+    val byV = Drift.ksTable(ref, cur, "v").collect()
+      .map(r => r.getAs[Long]("v") ->
+        (r.getAs[Double]("cdf_ref"), r.getAs[Double]("cdf_cur"))).toMap
+    assert(byV(2L) === ((1.0, 0.0))) // all of ref seen, none of cur
+    assert(byV(3L) === ((1.0, 1.0)))
+  }
+
+  test("KS: an empty side yields null CDFs, not an ANSI divide error") {
+    import spark.implicits._
+    val ref = Seq(1L).toDF("v")
+    val cur = ref.where(col("v") < 0)
+    val row = Drift.ksTable(ref, cur, "v").head()
+    assert(row.isNullAt(row.fieldIndex("cdf_cur")))
+    assert(row.getAs[Double]("cdf_ref") === 1.0)
+  }
 }
