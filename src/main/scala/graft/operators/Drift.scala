@@ -83,7 +83,7 @@ object Drift {
     import org.apache.spark.sql.expressions.Window
     def counts(df: DataFrame, name: String): DataFrame =
       df.filter(col(valueCol).isNotNull)
-        .select(col(valueCol).cast("long").as("v"))
+        .select(Quantized.checkedLong(col(valueCol), "Drift.ksTable").as("v"))
         .groupBy("v").agg(count(lit(1)).as(name))
     val joined = counts(ref, "__nr").join(counts(cur, "__nc"), Seq("v"), "full")
       .na.fill(0L, Seq("__nr", "__nc"))

@@ -85,12 +85,13 @@ object Moments {
     }
   }
 
-  /** Build the per-group power sums of `valueCol` (cast to long —
-    * quantize floats to a grid first). Nulls are excluded.
+  /** Build the per-group power sums of `valueCol`. Values must be
+    * integral — fractional input aborts in-plan ([[Quantized]]);
+    * quantize floats to a grid first. Nulls are excluded.
     */
   def summarize(df: DataFrame, valueCol: String,
                 groupCols: Seq[String] = Nil): Mom = {
-    val v = col(valueCol).cast("long")
+    val v = Quantized.checkedLong(col(valueCol), "Moments.summarize")
     val rows = df.filter(col(valueCol).isNotNull)
     val aggs = Seq(count(lit(1)).as("n"), sum(v).as("s1"),
       sum(v * v).as("s2"), sum(v * v * v).as("s3"),

@@ -427,7 +427,8 @@ object EventsStream {
     events
       .filter(col(valueCol).isNotNull)
       .select(col(keyCol).cast("string").as[String],
-        col(valueCol).cast("long").as[Long])
+        graft.operators.Quantized
+          .checkedLong(col(valueCol), "momentsStream").as[Long])
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[MomentsUpdate, MomentsUpdate](GroupStateTimeout.NoTimeout) {

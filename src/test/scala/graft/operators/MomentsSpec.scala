@@ -58,6 +58,16 @@ class MomentsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("moments group mismatch"))
   }
 
+  test("fractional input aborts loudly instead of silently truncating") {
+    val ex = intercept[Exception] {
+      Moments.summarize(Seq(1.0, 2.5).map(Tuple1(_)).toDF("v"), "v")
+        .sums.collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("integral values")), ex.toString)
+  }
+
   test("constant group: zero variance, null skew/kurt (guarded, not NaN)") {
     val row = Moments.summarize(Seq(5L, 5L, 5L).map(Tuple1(_)).toDF("v"), "v")
       .derived().head()
