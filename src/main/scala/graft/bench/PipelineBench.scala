@@ -404,10 +404,13 @@ object PipelineBench {
     * before 100-TB grid densities need it.
     */
   /** Synthetic skewed link graph for the PageRank stage: 1M edges over
-    * 200k nodes, 10% of edges aimed at 100 hub nodes (the web-graph
-    * in-degree skew that stresses the contribution aggregation), the
-    * rest spread by a Knuth-multiplicative mix. localCheckpointed so
-    * the stage times the algorithm, not the generator.
+    * 200k nodes, 10% of edges aimed at 10 hub nodes (`id % 10 == 0`
+    * rows land on `id % 100` ∈ {0,10,…,90} — ~10k in-edges per hub,
+    * the extreme in-degree skew that stresses the contribution
+    * aggregation), the rest spread by a Knuth-multiplicative mix.
+    * localCheckpointed so the stage times the algorithm, not the
+    * generator. The 47.0 quiet-CPU reference was measured under
+    * EXACTLY this shape — changing the generator invalidates it.
     */
   def graphEdges(spark: SparkSession): DataFrame = {
     val nNodes = 200000L

@@ -115,6 +115,12 @@ object PageRank {
     require(BigInt(n) * scale * 2 * dampNum <= Long.MaxValue,
       s"n·scale·2·dampNum exceeds 64-bit fixed-point headroom: " +
         s"n=$n scale=$scale dampNum=$dampNum — lower scale")
+    // the teleport numerator (dampDen−dampNum)·n·scale has its own
+    // 64-bit bound — at small dampNum it exceeds the rank-update guard
+    // above (driver-side Scala Longs wrap SILENTLY, no ANSI here)
+    require(BigInt(dampDen - dampNum) * n * scale <= Long.MaxValue,
+      s"teleport numerator (dampDen−dampNum)·n·scale overflows 64 bits: " +
+        s"n=$n scale=$scale damp=$dampNum/$dampDen — lower scale")
 
     val tele = ((dampDen - dampNum) * n * scale) / (dampDen * sN)
 
@@ -161,7 +167,9 @@ object PageRank {
     * integer edge weight — `contrib(u→v) = (r(u)·w(u,v)) div W(u)` with
     * `W(u)` the node's total out-weight — the multiplicity-aware form
     * (shared-order counts, link frequencies). Duplicate (src, dst) rows
-    * SUM their weights; weights must be positive (fail loudly).
+    * SUM their weights; weights must be positive INTEGERS — fractional
+    * or non-positive weights abort in-plan, a NULL weight drops the
+    * edge exactly like a NULL endpoint.
     * Everything else (teleport, dangling, truncation, determinism, the
     * 64-bit headroom guard — which here also bounds `r·maxW`) matches
     * [[ranks]]; [[weightedOracleSql]] replays it.
@@ -181,7 +189,11 @@ object PageRank {
       s"damping must satisfy 0 < num < den: $dampNum/$dampDen")
     require(scale >= 1000L, s"scale too small for integer ranks: $scale")
 
-    val w0 = col(weightCol).cast("long")
+    // integral check first (fractional weights abort, never truncate —
+    // the Quantized contract), then positivity; a NULL weight drops the
+    // edge like a NULL endpoint does
+    val w0 = graft.operators.Quantized.checkedLong(
+      col(weightCol), "weighted PageRank")
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
@@ -221,6 +233,9 @@ object PageRank {
         BigInt(n) * scale * 2 * maxW <= Long.MaxValue,
       s"n·scale·2·max(dampNum=$dampNum, maxW=$maxW) exceeds 64-bit " +
         s"fixed-point headroom: n=$n scale=$scale — lower scale")
+    require(BigInt(dampDen - dampNum) * n * scale <= Long.MaxValue,
+      s"teleport numerator (dampDen−dampNum)·n·scale overflows 64 bits: " +
+        s"n=$n scale=$scale damp=$dampNum/$dampDen — lower scale")
 
     val tele = ((dampDen - dampNum) * n * scale) / (dampDen * sN)
 

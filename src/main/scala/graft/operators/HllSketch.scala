@@ -81,16 +81,24 @@ object HllSketch {
       * `s_mass` is the exact harmonic mass Σ 2^(R−reg) (BIGINT),
       * `est_raw` the raw HLL estimate α_m·m²·2^R / s_mass, and `est`
       * applies the standard small-range correction (linear counting
-      * `m·ln(m/V)` when V > 0 and est_raw ≤ 2.5m).
+      * `m·ln(m/V)` when V > 0 and est_raw ≤ 2.5m). α_m uses the
+      * asymptotic `0.7213/(1 + 1.079/m)` at every precision — at p ≤ 6
+      * the tabulated constants (0.673/0.697/0.709) differ from it by
+      * < 2%, inside the 1.04/√m standard error the spec envelope pins;
+      * one formula keeps the oracle replay a single expression.
       */
     def estimate(): DataFrame = {
       val term = expr(s"shiftleft(CAST(1 AS BIGINT), $capRho - reg)")
+      // coalesce: an EMPTY register table (nothing sketched) must yield
+      // s_mass = m·2^R and est = m·ln(m/m) = 0, not a NULL row
       val aggd =
         if (groupCols.isEmpty)
-          registers.agg(count(lit(1)).as("n_buckets"), sum(term).as("__s"))
+          registers.agg(count(lit(1)).as("n_buckets"),
+            coalesce(sum(term), lit(0L)).as("__s"))
         else
           registers.groupBy(groupCols.map(col): _*)
-            .agg(count(lit(1)).as("n_buckets"), sum(term).as("__s"))
+            .agg(count(lit(1)).as("n_buckets"),
+              coalesce(sum(term), lit(0L)).as("__s"))
       val vEmpty = (lit(m.toLong) - col("n_buckets")).as("v_empty")
       val sMass = (col("__s") +
         (lit(m.toLong) - col("n_buckets")) *
@@ -123,7 +131,7 @@ object HllSketch {
     val h = Sampling.avalancheKey(col(valueCol).cast("string"))
     val built = rows
       .withColumn("__h", h)
-      .withColumn("bucket", pmod(col("__h"), lit(m)))
+      .withColumn("bucket", bucketOf(col("__h"), p))
       .withColumn("__w", expr(s"__h div $m"))
       .withColumn("__rho", rhoOf(col("__w"), capRho))
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
@@ -131,10 +139,17 @@ object HllSketch {
     Hll(built, p, groupCols)
   }
 
-  /** rho(w): trailing-zero rank + 1, capped for w = 0 — exact-integer
-    * on both engines (`bit_count((w & -w) - 1) + 1`).
+  /** Register bucket of the avalanche hash column `h` at precision
+    * `p` — shared with the streaming twin so the two register
+    * constructions cannot drift apart.
     */
-  private def rhoOf(w: Column, capRho: Int): Column =
+  def bucketOf(h: Column, p: Int): Column = pmod(h, lit((1L << p)))
+
+  /** rho(w): trailing-zero rank + 1, capped for w = 0 — exact-integer
+    * on both engines (`bit_count((w & -w) - 1) + 1`). Shared with the
+    * streaming twin (stream-vs-batch register parity needs one tree).
+    */
+  def rhoOf(w: Column, capRho: Int): Column =
     when(w === 0L, lit(capRho))
       .otherwise(bit_count(w.bitwiseAND(-w) - 1) + lit(1))
       .cast("int")
@@ -185,7 +200,7 @@ object HllSketch {
              / CAST(s_occ + ($m - n_buckets) * (CAST(1 AS BIGINT) << $capRho) AS DOUBLE) AS est_raw
          FROM (
            SELECT $g COUNT(*) AS n_buckets,
-             SUM(CAST(1 AS BIGINT) << ($capRho - reg)) AS s_occ
+             COALESCE(SUM(CAST(1 AS BIGINT) << ($capRho - reg)), 0) AS s_occ
            FROM regs $gb))"""
   }
 }

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * bit-for-bit in the DuckDB oracle. Float inputs would reassociate
   * differently per partitioning — quantize first ([[Winsorize]] /
   * [[QuantileSketch]] house style). ANSI mode makes any Σv⁴ 64-bit
-  * overflow loud, not wrapped; size the grid so n·max(v⁴) < 2^63
-  * (e.g. |v| ≤ 1000 is safe to ~9 trillion rows per group; heavy-tailed
-  * domains want a coarser grid or a winsorize pass first).
+  * overflow loud, not wrapped; size the grid so n·max(v)⁴ < 2^63
+  * (|v| ≤ 1000 → ~9 million rows per group; |v| ≤ 100 → ~90 billion;
+  * |v| ≤ 30 → ~10 trillion — heavy-tailed domains want a coarse grid
+  * or a winsorize pass first).
   *
   * Derived statistics are POPULATION moments computed from the sums in
   * one pinned expression tree (+ − × ÷ and `sqrt` only — every one

@@ -32,18 +32,26 @@ import org.apache.spark.sql.functions._
 object RobustScore {
 
   /** Append `<valueCol>_med`, `<valueCol>_mad`, `<valueCol>_rz` per
-    * group. Null values pass through with null scores.
+    * group. Null values pass through with null scores; NULL group keys
+    * are a group like any other (the joins are null-safe — a plain
+    * equi-join would silently DROP every null-keyed row, losing data
+    * that was never scored).
     */
   def robustZ(df: DataFrame, groupCols: Seq[String],
               valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
+    def nsJoin(left: DataFrame, right: DataFrame): DataFrame = {
+      val joined = left.join(broadcast(right),
+        groupCols.map(k => left(k) <=> right(k)).reduce(_ && _))
+      groupCols.foldLeft(joined)((d, k) => d.drop(right(k)))
+    }
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(percentile(v, lit(0.5)).as(s"${valueCol}_med"))
-    val withMed = df.join(broadcast(med), groupCols)
+    val withMed = nsJoin(df, med)
     val mad = withMed.groupBy(groupCols.map(col): _*)
       .agg(percentile(abs(v - col(s"${valueCol}_med")), lit(0.5))
         .as(s"${valueCol}_mad"))
-    withMed.join(broadcast(mad), groupCols)
+    nsJoin(withMed, mad)
       .withColumn(s"${valueCol}_rz",
         when(v.isNotNull && col(s"${valueCol}_mad") > 0,
           (v - col(s"${valueCol}_med")) /

@@ -389,10 +389,8 @@ object EventsStream {
       .filter(col(valueCol).isNotNull)
       .withColumn("__h", h)
       .select(col(keyCol).cast("string").as[String],
-        pmod(col("__h"), lit(m.toLong)).cast("int").as[Int],
-        when(w === 0L, lit(capRho))
-          .otherwise(bit_count(w.bitwiseAND(-w) - 1) + lit(1))
-          .cast("int").as[Int])
+        graft.operators.HllSketch.bucketOf(col("__h"), p).cast("int").as[Int],
+        graft.operators.HllSketch.rhoOf(w, capRho).as[Int])
       .as[(String, Int, Int)]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Int], HllUpdate](GroupStateTimeout.NoTimeout) {

@@ -165,7 +165,9 @@ class GraphSpec extends AnyFunSuite {
       scale = 12345L, dampNum = 9L, dampDen = 10L,
       seedsSql = Some("SELECT 1 AS node"))
     assert(sql.contains("pr3") && !sql.contains("pr4"))
-    assert(sql.contains("12345") && sql.contains("9 *") || sql.contains("(9"))
+    assert(sql.contains("12345"))
+    assert(sql.contains("(9 *"))
+    assert(sql.contains("// 10 AS rank"))
     assert(sql.contains("is_seed"))
   }
 }

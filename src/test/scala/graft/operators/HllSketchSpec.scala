@@ -72,6 +72,15 @@ class HllSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("empty corpus: estimate is 0 via linear counting, never NULL") {
+    val empty = (1 to 4).map(Tuple1(_)).toDF("v").where(lit(false))
+    val row = HllSketch.sketch(empty, "v", p = 6).estimate().head()
+    assert(row.getAs[Long]("n_buckets") === 0L)
+    assert(row.getAs[Long]("v_empty") === 64L)
+    assert(row.getAs[Long]("s_mass") === 64L * (1L << 55))
+    assert(row.getAs[Double]("est") === 0.0)
+  }
+
   test("precision mismatch on merge fails loudly at plan time") {
     val df = (1 to 10).map(i => Tuple1(s"v$i")).toDF("v")
     val ex = intercept[IllegalArgumentException] {

@@ -38,6 +38,16 @@ class RobustScoreSpec extends AnyFunSuite {
     assert((1 to 20).forall(v => kept.contains(v.toLong)))
   }
 
+  test("null group keys are scored as their own group, not dropped") {
+    val df = Seq((Some("g"), 1L), (Some("g"), 2L), (None, 5L), (None, 6L),
+      (None, 100L)).toDF("k", "v")
+    val out = RobustScore.robustZ(df, Seq("k"), "v")
+    assert(out.count() === 5, "null-keyed rows must survive the joins")
+    val nullG = out.filter(col("k").isNull).collect()
+    assert(nullG.length === 3)
+    assert(nullG.forall(_.getAs[Double]("v_med") === 6.0))
+  }
+
   test("null values pass through with null scores") {
     val df = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(30L)),
       ("g", None)).toDF("k", "v")
