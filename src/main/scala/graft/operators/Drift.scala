@@ -67,9 +67,11 @@ object Drift {
     * integers, CDFs are single IEEE divisions over exact integer prefix
     * sums, the gap one subtraction — bit-replayable in SQL.
     *
-    * Output: one row per distinct value — `(v, cdf_ref, cdf_cur, gap)`
-    * with `gap = |cdf_ref − cdf_cur|`; `MAX(gap)` is the KS statistic
-    * (take it with one more bounded agg, or `.agg(max("gap"))`).
+    * Output: one row per distinct value — `(groupCols…, v, cdf_ref,
+    * cdf_cur, gap)` with `gap = |cdf_ref − cdf_cur|`; `MAX(gap)` (per
+    * group) is the KS statistic. With `groupCols` one independent KS
+    * table per group — the per-source drift monitor — with the window
+    * partitioned per group and per-group totals broadcast back.
     *
     * 100 TB shape: each side collapses to (value, count) in one
     * map-side-combined agg — bounded by the quantized domain however
@@ -79,27 +81,36 @@ object Drift {
     * .globalPercentRank]] decomposition exists for when a window's
     * input is not bounded; here it is, by quantization).
     */
-  def ksTable(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+  def ksTable(ref: DataFrame, cur: DataFrame, valueCol: String,
+              groupCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val keys = groupCols :+ "v"
     def counts(df: DataFrame, name: String): DataFrame =
       df.filter(col(valueCol).isNotNull)
-        .select(Quantized.checkedLong(col(valueCol), "Drift.ksTable").as("v"))
-        .groupBy("v").agg(count(lit(1)).as(name))
-    val joined = counts(ref, "__nr").join(counts(cur, "__nc"), Seq("v"), "full")
+        .select(groupCols.map(col) :+
+          Quantized.checkedLong(col(valueCol), "Drift.ksTable").as("v"): _*)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as(name))
+    val joined = counts(ref, "__nr").join(counts(cur, "__nc"), keys, "full")
       .na.fill(0L, Seq("__nr", "__nc"))
-    val w = Window.orderBy("v")
+    val w = (if (groupCols.isEmpty) Window.orderBy("v")
+             else Window.partitionBy(groupCols.map(col): _*).orderBy("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = joined.agg(sum(col("__nr")).as("__tr"), sum(col("__nc")).as("__tc"))
-    joined
+    val totAgg = Seq(sum(col("__nr")).as("__tr"), sum(col("__nc")).as("__tc"))
+    val cum = joined
       .withColumn("__cr", sum(col("__nr")).over(w))
       .withColumn("__cc", sum(col("__nc")).over(w))
-      .crossJoin(broadcast(tot))
+    val withTot =
+      if (groupCols.isEmpty) cum.crossJoin(broadcast(joined.agg(totAgg.head, totAgg.tail: _*)))
+      else cum.join(broadcast(
+        joined.groupBy(groupCols.map(col): _*).agg(totAgg.head, totAgg.tail: _*)),
+        groupCols)
+    withTot
       // an empty side has no CDF: null (guarded — ANSI aborts on /0)
-      .select(col("v"),
+      .select(keys.map(col) :+
         when(col("__tr") > 0,
-          col("__cr").cast("double") / col("__tr").cast("double")).as("cdf_ref"),
+          col("__cr").cast("double") / col("__tr").cast("double")).as("cdf_ref") :+
         when(col("__tc") > 0,
-          col("__cc").cast("double") / col("__tc").cast("double")).as("cdf_cur"))
+          col("__cc").cast("double") / col("__tc").cast("double")).as("cdf_cur"): _*)
       .withColumn("gap", abs(col("cdf_ref") - col("cdf_cur")))
   }
 }

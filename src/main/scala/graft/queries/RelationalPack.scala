@@ -377,6 +377,20 @@ object RelationalPack extends QueryPack {
         .orderBy("v")
     }),
 
+    // Grouped KS: one independent drift table per event_type (the
+    // per-source monitor) between even- and odd-id event halves —
+    // per-group windows, per-group totals, same exact-division parity.
+    "a_ks_drift_by_group" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value")).cast("long").as("v"))
+      graft.operators.Drift.ksTable(
+          ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1), "v",
+          groupCols = Seq("event_type"))
+        .orderBy("event_type", "v")
+    }),
+
     // Median/MAD robust z-scores per group (50% breakdown point — the
     // outliers can't drag the yardstick): two percentile aggs broadcast
     // back, score map-side; quantized values keep the interpolation
@@ -642,6 +656,39 @@ object RelationalPack extends QueryPack {
            ABS(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE)
                - CAST(cu AS DOUBLE) / CAST(tc AS DOUBLE)) AS gap
          FROM p ORDER BY v""",
+    // per-group prefix-sum CDFs, per-group totals — same exact parity
+    "a_ks_drift_by_group" ->
+      """WITH ev AS (SELECT event_id, event_type,
+                       CAST(FLOOR(value) AS BIGINT) AS v
+                     FROM events WHERE value IS NOT NULL),
+         rc AS (SELECT event_type, v, COUNT(*) AS nr FROM ev
+                WHERE event_id % 2 = 0 GROUP BY 1, 2),
+         cc AS (SELECT event_type, v, COUNT(*) AS nc FROM ev
+                WHERE event_id % 2 = 1 GROUP BY 1, 2),
+         j AS (SELECT COALESCE(rc.event_type, cc.event_type) AS event_type,
+                 COALESCE(rc.v, cc.v) AS v,
+                 COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+               FROM rc FULL JOIN cc
+               ON rc.event_type = cc.event_type AND rc.v = cc.v),
+         t AS (SELECT event_type, SUM(nr) AS tr, SUM(nc) AS tc
+               FROM j GROUP BY 1),
+         p AS (SELECT j.event_type, j.v,
+                 SUM(nr) OVER (PARTITION BY j.event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cr,
+                 SUM(nc) OVER (PARTITION BY j.event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cu,
+                 t.tr, t.tc
+               FROM j JOIN t USING (event_type))
+         SELECT event_type, v,
+           CASE WHEN tr > 0
+                THEN CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE) END AS cdf_ref,
+           CASE WHEN tc > 0
+                THEN CAST(cu AS DOUBLE) / CAST(tc AS DOUBLE) END AS cdf_cur,
+           ABS(CASE WHEN tr > 0
+                 THEN CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE) END
+               - CASE WHEN tc > 0
+                 THEN CAST(cu AS DOUBLE) / CAST(tc AS DOUBLE) END) AS gap
+         FROM p ORDER BY event_type, v""",
     // median/MAD replayed: same two QUANTILE_CONT passes, same pinned
     // (v - med) / (1.4826 * mad) tree, same NULL guard
     "a_robust_z" ->

@@ -63,6 +63,23 @@ class DriftSpec extends AnyFunSuite {
     assert(byV(3L) === ((1.0, 1.0)))
   }
 
+  test("grouped KS equals per-group filtered ungrouped KS tables") {
+    import spark.implicits._
+    val ref = Seq(("a", 1L), ("a", 2L), ("b", 5L), ("b", 5L), ("b", 9L))
+      .toDF("g", "v")
+    val cur = Seq(("a", 2L), ("a", 2L), ("b", 5L), ("b", 9L)).toDF("g", "v")
+    val grouped = Drift.ksTable(ref, cur, "v", groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Double]("cdf_ref"), r.getAs[Double]("cdf_cur"))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Drift.ksTable(ref.where(col("g") === g),
+          cur.where(col("g") === g), "v")
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Double]("cdf_ref"), r.getAs[Double]("cdf_cur"))).toMap
+      solo.foreach { case (v, cdfs) => assert(grouped((g, v)) === cdfs, s"$g/$v") }
+    }
+  }
+
   test("KS: an empty side yields null CDFs, not an ANSI divide error") {
     import spark.implicits._
     val ref = Seq(1L).toDF("v")
