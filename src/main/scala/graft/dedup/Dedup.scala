@@ -545,4 +545,78 @@ object Dedup {
     expandExactGroups(member, repIds, repPairs,
       sh.select(col("ch"), lit(1.0).as("jaccard")))
   }
+
+  // ------------------------------------------------ prefix-filtered path
+
+  /** N-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. 2006;
+    * Bayardo et al. 2007 All-Pairs) — the LOSSLESS alternative to
+    * [[ngramJaccardPairs]]'s df cap: every pair with jaccard ≥
+    * `threshold` is found, with no boilerplate caveat, and the index
+    * stays bounded anyway.
+    *
+    * Order every doc's shingles by a GLOBAL total order — ascending
+    * document frequency, ties by hash ("rarest first") — and index only
+    * each doc's first `p = n − ⌈t·n⌉ + 1` shingles. Completeness: a
+    * pair with J ≥ t shares o ≥ ⌈t·n⌉ shingles on EACH side (from
+    * o/(n_a+n_b−o) ≥ t), so fewer than p of either doc's shingles
+    * precede the globally-smallest shared one — that shingle sits in
+    * BOTH prefixes and the posting join finds the pair. A size filter
+    * (t·n_a ≤ n_b ≤ n_a/t) prunes candidates no verified pair can
+    * satisfy, then exact verification on the full sets keeps precision.
+    *
+    * Why this scales where the df cap trades recall: prefixes hold each
+    * doc's RAREST shingles, so a high-df boilerplate shingle enters a
+    * prefix only for docs made of nothing but boilerplate — exactly the
+    * docs the exact-content collapse already collapsed. Posting-bucket
+    * size is thus governed by rare-shingle df, not corpus skew: at
+    * t = 0.8 each doc posts ~20% of its shingles and hot shingles
+    * vanish from the index entirely. Index bytes: 8-byte hashed keys
+    * ([[xxhash64]]; a 64-bit collision can only add a candidate or
+    * reorder two shingles — the string-set verify is unaffected).
+    *
+    * Same exact-content collapse + member expansion as every pair
+    * generator here; same output shape as [[ngramJaccardPairs]]:
+    * `(id_a, id_b, jaccard)` with id_a < id_b.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3,
+                         threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold out of (0,1]: $threshold")
+    val (member, repIds) = exactGroups(docs, idCol, textCol)
+    val sh = repDocs(docs, idCol, textCol, repIds)
+      .select(col("doc"), col("ch"),
+        wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val post = sh.select(col("doc"), explode(col("sh")).as("g0"))
+      .select(col("doc"), xxhash64(col("g0")).as("g"))
+    // global df over representatives; shingles are distinct per doc
+    val dfreq = post.groupBy("g").agg(count(lit(1)).as("df"))
+    // rarest-first rank within each doc; one doc-keyed window (doc-sized
+    // partitions — no global sort)
+    val ranked = post.join(dfreq, Seq("g"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc").orderBy(col("df"), col("g"))))
+    val sizes = sh.select(col("doc"), size(col("sh")).cast("long").as("n"))
+    val prefix = ranked.join(sizes, Seq("doc"))
+      .filter(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc", "g")
+    val candidates = prefix.select(col("doc").as("id_a"), col("g"))
+      .join(prefix.select(col("doc").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(lit(threshold) * col("na") <= col("nb") &&
+        lit(threshold) * col("nb") <= col("na"))
+      .select("id_a", "id_b")
+    val repPairs = candidates
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    expandExactGroups(member, repIds, repPairs,
+      sh.select(col("ch"), lit(1.0).as("jaccard")))
+  }
 }

@@ -115,6 +115,44 @@ object CmsSketch {
       * so the sketch's corpus aggregation runs exactly once however
       * many probes follow; [[release]] drops the persisted table.
       */
+    /** Estimated equi-join cardinality |A ⋈ B| between the two sketched
+      * key columns (per group, when grouped) — the classic count-min
+      * inner-product estimate (Cormode & Muthukrishnan 2005 §4.2):
+      * for each sketch row i, Σ_b cntA[i][b]·cntB[i][b] is an
+      * OVERESTIMATE of Σ_v fA(v)·fB(v) (every true product lands in a
+      * shared cell; collisions only add), so `min_i` keeps the
+      * one-sided guarantee: `join_size_est ≥ |A ⋈ B|` always.
+      *
+      * The answer comes from the two cell tables alone — the classic
+      * use is pricing a join between two 100-TB tables from two
+      * sketch files at rest, without touching either corpus. The
+      * inner join on (groupCols, i, bucket) is sketch-sized
+      * (≤ groups·d·w rows a side); absent cells contribute 0 to the
+      * product and drop out of the inner join by construction. Output:
+      * one row per group — `(groupCols…, join_size_est)`, exact
+      * BIGINTs end to end (zero float surface for the oracle). A group
+      * whose sketches share NO cell at all is absent from the output
+      * (its estimate is exactly 0 — with d salted rows, even one
+      * shared key collides in all d); ungrouped always returns one row.
+      */
+    def joinSizeEstimate(other: Cms): DataFrame = {
+      requireSameShape(other)
+      val a = cells.select((groupCols.map(col) :+ col("i") :+ col("bucket") :+
+        col("cnt").as("cnt_a")): _*)
+      val b = other.cells.select((groupCols.map(col) :+ col("i") :+
+        col("bucket") :+ col("cnt").as("cnt_b")): _*)
+      val rowSums = a.join(b, groupCols ++ Seq("i", "bucket"))
+        .groupBy((groupCols :+ "i").map(col): _*)
+        .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+      // a sketch row with NO shared buckets has dot = 0 but no surviving
+      // row after the inner join — when fewer than `depth` rows remain,
+      // the true min is 0, not the min of the rows that did survive
+      val est = when(count(lit(1)) < depth, lit(0L))
+        .otherwise(min(col("dot"))).as("join_size_est")
+      if (groupCols.isEmpty) rowSums.agg(est)
+      else rowSums.groupBy(groupCols.map(col): _*).agg(est)
+    }
+
     def estimate(probes: DataFrame, valueCol: String,
                  maxBroadcastCells: Long = DefaultMaxBroadcastCells): DataFrame = {
       val useBroadcast =

@@ -52,6 +52,17 @@ object DedupPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Prefix-filtered jaccard pairs — the LOSSLESS exact similarity
+    // join: the oracle is the COMPLETE brute-force pair set (no cap
+    // caveat, no LSH recall argument — prefix filtering guarantees
+    // every qualifying pair is generated, the verify keeps precision).
+    "dedup_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Full dedup workflow: LSH pairs → connected components → survivors.
     // Oracle: exact-jaccard edges (LSH recall ≈ 1 at t=0.8) + a recursive
     // CTE computing each node's min reachable label = component canonical.
@@ -192,6 +203,10 @@ object DedupPack extends QueryPack {
       s"""WITH $ShingleCte
          SELECT a AS id_a, b AS id_b, ROUND(jaccard, 6) AS jaccard
          FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "dedup_prefix_jaccard" ->
+      s"""WITH $ShingleCte
+         SELECT a AS id_a, b AS id_b, ROUND(jaccard, 6) AS jaccard
+         FROM jac WHERE jaccard >= 0.4 ORDER BY id_a, id_b""",
     // Survivors = every doc except non-canonical members of a duplicate
     // component. The recursive CTE floods labels along the symmetric edge
     // list; MIN over everything that reaches a node is its component's

@@ -417,6 +417,21 @@ object RelationalPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Frequent-pair mining with a-priori pruning (Agrawal & Srikant
+    // 1994): which part brands co-occur in the same order beyond the
+    // 2% support floor, with exact counts and the pinned-tree
+    // support/lift association measures. The threshold resolves
+    // in-plan from the measured basket count — no driver action.
+    "a_frequent_pairs" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val p = table(s, dir, "part").select("p_partkey", "p_brand")
+      val rel = l.join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      graft.operators.FrequentPairs
+        .frequentPairs(rel, "basket", "item", minSupportFrac = 0.02)
+        .orderBy("item_a", "item_b")
+    }),
+
     // F12: all-null column rejection — one aggregation pass of
     // count(col) vs count(*) per column, the GeeCsvAdapter gate
     // (ref: gee_export_pipeline.py:186-196).
@@ -437,6 +452,10 @@ object RelationalPack extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "a_frequent_pairs" -> (graft.operators.FrequentPairs.oracleSql(
+      """SELECT l_orderkey AS basket, p_brand AS item
+         FROM lineitem JOIN part ON p_partkey = l_partkey""",
+      minSupportFrac = 0.02) + " ORDER BY item_a, item_b"),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -437,6 +437,32 @@ object TextPack extends QueryPack {
         .orderBy("event_type", "user_id")
     }),
 
+    // CMS inner-product JOIN-SIZE estimation (Cormode & Muthukrishnan
+    // 2005 §4.2): price |A ⋈ B| per event_type from the two d×w cell
+    // tables ALONE — the two corpora never meet. Exact join sizes ride
+    // along; ge_exact states the estimator's one-sided guarantee
+    // (min over rows of Σ cntA·cntB never underestimates the true
+    // inner product). All-BIGINT: the oracle replays both sketches,
+    // the row dots and the min, with zero float surface.
+    "t_cms_join_size" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      def half(r: Long) = ev.filter(pmod(col("event_id"), lit(2L)) === r)
+      def sk(r: Long) = graft.operators.CmsSketch.sketch(half(r), "user_id",
+        depth = 4, width = 64, groupCols = Seq("event_type"))
+      val est = sk(0).joinSizeEstimate(sk(1))
+      def counts(r: Long, alias: String) =
+        half(r).filter(col("user_id").isNotNull)
+          .groupBy("event_type", "user_id").agg(count(lit(1)).as(alias))
+      val exact = counts(0, "cnt_a")
+        .join(counts(1, "cnt_b"), Seq("event_type", "user_id"))
+        .groupBy("event_type")
+        .agg(sum(col("cnt_a") * col("cnt_b")).as("exact_join_size"))
+      est.join(exact, Seq("event_type"), "full")
+        .na.fill(0L, Seq("join_size_est", "exact_join_size"))
+        .withColumn("ge_exact", col("join_size_est") >= col("exact_join_size"))
+        .orderBy("event_type")
+    }),
+
     // Dyadic count-min QUANTILE sketch (Cormode & Muthukrishnan 2005
     // range queries) — the mergeable rank/quantile summary completing
     // the sketch family (KMV distincts, CMS frequencies, MG top-k).
@@ -1061,6 +1087,48 @@ object TextPack extends QueryPack {
          FROM est JOIN exact ON est.event_type = exact.event_type
            AND est.user_id = exact.user_id
          ORDER BY est.event_type, est.user_id""",
+    // join-size estimation replayed sketch-for-sketch: both halves'
+    // cell tables, the per-row inner products, the min with the
+    // missing-row→0 rule, and the exact join sizes — all BIGINTs
+    "t_cms_join_size" ->
+      s"""WITH d AS (SELECT unnest(range(0, 4)) AS i),
+         eva AS (SELECT event_type, user_id FROM events
+                 WHERE user_id IS NOT NULL AND event_id % 2 = 0),
+         evb AS (SELECT event_type, user_id FROM events
+                 WHERE user_id IS NOT NULL AND event_id % 2 = 1),
+         ca AS (SELECT event_type, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 64 AS bucket,
+             COUNT(*) AS cnt
+           FROM eva CROSS JOIN d GROUP BY 1, 2, 3),
+         cb AS (SELECT event_type, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 64 AS bucket,
+             COUNT(*) AS cnt
+           FROM evb CROSS JOIN d GROUP BY 1, 2, 3),
+         dots AS (SELECT ca.event_type, ca.i,
+                    CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS dot
+                  FROM ca JOIN cb ON cb.event_type = ca.event_type
+                    AND cb.i = ca.i AND cb.bucket = ca.bucket
+                  GROUP BY 1, 2),
+         est AS (SELECT event_type,
+                   CASE WHEN COUNT(*) < 4 THEN CAST(0 AS BIGINT)
+                        ELSE MIN(dot) END AS join_size_est
+                 FROM dots GROUP BY 1),
+         xa AS (SELECT event_type, user_id, COUNT(*) AS cnt_a
+                FROM eva GROUP BY 1, 2),
+         xb AS (SELECT event_type, user_id, COUNT(*) AS cnt_b
+                FROM evb GROUP BY 1, 2),
+         exact AS (SELECT xa.event_type,
+                     CAST(SUM(xa.cnt_a * xb.cnt_b) AS BIGINT) AS exact_join_size
+                   FROM xa JOIN xb ON xb.event_type = xa.event_type
+                     AND xb.user_id = xa.user_id
+                   GROUP BY 1)
+         SELECT COALESCE(est.event_type, exact.event_type) AS event_type,
+           COALESCE(join_size_est, 0) AS join_size_est,
+           COALESCE(exact_join_size, 0) AS exact_join_size,
+           COALESCE(join_size_est, 0) >= COALESCE(exact_join_size, 0)
+             AS ge_exact
+         FROM est FULL JOIN exact ON exact.event_type = est.event_type
+         ORDER BY event_type""",
     // the HLL register table replayed bucket-for-bucket: same avalanche
     // hash, same trailing-zero rank, same per-group max
     "t_hll_registers" ->

@@ -139,6 +139,58 @@ class CmsSketchSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("joinSizeEstimate: exact when collision-free, one-sided under a tiny width") {
+    // 20 distinct keys into width 4096: a collision on every one of the
+    // 4 rows is astronomically unlikely, so the estimate is EXACT
+    val a = (1 to 600).map(i => Tuple1(s"k${i % 20}")).toDF("v")
+    val b = (1 to 450).map(i => Tuple1(s"k${i % 15}")).toDF("v")
+    val exact = (0 until 20).map { k =>
+      (1 to 600).count(_ % 20 == k).toLong * (1 to 450).count(_ % 15 == k)
+    }.sum
+    val wide = CmsSketch.sketch(a, "v", D, 4096)
+      .joinSizeEstimate(CmsSketch.sketch(b, "v", D, 4096))
+      .head().getAs[Long]("join_size_est")
+    assert(wide === exact)
+    // tiny width: collisions inflate the dot but NEVER deflate it
+    val tiny = CmsSketch.sketch(a, "v", D, 4)
+      .joinSizeEstimate(CmsSketch.sketch(b, "v", D, 4))
+      .head().getAs[Long]("join_size_est")
+    assert(tiny >= exact)
+  }
+
+  test("joinSizeEstimate: disjoint keys estimate 0 via the missing-row rule") {
+    val a = (1 to 50).map(i => Tuple1(s"left$i")).toDF("v")
+    val b = (1 to 50).map(i => Tuple1(s"right$i")).toDF("v")
+    // width 2: row overlaps are certain, but any row with no shared
+    // bucket forces the min to 0 — and with 50 keys over 2 buckets no
+    // row can be empty on either side, so all 4 dots survive and the
+    // estimate is a (nonzero) overestimate of the true 0; with width
+    // 4096 and 50 keys, shared buckets are rare and at least one of
+    // the 4 rows misses → 0
+    val est = CmsSketch.sketch(a, "v", D, 65536)
+      .joinSizeEstimate(CmsSketch.sketch(b, "v", D, 65536))
+      .head().getAs[Long]("join_size_est")
+    assert(est === 0L)
+  }
+
+  test("joinSizeEstimate grouped: per-group estimates, shape mismatch intercepted") {
+    val a = Seq(("gA", "u1"), ("gA", "u1"), ("gA", "u2"), ("gB", "u9"))
+      .toDF("g", "v")
+    val b = Seq(("gA", "u1"), ("gA", "u3"), ("gB", "u9"), ("gB", "u9"))
+      .toDF("g", "v")
+    val G = Seq("g")
+    val est = CmsSketch.sketch(a, "v", D, 4096, G)
+      .joinSizeEstimate(CmsSketch.sketch(b, "v", D, 4096, G))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("join_size_est"))
+      .toMap
+    // gA: u1 2×1 = 2 (u2/u3 unmatched); gB: u9 1×2 = 2
+    assert(est === Map("gA" -> 2L, "gB" -> 2L))
+    intercept[IllegalArgumentException] {
+      CmsSketch.sketch(a, "v", D, 4096, G)
+        .joinSizeEstimate(CmsSketch.sketch(b, "v", D, 1024, G))
+    }
+  }
+
   test("grouped merge rolls shards up cell-wise within every group") {
     val a = (1 to 400).map(i => (s"g${i % 2}", s"u${i % 50}")).toDF("g", "v")
     val b = (1 to 300).map(i => (s"g${i % 3}", s"u${i % 70}")).toDF("g", "v")

@@ -341,6 +341,41 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(joins <= 3, s"plan should be one iteration deep, found $joins joins:\n$s")
   }
 
+  test("triangle counting: oriented wedge pipeline needs no extra exchanges") {
+    // deg and oriented are checkpointed (each read 3×), so the final
+    // plan is: wedge self-join on the apex → closure join on (lo, hi)
+    // → per-node count agg → degree join → output sort — every
+    // exchange carries (long, long)-sized rows; nothing
+    // corpus-quadratic, no array columns, no driver collect
+    val df = graft.SparkEntry.queries("g_triangles")(spark, sf)
+    assert(shuffles(df) <= 10)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"triangle counting must never plan a cartesian:\n$s")
+  }
+
+  test("frequent pairs: the support floor enters via broadcast, not a shuffle") {
+    // the 1-row threshold aggregate must reach both filters as a
+    // BroadcastNestedLoopJoin / BroadcastExchange — re-deriving it per
+    // partition or shuffling the corpus against it would be wrong at any
+    // scale; the pair explosion itself is basket-local (no join)
+    val df = graft.SparkEntry.queries("a_frequent_pairs")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastExchange"),
+      s"threshold frame should broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"1-row cross joins must resolve as broadcast:\n$s")
+  }
+
+  test("prefix jaccard: posting join on 8-byte hashed keys, no cartesian") {
+    val df = graft.SparkEntry.queries("dedup_prefix_jaccard")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"prefix filtering must never plan an all-pairs product:\n$s")
+  }
+
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
     val docs = graft.core.Tables.table(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id").as("x"),
