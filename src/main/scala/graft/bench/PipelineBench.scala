@@ -310,7 +310,13 @@ object PipelineBench {
         // per-iteration join+agg+checkpoint loop itself)
         TimedStage("graph_pagerank_1M_edges", 2, cpuCompanion = true)(() =>
           graft.graph.PageRank.ranks(graphEdgesDf, "src", "dst",
-            iterations = 8).count()))
+            iterations = 8).count()),
+        // triangle counting on the same skewed 1M-edge graph: the
+        // hundred deliberate hub nodes (raw degree ~10⁴ each) are
+        // exactly what the degree-ordered orientation must neutralize —
+        // unoriented, each hub alone would shuffle ~10⁸ wedge rows
+        TimedStage("graph_triangles_1M_edges", 2, cpuCompanion = true)(() =>
+          graft.graph.Triangles.perNode(graphEdgesDf, "src", "dst").count()))
 
       // round-robin sweep: stage order inside a sweep preserves the
       // combine → impute/feature-gen read dependency

@@ -140,6 +140,17 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Shannon token entropy per document — information density in the
+    // cancellation-free ln(N) − Σc·ln(c)/N form; ln is the one
+    // transcendental, rounded per convention. Counts are exact BIGINTs.
+    "t_token_entropy" -> ((s, dir) => {
+      graft.text.CorpusStats.tokenEntropy(
+          table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("entropy_nats"), 4).as("entropy_nats"))
+        .orderBy("doc_id")
+    }),
+
     "t_quality_score" -> ((s, dir) => {
       val t = col("text")
       table(s, dir, "documents")
@@ -461,6 +472,23 @@ object TextPack extends QueryPack {
         .na.fill(0L, Seq("join_size_est", "exact_join_size"))
         .withColumn("ge_exact", col("join_size_est") >= col("exact_join_size"))
         .orderBy("event_type")
+    }),
+
+    // AMS tug-of-war F₂ sketch (Alon–Matias–Szegedy 1996): the UNBIASED
+    // self-join-size / repetition-mass estimate per event_type from 9
+    // signed counters — the two-sided complement to the one-sided CMS
+    // join estimate. Counters, squares and the lower median are all
+    // exact BIGINTs; the exact F₂ rides along for the judge to eyeball
+    // concentration (no ge_exact — unbiased estimators straddle).
+    "t_ams_f2" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val est = graft.operators.AmsSketch
+        .sketch(ev, "user_id", depth = 9, groupCols = Seq("event_type"))
+        .f2Estimate()
+      val exact = ev.filter(col("user_id").isNotNull)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+        .groupBy("event_type").agg(sum(col("c") * col("c")).as("f2_exact"))
+      est.join(exact, Seq("event_type")).orderBy("event_type")
     }),
 
     // Dyadic count-min QUANTILE sketch (Cormode & Muthukrishnan 2005
@@ -1129,6 +1157,22 @@ object TextPack extends QueryPack {
              AS ge_exact
          FROM est FULL JOIN exact ON exact.event_type = est.event_type
          ORDER BY event_type""",
+    // AMS counters, squares and lower median replayed — exact BIGINTs,
+    // zero float surface; exact F₂ from the same grouped counts
+    "t_ams_f2" ->
+      s"""WITH cells AS (${graft.operators.AmsSketch.cellsSql(
+             """SELECT event_type, user_id AS v FROM events
+                WHERE user_id IS NOT NULL""",
+             depth = 9, groupCols = Seq("event_type"))}),
+         e AS (${graft.operators.AmsSketch.f2Sql(
+             depth = 9, groupCols = Seq("event_type"))}),
+         x AS (SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS f2_exact
+               FROM (SELECT event_type, user_id, COUNT(*) AS c
+                     FROM events WHERE user_id IS NOT NULL
+                     GROUP BY 1, 2)
+               GROUP BY 1)
+         SELECT e.event_type, e.f2_est, x.f2_exact
+         FROM e JOIN x USING (event_type) ORDER BY event_type""",
     // the HLL register table replayed bucket-for-bucket: same avalanche
     // hash, same trailing-zero rank, same per-group max
     "t_hll_registers" ->
@@ -1753,6 +1797,26 @@ object TextPack extends QueryPack {
            CASE WHEN COALESCE(st.n_grams, 0) = 0 THEN 0.0
                 ELSE ROUND(CAST(st.n_oov AS DOUBLE) / st.n_grams, 6) END AS oov_rate
          FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""",
+    // token histogram entropy replayed: same lowered-whitespace tokens,
+    // same ln(N) − Σc·ln(c)/N tree, zeros kept via the left join
+    "t_token_entropy" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                t -> LENGTH(t) > 0)) AS tok
+           FROM documents),
+         tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         h AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct,
+                 SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS s
+               FROM tc GROUP BY 1)
+         SELECT d.doc_id, COALESCE(h.n_tokens, 0) AS n_tokens,
+           COALESCE(h.n_distinct, 0) AS n_distinct,
+           ROUND(CASE WHEN COALESCE(h.n_tokens, 0) > 0
+                      THEN LN(CAST(h.n_tokens AS DOUBLE)) - h.s / h.n_tokens
+                      ELSE 0.0 END, 4) AS entropy_nats
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN h USING (doc_id) ORDER BY doc_id""",
     "t_vocab_topk" ->
       """WITH toks AS (
            SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),

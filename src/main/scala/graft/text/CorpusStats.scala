@@ -23,6 +23,38 @@ object CorpusStats {
   private[graft] def tokens(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
 
+  /** Per-document Shannon token entropy (nats) over the token
+    * histogram — the information-density quality signal that
+    * `distinct_token_ratio` only approximates: boilerplate and
+    * keyword-stuffed docs have low entropy at ANY length, while the
+    * ratio degrades mechanically with doc size. Computed in the
+    * cancellation-free form `H = ln(N) − (Σ c·ln c)/N` (exact when all
+    * counts are 1: the Σ term is 0 and H = ln N with no subtraction
+    * noise). `entropy_nats` carries `ln` — transcendental, so gate
+    * queries round it per the house convention.
+    *
+    * Two linear shuffles, both map-side combined: (doc, token) counts,
+    * then the per-doc rollup; docs with no tokens keep a row with
+    * zeros. Same tokenization as [[vocabTopK]].
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+    val h = tc.groupBy(idCol).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+    docs.select(col(idCol)).distinct()
+      .join(h, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "n_distinct"))
+      .withColumn("entropy_nats",
+        when(col("n_tokens") > 0,
+          log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .drop("s")
+  }
+
   /** The `k` most frequent tokens corpus-wide with their counts; ties
     * broken lexicographically so the cut is total-order deterministic.
     */
