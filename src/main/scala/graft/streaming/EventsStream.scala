@@ -449,6 +449,54 @@ object EventsStream {
       }
   }
 
+  // ------------------------------------------------- AMS F2 counters
+
+  final case class AmsUpdate(key: String, z: Array[Long], n: Long)
+
+  /** Streaming twin of [[graft.operators.AmsSketch]]: per-key signed
+    * tug-of-war counters carried across batches — `depth` longs of
+    * state merged by plain addition (a shard's z adds linearly), so
+    * the running state equals the batch counters of everything ever
+    * seen and the lower-median-of-squares F₂ estimate can be taken at
+    * any batch boundary. `n` counts absorbed values (monotone — the
+    * batch-ordering handle the signed counters themselves can't give,
+    * since z moves both ways). Same salted avalanche sign as the batch
+    * operator, so counters agree engine-for-engine.
+    */
+  def amsSketchStream(events: DataFrame, keyCol: String, valueCol: String,
+                      depth: Int): Dataset[AmsUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val signs = array((0 until depth).map(i =>
+      (pmod(graft.operators.Sampling.avalancheKey(
+        concat(col(valueCol).cast("string"), lit(s":$i"))),
+        lit(2L)) * 2L - 1L).cast("long")): _*)
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as[String], signs.as[Array[Long]])
+      .as[(String, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[AmsUpdate, AmsUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Array[Long])],
+         state: GroupState[AmsUpdate]) =>
+          val prev = state.getOption.getOrElse(
+            AmsUpdate(key, new Array[Long](depth), 0L))
+          val z = prev.z.clone()
+          var n = prev.n
+          rows.foreach { case (_, ss) =>
+            var i = 0
+            while (i < depth) { z(i) += ss(i); i += 1 }
+            n += 1L
+          }
+          val next = AmsUpdate(key, z, n)
+          state.update(next)
+          // the state object holds its own array; emit a copy so a
+          // caller can't corrupt later batches (the cmsSketchStream
+          // lesson)
+          AmsUpdate(key, z.clone(), n)
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

@@ -261,6 +261,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === batch)
   }
 
+  test("streaming AMS counters final state equals the batch sketch of all batches") {
+    val d = 9
+    val dir = stageEventsDir()
+    val stream = EventsStream.amsSketchStream(
+      EventsStream.readEvents(spark, dir), "event_type", "user_id", d).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("ams_stream").start()
+    try {
+      q.processAllAvailable()
+      // re-deliver the same file: signed counters add linearly — every
+      // z doubles, exactly as the batch sketch over the doubled corpus
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per key = the update with the largest n (z itself
+    // moves both ways, so the monotone companion picks the batch order)
+    val got = spark.table("ams_stream").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (key, rows) =>
+        key -> rows.maxBy(_.getAs[Long]("n")).getSeq[Long](1).toSeq
+      }
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val sk = graft.operators.AmsSketch.sketch(ev.union(ev), "user_id", d,
+      groupCols = Seq("event_type"))
+    val batch = sk.cells.collect()
+      .groupBy(_.getString(0))
+      .map { case (key, rows) =>
+        val dense = new Array[Long](d)
+        rows.foreach(r => dense(r.getInt(1)) = r.getLong(2))
+        key -> dense.toSeq
+      }
+    assert(got.nonEmpty && got === batch)
+  }
+
   test("streaming dyadic quantile sketch final state equals the batch sketch") {
     val (levels, d, w) = (10, 2, 32)
     val dir = stageEventsDir()
