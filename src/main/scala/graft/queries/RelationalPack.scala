@@ -417,6 +417,18 @@ object RelationalPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Exact ROC-AUC (Mann–Whitney with midranks): does event value
+    // rank purchases above other events — the model-eval gate as one
+    // number. The doubled-midrank sum is an exact BIGINT; AUC is one
+    // pinned division, bit-replayed (raw parquet doubles group
+    // identically on both engines; ties exercise the midrank path).
+    "a_roc_auc" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("value").as("s"),
+          (col("event_type") === "purchase").as("y"))
+      graft.ml.Auc.rocAuc(ev, "s", "y")
+    }),
+
     // Frequent-pair mining with a-priori pruning (Agrawal & Srikant
     // 1994): which part brands co-occur in the same order beyond the
     // 2% support floor, with exact counts and the pinned-tree
@@ -452,6 +464,8 @@ object RelationalPack extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "a_roc_auc" -> graft.ml.Auc.oracleSql(
+      "SELECT value AS s, event_type = 'purchase' AS y FROM events"),
     "a_frequent_pairs" -> (graft.operators.FrequentPairs.oracleSql(
       """SELECT l_orderkey AS basket, p_brand AS item
          FROM lineitem JOIN part ON p_partkey = l_partkey""",
