@@ -230,6 +230,44 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster resolution: keep the BEST-scoring member of
+    * each near-duplicate cluster (ties by smaller id) instead of
+    * [[deduplicate]]'s arbitrary minimum id — the curation-correct
+    * resolve: when a cleaned page and its ad-ridden mirror near-dup,
+    * the kept doc should be the better one, not the lower-numbered one.
+    *
+    * Returns EVERY doc with its verdict: `(idCol, cluster, keep_id,
+    * kept)` — singletons are their own cluster and keep themselves.
+    * The argmax is one `max(struct(score, −id))` aggregation per
+    * cluster (no rank window, no per-cluster sort). Null scores abort
+    * loudly: silently ranking null lowest would quietly keep a mirror
+    * because the better page's scorer failed upstream.
+    */
+  def deduplicateByQuality(docs: DataFrame, idCol: String, textCol: String,
+                           scoreCol: String,
+                           threshold: Double = 0.8): DataFrame = {
+    val checkedScore = when(col(scoreCol).isNull,
+      raise_error(concat(lit("deduplicateByQuality: null score for id "),
+        col(idCol).cast("string"),
+        lit(" — a null-scored doc cannot compete for canonical; fix the " +
+          "scorer or filter upstream"))))
+      .otherwise(col(scoreCol))
+    val pairs = minhashLsh(docs, idCol, textCol, threshold = threshold)
+    val components = connectedComponents(pairs)
+    val membership = docs
+      .select(col(idCol), checkedScore.as("__score"))
+      .join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("__score"),
+        coalesce(col("canonical_id"), col(idCol)).as("cluster"))
+    val best = membership.groupBy("cluster")
+      .agg(max(struct(col("__score").as("s"),
+        (-col(idCol)).as("negid"))).as("m"))
+      .select(col("cluster"), (-col("m.negid")).as("keep_id"))
+    membership.join(best, Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("keep_id"),
+        (col(idCol) === col("keep_id")).as("kept"))
+  }
+
   /** Leakage-safe train/test split: assign each document to a split by a
     * deterministic hash of its near-duplicate CLUSTER's canonical id, not
     * its own id — so two near-identical docs can never straddle the

@@ -73,6 +73,17 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware resolve: keep the LONGEST member of each near-dup
+    // cluster (ties by min id) — the curation-correct canonical, with
+    // every doc's verdict in the output. Oracle: exact-jaccard
+    // components + a rank-1 argmax per cluster.
+    "dedup_resolve_best" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.deduplicateByQuality(docs, "doc_id", "text",
+          scoreCol = "n_chars", threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs (pigeonhole-bucketed). The token hash is an
     // exact public spec (FNV-1a 64 — SimHash.scala), so the oracle
     // re-derives every fingerprint in SQL and brute-forces hamming; with
@@ -227,6 +238,30 @@ object DedupPack extends QueryPack {
          FROM documents d LEFT JOIN dropped ON dropped.node = d.doc_id
          WHERE dropped.node IS NULL
          ORDER BY d.doc_id""",
+    "dedup_resolve_best" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         sym AS (SELECT a AS src, b AS dst FROM edges
+                 UNION SELECT b AS src, a AS dst FROM edges),
+         reach(node, lbl) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         canon AS (SELECT node, MIN(lbl) AS canonical FROM reach GROUP BY node),
+         mem AS (SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS cluster,
+                   d.n_chars
+                 FROM documents d LEFT JOIN canon c ON c.node = d.doc_id),
+         best AS (SELECT cluster, doc_id AS keep_id FROM (
+                    SELECT cluster, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY cluster
+                        ORDER BY n_chars DESC, doc_id) AS rn
+                    FROM mem)
+                  WHERE rn = 1)
+         SELECT m.doc_id, m.cluster, b.keep_id,
+           m.doc_id = b.keep_id AS kept
+         FROM mem m JOIN best b USING (cluster)
+         ORDER BY m.doc_id""",
+
     // Mirrors graft.dedup.SimHash exactly: FNV-1a 64 per whitespace token
     // (wrapping multiply emulated through HUGEINT mod 2^64; xor operates
     // on the signed bit pattern), ±1 votes per bit, fingerprint bit set

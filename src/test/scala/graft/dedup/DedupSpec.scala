@@ -115,6 +115,38 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L, 5L))
   }
 
+  test("deduplicateByQuality keeps the best-scoring member, ties by min id") {
+    // score doc 2 highest in the {1,2,4} cluster; 3 and 6 tie → min id 3
+    val scored = docs.withColumn("score",
+      org.apache.spark.sql.functions.when(col("doc_id") === 2, 9L)
+        .when(col("doc_id") === 6, 5L).when(col("doc_id") === 3, 5L)
+        .otherwise(col("doc_id")))
+    val got = Dedup.deduplicateByQuality(scored, "doc_id", "text", "score",
+        threshold = 0.7)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Boolean]("kept")))).toMap
+    assert(got(1L) === ((2L, false)))
+    assert(got(2L) === ((2L, true)))
+    assert(got(4L) === ((2L, false)))
+    assert(got(3L) === ((3L, true)))
+    assert(got(6L) === ((3L, false)))
+    assert(got(5L) === ((5L, true)))
+  }
+
+  test("deduplicateByQuality aborts loudly on a null score") {
+    val scored = docs.withColumn("score",
+      org.apache.spark.sql.functions.when(col("doc_id") === 2,
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+        .otherwise(col("doc_id")))
+    val ex = intercept[Exception] {
+      Dedup.deduplicateByQuality(scored, "doc_id", "text", "score").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("deduplicateByQuality")))
+  }
+
   test("connected components resolve pair lists into canonical clusters") {
     // clusters: {1,2,4} via chain 1-2, 2-4; {3,6}; {7,8,9} via 7-8, 8-9
     val pairs = Seq((1L, 2L), (2L, 4L), (3L, 6L), (7L, 8L), (8L, 9L))
