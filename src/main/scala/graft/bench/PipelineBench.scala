@@ -160,27 +160,29 @@ object PipelineBench {
     * the lowest ever observed is the best quiet estimate (the same
     * reasoning as the min-of-repeats wall convention below). Sources
     * folded in: the round-8 driver artifact and judge adjudication
-    * (e2e/soak stages), plus two round-9 local sweeps
+    * (e2e/soak stages), plus three round-9 local sweeps
     * (`MAIN_CLASS=graft.Bench SPARK_GRAFT_SF_DIR=<sf0.1>
     * SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SKIP_QUERIES=1
-    * scripts/run_verify.sh` at repeat counts 1 and 3) — the per-month
-    * stages got their first cpu companions in round 9, so their only
-    * sources are the local sweeps. To refresh after a code change:
+    * scripts/run_verify.sh` at repeat counts 1 and 3, and the full
+    * round-9 sweep that first priced the graph/triangle stages) — the
+    * per-month stages got their first cpu companions in round 9, so
+    * their only sources are the local sweeps. To refresh after a code change:
     * rerun that command on a quiet box and fold the published
     * `_cpu_sec` values in with min.
     */
   private val QuietCpuRef = Map(
-    "pm25_combine_month_1M" -> 152.0,
+    "pm25_combine_month_1M" -> 138.0,
     "pm25_combine_month_1M_bucketed" -> 80.0,
-    "pm25_combine_month_1M_disk" -> 179.0,
+    "pm25_combine_month_1M_disk" -> 140.0,
     "pm25_spatial_impute_month" -> 92.0,
-    "pm25_feature_gen_month" -> 226.0,
+    "pm25_feature_gen_month" -> 205.0,
     "pm25_feature_gen_year" -> 1797.0,
-    "pm25_month_e2e" -> 537.0,
-    "pm25_quarter_e2e" -> 897.0,
+    "pm25_month_e2e" -> 450.0,
+    "pm25_quarter_e2e" -> 839.0,
     "pm25_spatial_impute_quarter" -> 166.0,
-    // first published by the round-10 local sweep (same command/box)
-    "graph_pagerank_1M_edges" -> 47.0)
+    // first published by the round-9 local sweeps (same command/box)
+    "graph_pagerank_1M_edges" -> 47.0,
+    "graph_triangles_1M_edges" -> 24.0)
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
     * over their repeats. Contention noise on a shared sandbox is

@@ -54,10 +54,17 @@ object FrequentPairs {
     require(minSupportFrac > 0.0 && minSupportFrac <= 1.0,
       s"minSupportFrac out of (0,1]: $minSupportFrac")
     require(maxBasketItems >= 2, s"maxBasketItems too small: $maxBasketItems")
+    // pres feeds the threshold count, the item counts and the kept
+    // join; frequent feeds the kept join and both final count lookups.
+    // Catalyst re-executes shared subtrees per reference, so without
+    // materialization the corpus-sized distinct would run ~6× (the
+    // Triangles lesson). Both frames are narrow: (basket, item) pairs
+    // and the frequent-item list.
     val pres = rel
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
+      .localCheckpoint()
     val nB = pres.agg(countDistinct(col("basket")).as("n_baskets"))
     val floorCnt = ceil(lit(minSupportFrac) * col("n_baskets")).as("min_cnt")
     val thresholds = broadcast(nB.select(col("n_baskets"), floorCnt))
@@ -66,6 +73,7 @@ object FrequentPairs {
     val frequent = itemCnt.crossJoin(thresholds)
       .filter(col("cnt") >= col("min_cnt"))
       .select("item", "cnt")
+      .localCheckpoint()
 
     val kept = pres.join(frequent, Seq("item"))
     val baskets = kept.groupBy("basket")
