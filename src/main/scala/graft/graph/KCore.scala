@@ -39,7 +39,19 @@ object KCore {
     * duplicates/reverses collapse, self-loops and nulls drop.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxRounds: Int = 24): DataFrame = {
+            maxRounds: Int = 24): DataFrame =
+    converge(edges, srcCol, dstCol, k, maxRounds)._2
+
+  /** The k-core's EDGE set — canonical `(a, b)` with a < b — for
+    * composing downstream graph analytics over the dense region
+    * (e.g. PageRank within the core). Same peel, same loud abort.
+    */
+  def kCoreEdges(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+                 maxRounds: Int = 24): DataFrame =
+    converge(edges, srcCol, dstCol, k, maxRounds)._1
+
+  private def converge(edges: DataFrame, srcCol: String, dstCol: String,
+                       k: Int, maxRounds: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"maxRounds out of [1,64]: $maxRounds")
@@ -79,7 +91,7 @@ object KCore {
         s"kCore: not converged after $maxRounds synchronous rounds — " +
           "raise maxRounds (peeling depth is a property of the graph; " +
           "a path-like graph needs O(n) rounds)")
-    deg
+    (live, deg)
   }
 
   /** DuckDB replay of [[kCore]]: `maxRounds` unrolled peel stages over
@@ -89,7 +101,25 @@ object KCore {
     * plain CTEs per reference — 3^rounds scan expansion (observed as a
     * file-handle explosion) unless each round is pinned once.
     */
-  def oracleSql(edgesSql: String, k: Int, maxRounds: Int = 24): String = {
+  def oracleSql(edgesSql: String, k: Int, maxRounds: Int = 24): String =
+    peelSql(edgesSql, k, maxRounds,
+      s"""SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+           SELECT a AS node FROM e_$maxRounds
+           UNION ALL SELECT b FROM e_$maxRounds)
+         GROUP BY node""")
+
+  /** DuckDB replay of [[kCoreEdges]], SYMMETRIZED to (src, dst) both
+    * directions — the shape [[PageRank.oracleSql]] consumes, so the
+    * two compose into a core-restricted centrality oracle.
+    */
+  def edgesOracleSql(edgesSql: String, k: Int, maxRounds: Int = 24): String =
+    peelSql(edgesSql, k, maxRounds,
+      s"""SELECT a AS src, b AS dst FROM e_$maxRounds
+         UNION ALL
+         SELECT b AS src, a AS dst FROM e_$maxRounds""")
+
+  private def peelSql(edgesSql: String, k: Int, maxRounds: Int,
+                      finalSelect: String): String = {
     val stages = (0 until maxRounds).map { j =>
       s"""d_$j AS MATERIALIZED (SELECT node, COUNT(*) AS c FROM (
              SELECT a AS node FROM e_$j UNION ALL SELECT b FROM e_$j)
@@ -104,9 +134,6 @@ object KCore {
          FROM ($edgesSql)
          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
        $stages
-       SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
-         SELECT a AS node FROM e_$maxRounds
-         UNION ALL SELECT b FROM e_$maxRounds)
-       GROUP BY node"""
+       $finalSelect"""
   }
 }
