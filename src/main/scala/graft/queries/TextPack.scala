@@ -151,6 +151,20 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Token co-occurrence beyond chance — the text-corpus face of the
+    // a-priori frequent-pairs miner: which long tokens share documents
+    // in ≥ 8% of the corpus, with lift as the association strength
+    // (lift ≫ 1 flags collocations, lift ≈ 1 independent head words).
+    "t_token_pairs" -> ((s, dir) => {
+      val rel = table(s, dir, "documents")
+        .select(col("doc_id").as("basket"),
+          explode(graft.text.CorpusStats.tokens(col("text"))).as("item"))
+        .filter(length(col("item")) >= 4)
+      graft.operators.FrequentPairs
+        .frequentPairs(rel, "basket", "item", minSupportFrac = 0.08)
+        .orderBy("item_a", "item_b")
+    }),
+
     "t_quality_score" -> ((s, dir) => {
       val t = col("text")
       table(s, dir, "documents")
@@ -1797,6 +1811,15 @@ object TextPack extends QueryPack {
            CASE WHEN COALESCE(st.n_grams, 0) = 0 THEN 0.0
                 ELSE ROUND(CAST(st.n_oov AS DOUBLE) / st.n_grams, 6) END AS oov_rate
          FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""",
+    // same floor, expansion and float trees over the tokenized corpus
+    "t_token_pairs" -> (graft.operators.FrequentPairs.oracleSql(
+      """SELECT doc_id AS basket, tok AS item FROM (
+           SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                t -> LENGTH(t) > 0)) AS tok
+           FROM documents)
+         WHERE LENGTH(tok) >= 4""",
+      minSupportFrac = 0.08) + " ORDER BY item_a, item_b"),
     // token histogram entropy replayed: same lowered-whitespace tokens,
     // same ln(N) − Σc·ln(c)/N tree, zeros kept via the left join
     "t_token_entropy" ->
