@@ -182,7 +182,8 @@ object PipelineBench {
     "pm25_spatial_impute_quarter" -> 166.0,
     // first published by the round-9 local sweeps (same command/box)
     "graph_pagerank_1M_edges" -> 47.0,
-    "graph_triangles_1M_edges" -> 24.0)
+    "graph_triangles_1M_edges" -> 21.0,
+    "graph_kcore_1M_edges" -> 9.0)
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
     * over their repeats. Contention noise on a shared sandbox is
@@ -318,7 +319,14 @@ object PipelineBench {
         // exactly what the degree-ordered orientation must neutralize —
         // unoriented, each hub alone would shuffle ~10⁸ wedge rows
         TimedStage("graph_triangles_1M_edges", 2, cpuCompanion = true)(() =>
-          graft.graph.Triangles.perNode(graphEdgesDf, "src", "dst").count()))
+          graft.graph.Triangles.perNode(graphEdgesDf, "src", "dst").count()),
+        // synchronous k-core peel at realistic edge scale — prices the
+        // per-round semi-join + checkpoint loop (the gate graph peels
+        // the same way at 1/500 the size); k=6 on the avg-degree-10
+        // skewed graph peels a deep cascade before the fixed point
+        TimedStage("graph_kcore_1M_edges", 2, cpuCompanion = true)(() =>
+          graft.graph.KCore.kCore(graphEdgesDf, "src", "dst", k = 6,
+            maxRounds = 40).count()))
 
       // round-robin sweep: stage order inside a sweep preserves the
       // combine → impute/feature-gen read dependency
