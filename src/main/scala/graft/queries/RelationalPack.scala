@@ -417,6 +417,24 @@ object RelationalPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Bradley–Terry skill ranking from pairwise preferences — the
+    // RLHF/eval-judging aggregation: suppliers "win" in-order quantity
+    // comparisons, 8 fixed-point integer MM steps turn the game set
+    // into latent strengths the oracle replays bit-for-bit (the
+    // integer-PageRank parity contract, extended to preference data).
+    "a_bradley_terry" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+      val games = l.as("x").join(l.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_quantity") > col("y.l_quantity") &&
+            col("x.l_suppkey") =!= col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("winner"),
+          col("y.l_suppkey").as("loser"))
+      graft.ml.BradleyTerry.ranks(games, "winner", "loser", iterations = 8)
+        .orderBy("player")
+    }),
+
     // Exact ROC-AUC (Mann–Whitney with midranks): does event value
     // rank purchases above other events — the model-eval gate as one
     // number. The doubled-midrank sum is an exact BIGINT; AUC is one
@@ -466,6 +484,12 @@ object RelationalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "a_roc_auc" -> graft.ml.Auc.oracleSql(
       "SELECT value AS s, event_type = 'purchase' AS y FROM events"),
+    "a_bradley_terry" -> (graft.ml.BradleyTerry.oracleSql(
+      """SELECT x.l_suppkey AS winner, y.l_suppkey AS loser
+         FROM lineitem x JOIN lineitem y ON y.l_orderkey = x.l_orderkey
+         WHERE x.l_quantity > y.l_quantity
+           AND x.l_suppkey <> y.l_suppkey""",
+      iterations = 8) + " ORDER BY 1"),
     "a_frequent_pairs" -> (graft.operators.FrequentPairs.oracleSql(
       """SELECT l_orderkey AS basket, p_brand AS item
          FROM lineitem JOIN part ON p_partkey = l_partkey""",
