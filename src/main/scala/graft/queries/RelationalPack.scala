@@ -417,6 +417,20 @@ object RelationalPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Per-group equi-depth decile binning — the deterministic ntile:
+    // bucket is a pure function of the VALUE (ties share a bucket), so
+    // unlike ntile the whole assignment replays in SQL. Quantized
+    // values keep the interpolated cuts dyadic-exact on both engines.
+    "a_equidepth_buckets" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value")).cast("long").as("v"))
+      graft.operators.Bucketize.equiDepth(ev, Seq("event_type"), "v",
+          nBuckets = 10)
+        .select("event_id", "event_type", "v", "v_bucket")
+        .orderBy("event_id")
+    }),
+
     // Bradley–Terry skill ranking from pairwise preferences — the
     // RLHF/eval-judging aggregation: suppliers "win" in-order quantity
     // comparisons, 8 fixed-point integer MM steps turn the game set
@@ -484,6 +498,11 @@ object RelationalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "a_roc_auc" -> graft.ml.Auc.oracleSql(
       "SELECT value AS s, event_type = 'purchase' AS y FROM events"),
+    "a_equidepth_buckets" -> (graft.operators.Bucketize.oracleSql(
+      """SELECT event_id, event_type, CAST(FLOOR(value) AS BIGINT) AS v
+         FROM events""",
+      groupCols = Seq("event_type"), nBuckets = 10,
+      carryCols = Seq("event_id", "v")) + " ORDER BY r.event_id"),
     "a_bradley_terry" -> (graft.ml.BradleyTerry.oracleSql(
       """SELECT x.l_suppkey AS winner, y.l_suppkey AS loser
          FROM lineitem x JOIN lineitem y ON y.l_orderkey = x.l_orderkey
