@@ -417,6 +417,33 @@ object RelationalPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // ROLLUP: hierarchical subtotals (flag, flag+status, grand total)
+    // in ONE pass — the reporting aggregation a naive union of three
+    // groupBys would triple-scan for. grouping_id disambiguates
+    // subtotal rows from genuine-null groups; sums go through the
+    // DECIMAL convention.
+    "a_rollup_pricing" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    }),
+
+    // CUBE: every grouping-set combination incl. the status-only
+    // marginal ROLLUP cannot express — same single-pass contract.
+    "a_cube_pricing" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    }),
+
     // Per-group equi-depth decile binning — the deterministic ntile:
     // bucket is a pure function of the VALUE (ties share a bucket), so
     // unlike ntile the whole assignment replays in SQL. Quantized
@@ -498,6 +525,22 @@ object RelationalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "a_roc_auc" -> graft.ml.Auc.oracleSql(
       "SELECT value AS s, event_type = 'purchase' AS y FROM events"),
+    "a_rollup_pricing" ->
+      """SELECT 2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
+         l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "a_cube_pricing" ->
+      """SELECT 2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
+         l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
     "a_equidepth_buckets" -> (graft.operators.Bucketize.oracleSql(
       """SELECT event_id, event_type, CAST(FLOOR(value) AS BIGINT) AS v
          FROM events""",
