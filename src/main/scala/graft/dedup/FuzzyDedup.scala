@@ -75,4 +75,41 @@ object FuzzyDedup {
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .filter(col("dist") <= maxEdit)
   }
+
+  /** Spelling canonicalization — the entity-resolution composition of
+    * this module: cluster strings within `maxEdit` (deletion-variant
+    * candidates → exact levenshtein → connected components) and map
+    * every string to its cluster's MOST FREQUENT spelling (ties by
+    * lexicographically LAST — `max(struct)` needs no string negation
+    * and the oracle's `ORDER BY cnt DESC, w DESC` replays it). The
+    * text-normalization face of dedup: "colour/color/colr" all map to
+    * the corpus's dominant form.
+    *
+    * Input is one row per OCCURRENCE (frequency is the evidence);
+    * output one row per distinct string: `(word, canonical, cnt)`.
+    * Components run over the string keys directly (the resolver's
+    * min-label is lexicographic there — any total order works).
+    */
+  def canonicalizeSpellings(df: DataFrame, strCol: String,
+                            maxEdit: Int = 1,
+                            maxBucket: Long = 100000L,
+                            maxLen: Int = 40): DataFrame = {
+    val occ = df.select(col(strCol).cast("string").as("w"))
+      .filter(col("w").isNotNull)
+    val counts = occ.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val pairs = pairsWithinEdit(counts.select("w"), "w", maxEdit,
+        maxBucket, maxLen)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+    val mem = counts
+      .join(comps.withColumnRenamed("id", "w"), Seq("w"), "left")
+      .select(col("w"), col("cnt"),
+        coalesce(col("canonical_id"), col("w")).as("cluster"))
+    val best = mem.groupBy("cluster")
+      .agg(max(struct(col("cnt").as("c"), col("w").as("s"))).as("m"))
+      .select(col("cluster"), col("m.s").as("canonical"))
+    mem.join(best, Seq("cluster"))
+      .select(col("w").as("word"), col("canonical"), col("cnt"))
+  }
 }

@@ -190,6 +190,19 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Spelling canonicalization — fuzzy variants → components → the
+    // cluster's most frequent form: every corpus token mapped to its
+    // dominant spelling (ties lexicographically last). Oracle:
+    // brute-force levenshtein edges + recursive components + the same
+    // argmax.
+    "dedup_spell_canon" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(graft.text.CorpusStats.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 3)
+      graft.dedup.FuzzyDedup.canonicalizeSpellings(toks, "w", maxEdit = 1)
+        .orderBy("word")
+    }),
+
     // Fuzzy (edit-distance) matching via symmetric deletes: the
     // deletion-variant equi-join is a COMPLETE candidate generator for
     // levenshtein <= d, verified per candidate — so the oracle is the
@@ -417,6 +430,34 @@ object DedupPack extends QueryPack {
          GROUP BY ne.doc_id ORDER BY ne.doc_id""",
     // brute-force pair scan — the symmetric-delete routing must be
     // invisible in the result
+    "dedup_spell_canon" ->
+      """WITH RECURSIVE occ AS (
+           SELECT UNNEST(LIST_FILTER(
+             STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+             t -> LENGTH(t) >= 3)) AS w
+           FROM documents),
+         wc AS (SELECT w, COUNT(*) AS cnt FROM occ GROUP BY w),
+         edges AS (SELECT a.w AS a, b.w AS b
+                   FROM wc a JOIN wc b ON a.w < b.w
+                   WHERE levenshtein(a.w, b.w) <= 1),
+         sym AS (SELECT a AS src, b AS dst FROM edges
+                 UNION SELECT b AS src, a AS dst FROM edges),
+         reach(node, lbl) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         canon AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+         mem AS (SELECT wc.w, wc.cnt, COALESCE(c.cluster, wc.w) AS cluster
+                 FROM wc LEFT JOIN canon c ON c.node = wc.w),
+         best AS (SELECT cluster, w AS canonical FROM (
+                    SELECT cluster, w,
+                      ROW_NUMBER() OVER (PARTITION BY cluster
+                        ORDER BY cnt DESC, w DESC) AS rn
+                    FROM mem)
+                  WHERE rn = 1)
+         SELECT m.w AS word, b.canonical, m.cnt
+         FROM mem m JOIN best b USING (cluster)
+         ORDER BY word""",
     "dedup_fuzzy_words" ->
       """WITH toks AS (
            SELECT DISTINCT UNNEST(LIST_FILTER(

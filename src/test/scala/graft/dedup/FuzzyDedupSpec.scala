@@ -75,6 +75,32 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(ok.count() === 1)
   }
 
+  test("canonicalizeSpellings maps variants to the dominant form") {
+    // "color" dominates its cluster {color, colour, colr}; "table"
+    // dominates {table, tables}; "spark" is a singleton
+    val occ = (Seq.fill(10)("color") ++ Seq.fill(4)("colour") ++
+      Seq.fill(2)("colr") ++ Seq.fill(5)("table") ++ Seq.fill(3)("tables") ++
+      Seq.fill(7)("spark")).map(Tuple1(_))
+    val got = FuzzyDedup.canonicalizeSpellings(
+        occ.toDF("w").repartition(5), "w", maxEdit = 1)
+      .collect()
+      .map(r => r.getAs[String]("word") ->
+        ((r.getAs[String]("canonical"), r.getAs[Long]("cnt")))).toMap
+    assert(got("color") === (("color", 10L)))
+    assert(got("colour") === (("color", 4L)))
+    assert(got("colr") === (("color", 2L)))
+    assert(got("table") === (("table", 5L)))
+    assert(got("tables") === (("table", 3L)))
+    assert(got("spark") === (("spark", 7L)))
+  }
+
+  test("canonicalizeSpellings breaks frequency ties lexicographically LAST") {
+    val occ = (Seq.fill(3)("gray") ++ Seq.fill(3)("grey")).map(Tuple1(_))
+    val got = FuzzyDedup.canonicalizeSpellings(occ.toDF("w"), "w")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("gray" -> "grey", "grey" -> "grey"))
+  }
+
   test("nfc normalization composes decomposed sequences (native expr)") {
     // explicit escapes: input decomposed (e+U+0301, o+U+0302), output composed
     val out = Seq(Tuple1("e\u0301 o\u0302 plain")).toDF("s")
