@@ -417,6 +417,22 @@ object RelationalPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // UNPIVOT/melt — the long-form inverse of the K4 raster pivot:
+    // four measure columns per line item become (measure, val) rows
+    // via stack() (one generator pass, no join, no shuffle until the
+    // output sort). Raw column doubles pass through bit-exact.
+    "p_unpivot_measures" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(4,
+            'quantity', l_quantity,
+            'extendedprice', l_extendedprice,
+            'discount', l_discount,
+            'tax', l_tax) AS (measure, val)"""))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
     // ROLLUP: hierarchical subtotals (flag, flag+status, grand total)
     // in ONE pass — the reporting aggregation a naive union of three
     // groupBys would triple-scan for. grouping_id disambiguates
@@ -525,6 +541,21 @@ object RelationalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "a_roc_auc" -> graft.ml.Auc.oracleSql(
       "SELECT value AS s, event_type = 'purchase' AS y FROM events"),
+    "p_unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+           SELECT l_orderkey, l_linenumber,
+             'quantity' AS measure, l_quantity AS val
+           FROM lineitem WHERE l_orderkey % 50 = 0
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+           FROM lineitem WHERE l_orderkey % 50 = 0
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'discount', l_discount
+           FROM lineitem WHERE l_orderkey % 50 = 0
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'tax', l_tax
+           FROM lineitem WHERE l_orderkey % 50 = 0)
+         ORDER BY l_orderkey, l_linenumber, measure""",
     "a_rollup_pricing" ->
       """SELECT 2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
          l_returnflag, l_linestatus,
