@@ -376,6 +376,38 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"prefix filtering must never plan an all-pairs product:\n$s")
   }
 
+  test("k-core / BFS results read checkpointed state, not replayed rounds") {
+    // both loops checkpoint per round; the FINAL frame must be the
+    // materialized state plus at most the output sort — a plan that
+    // chains the rounds would replay every peel/frontier per action
+    Seq("g_kcore", "g_bfs_hops").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      df.count()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("Scan ExistingRDD"),
+        s"$q should read checkpointed state:\n$s")
+      assert(shuffles(df) <= 2, s"$q grew extra exchanges")
+    }
+  }
+
+  test("bradley-terry final plan is one join off the checkpointed strengths") {
+    val df = graft.SparkEntry.queries("a_bradley_terry")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("Scan ExistingRDD"),
+      s"final frame should read checkpointed strengths:\n$s")
+    val joins = "(?i)join".r.findAllIn(s).size
+    assert(joins <= 3, s"plan should not replay MM iterations:\n$s")
+  }
+
+  test("equi-depth buckets: cuts broadcast back, assignment map-side") {
+    val df = graft.SparkEntry.queries("a_equidepth_buckets")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"per-group cuts should broadcast:\n$s")
+  }
+
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
     val docs = graft.core.Tables.table(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id").as("x"),
