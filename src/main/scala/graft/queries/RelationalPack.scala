@@ -492,6 +492,17 @@ object RelationalPack extends QueryPack {
         .orderBy("player")
     }),
 
+    // Cohen's kappa — do two quality annotators (char-length vs
+    // token-count heuristics) agree beyond chance: the annotation-QA
+    // gate for labeling pipelines. All-integer confusion/marginal
+    // masses, kappa as ONE pinned division via (N·A − B)/(N² − B).
+    "a_cohens_kappa" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        (col("n_chars") >= 400).as("a"),
+        (graft.text.TextFunctions.tokenCount(col("text")) >= 60).as("b"))
+      graft.ml.Agreement.cohensKappa(docs, "a", "b")
+    }),
+
     // Exact ROC-AUC (Mann–Whitney with midranks): does event value
     // rank purchases above other events — the model-eval gate as one
     // number. The doubled-midrank sum is an exact BIGINT; AUC is one
@@ -541,6 +552,12 @@ object RelationalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "a_roc_auc" -> graft.ml.Auc.oracleSql(
       "SELECT value AS s, event_type = 'purchase' AS y FROM events"),
+    "a_cohens_kappa" -> graft.ml.Agreement.oracleSql(
+      """SELECT n_chars >= 400 AS a,
+           (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END) >= 60
+             AS b
+         FROM documents"""),
     "p_unpivot_measures" ->
       """SELECT l_orderkey, l_linenumber, measure, val FROM (
            SELECT l_orderkey, l_linenumber,
