@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact Spearman rank correlation — "do two scorers RANK the corpus
+  * the same way": the scale-free agreement measure between quality
+  * signals (a heuristic vs a learned classifier, two judges' scores)
+  * that Pearson on raw values conflates with their marginal shapes.
+  *
+  * Spearman = Pearson over midranks. Midranks are computed exactly by
+  * the [[Auc]] construction (per-value groups + an ordered prefix sum
+  * over the DISTINCT-VALUE frame — value cardinality, not corpus
+  * cardinality), DOUBLED so ties stay integers. All five sums
+  * (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) — rank sums
+  * grow as N³, past 64 bits around N ≈ 1.3M, and the decimal lane is
+  * exact to 10³⁸ (DuckDB's HUGEINT mirror to 1.7·10³⁸). The
+  * correlation is then the pinned
+  * `(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²))`
+  * tree with the difference terms still EXACT (decimal arithmetic) and
+  * only the final sqrt/divide in IEEE doubles — gate queries round per
+  * the transcendental convention. Zero-variance sides (a constant
+  * scorer) report NULL rather than 0/0.
+  */
+object Correlation {
+
+  /** Doubled midrank (2·cum_before + cnt + 1, an exact BIGINT) of
+    * `valueCol`, joined back onto every row as `outCol`.
+    */
+  private def midrank2(df: DataFrame, valueCol: String,
+                       outCol: String): DataFrame = {
+    val groups = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    val ranked = groups.withColumn("__cum",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(valueCol)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(valueCol),
+        (col("__cum") * 2 + col("__cnt") + 1).as(outCol))
+    df.join(ranked, Seq(valueCol))
+  }
+
+  /** One row: `(n, spearman)`; null x or y rows are excluded. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .localCheckpoint()
+    val withRanks = midrank2(midrank2(rows, "__x", "rx"), "__y", "ry")
+    val d = "decimal(38,0)"
+    val sums = withRanks.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(d)).as("sx"), sum(col("ry").cast(d)).as("sy"),
+      sum((col("rx") * col("ry")).cast(d)).as("sxy"),
+      sum((col("rx") * col("rx")).cast(d)).as("sxx"),
+      sum((col("ry") * col("ry")).cast(d)).as("syy"))
+    val num = (col("n").cast(d) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val vx = (col("n").cast(d) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val vy = (col("n").cast(d) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    sums.select(col("n"),
+      when(vx > 0 && vy > 0, num / (sqrt(vx) * sqrt(vy))).as("spearman"))
+  }
+
+  /** DuckDB replay of [[spearman]] for `rowsSql` yielding (x, y). */
+  def oracleSql(rowsSql: String): String =
+    s"""WITH rows_in AS (SELECT x, y FROM ($rowsSql)
+         WHERE x IS NOT NULL AND y IS NOT NULL),
+       gx AS (SELECT x, COUNT(*) AS c FROM rows_in GROUP BY x),
+       rx AS (SELECT x,
+                2 * COALESCE(SUM(c) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + c + 1 AS rx
+              FROM gx),
+       gy AS (SELECT y, COUNT(*) AS c FROM rows_in GROUP BY y),
+       ry AS (SELECT y,
+                2 * COALESCE(SUM(c) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + c + 1 AS ry
+              FROM gy),
+       wr AS (SELECT rx.rx, ry.ry FROM rows_in r
+              JOIN rx ON rx.x = r.x JOIN ry ON ry.y = r.y),
+       s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(rx AS HUGEINT)) AS sx,
+               SUM(CAST(ry AS HUGEINT)) AS sy,
+               SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+               SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+               SUM(CAST(ry AS HUGEINT) * ry) AS syy
+             FROM wr)
+       SELECT CAST(n AS BIGINT) AS n,
+         CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+              END AS spearman
+       FROM s"""
+}

@@ -492,6 +492,19 @@ object RelationalPack extends QueryPack {
         .orderBy("player")
     }),
 
+    // Exact Spearman rank correlation — do two scorers RANK the corpus
+    // the same way (char length vs token count here): midranks exact
+    // via the AUC construction, sums in the DECIMAL(38,0) lane (rank
+    // sums grow N³ past 64 bits near N≈1.3M), difference terms exact,
+    // one sqrt/divide tree rounded per convention.
+    "a_spearman" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        col("n_chars").cast("long").as("x"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("y"))
+      graft.ml.Correlation.spearman(docs, "x", "y")
+        .select(col("n"), round(col("spearman"), 4).as("spearman"))
+    }),
+
     // Cohen's kappa — do two quality annotators (char-length vs
     // token-count heuristics) agree beyond chance: the annotation-QA
     // gate for labeling pipelines. All-integer confusion/marginal
@@ -552,6 +565,13 @@ object RelationalPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "a_roc_auc" -> graft.ml.Auc.oracleSql(
       "SELECT value AS s, event_type = 'purchase' AS y FROM events"),
+    "a_spearman" -> (s"""SELECT n, ROUND(spearman, 4) AS spearman FROM (
+      ${graft.ml.Correlation.oracleSql(
+        """SELECT CAST(n_chars AS BIGINT) AS x,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END
+               AS BIGINT) AS y
+           FROM documents""")})"""),
     "a_cohens_kappa" -> graft.ml.Agreement.oracleSql(
       """SELECT n_chars >= 400 AS a,
            (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
