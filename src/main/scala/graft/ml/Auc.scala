@@ -56,6 +56,67 @@ object Auc {
         .as("auc"))
   }
 
+  /** Per-group ROC-AUC — the per-domain eval slice ("does the scorer
+    * still rank well INSIDE each source"): the same midrank
+    * construction with every step keyed by `groupCols`. The prefix sum
+    * partitions by group, so no single-partition window appears even
+    * when the global variant's distinct-score frame would be large.
+    * Groups lacking a class report NULL AUC.
+    */
+  def rocAucByGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                    labelCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "use rocAuc for the ungrouped form")
+    val g = groupCols.map(col)
+    val rows = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select((g :+ col(scoreCol).as("s") :+
+        col(labelCol).cast("boolean").as("y")): _*)
+    val groups = rows.groupBy((g :+ col("s")): _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+    val cum = groups.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    cum.groupBy(g: _*).agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("cnt") - col("pos")).as("n_neg"),
+        sum(col("pos") * (col("cum_before") * 2 + col("cnt") + 1)).as("num2"))
+      .select((g :+ col("n_pos") :+ col("n_neg") :+ col("num2") :+
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("num2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double"))
+          .as("auc")): _*)
+  }
+
+  /** DuckDB replay of [[rocAucByGroup]] for `rowsSql` yielding
+    * `(groupCols…, s, y)`.
+    */
+  def groupedOracleSql(rowsSql: String, groupCols: Seq[String]): String = {
+    val g = groupCols.mkString(", ")
+    s"""WITH rows_in AS (SELECT $g, s, y FROM ($rowsSql)
+         WHERE s IS NOT NULL AND y IS NOT NULL),
+       gr AS (SELECT $g, s, COUNT(*) AS cnt,
+                SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+              FROM rows_in GROUP BY $g, s),
+       c AS (SELECT $g, s, cnt, pos,
+               COALESCE(SUM(cnt) OVER (PARTITION BY $g ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+             FROM gr),
+       a AS (SELECT $g, CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+               CAST(SUM(pos * (cum_before * 2 + cnt + 1)) AS BIGINT) AS num2
+             FROM c GROUP BY $g)
+       SELECT $g, n_pos, n_neg, num2,
+         CASE WHEN n_pos > 0 AND n_neg > 0
+              THEN CAST(num2 - n_pos * (n_pos + 1) AS DOUBLE)
+                   / CAST(n_pos * n_neg * 2 AS DOUBLE)
+              END AS auc
+       FROM a"""
+  }
+
   /** DuckDB replay of [[rocAuc]] for `rowsSql` yielding (s, y). */
   def oracleSql(rowsSql: String): String =
     s"""WITH rows_in AS (SELECT s, y FROM ($rowsSql)

@@ -505,6 +505,20 @@ object RelationalPack extends QueryPack {
         .select(col("n"), round(col("spearman"), 4).as("spearman"))
     }),
 
+    // Per-group ROC-AUC — the per-domain eval slice: does value rank
+    // purchases above other events INSIDE each event day-of-week
+    // cohort (a deliberately coarser group than event_type so both
+    // classes exist per group). Group-partitioned prefix sums — no
+    // single-partition window even at corpus scale.
+    "a_roc_auc_by_group" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(pmod(col("user_id"), lit(4L)).as("cohort"),
+          col("value").as("s"),
+          (col("event_type") === "purchase").as("y"))
+      graft.ml.Auc.rocAucByGroup(ev, Seq("cohort"), "s", "y")
+        .orderBy("cohort")
+    }),
+
     // Cohen's kappa — do two quality annotators (char-length vs
     // token-count heuristics) agree beyond chance: the annotation-QA
     // gate for labeling pipelines. All-integer confusion/marginal
@@ -572,6 +586,10 @@ object RelationalPack extends QueryPack {
                   ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END
                AS BIGINT) AS y
            FROM documents""")})"""),
+    "a_roc_auc_by_group" -> (graft.ml.Auc.groupedOracleSql(
+      """SELECT user_id % 4 AS cohort, value AS s,
+           event_type = 'purchase' AS y FROM events""",
+      groupCols = Seq("cohort")) + " ORDER BY cohort"),
     "a_cohens_kappa" -> graft.ml.Agreement.oracleSql(
       """SELECT n_chars >= 400 AS a,
            (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0

@@ -51,6 +51,24 @@ class AucSpec extends AnyFunSuite {
     assert(run(rows.reverse, parts = 17).getAs[Double]("auc") === want)
   }
 
+  test("grouped AUC equals the per-group filtered global computation") {
+    val rows = (1 to 300).map { i =>
+      val h = i * 2654435761L
+      (s"g${(h >>> 5) % 3}", ((h >>> 13) % 50).toDouble / 50.0,
+        (h >>> 23) % 3 == 0)
+    }
+    val grouped = Auc.rocAucByGroup(
+        rows.toDF("g", "s", "y").repartition(7), Seq("g"), "s", "y")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("auc"))
+      .toMap
+    (0 until 3).foreach { g =>
+      val solo = Auc.rocAuc(rows.filter(_._1 == s"g$g")
+          .map(t => (t._2, t._3)).toDF("s", "y"), "s", "y")
+        .head().getAs[Double]("auc")
+      assert(grouped(s"g$g") === solo, s"group g$g")
+    }
+  }
+
   test("degenerate single-class input reports NULL, not 0/0") {
     val r = run(Seq(0.4 -> true, 0.6 -> true))
     assert(r.getAs[Long]("n_neg") === 0L)
