@@ -71,6 +71,45 @@ object Ann {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Mutual nearest neighbors — pairs where each vector is the OTHER's
+    * single nearest non-self neighbor (ties by smaller neighbor id):
+    * the bitext-mining / cross-corpus alignment idiom, far stricter
+    * than one-directional top-1 (a hub vector is "nearest" to many
+    * points but mutual with at most one). Exact duplicates are handled
+    * by excluding self BEFORE ranking, so a duplicated vector's mutual
+    * partner is its twin, not itself.
+    *
+    * This is the exact brute baseline (corpus broadcast, all-pairs per
+    * partition) — at corpus scale run it per IVF cell
+    * ([[assignCells]]) so candidates stay cell-co-resident, the same
+    * composition as [[hardNegatives]]. Output: `(id_a, id_b, cos)`
+    * with id_a < id_b, cosine rounded at 6 per the pack convention.
+    */
+  def mutualNearestNeighbors(corpus: DataFrame, idCol: String,
+                             vecCol: String): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nm", norm(col("v")))
+    val a = v.select(col("id").as("ida"), col("v").as("va"),
+      col("nm").as("na"))
+    val b = v.select(col("id").as("idb"), col("v").as("vb"),
+      col("nm").as("nb"))
+    val w = Window.partitionBy("ida")
+      .orderBy(col("cos").desc, col("idb"))
+    val nn = a.crossJoin(broadcast(b))
+      .filter(col("ida") =!= col("idb"))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("ida"), col("idb"), col("cos"))
+    nn.as("p").join(nn.as("q"),
+        col("p.ida") === col("q.idb") && col("p.idb") === col("q.ida"))
+      .filter(col("p.ida") < col("p.idb"))
+      .select(col("p.ida").as("id_a"), col("p.idb").as("id_b"),
+        round(col("p.cos"), 6).as("cos"))
+  }
+
   /** Deterministic random hyperplanes: `planes` vectors of `dim`
     * components in [-1, 1), derived with a splitmix64 mixer — no RNG
     * state, reproducible across runs and executors. `seed` selects an

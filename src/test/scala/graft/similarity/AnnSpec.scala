@@ -74,6 +74,25 @@ class AnnSpec extends AnyFunSuite {
     assert(exhaustive === bruteRanked)
   }
 
+  test("mutual NN: twins pair, hubs pair at most once, one-way links drop") {
+    // geometry on the unit circle: 1&2 identical (twins), 3 close to
+    // them (one-way: nearest to the twin pair but they prefer each
+    // other), 4&5 a mutual pair elsewhere, 6 isolated-ish
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val vecs = Seq(
+      1L -> at(0), 2L -> at(0), 3L -> at(12),
+      4L -> at(120), 5L -> at(125), 6L -> at(250))
+    val got = Ann.mutualNearestNeighbors(
+        vecs.toDF("vec_id", "embedding").repartition(3),
+        "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // twins are each other's top-1 (self excluded BEFORE ranking);
+    // 3's nearest is a twin but both twins prefer each other; 6's
+    // nearest is 5, but 5 prefers 4
+    assert(got === Set((1L, 2L), (4L, 5L)))
+  }
+
   test("probeMasks enumerates exactly the ≤radius masks") {
     assert(Ann.probeMasks(4, 0) === Seq(0L))
     assert(Ann.probeMasks(4, 1).toSet ===
