@@ -238,10 +238,12 @@ object Dedup {
     *
     * Returns EVERY doc with its verdict: `(idCol, cluster, keep_id,
     * kept)` — singletons are their own cluster and keep themselves.
-    * The argmax is one `max(struct(score, −id))` aggregation per
-    * cluster (no rank window, no per-cluster sort). Null scores abort
-    * loudly: silently ranking null lowest would quietly keep a mirror
-    * because the better page's scorer failed upstream.
+    * The argmax is two aggregations per cluster — max score, then min
+    * id among the max-score members (no rank window, no per-cluster
+    * sort, and no arithmetic id negation: ids may be strings, like
+    * every other dedup entry point's). Null scores abort loudly:
+    * silently ranking null lowest would quietly keep a mirror because
+    * the better page's scorer failed upstream.
     */
   def deduplicateByQuality(docs: DataFrame, idCol: String, textCol: String,
                            scoreCol: String,
@@ -259,10 +261,11 @@ object Dedup {
       .join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("__score"),
         coalesce(col("canonical_id"), col(idCol)).as("cluster"))
-    val best = membership.groupBy("cluster")
-      .agg(max(struct(col("__score").as("s"),
-        (-col(idCol)).as("negid"))).as("m"))
-      .select(col("cluster"), (-col("m.negid")).as("keep_id"))
+    val bestScore = membership.groupBy("cluster")
+      .agg(max(col("__score")).as("__smax"))
+    val best = membership.join(bestScore, Seq("cluster"))
+      .filter(col("__score") === col("__smax"))
+      .groupBy("cluster").agg(min(col(idCol)).as("keep_id"))
     membership.join(best, Seq("cluster"))
       .select(col(idCol), col("cluster"), col("keep_id"),
         (col(idCol) === col("keep_id")).as("kept"))
@@ -311,20 +314,29 @@ object Dedup {
     * than silently splitting clusters.
     *
     * Returns (id, canonical_id) for every id that appears in `pairs`.
+    *
+    * `checkpointDir`: when set, the per-round lineage cuts use a
+    * RELIABLE checkpoint into that directory instead of
+    * `localCheckpoint` — on a real cluster a multi-hour components run
+    * then survives executor loss instead of restarting from zero (see
+    * [[graft.core.Durable]]; bit-identical results either way,
+    * asserted in DedupSpec).
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val cut = new graft.core.Durable(checkpointDir)
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct().cache()
     // invariant edges point large → small (u > v). Each round's result is
-    // localCheckpoint'ed: the round's plan references the previous edge
+    // cut from its lineage: the round's plan references the previous edge
     // set several times, so an uncut lineage grows exponentially with
     // rounds (a cache leaves the logical plan intact — round 1 lesson on
     // iterative operators: the ~8-round collapse of a 200-hop chain
     // already OOMs the PLANNER without truncation).
-    var edges = pairs
+    var edges = cut.cut(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
     try {
       // order-independent, overflow-free set signature (ANSI sum over
       // bigint hashes would overflow): count + xor-fold of edge hashes
@@ -351,13 +363,12 @@ object Dedup {
         // neighborhood; u and every smaller neighbor re-hang on m
         val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
         val withMin = ls.join(ssMin, Seq("u"))
-        val ss = withMin
+        val ss = cut.cut(withMin
           .filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v"))
           .union(ssMin.select(col("u"), col("m").as("v")))
           .filter(col("u") =!= col("v"))
-          .distinct()
-          .localCheckpoint()
+          .distinct())
         val nextSig = signature(ss)
         edges = ss
         converged = nextSig == sig

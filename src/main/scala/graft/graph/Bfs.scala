@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * maxHops)` rounds: per round one edge join + one distinct + one
   * anti-join against the settled set, each shuffling frontier-sized
   * (long, int) rows — never the graph. The settled set is
-  * `localCheckpoint`ed per round (the repo's iterative idiom: an
-  * untruncated loop replays every prior round per action), and the
+  * cut per round (the repo's iterative idiom: an untruncated loop
+  * replays every prior round per action — [[graft.core.Durable]];
+  * localCheckpoint by default, reliable `checkpoint(dir)` via
+  * `checkpointDir` for executor-loss durability), and the
   * loop stops EARLY on an empty frontier via a 1-row driver read —
   * same posture as PageRank's convergence stop. Hop distances are
   * integers; the result is the unique BFS fixed point, independent of
@@ -35,33 +37,32 @@ object Bfs {
     * frame of node ids (nulls dropped, duplicates collapse).
     */
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
-                   seeds: DataFrame, maxHops: Int): DataFrame = {
+                   seeds: DataFrame, maxHops: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0 && maxHops <= 64,
       s"maxHops out of [0,64]: $maxHops — a deeper walk than 64 levels " +
         "on a real graph means the seed set or the edge direction is wrong")
-    val e = edges
+    val cut = new graft.core.Durable(checkpointDir)
+    val e = cut.cut(edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val seedCol = seeds.columns.head
-    var settled = seeds.filter(col(seedCol).isNotNull)
+    var settled = cut.cut(seeds.filter(col(seedCol).isNotNull)
       .select(col(seedCol).as("node")).distinct()
-      .withColumn("hops", lit(0))
-      .localCheckpoint()
+      .withColumn("hops", lit(0)))
     var frontier = settled.select("node")
     var hop = 0
     var frontierEmpty = frontier.isEmpty
     while (hop < maxHops && !frontierEmpty) {
       hop += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
+      val next = cut.cut(frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(settled.select("node"), Seq("node"), "left_anti")
-        .withColumn("hops", lit(hop))
-        .localCheckpoint()
+        .withColumn("hops", lit(hop)))
       frontierEmpty = next.isEmpty
       if (!frontierEmpty) {
-        settled = settled.unionByName(next).localCheckpoint()
+        settled = cut.cut(settled.unionByName(next))
         frontier = next.select("node")
       }
     }

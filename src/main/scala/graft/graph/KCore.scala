@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape, per round: one degree aggregation + two semi-joins of
   * the edge table against the surviving-node set, every shuffle
-  * edge-sized or node-sized; survivors are `localCheckpoint`ed so the
-  * plan stays one round deep. Convergence is checked with a 1-row
+  * edge-sized or node-sized; survivors are cut per round
+  * ([[graft.core.Durable]] — localCheckpoint by default, reliable
+  * `checkpoint(dir)` via `checkpointDir` for executor-loss
+  * durability) so the plan stays one round deep. Convergence is checked with a 1-row
   * driver read per round (the PageRank/BFS posture). Synchronous
   * rounds on real graphs converge in tens of rounds; a path-graph
   * adversary needs O(n) — that is a property of the PROBLEM (peeling
@@ -39,47 +41,49 @@ object KCore {
     * duplicates/reverses collapse, self-loops and nulls drop.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxRounds: Int = 24): DataFrame =
-    converge(edges, srcCol, dstCol, k, maxRounds)._2
+            maxRounds: Int = 24,
+            checkpointDir: Option[String] = None): DataFrame =
+    converge(edges, srcCol, dstCol, k, maxRounds, checkpointDir)._2
 
   /** The k-core's EDGE set — canonical `(a, b)` with a < b — for
     * composing downstream graph analytics over the dense region
     * (e.g. PageRank within the core). Same peel, same loud abort.
     */
   def kCoreEdges(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-                 maxRounds: Int = 24): DataFrame =
-    converge(edges, srcCol, dstCol, k, maxRounds)._1
+                 maxRounds: Int = 24,
+                 checkpointDir: Option[String] = None): DataFrame =
+    converge(edges, srcCol, dstCol, k, maxRounds, checkpointDir)._1
 
   private def converge(edges: DataFrame, srcCol: String, dstCol: String,
-                       k: Int, maxRounds: Int): (DataFrame, DataFrame) = {
+                       k: Int, maxRounds: Int,
+                       checkpointDir: Option[String]): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"maxRounds out of [1,64]: $maxRounds")
-    val canon = edges
+    val cut = new graft.core.Durable(checkpointDir)
+    val canon = cut.cut(edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     def degrees(ed: DataFrame): DataFrame =
       ed.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
 
     var live = canon
-    var deg = degrees(live).localCheckpoint()
+    var deg = cut.cut(degrees(live))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
       val keep = deg.filter(col("core_deg") >= k).select("node")
-      val next = live
+      val next = cut.cut(live
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint()
-      val nextDeg = degrees(next).localCheckpoint()
+        .select("a", "b"))
+      val nextDeg = cut.cut(degrees(next))
       // fixpoint iff no node is below k (checked on the NEW degrees —
       // one bounded agg + 1-row driver read)
       converged = nextDeg.filter(col("core_deg") < k).isEmpty

@@ -67,12 +67,21 @@ object PageRank {
     * unknown. The check is one bounded agg + a 1-row driver read per
     * iteration; with `tolPpb = None` (the gate/oracle setting) the
     * iteration count is exact and replayable.
+    *
+    * `checkpointDir`: when set, per-iteration state cuts use a
+    * RELIABLE checkpoint into that directory instead of
+    * `localCheckpoint` — survives executor loss on a real cluster at
+    * the cost of one FS round-trip of the node-sized state per
+    * iteration (see [[graft.core.Durable]]; results are bit-identical
+    * either way, asserted in GraphSpec).
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iterations: Int, scale: Long = 1000000000L,
             dampNum: Long = 85L, dampDen: Long = 100L,
             seeds: Option[DataFrame] = None,
-            tolPpb: Option[Long] = None): DataFrame = {
+            tolPpb: Option[Long] = None,
+            checkpointDir: Option[String] = None): DataFrame = {
+    val cut = new graft.core.Durable(checkpointDir)
     require(iterations >= 1 && iterations <= 100,
       s"iterations out of range: $iterations")
     require(dampDen > 0 && dampNum > 0 && dampNum < dampDen,
@@ -127,7 +136,7 @@ object PageRank {
     // state carries (out_deg, is_seed) alongside the rank so no
     // iteration re-joins the node-info table — one join (the edge
     // contribution) and one bounded agg per step
-    var state = info.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var state = cut.cut(info.withColumn("rank", lit(scale)))
     var it = 0
     var moved = true
     while (it < iterations && moved) {
@@ -147,7 +156,7 @@ object PageRank {
             expr(s"($dampNum * (coalesce(__inc, 0L) + " +
               s"(CASE WHEN is_seed THEN __d div $sN ELSE 0L END))) div $dampDen"))
             .as("rank"))
-        .localCheckpoint(true)
+      state = cut.cut(state)
       it += 1
       tolPpb.foreach { tol =>
         val delta = state.select(col("node"), col("rank"))
@@ -157,7 +166,7 @@ object PageRank {
         moved = BigInt(delta) * 1000000000L > BigInt(tol) * n * scale
       }
     }
-    val out = state.select("node", "rank", "out_deg").localCheckpoint(true)
+    val out = cut.cut(state.select("node", "rank", "out_deg"))
     e.unpersist()
     info.unpersist()
     out
@@ -182,7 +191,9 @@ object PageRank {
                     weightCol: String, iterations: Int,
                     scale: Long = 1000000000L,
                     dampNum: Long = 85L, dampDen: Long = 100L,
-                    seeds: Option[DataFrame] = None): DataFrame = {
+                    seeds: Option[DataFrame] = None,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val cut = new graft.core.Durable(checkpointDir)
     require(iterations >= 1 && iterations <= 100,
       s"iterations out of range: $iterations")
     require(dampDen > 0 && dampNum > 0 && dampNum < dampDen,
@@ -239,7 +250,7 @@ object PageRank {
 
     val tele = ((dampDen - dampNum) * n * scale) / (dampDen * sN)
 
-    var state = info.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var state = cut.cut(info.withColumn("rank", lit(scale)))
     for (_ <- 1 to iterations) {
       val dang = state.where(col("out_w") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__d"))
@@ -256,9 +267,9 @@ object PageRank {
             expr(s"($dampNum * (coalesce(__inc, 0L) + " +
               s"(CASE WHEN is_seed THEN __d div $sN ELSE 0L END))) div $dampDen"))
             .as("rank"))
-        .localCheckpoint(true)
+      state = cut.cut(state)
     }
-    val out = state.select("node", "rank", "out_w").localCheckpoint(true)
+    val out = cut.cut(state.select("node", "rank", "out_w"))
     e.unpersist()
     info.unpersist()
     out

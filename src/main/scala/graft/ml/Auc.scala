@@ -21,12 +21,15 @@ import org.apache.spark.sql.functions._
   * NULL AUC rather than 0/0.
   *
   * Scale shape: one map-side-combined aggregation to score groups,
-  * then an ordered prefix sum over the DISTINCT-SCORE frame (score
-  * cardinality, not corpus cardinality — a learned score on a 10¹⁰-doc
-  * corpus has at most a few million distinct values, and a quantized
-  * score has thousands; for a truly continuous score at corpus scale,
-  * quantize first — the repo's Winsorize/quantized convention), and a
-  * final 1-row rollup. The corpus shuffles once.
+  * then an ordered prefix sum over the DISTINCT-SCORE frame. That
+  * frame is usually small (a quantized score has thousands of values)
+  * but is NOT provably bounded — a raw continuous double score over a
+  * 10¹⁰-doc corpus has a distinct frame the size of the corpus — so
+  * the prefix sum runs through [[graft.operators.PrefixSum]]'s
+  * range-partitioned decomposition rather than a single-task
+  * `Window.orderBy`: bit-identical integers (asserted in EvalSpec
+  * against the windowed form), safe at any score cardinality. The
+  * corpus shuffles once; the rollup is 1 row.
   */
 object Auc {
 
@@ -41,10 +44,8 @@ object Auc {
     val groups = rows.groupBy("s").agg(
       count(lit(1)).as("cnt"),
       sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
-    val cum = groups.withColumn("cum_before",
-      coalesce(sum(col("cnt")).over(
-        Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    val cum = graft.operators.PrefixSum.exclusive(
+      groups, Seq(col("s")), col("cnt"), "cum_before")
     val agg = cum.agg(
       sum(col("pos")).as("n_pos"),
       sum(col("cnt") - col("pos")).as("n_neg"),

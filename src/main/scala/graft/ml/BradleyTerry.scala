@@ -76,8 +76,13 @@ object BradleyTerry {
       .localCheckpoint()
 
     // measured overflow guards: every product taken below must fit 63
-    // bits with the chosen scale
+    // bits with the chosen scale. An empty game list has no maxima (the
+    // agg row is all-null) — return the empty strengths frame instead
+    // of dereferencing a null max
     val m = stats.agg(max(col("n_wins")), max(col("n_games"))).head()
+    if (m.isNullAt(0) || m.isNullAt(1))
+      return stats.select(col("player"), lit(scale).as("skill"),
+        col("n_wins"), col("n_games"))
     val maxW = m.getLong(0); val maxG = m.getLong(1)
     require(maxW <= Long.MaxValue / K / 4 && maxG <= Long.MaxValue / K / 4,
       s"BradleyTerry: win/game counts ($maxW/$maxG) × scale²=$K would " +

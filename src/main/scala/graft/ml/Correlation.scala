@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact Spearman rank correlation — "do two scorers RANK the corpus
@@ -31,10 +30,11 @@ object Correlation {
   private def midrank2(df: DataFrame, valueCol: String,
                        outCol: String): DataFrame = {
     val groups = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
-    val ranked = groups.withColumn("__cum",
-        coalesce(sum(col("__cnt")).over(
-          Window.orderBy(valueCol)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // decomposed prefix sum: the distinct-value frame is not provably
+    // bounded (a raw continuous score's distinct frame ≈ the corpus),
+    // so no single-task Window.orderBy — see [[graft.operators.PrefixSum]]
+    val ranked = graft.operators.PrefixSum.exclusive(
+        groups, Seq(col(valueCol)), col("__cnt"), "__cum")
       .select(col(valueCol),
         (col("__cum") * 2 + col("__cnt") + 1).as(outCol))
     df.join(ranked, Seq(valueCol))

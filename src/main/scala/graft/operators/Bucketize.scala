@@ -69,19 +69,21 @@ object Bucketize {
       s"QUANTILE_CONT(v, $q) AS __cut_${i + 1}"
     }.mkString(", ")
     val g = groupCols.mkString(", ")
-    val gSel = if (groupCols.isEmpty) "" else groupCols.map("r." + _).mkString("", ", ", ",")
     val joinCond = if (groupCols.isEmpty) "TRUE"
       else groupCols.map(c => s"c.$c = r.$c").mkString(" AND ")
     val groupBy = if (groupCols.isEmpty) "" else s"GROUP BY $g"
     val bucket = (1 to nBuckets - 1).map(i =>
       s"(CASE WHEN r.v > c.__cut_$i THEN 1 ELSE 0 END)").mkString(" + ")
-    val carry = carryCols.map("r." + _).mkString(", ")
+    // assemble the select list from non-empty fragments: a fixed
+    // template leaves a dangling comma when groupCols or carryCols is
+    // empty ("SELECT r.g, , CASE …")
+    val sel = (groupCols.map("r." + _) ++ carryCols.map("r." + _) :+
+      s"""CASE WHEN r.v IS NULL THEN NULL
+              ELSE CAST($bucket AS INT) END AS v_bucket""").mkString(", ")
     s"""WITH rows_in AS ($rowsSql),
        cuts AS (SELECT ${if (g.isEmpty) "" else s"$g, "}$cutDefs
                 FROM rows_in $groupBy)
-       SELECT $gSel $carry,
-         CASE WHEN r.v IS NULL THEN NULL
-              ELSE CAST($bucket AS INT) END AS v_bucket
+       SELECT $sel
        FROM rows_in r JOIN cuts c ON $joinCond"""
   }
 }

@@ -340,21 +340,6 @@ object Sampling {
         (col("__pos") + 1).cast("int").as("group_rank"), col("group_k"))
   }
 
-  /** Greedy token-budget selection: walk documents best-first
-    * (`scoreCol` desc, `idCol` asc) and keep every row whose running
-    * token total stays within `budget` — "fill N training tokens with
-    * the best data". Appends `cum_tokens`, the running total through
-    * each kept row.
-    *
-    * 100 TB shape: the global running sum is decomposed so no stage
-    * sorts the corpus in one task — a per-score-value window (order by
-    * id) gives within-group running sums, and group offsets come from a
-    * prefix sum over the per-score totals, a side table bounded by the
-    * score's distinct cardinality (quantize scores — e.g. round to 6dp
-    * ⇒ ≤ 1e6+1 groups — to keep it small enough to broadcast). Token
-    * counts are integers, so the decomposed sum is exactly the
-    * sequential one.
-    */
   /** Curriculum tiering: split rows into quantile tiers of `scoreCol`
     * (default quartiles → tiers 0..3, best = highest) — the bucketing a
     * curriculum or mixed-quality training schedule samples from.
@@ -386,15 +371,29 @@ object Sampling {
       .drop(cuts.indices.map(i => s"__p$i"): _*)
   }
 
+  /** Greedy token-budget selection: walk documents best-first
+    * (`scoreCol` desc, `idCol` asc) and keep every row whose running
+    * token total stays within `budget` — "fill N training tokens with
+    * the best data". Appends `cum_tokens`, the running total through
+    * each kept row.
+    *
+    * 100 TB shape: the global running sum is decomposed so no stage
+    * sorts the corpus in one task — a per-score-value window (order by
+    * id) gives within-group running sums, and the cross-score offsets
+    * come from [[PrefixSum.exclusive]] over the per-score totals
+    * frame, itself range-partitioned rather than single-task-windowed:
+    * the distinct-score frame is usually tiny (quantized scores) but
+    * is not PROVABLY bounded, and a raw continuous score must not
+    * silently plan a corpus-sized one-task sort. Token counts are
+    * integers, so the decomposed sum is exactly the sequential one.
+    */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                         tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive (got $budget)")
     val totals = df.groupBy(col(scoreCol))
       .agg(sum(col(tokenCol)).as("__bucket_tokens"))
-    val offW = Window.orderBy(col(scoreCol).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.withColumn("__offset",
-      coalesce(sum(col("__bucket_tokens")).over(offW), lit(0L)))
+    val offsets = PrefixSum.exclusive(totals, Seq(col(scoreCol).desc),
+      col("__bucket_tokens"), "__offset")
     val inW = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.join(broadcast(offsets.drop("__bucket_tokens")), Seq(scoreCol))

@@ -79,30 +79,84 @@ object Ann {
     * by excluding self BEFORE ranking, so a duplicated vector's mutual
     * partner is its twin, not itself.
     *
-    * This is the exact brute baseline (corpus broadcast, all-pairs per
-    * partition) — at corpus scale run it per IVF cell
-    * ([[assignCells]]) so candidates stay cell-co-resident, the same
-    * composition as [[hardNegatives]]. Output: `(id_a, id_b, cos)`
-    * with id_a < id_b, cosine rounded at 6 per the pack convention.
+    * Exhaustive form: a plain (UNHINTED) cartesian candidate product —
+    * exact at any corpus size the quadratic is affordable for, and
+    * nothing corpus-sized is broadcast: CartesianProduct parallelizes
+    * over left×right partition pairs instead of shipping the whole
+    * corpus to every executor (AQE may still choose a broadcast when
+    * one side measures small — the size-conditional decision the
+    * engine always delegates). At corpus scale use
+    * [[mutualNearestNeighborsCelled]], the same composition with the
+    * candidate product confined to IVF cells. Output: `(id_a, id_b,
+    * cos)` with id_a < id_b, cosine rounded at 6 per the pack
+    * convention.
     */
   def mutualNearestNeighbors(corpus: DataFrame, idCol: String,
                              vecCol: String): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nm", norm(col("v")))
-    val a = v.select(col("id").as("ida"), col("v").as("va"),
-      col("nm").as("na"))
-    val b = v.select(col("id").as("idb"), col("v").as("vb"),
-      col("nm").as("nb"))
-    val w = Window.partitionBy("ida")
-      .orderBy(col("cos").desc, col("idb"))
-    val nn = a.crossJoin(broadcast(b))
-      .filter(col("ida") =!= col("idb"))
+    mutualResolve(
+      v.select(col("id").as("neighbor_id"), col("v").as("cv"),
+          col("nm").as("cn"))
+        .crossJoin(v.select(col("id").as("query_id"), col("v").as("qv"),
+          col("nm").as("qn"))))
+  }
+
+  /** [[mutualNearestNeighbors]] at corpus scale: both sides assigned
+    * IVF cells, each vector probes its `nprobe` nearest cells, rank-1
+    * is taken within cell co-residency and mutuality is resolved on
+    * the (tiny) rank-1 result — the [[hardNegativeTopK]] layout, so
+    * nothing corpus-sized is ever broadcast or all-paired. At
+    * `nprobe = nlist` every cell is probed and the result equals the
+    * exhaustive form by construction (each pair meets exactly once
+    * after the probe dedupe) — the repo's exhaustive-probe oracle
+    * convention; production runs probe 1–4 cells, with recall on
+    * clustered data asserted in AnnSpec. Ids are cast to long for the
+    * typed probe fan-out (the hardNegativeTopK contract).
+    */
+  def mutualNearestNeighborsCelled(corpus: DataFrame, index: IvfIndex,
+                                   nprobe: Int, idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nm", norm(col("v")))
+    val probes = base.as[(Long, Array[Double], Double)]
+      .flatMap { case (id, v, n) =>
+        index.nearestCentroids(v, nprobe).map(cell => (id, v, n, cell))
+      }.toDF("query_id", "qv", "qn", "cell")
+    val cand = base.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("nm").as("cn"))
+      .withColumn("cell", ivfCell(col("cv"), index))
+    // a pair can meet through two probed cells — dedupe (on identical
+    // rows once the cell key is dropped) before ranking
+    mutualResolve(cand.join(probes, Seq("cell"))
+      .drop("cell")
+      .dropDuplicates("query_id", "neighbor_id"))
+  }
+
+  /** Shared core of the mutual-NN forms. `pairs` carries one row per
+    * candidate `(query_id, qv, qn, neighbor_id, cv, cn)` pair; rank-1
+    * per query is taken here, then the mutuality self-join. The rank-1
+    * frame is localCheckpointed before the self-join — Catalyst would
+    * otherwise re-execute the whole candidate scoring (the expensive
+    * step) twice per action, the shared-subtree re-execution the
+    * repo's iterative operators all guard against.
+    */
+  private def mutualResolve(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val nn = pairs
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
-        when(col("na") * col("nb") === 0.0, 0.0)
-          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("ida"), col("idb"), col("cos"))
+      .select(col("query_id").as("ida"), col("neighbor_id").as("idb"),
+        col("cos"))
+      .localCheckpoint()
     nn.as("p").join(nn.as("q"),
         col("p.ida") === col("q.idb") && col("p.idb") === col("q.ida"))
       .filter(col("p.ida") < col("p.idb"))

@@ -134,6 +134,45 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) === ((5L, true)))
   }
 
+  test("deduplicateByQuality accepts STRING ids like every other entry point") {
+    // the tie-break must not negate the id arithmetically — string doc
+    // ids are the common case (URLs, UUIDs) and every other dedup entry
+    // point takes them
+    val scored = docs
+      .select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+      .withColumn("score",
+        when(col("doc_id") === "doc-2", 9L).otherwise(1L))
+    val got = Dedup.deduplicateByQuality(scored, "doc_id", "text", "score",
+        threshold = 0.7)
+      .collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        ((r.getAs[String]("keep_id"), r.getAs[Boolean]("kept")))).toMap
+    assert(got("doc-1") === (("doc-2", false)))
+    assert(got("doc-2") === (("doc-2", true)))
+    assert(got("doc-4") === (("doc-2", false)))
+    // {3,6} tie at score 1 → min STRING id doc-3
+    assert(got("doc-3") === (("doc-3", true)))
+    assert(got("doc-6") === (("doc-3", false)))
+    assert(got("doc-5") === (("doc-5", true)))
+  }
+
+  test("connected components: reliable-checkpoint mode is bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val pairs = (1L to 60L).map(i => (i, i * 13 % 61 + 1))
+        .toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toSet
+      assert(local === reliable)
+      // the reliable mode actually wrote checkpoint state
+      assert(new java.io.File(dir).listFiles != null &&
+        new java.io.File(dir).listFiles.nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("deduplicateByQuality aborts loudly on a null score") {
     val scored = docs.withColumn("score",
       org.apache.spark.sql.functions.when(col("doc_id") === 2,

@@ -80,6 +80,38 @@ class GraphSpec extends AnyFunSuite {
     assert(b === c)
   }
 
+  test("reliable-checkpoint mode is bit-identical across the iterative ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gckpt").toString
+    try {
+      val ckpt = Some(dir)
+      val edges = (1L to 50L).map(i => (i, i * 11 % 53 % 50 + 1)).toDF("src", "dst")
+      val prLocal = PageRank.ranks(edges, "src", "dst", iterations = 4,
+          scale = Scale)
+        .as[(Long, Long, Long)].collect().toSet
+      val prReliable = PageRank.ranks(edges, "src", "dst", iterations = 4,
+          scale = Scale, checkpointDir = ckpt)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(prLocal === prReliable)
+      val kcLocal = KCore.kCore(edges, "src", "dst", k = 2)
+        .as[(Long, Long)].collect().toSet
+      val kcReliable = KCore.kCore(edges, "src", "dst", k = 2,
+          checkpointDir = ckpt)
+        .as[(Long, Long)].collect().toSet
+      assert(kcLocal === kcReliable)
+      val seeds = Seq(1L).toDF("node")
+      val bfsLocal = Bfs.hopDistances(edges, "src", "dst", seeds, maxHops = 6)
+        .as[(Long, Int)].collect().toSet
+      val bfsReliable = Bfs.hopDistances(edges, "src", "dst", seeds,
+          maxHops = 6, checkpointDir = ckpt)
+        .as[(Long, Int)].collect().toSet
+      assert(bfsLocal === bfsReliable)
+      // reliable mode really wrote distributed-FS state
+      assert(new java.io.File(dir).listFiles != null &&
+        new java.io.File(dir).listFiles.nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("duplicate edges collapse to set semantics") {
     val once = run(Seq((1L, 2L), (2L, 1L)), 4)
     val dup = run(Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)), 4)

@@ -92,4 +92,15 @@ class BradleyTerrySpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("player")).toSet
     assert(got === Set(1L, 2L))
   }
+
+  test("empty game list returns an empty frame, not an opaque NPE") {
+    // all rows filter away (self-games / nulls) — the overflow guard's
+    // max() agg is all-null and must not be dereferenced
+    val df = Seq[(Option[Long], Option[Long])](
+      (Some(3L), Some(3L)), (None, Some(1L))).toDF("winner", "loser")
+    val got = BradleyTerry.ranks(df, "winner", "loser", iterations = 3)
+    assert(got.columns.toSeq ===
+      Seq("player", "skill", "n_wins", "n_games"))
+    assert(got.count() === 0L)
+  }
 }

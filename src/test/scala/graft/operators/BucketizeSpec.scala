@@ -53,4 +53,18 @@ class BucketizeSpec extends AnyFunSuite {
     assert(run(rows.toDF("g", "v").repartition(13)) ===
       run(rows.reverse.toDF("g", "v").coalesce(1)))
   }
+
+  test("oracleSql select list is well-formed for every carry/group combo") {
+    // empty carryCols (and empty groupCols) used to leave a dangling
+    // comma: "SELECT r.g, , CASE …"
+    val combos = Seq(
+      (Seq("g"), Seq("id")), (Seq("g"), Nil),
+      (Nil, Seq("id")), (Nil, Nil))
+    combos.foreach { case (g, c) =>
+      val sql = Bucketize.oracleSql("SELECT 1", g, nBuckets = 4, carryCols = c)
+      assert(!sql.matches("(?s).*SELECT\\s*,.*"), s"leading comma in:\n$sql")
+      assert(!sql.matches("(?s).*,\\s*,.*"), s"double comma in:\n$sql")
+      assert(!sql.matches("(?s).*,\\s*FROM.*"), s"trailing comma in:\n$sql")
+    }
+  }
 }

@@ -93,6 +93,47 @@ class AnnSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L), (4L, 5L)))
   }
 
+  test("mutual NN celled: exhaustive probes ≡ exhaustive form; no corpus broadcast") {
+    val emb = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(pmod(col("vec_id"), lit(3L)) === 0)
+    val index = Ann.trainIvf(emb, nlist = 8)
+    val brute = Ann.mutualNearestNeighbors(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // nprobe = nlist probes every cell: each pair meets exactly once
+    // after the dedupe, so the celled result IS the exhaustive one —
+    // the repo's exhaustive-probe oracle convention
+    val celled = Ann.mutualNearestNeighborsCelled(emb, index, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(celled === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("mutual NN celled: nprobe=1 recovers the pairs of well-separated clusters") {
+    // four well-separated cluster centers in 8-dim; members differ by a
+    // small deterministic wiggle, so every mutual pair is in-cluster
+    val dims = 8
+    val members = (0 until 80).map { i =>
+      val cluster = i % 4
+      val base = Array.fill(dims)(0.05f)
+      base(cluster * 2) = 10.0f
+      base((i / 4) % dims) += 0.01f * (1 + i % 7) // wiggle
+      (i.toLong, base)
+    }
+    val df = members.toDF("vec_id", "embedding").repartition(5)
+    val index = Ann.trainIvf(df, nlist = 4)
+    val brute = Ann.mutualNearestNeighbors(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val celled = Ann.mutualNearestNeighborsCelled(df, index, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = (brute & celled).size.toDouble / brute.size
+    assert(recall >= 0.9, s"celled mutual-NN recall=$recall on clustered data")
+    // and nothing celled may be a false pair: mutuality is exact within
+    // the probed candidate set, so every celled pair must be a brute
+    // pair whenever clusters are cleanly separated
+    assert((celled -- brute).isEmpty)
+  }
+
   test("probeMasks enumerates exactly the ≤radius masks") {
     assert(Ann.probeMasks(4, 0) === Seq(0L))
     assert(Ann.probeMasks(4, 1).toSet ===
