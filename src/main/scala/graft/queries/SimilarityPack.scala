@@ -149,6 +149,26 @@ object SimilarityPack extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup over the AT-REST bucketed corpus (VectorStorage): the
+    // corpus is first written bucketed by IVF cell — the layout a 100 TB
+    // deployment keeps so recurring passes plan their candidate join
+    // with zero exchanges (plan-asserted in VectorStorageSpec) — then
+    // deduped off the table. nlist=1 makes the pass exhaustive, so the
+    // same brute-force rule as ann_semdedup is the oracle; verdict
+    // parity with the ad-hoc operator under a REAL multi-cell index is
+    // VectorStorageSpec'd.
+    "ann_at_rest_semdedup" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val index = Ann.trainIvf(emb, nlist = 1)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vecstore-gate").toString + "/vecs"
+      graft.similarity.VectorStorage.writeBucketed(
+        emb, index, "vec_corpus_gate", path, nBuckets = 8)
+      graft.similarity.VectorStorage.semDedup(s, "vec_corpus_gate", 0.4)
+        .select(col("id").as("vec_id"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // LSH-bucketed ANN (scale path). Probing is exhaustive here
     // (probeRadius = planes ⇒ every bucket probed ⇒ each query meets each
     // corpus row exactly once), which makes the whole LSH machinery —
@@ -332,6 +352,27 @@ object SimilarityPack extends QueryPack {
                      JOIN lnrm nb ON nb.vec_id = id_b)
          SELECT id_a, id_b, ROUND(c, 6) + 0.0 AS cos
          FROM cos WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    // same exhaustive rule as ann_semdedup — the at-rest layout must be
+    // result-invisible; only the plan changes
+    "ann_at_rest_semdedup" ->
+      s"""WITH $ListCte,
+         dots AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.e) + 1),
+                    i -> a.e[i] * b.e[i])) AS dot
+           FROM ed a CROSS JOIN ed b
+           WHERE a.vec_id < b.vec_id),
+         cos AS (
+           SELECT id_a, id_b,
+                  CASE WHEN na.nm * nb.nm = 0 THEN 0.0
+                       ELSE dot / (na.nm * nb.nm) END AS c
+           FROM dots JOIN lnrm na ON na.vec_id = id_a
+                     JOIN lnrm nb ON nb.vec_id = id_b),
+         dropped AS (SELECT DISTINCT id_b FROM cos WHERE c >= 0.4)
+         SELECT e.vec_id, d.id_b IS NULL AS kept
+         FROM embeddings e LEFT JOIN dropped d ON d.id_b = e.vec_id
+         ORDER BY e.vec_id""",
+
     "ann_semdedup" ->
       s"""WITH $ListCte,
          dots AS (

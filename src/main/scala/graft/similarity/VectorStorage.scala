@@ -1,0 +1,170 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed at-rest embedding-corpus layout — the vector twin of
+  * [[graft.dedup.CorpusStorage]]'s content-hash lever.
+  *
+  * The ANN family's recurring passes (SemDeDup on every snapshot,
+  * hard-negative refresh per training round, mutual-NN alignment) all
+  * share one expensive step: co-locating each vector with its IVF
+  * cell-mates, then comparing within the cell. Run ad hoc, every pass
+  * re-casts the float corpus to doubles, re-assigns cells, re-computes
+  * norms, and SHUFFLES the corpus on the cell id. Writing the corpus
+  * BUCKETED on `cell` makes that partitioning a property of the
+  * storage: the within-cell candidate join — the only corpus-sized
+  * exchange any of these passes plans — becomes exchange-free
+  * (asserted in VectorStorageSpec), and the remaining shuffles carry
+  * only id-sized aggregation rows. At 100 TB that converts each
+  * recurring pass from a full-corpus shuffle to a co-located scan.
+  *
+  * Stored columns, per vector: `(id, cell, codes, scale, nm, v)` —
+  * the int8 quantization (`codes` + per-vector `scale`,
+  * [[Ann.quantizeInt8]]) is the 4×-smaller representation a recurring
+  * candidate-scoring pass keeps hot; `nm` the full-precision norm; `v`
+  * the full-precision doubles for the exact verify/re-rank step.
+  * Parquet is columnar, so a pass that scores on codes never reads
+  * `v`'s bytes; a deployment can also split `v` into a second table
+  * bucketed the same way. `carryCols` ride along for key-aware passes
+  * (hard negatives need the anchor key).
+  *
+  * Cell assignment is pinned at write time by the SAME [[Ann.IvfIndex]]
+  * the readers probe with — persist the index alongside the corpus
+  * ([[IvfStore]]) so recurring sessions reuse both.
+  */
+object VectorStorage {
+
+  val CellCol = "cell"
+
+  private def validateIdentifier(table: String): Unit =
+    require(table.split('.').forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"invalid table identifier '$table' — use [A-Za-z_][A-Za-z0-9_]* segments")
+
+  /** Write `vectors` bucketed+sorted by IVF cell as an external table at
+    * `path`. Ids are cast to long (the celled-ANN contract). Overwrite
+    * semantics match [[graft.dedup.CorpusStorage.writeBucketed]]: no
+    * pre-emptive DROP — a failed write leaves the previous snapshot.
+    */
+  def writeBucketed(vectors: DataFrame, index: Ann.IvfIndex, table: String,
+                    path: String, nBuckets: Int = 32,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    carryCols: Seq[String] = Nil): Unit = {
+    validateIdentifier(table)
+    val v = Ann.asDouble(col(vecCol))
+    vectors
+      .select((col(idCol).cast("long").as("id") +: v.as("v") +:
+        carryCols.map(col)): _*)
+      .withColumn(CellCol, Ann.ivfCell(col("v"), index))
+      .withColumn("nm", Ann.norm(col("v")))
+      .withColumn("q", Ann.quantizeInt8(col("v")))
+      .select((Seq(col("id"), col(CellCol), col("q.codes").as("codes"),
+        col("q.scale").as("scale"), col("nm"), col("v")) ++
+        carryCols.map(col)): _*)
+      .write.format("parquet").mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, CellCol)
+      .sortBy(CellCol)
+      .saveAsTable(table)
+  }
+
+  def scan(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** All cell-co-resident candidate pairs `(id_a < id_b, cell, cos)` at
+    * full precision — the quadratic step every recurring pass shares.
+    * Both sides read the SAME bucketed table, so the self-join on
+    * `cell` plans with ZERO shuffle exchanges (asserted in
+    * VectorStorageSpec): the candidate product never crosses the wire.
+    */
+  def cellPairs(spark: SparkSession, table: String): DataFrame = {
+    val t = scan(spark, table)
+    val l = t.select(col(CellCol), col("id").as("id_a"),
+      col("v").as("va"), col("nm").as("na"))
+    val r = t.select(col(CellCol), col("id").as("id_b"),
+      col("v").as("vb"), col("nm").as("nb"))
+    // merge hint: both sides are the corpus — a broadcast would ship it
+    // whole to every executor, exactly what the bucketing exists to avoid
+    l.hint("merge").join(r, Seq(CellCol))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col(CellCol),
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(Ann.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos"))
+  }
+
+  /** [[Ann.semDedup]] over the at-rest corpus: same verdicts (the cell
+    * assignment was pinned by the same index at write time), but the
+    * within-cell pair compare consumes the storage bucketing — the only
+    * remaining exchanges carry dominated IDS, never vectors.
+    */
+  def semDedup(spark: SparkSession, table: String,
+               threshold: Double): DataFrame = {
+    val dominated = cellPairs(spark, table)
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("kept", lit(false))
+    scan(spark, table).select("id", CellCol)
+      .join(dominated, Seq("id"), "left")
+      .select(col("id"), col(CellCol),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
+
+  /** [[Ann.mutualNearestNeighbors]] restricted to cell co-residents
+    * (the `nprobe = 1` celled semantics — recurring alignment over an
+    * indexed corpus probes the home cell). Rank-1 per query is ONE
+    * map-side-combining `min(struct(−cos, id))` aggregation instead of
+    * a rank window, so the only exchange after the (exchange-free)
+    * candidate join carries one partial row per query per partition.
+    */
+  def mutualNearestNeighbors(spark: SparkSession, table: String): DataFrame = {
+    val t = scan(spark, table)
+    val l = t.select(col(CellCol), col("id").as("qid"),
+      col("v").as("qv"), col("nm").as("qn"))
+    val r = t.select(col(CellCol), col("id").as("nid"),
+      col("v").as("cv"), col("nm").as("cn"))
+    val nn = l.hint("merge").join(r, Seq(CellCol))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"),
+        struct(
+          (when(col("qn") * col("cn") === 0.0, 0.0)
+            .otherwise(Ann.dot(col("qv"), col("cv")) /
+              (col("qn") * col("cn"))) * -1.0).as("negcos"),
+          col("nid")).as("cand"))
+      .groupBy("qid").agg(min(col("cand")).as("best"))
+      .select(col("qid").as("ida"), col("best.nid").as("idb"),
+        (col("best.negcos") * -1.0).as("cos"))
+      .localCheckpoint()
+    nn.as("p").join(nn.as("q"),
+        col("p.ida") === col("q.idb") && col("p.idb") === col("q.ida"))
+      .filter(col("p.ida") < col("p.idb"))
+      .select(col("p.ida").as("id_a"), col("p.idb").as("id_b"),
+        round(col("p.cos"), 6).as("cos"))
+  }
+
+  /** [[Ann.hardNegativeTopK]] with `nprobe = 1` semantics over the
+    * at-rest corpus (`keyCol` must have been carried at write time):
+    * candidates cell-co-resident via the storage bucketing, per-anchor
+    * top-k through the k-bounded heap aggregator (map-side combined —
+    * a hot anchor ships k rows per partition, never its candidates).
+    */
+  def hardNegatives(spark: SparkSession, table: String, k: Int,
+                    keyCol: String): DataFrame = {
+    val t = scan(spark, table)
+    val l = t.select(col(CellCol), col("id").as("query_id"),
+      col("v").as("qv"), col("nm").as("qn"), col(keyCol).as("qkey"))
+    val r = t.select(col(CellCol), col("id").as("neighbor_id"),
+      col("v").as("cv"), col("nm").as("cn"), col(keyCol).as("ckey"))
+    val cand = l.hint("merge").join(r, Seq(CellCol))
+      .filter(col("qkey") =!= col("ckey"))
+      .select(col("query_id"), col("qkey"), col("neighbor_id"), col("ckey"),
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(Ann.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cos"))
+    graft.operators.Sampling.topKPerGroupSkewSafe(cand, Seq("query_id"),
+        struct((col("cos") * -1.0).as("negcos"), col("neighbor_id")), k)
+      .select(col("query_id"), col("group_rank").as("rk"),
+        col("neighbor_id"), col("qkey").as("anchor_key"),
+        col("ckey").as("negative_key"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The at-rest embedding layout: recurring ANN passes must plan their
+  * within-cell candidate join with zero shuffle exchanges off the
+  * bucketed table, and agree bit-for-bit with the ad-hoc operators.
+  */
+class VectorStorageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val emb =
+    graft.core.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val index = Ann.trainIvf(emb, nlist = 8)
+
+  private def withTable(name: String)(body: => Unit): Unit = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vecstore").toString + "/vecs"
+    VectorStorage.writeBucketed(emb, index, name, path, nBuckets = 4,
+      carryCols = Seq("label"))
+    try body finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("cell pairs: zero shuffle exchanges off the bucketed table") {
+    withTable("vec_rest_plan") {
+      val pairs = VectorStorage.cellPairs(spark, "vec_rest_plan")
+      pairs.count()
+      val s = pairs.queryExecution.executedPlan.toString
+      assert(graft.Explain.shuffleCount(pairs) === 0,
+        s"candidate join must consume the storage bucketing:\n$s")
+      assert(s.contains("SortMergeJoin"),
+        s"corpus-sized sides must never broadcast:\n$s")
+    }
+  }
+
+  test("at-rest semDedup ≡ ad-hoc Ann.semDedup under the same index") {
+    withTable("vec_rest_semdedup") {
+      val atRest = VectorStorage.semDedup(spark, "vec_rest_semdedup", 0.4)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2))))
+        .toMap
+      val adHoc = Ann.semDedup(emb, index, threshold = 0.4)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2))))
+        .toMap
+      assert(atRest === adHoc)
+      assert(atRest.values.exists(!_._2), "fixture should drop something")
+    }
+  }
+
+  test("at-rest mutual NN ≡ celled mutual NN at nprobe=1") {
+    withTable("vec_rest_mnn") {
+      val atRest = VectorStorage.mutualNearestNeighbors(spark, "vec_rest_mnn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val celled = Ann.mutualNearestNeighborsCelled(emb, index, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(atRest === celled)
+      assert(atRest.nonEmpty)
+    }
+  }
+
+  test("at-rest hard negatives ≡ Ann.hardNegativeTopK at nprobe=1") {
+    withTable("vec_rest_hneg") {
+      val atRest = VectorStorage.hardNegatives(spark, "vec_rest_hneg",
+          k = 3, keyCol = "label")
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+      val adHoc = Ann.hardNegativeTopK(emb, index, k = 3, nprobe = 1)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+      assert(atRest === adHoc)
+      assert(atRest.nonEmpty)
+    }
+  }
+
+  test("IvfStore: round-trip identity, latest-run, fingerprint ties index to corpus") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfstore").toString
+    try {
+      val store = new IvfStore(spark, root)
+      val hash = store.corpusFingerprint(emb)
+      store.save("docs_ivf", "2026-08-15T00-00-00", index, hash)
+      store.save("docs_ivf", "2026-08-15T01-00-00", index, hash)
+      assert(store.latestRun("docs_ivf") === Some("2026-08-15T01-00-00"))
+      val loaded = store.load("docs_ivf", store.latestRun("docs_ivf").get)
+      // exact centroid round-trip (doubles through parquet are lossless)
+      assert(loaded.centroids.map(_.toSeq).toSeq ===
+        index.centroids.map(_.toSeq).toSeq)
+      // celled query parity: probing with the loaded index reproduces
+      // the fresh index's results exactly
+      val q = emb.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "query_id")
+      val fresh = Ann.ivfTopK(q, emb, index, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val replay = Ann.ivfTopK(q, emb, loaded, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(replay === fresh)
+      // the fingerprint is layout-invariant but content-sensitive
+      assert(store.corpusFingerprint(emb.repartition(13)) === hash)
+      assert(store.corpusFingerprint(emb.limit(50)) !== hash)
+      // meta records the pairing
+      val meta = store.loadMetaJson("docs_ivf", "2026-08-15T01-00-00")
+      assert(meta.contains(s""""training_hash":$hash"""))
+      assert(meta.contains(""""nlist":8"""))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+}
