@@ -542,6 +542,60 @@ object RelationalPack extends QueryPack {
       graft.ml.Auc.rocAuc(ev, "s", "y")
     }),
 
+    // NDCG@5 per user cohort — the ranking-eval gate: does event value
+    // rank high-intent events (purchase=3, signup=2, click=1) to the
+    // top of each cohort's list. Per-query top-k via the k-bounded
+    // heap (no rank window sorts whole groups); both orders tie-break
+    // on event_id; rank-order left folds make the sums engine-stable,
+    // logs rounded at 6 per the transcendental convention.
+    "a_ndcg" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(pmod(col("user_id"), lit(25L)).as("cohort"),
+          col("event_id"), col("value"),
+          when(col("event_type") === "purchase", 3L)
+            .when(col("event_type") === "signup", 2L)
+            .when(col("event_type") === "click", 1L)
+            .otherwise(0L).as("rel"))
+      graft.ml.Ranking.ndcgAtK(ev, Seq("cohort"), "event_id", "value",
+          "rel", k = 5)
+        .orderBy("cohort")
+    }),
+
+    // Fleiss' kappa over a 3-rater panel (three length-proxy quality
+    // raters per document): the multi-annotator agreement gate. All
+    // terms exact in the DECIMAL(38,0) lane, ONE pinned division;
+    // ragged panels abort in-plan.
+    "a_fleiss_kappa" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      def rate(c: org.apache.spark.sql.Column) =
+        docs.select(col("doc_id").as("i"),
+          when(c, "hi").otherwise("lo").as("c"))
+      val ratings = rate(col("n_chars") >= 400)
+        .unionByName(rate(
+          graft.text.TextFunctions.tokenCount(col("text")) >= 60))
+        .unionByName(rate(col("n_chars") >= 300))
+      graft.ml.Agreement.fleissKappa(ratings, "i", "c")
+    }),
+
+    // Classifier calibration over a closed-form pseudo-probability
+    // (the fractional part of event value — exact in IEEE on both
+    // engines, so bin assignment replays bit-for-bit): reliability
+    // table + Brier/ECE summary. Counts exact; conf/brier/ece are
+    // AVG-class, rounded at 6.
+    "a_calibration" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select((col("value") - floor(col("value"))).as("p"),
+          (col("event_type") === "purchase").as("y"))
+      graft.ml.Calibration.reliabilityTable(ev, "p", "y", bins = 10)
+        .orderBy("bin")
+    }),
+    "a_brier_ece" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select((col("value") - floor(col("value"))).as("p"),
+          (col("event_type") === "purchase").as("y"))
+      graft.ml.Calibration.summary(ev, "p", "y", bins = 10)
+    }),
+
     // Frequent-pair mining with a-priori pruning (Agrawal & Srikant
     // 1994): which part brands co-occur in the same order beyond the
     // 2% support floor, with exact counts and the pinned-tree
@@ -596,6 +650,31 @@ object RelationalPack extends QueryPack {
                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END) >= 60
              AS b
          FROM documents"""),
+    "a_ndcg" -> (graft.ml.Ranking.oracleSql(
+      """SELECT user_id % 25 AS cohort, event_id AS id, value AS s,
+           CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+                WHEN 'click' THEN 1 ELSE 0 END AS rel
+         FROM events""",
+      queryCols = Seq("cohort"), k = 5) + " ORDER BY cohort"),
+    "a_fleiss_kappa" -> graft.ml.Agreement.fleissOracleSql(
+      """SELECT doc_id AS i,
+           CASE WHEN n_chars >= 400 THEN 'hi' ELSE 'lo' END AS c
+         FROM documents
+         UNION ALL
+         SELECT doc_id,
+           CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END) >= 60
+                THEN 'hi' ELSE 'lo' END
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CASE WHEN n_chars >= 300 THEN 'hi' ELSE 'lo' END
+         FROM documents"""),
+    "a_calibration" -> (graft.ml.Calibration.tableOracleSql(
+      """SELECT value - FLOOR(value) AS p, event_type = 'purchase' AS y
+         FROM events""", bins = 10) + " ORDER BY bin"),
+    "a_brier_ece" -> graft.ml.Calibration.summaryOracleSql(
+      """SELECT value - FLOOR(value) AS p, event_type = 'purchase' AS y
+         FROM events""", bins = 10),
     "p_unpivot_measures" ->
       """SELECT l_orderkey, l_linenumber, measure, val FROM (
            SELECT l_orderkey, l_linenumber,

@@ -65,6 +65,20 @@ object SimilarityPack extends QueryPack {
         .orderBy("id_a")
     }),
 
+    // The CELLED mutual-NN scale path (the hardNegativeTopK layout:
+    // both sides IVF-celled, rank-1 within cell co-residency, nothing
+    // corpus-sized broadcast). nprobe = nlist probes every cell, so the
+    // result equals the exhaustive form by construction — the repo's
+    // exhaustive-probe oracle convention; nprobe=1 recall on clustered
+    // data is AnnSpec'd.
+    "ann_mutual_nn_celled" -> ((s, dir) => {
+      val sub = table(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(3L)) === 0)
+      val index = Ann.trainIvf(sub, nlist = 4)
+      Ann.mutualNearestNeighborsCelled(sub, index, nprobe = 4)
+        .orderBy("id_a")
+    }),
+
     // Brute-force exact cosine top-k (k=3) for query vectors vec_id < 10.
     "ann_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -275,6 +289,37 @@ object SimilarityPack extends QueryPack {
     "ann_topk_brute" -> BruteTopKSql,
     // the full pairwise rank-1 (self excluded before ranking) + the
     // mutuality self-join, in-order list-fold dots per the pack rule
+    // exhaustive probing makes the celled path equal the brute rule —
+    // same oracle shape as ann_mutual_nn over the %3 slice
+    "ann_mutual_nn_celled" ->
+      s"""WITH ed AS (SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id % 3 = 0),
+         lnrm AS (SELECT vec_id,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nm
+           FROM ed),
+         dots AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb,
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.e) + 1),
+                    i -> a.e[i] * b.e[i])) AS dot
+           FROM ed a CROSS JOIN ed b WHERE a.vec_id <> b.vec_id),
+         cos AS (
+           SELECT ida, idb,
+                  CASE WHEN na.nm * nb.nm = 0 THEN 0.0
+                       ELSE dot / (na.nm * nb.nm) END AS c
+           FROM dots JOIN lnrm na ON na.vec_id = ida
+                     JOIN lnrm nb ON nb.vec_id = idb),
+         nn AS (SELECT ida, idb, c FROM (
+                  SELECT ida, idb, c,
+                    ROW_NUMBER() OVER (PARTITION BY ida
+                      ORDER BY c DESC, idb) AS rk
+                  FROM cos)
+                WHERE rk = 1)
+         SELECT p.ida AS id_a, p.idb AS id_b, ROUND(p.c, 6) + 0.0 AS cos
+         FROM nn p JOIN nn q ON q.ida = p.idb AND q.idb = p.ida
+         WHERE p.ida < p.idb
+         ORDER BY id_a""",
+
     "ann_mutual_nn" ->
       s"""WITH ed AS (SELECT vec_id,
              LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e

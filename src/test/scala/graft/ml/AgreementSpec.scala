@@ -56,4 +56,68 @@ class AgreementSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") === 2L)
     assert(r.getAs[Double]("kappa") === 1.0)
   }
+
+  /** Independent local Fleiss kappa over (item, category) rows. */
+  private def localFleiss(rows: Seq[(Long, String)]): Option[Double] = {
+    val byItem = rows.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = byItem.head.size
+    val nItems = byItem.size.toLong
+    val q = byItem.map(_.groupBy(identity).values
+      .map(g => g.size.toLong * g.size).sum).sum
+    val t = rows.groupBy(_._2).values
+      .map(g => g.size.toLong * g.size).sum
+    val m = nItems * n
+    val num = (q - m) * m - t * (n - 1)
+    val den = (m * m - t) * (n - 1)
+    if (den == 0) None else Some(num.toDouble / den.toDouble)
+  }
+
+  test("fleiss: perfect panel agreement is 1; constant category is NULL") {
+    val perfect = (1L to 6L).flatMap(i =>
+      Seq.fill(3)((i, if (i % 2 == 0) "x" else "y")))
+    val r = Agreement.fleissKappa(perfect.toDF("i", "c"), "i", "c").head()
+    assert(r.getAs[Long]("n_items") === 6L)
+    assert(r.getAs[Long]("n_raters") === 3L)
+    assert(r.getAs[Double]("kappa") === 1.0)
+    val constant = (1L to 4L).flatMap(i => Seq.fill(3)((i, "x")))
+    val k = Agreement.fleissKappa(constant.toDF("i", "c"), "i", "c").head()
+    assert(k.isNullAt(k.fieldIndex("kappa")))
+  }
+
+  test("fleiss: matches the independent local computation on a mixed panel") {
+    val rows = (1L to 40L).flatMap { i =>
+      (0 until 4).map(r => (i, s"cat${(i * 7 + r * r) % 3}"))
+    }
+    val got = Agreement.fleissKappa(
+        rows.toDF("i", "c").repartition(5), "i", "c").head()
+    val expect = localFleiss(rows).get
+    assert(math.abs(got.getAs[Double]("kappa") - expect) < 1e-12)
+    // two-rater Fleiss on the same data differs from Cohen (different
+    // chance models) but both must see the same panel shape
+    assert(got.getAs[Long]("n_raters") === 4L)
+  }
+
+  test("fleiss: ragged panel aborts loudly; nulls excluded first") {
+    val ragged = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("i", "c")
+    val e = intercept[Exception] {
+      Agreement.fleissKappa(ragged, "i", "c").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ragged panel")))
+    // a null category removed BEFORE the count would unbalance item 1 —
+    // so this aborts too (the null carried no rating)
+    val withNull = Seq[(Long, Option[String])](
+      (1L, Some("x")), (1L, None), (2L, Some("x")), (2L, Some("y")))
+      .toDF("i", "c")
+    val e2 = intercept[Exception] {
+      Agreement.fleissKappa(withNull, "i", "c").collect()
+    }
+    assert(msgs(e2).exists(_.contains("ragged panel")))
+    val single = Seq((1L, "x"), (2L, "y")).toDF("i", "c")
+    val e3 = intercept[Exception] {
+      Agreement.fleissKappa(single, "i", "c").collect()
+    }
+    assert(msgs(e3).exists(_.contains("at least 2 raters")))
+  }
 }
