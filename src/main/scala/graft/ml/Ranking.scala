@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * ([[graft.functions.expressions.TopKExpressions.topKStructs]], the
   * skew-safe sampler's kernel) — a hot query ships k rows per
   * partition, never its whole candidate list, and NO rank window sorts
-  * whole groups; one map-side-combined aggregation per order, joined
-  * on the query key.
+  * whole groups; ONE map-side-combined aggregation carries both heaps
+  * (score order and ideal order), so the corpus shuffles once and no
+  * join reassembles the orders (plan-asserted in PlanHygieneSpec).
   */
 object Ranking {
 
@@ -52,9 +53,10 @@ object Ranking {
     import graft.functions.expressions.TopKExpressions.topKStructs
     def topArr(key: Column) =
       topKStructs(struct(key.as("__k"), col("__r")), k)
-    val byScore = rows.groupBy(g: _*).agg(
-      topArr(struct((col("__s") * -1.0).as("ns"), col("__id"))).as("__top"))
-    val byRel = rows.groupBy(g: _*).agg(
+    // ONE map-side-combined aggregation carries both k-bounded heaps —
+    // the corpus shuffles once, and no join reassembles the two orders
+    val tops = rows.groupBy(g: _*).agg(
+      topArr(struct((col("__s") * -1.0).as("ns"), col("__id"))).as("__top"),
       topArr(struct((col("__r") * -1L).as("nr"), col("__id"))).as("__ideal"))
     // rank-order left fold: gain_i / log2(i+1), i = 1-based position
     def gainSum(arr: Column): Column = aggregate(
@@ -64,7 +66,7 @@ object Ranking {
               log(2.0, i.cast("double") + 1.0))
           .otherwise(0.0)),
       lit(0.0), (acc, t) => acc + t)
-    byScore.join(byRel, queryCols)
+    tops
       .select((g :+ round(gainSum(col("__top")), 6).as("dcg") :+
         round(gainSum(col("__ideal")), 6).as("idcg")): _*)
       .withColumn("ndcg",

@@ -34,6 +34,33 @@ class PlanHygieneSpec extends AnyFunSuite {
     count(plan)
   }
 
+  test("NDCG: one corpus aggregation, no rank window, no self-join") {
+    val df = graft.SparkEntry.queries("a_ndcg")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Window"),
+      s"per-query top-k must use the k-bounded heap, not a rank window:\n$s")
+    assert(!"(?i)sortmergejoin|broadcasthashjoin".r.findFirstIn(s).isDefined,
+      s"both orders ride one aggregation — no join reassembles them:\n$s")
+    // one corpus exchange (the groupBy) + one for the output orderBy
+    assert(shuffles(df) <= 2, s"NDCG grew extra exchanges:\n$s")
+  }
+
+  test("calibration summary: one corpus shuffle to the bin table") {
+    val df = graft.SparkEntry.queries("a_brier_ece")(spark, sf)
+    assert(shuffles(df) <= 2) // bin agg + 1-row rollup
+  }
+
+  test("decomposed prefix sums: AUC/Spearman plan range partitioning") {
+    Seq("a_roc_auc", "a_spearman").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      df.count()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("rangepartitioning"),
+        s"$q should run its prefix sum range-decomposed:\n$s")
+    }
+  }
+
   test("chunking is map-side: only the final orderBy shuffles") {
     val df = graft.SparkEntry.queries("t_chunk_windows")(spark, sf)
     assert(shuffles(df) <= 1)
