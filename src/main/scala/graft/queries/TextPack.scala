@@ -249,6 +249,21 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination (MinHash-LSH across the two corpora): the
+    // near-duplicate complement of the exact-gram and verbatim-span
+    // rules — a paraphrased benchmark item shares high shingle jaccard
+    // while dodging fixed verbatim matches. Banding recall ≥ 1−1e-8 at
+    // t=0.8 (the dedup_minhash_lsh oracle convention: the oracle is
+    // the brute cross-corpus jaccard scan the operator exists to
+    // avoid), precision exact via per-candidate verification.
+    "t_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(7L)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      graft.text.Decontaminate.fuzzyPairs(train, evalSet, threshold = 0.8)
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     // Domain-mixture sampling: per-source target fractions applied as a
     // deterministic hash-threshold filter (map-side, shuffle-free).
     "t_domain_mix" -> ((s, dir) => {
@@ -1682,6 +1697,28 @@ object TextPack extends QueryPack {
                 COALESCE(a.n_eval_spans, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN agg a USING (doc_id)
          WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+    // brute cross-corpus jaccard — the scan the banded operator avoids
+    // (LSH recall ≥ 1−1e-8 at t=0.8, the dedup_minhash_lsh convention)
+    "t_decontaminate_fuzzy" ->
+      """WITH toks AS (SELECT doc_id,
+             STRING_SPLIT_REGEX(TRIM(text), '\s+') AS a FROM documents),
+         idx AS (SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a)-2)) AS i
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+                  a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g FROM idx),
+         n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT s1.doc_id AS corpus_id, s2.doc_id AS eval_id,
+                     COUNT(*) AS i
+                   FROM sh s1 JOIN sh s2 ON s1.g = s2.g
+                   WHERE s1.doc_id % 7 <> 0 AND s2.doc_id % 7 = 0
+                   GROUP BY 1, 2),
+         jac AS (SELECT corpus_id, eval_id,
+                   CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+                 FROM inter JOIN n na ON na.doc_id = corpus_id
+                           JOIN n nb ON nb.doc_id = eval_id)
+         SELECT corpus_id, eval_id, ROUND(jaccard, 6) AS jaccard
+         FROM jac WHERE jaccard >= 0.8
+         ORDER BY corpus_id, eval_id""",
     "corpus_report" ->
       """WITH t AS (SELECT lang, source,
            CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0

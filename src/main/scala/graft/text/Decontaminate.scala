@@ -88,4 +88,87 @@ object Decontaminate {
         coalesce(col("max_span_tokens"), lit(0)).as("max_span_tokens"),
         (coalesce(col("n_eval_spans"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Largest eval-side band-key row count the fuzzy pass will broadcast
+    * (bands × eval docs rows of three primitives ≈ 50 MB at the
+    * default) — above it the candidate join falls back to a shuffle,
+    * the HeavyHitters size-conditional convention.
+    */
+  val FuzzyMaxBroadcastBandRows = 2000000L
+
+  /** FUZZY cross-corpus contamination pairs — the near-duplicate
+    * complement of [[ngramOverlap]] (exact gram sets) and
+    * [[spanOverlap]] (verbatim spans): a PARAPHRASED benchmark item
+    * (reworded question, reformatted answer) shares high shingle
+    * jaccard with its source but can dodge any fixed verbatim rule.
+    * MinHash-LSH across the two corpora: both sides banded
+    * ([[graft.dedup.Dedup.minhashLsh]]'s kernel), candidates are
+    * band-bucket collisions BETWEEN corpora only, every candidate
+    * verified with the exact jaccard — precision exact, recall the
+    * standard banding bound (≥ 1 − 1e-8 at the default r=4, b=32,
+    * t=0.8; the `dedup_minhash_lsh` oracle convention).
+    *
+    * Returns `(corpus_id, eval_id, jaccard)` pairs at `threshold` or
+    * above. Scale shape: the eval side is benchmark-sized by
+    * construction, so its band keys broadcast (size-conditional — a
+    * measured count above [[FuzzyMaxBroadcastBandRows]] demotes the
+    * join to a shuffle); ids-only candidates, shingle arrays fetched
+    * back only for survivors; the corpus text never crosses the wire.
+    */
+  def fuzzyPairs(corpus: DataFrame, eval: DataFrame, shingleSize: Int = 3,
+                 numHashes: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.8, textCol: String = "text",
+                 idCol: String = "doc_id",
+                 maxBroadcastBandRows: Long = FuzzyMaxBroadcastBandRows)
+      : DataFrame = {
+    import graft.dedup.Dedup.{jaccard, wordShingles}
+    require(bands * (numHashes / bands) == numHashes,
+      "bands must divide numHashes")
+    def shingled(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"${side}_id"),
+        wordShingles(col(textCol), shingleSize).as(s"sh_$side"))
+      .filter(size(col(s"sh_$side")) > 0)
+    def banded(sh: DataFrame, side: String) = sh
+      .select(col(s"${side}_id"), posexplode(
+        graft.functions.expressions.MinHashExpressions
+          .minhash_bands(col(s"sh_$side"), numHashes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select(col("band"), col("bucket"), col(s"${side}_id"))
+    val corpusSh = shingled(corpus, "corpus")
+    val evalSh = shingled(eval, "eval")
+    val evalBands = banded(evalSh, "eval")
+    val evalSide =
+      if (eval.count() * bands <= maxBroadcastBandRows) broadcast(evalBands)
+      else evalBands
+    val candidates = banded(corpusSh, "corpus")
+      .join(evalSide, Seq("band", "bucket"))
+      .select("corpus_id", "eval_id").distinct()
+    candidates
+      .join(corpusSh, Seq("corpus_id"))
+      .join(evalSh, Seq("eval_id"))
+      .withColumn("jaccard", jaccard(col("sh_corpus"), col("sh_eval")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("eval_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Per-corpus-doc verdict over [[fuzzyPairs]]: `(idCol,
+    * n_eval_matches, max_jaccard, contaminated)` for EVERY corpus row.
+    */
+  def fuzzyOverlap(corpus: DataFrame, eval: DataFrame, shingleSize: Int = 3,
+                   numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.8, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val agg = fuzzyPairs(corpus, eval, shingleSize, numHashes, bands,
+        threshold, textCol, idCol)
+      .groupBy(col("corpus_id").as(idCol))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+    corpus.select(idCol)
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        col("max_jaccard"),
+        (coalesce(col("n_eval_matches"), lit(0L)) > 0).as("contaminated"))
+  }
 }

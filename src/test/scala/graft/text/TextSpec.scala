@@ -120,6 +120,33 @@ class TextSpec extends AnyFunSuite {
       (1L, 1L, true), (2L, 2L, true), (3L, 0L, false), (4L, 0L, false)))
   }
 
+  test("fuzzy decontamination: paraphrase-level near-dups pair across corpora, both join regimes agree") {
+    // eval doc 100 reworded in corpus doc 1 (high shingle jaccard, NOT
+    // a verbatim 5-gram match); doc 2 is an exact copy; doc 3 unrelated
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val evalSet = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"),
+      (2L, base),
+      (3L, "entirely unrelated text about catalyst optimizer internals and shuffles"))
+      .toDF("doc_id", "text")
+    val pairs = Decontaminate.fuzzyPairs(corpus, evalSet, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 100L), (2L, 100L)))
+    assert(pairs.find(_._1 == 2L).get._3 === 1.0)
+    // the shuffle regime (eval too big to broadcast) returns the same pairs
+    val shuffled = Decontaminate.fuzzyPairs(corpus, evalSet, threshold = 0.7,
+        maxBroadcastBandRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shuffled === pairs.toSet)
+    // per-doc verdicts: every corpus row present, flag semantics
+    val flags = Decontaminate.fuzzyOverlap(corpus, evalSet, threshold = 0.7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(flags(1L)._2 && flags(2L) === ((1L, true)))
+    assert(flags(3L) === ((0L, false)))
+  }
+
   test("domain mixture: deterministic selection, fraction 1.0 keeps all, unknown domain dropped") {
     import graft.operators.Sampling
     val df = (1L to 400L).map(i => (i, s"dom${i % 4}")).toDF("doc_id", "source")
