@@ -105,6 +105,67 @@ object Sampling {
       .select(df.columns.map(col): _*) // join put the key first; restore
   }
 
+  /** Temperature-scaled domain mixing — the training-mix rule behind
+    * multilingual/multi-source samplers (Conneau & Lample 2019 §3.1;
+    * the "sample with p_d ∝ n_d^α" convention): domain d's share of
+    * the `targetRows` budget is n_d^α / Σ_e n_e^α, so α = 1 preserves
+    * natural proportions, α → 0 approaches uniform-over-domains, and
+    * the usual 0.3–0.7 range up-weights the tail without drowning the
+    * head. Per-domain keep fraction f_d = min(1, target·share / n_d)
+    * (no up-sampling: a domain smaller than its slot keeps everything
+    * — redistribute by raising `targetRows`, not by duplicating rows).
+    *
+    * Determinism/parity: Σ n^α folds over the DOMAIN-SORTED count
+    * array (one deterministic left fold ≡ the oracle's ordered-LIST
+    * fold), fractions are quantized at 6 decimals BEFORE thresholding
+    * (so a last-ulp `pow` disagreement cannot move the selection
+    * boundary), and the row selection is the same [[avalancheKey]]
+    * threshold every sampler here uses — reproducible across runs,
+    * partitionings and engines.
+    *
+    * Scale shape: one map-side-combined count to the domain-cardinality
+    * frame, a 1-row broadcast of the fold, then the same broadcast-join
+    * + scan-local predicate as [[domainMixture]] — NO shuffle of the
+    * corpus, no window.
+    */
+  def temperatureMixture(df: DataFrame, domainCol: String, keyCol: String,
+                         alpha: Double, targetRows: Long): DataFrame = {
+    val fracs = temperatureMixPlan(df, domainCol, alpha, targetRows)
+      .select(col(domainCol), col("frac").as("__frac"))
+    val m = 1000000007L
+    df.join(broadcast(fracs), Seq(domainCol))
+      .filter(pmod(avalancheKey(col(keyCol)), lit(m)) <
+        ceil(col("__frac") * m).cast("long"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** The mix table behind [[temperatureMixture]]: one row per domain —
+    * `(domainCol, n, frac)` with `frac` the quantized keep fraction.
+    * Null domains are excluded (an unattributed row has no slot in a
+    * domain budget — attribute or drop upstream).
+    */
+  def temperatureMixPlan(df: DataFrame, domainCol: String, alpha: Double,
+                         targetRows: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0, 1]: $alpha")
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(domainCol).agg(count(lit(1)).as("n"))
+    // Σ n^α as a deterministic fold over the domain-sorted array — a
+    // plain agg sums doubles in partition order, which would wobble
+    // the fractions' last ulp across layouts
+    val s = counts.agg(aggregate(
+      transform(
+        array_sort(collect_list(struct(
+          col(domainCol).cast("string").as("d"), col("n").as("n")))),
+        x => pow(x.getField("n").cast("double"), alpha)),
+      lit(0.0), (acc, t) => acc + t).as("__s"))
+    counts.crossJoin(broadcast(s))
+      .select(col(domainCol), col("n"),
+        round(least(lit(1.0),
+          lit(targetRows.toDouble) * pow(col("n").cast("double"), alpha) /
+            col("__s") / col("n").cast("double")), 6).as("frac"))
+  }
+
   /** Stride sampling — every `n`-th row of a deterministic order
     * ("mini" pipeline mode, ref: setup/dependency_injection.py:340-345).
     *

@@ -264,6 +264,27 @@ object TextPack extends QueryPack {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // Temperature-scaled mixing (p_d ∝ n_d^α, α = 0.5): the mix table —
+    // per-source counts and quantized keep fractions. Σ n^α folds over
+    // the domain-sorted array on both engines; fractions round at 6.
+    "t_temperature_mix_plan" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureMixPlan(
+          table(s, dir, "documents"), "source", alpha = 0.5,
+          targetRows = 200L)
+        .orderBy("source")
+    }),
+
+    // ... and the selection those fractions drive: the same avalanche
+    // hash threshold every sampler uses, quantized fractions so the
+    // boundary replays bit-for-bit.
+    "t_temperature_mix" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureMixture(
+          table(s, dir, "documents"), "source", "doc_id", alpha = 0.5,
+          targetRows = 200L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Domain-mixture sampling: per-source target fractions applied as a
     // deterministic hash-threshold filter (map-side, shuffle-free).
     "t_domain_mix" -> ((s, dir) => {
@@ -1946,6 +1967,29 @@ object TextPack extends QueryPack {
                FROM tf JOIN df USING (term))
          SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df
          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "t_temperature_mix_plan" ->
+      """WITH counts AS (SELECT source, COUNT(*) AS n FROM documents
+                         WHERE source IS NOT NULL GROUP BY source),
+         s AS (SELECT LIST_SUM(LIST(POWER(CAST(n AS DOUBLE), 0.5)
+                 ORDER BY source)) AS s FROM counts)
+         SELECT source, n,
+           ROUND(LEAST(1.0, 200.0 * POWER(CAST(n AS DOUBLE), 0.5)
+             / s.s / CAST(n AS DOUBLE)), 6) AS frac
+         FROM counts, s ORDER BY source""",
+    "t_temperature_mix" ->
+      s"""WITH counts AS (SELECT source, COUNT(*) AS n FROM documents
+                         WHERE source IS NOT NULL GROUP BY source),
+         s AS (SELECT LIST_SUM(LIST(POWER(CAST(n AS DOUBLE), 0.5)
+                 ORDER BY source)) AS s FROM counts),
+         fr AS (SELECT source,
+                  ROUND(LEAST(1.0, 200.0 * POWER(CAST(n AS DOUBLE), 0.5)
+                    / s.s / CAST(n AS DOUBLE)), 6) AS frac
+                FROM counts, s)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN fr USING (source)
+         WHERE ${graft.operators.Sampling.avalancheKeySql("d.doc_id")} % 1000000007
+               < CEIL(frac * 1000000007)
+         ORDER BY d.doc_id""",
     "t_domain_mix" ->
       s"""WITH w(source, frac) AS (VALUES $MixValuesSql)
          SELECT d.doc_id, d.source

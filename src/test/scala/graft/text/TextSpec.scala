@@ -147,6 +147,40 @@ class TextSpec extends AnyFunSuite {
     assert(flags(3L) === ((0L, false)))
   }
 
+  test("temperature mixing: α=1 preserves shares, α→0 flattens, small domains keep all") {
+    import graft.operators.Sampling
+    // head domain 800 rows, tail domains 150 / 50
+    val df = (1L to 1000L).map { i =>
+      (i, if (i <= 800) "head" else if (i <= 950) "mid" else "tail")
+    }.toDF("doc_id", "source")
+    def plan(alpha: Double, target: Long) = Sampling
+      .temperatureMixPlan(df, "source", alpha, target)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // α = 1: share ∝ n → every fraction is target/total (uniform thinning)
+    val p1 = plan(1.0, 500L)
+    assert(p1.values.forall { case (_, f) => math.abs(f - 0.5) < 1e-9 })
+    // α = 0.5: the tail's keep fraction rises above the head's
+    val p05 = plan(0.5, 500L)
+    assert(p05("tail")._2 > p05("mid")._2 && p05("mid")._2 > p05("head")._2)
+    // fractions match the closed form
+    val s = math.sqrt(800.0) + math.sqrt(150.0) + math.sqrt(50.0)
+    val expectHead = 500.0 * math.sqrt(800.0) / s / 800.0
+    assert(math.abs(p05("head")._2 - expectHead) < 1e-6)
+    // a small domain never up-samples: fraction caps at 1
+    val pBig = plan(0.1, 100000L)
+    assert(pBig.values.forall(_._2 === 1.0))
+    // the selection is deterministic, respects the fractions, and keeps
+    // roughly the budget
+    val kept = Sampling.temperatureMixture(df, "source", "doc_id", 0.5, 500L)
+    val kept2 = Sampling.temperatureMixture(df.repartition(13), "source",
+      "doc_id", 0.5, 500L)
+    assert(kept.collect().map(_.getLong(0)).toSet ===
+      kept2.collect().map(_.getLong(0)).toSet)
+    val total = kept.count()
+    assert(total > 350 && total < 650, s"kept $total of a 500 budget")
+  }
+
   test("domain mixture: deterministic selection, fraction 1.0 keeps all, unknown domain dropped") {
     import graft.operators.Sampling
     val df = (1L to 400L).map(i => (i, s"dom${i % 4}")).toDF("doc_id", "source")
