@@ -64,6 +64,95 @@ object Correlation {
       when(vx > 0 && vy > 0, num / (sqrt(vx) * sqrt(vy))).as("spearman"))
   }
 
+  /** Per-group Spearman — "do the two scorers still agree INSIDE each
+    * source/domain": the per-domain eval slice, mirroring
+    * [[Auc.rocAucByGroup]]. Every step of the midrank construction is
+    * keyed by `groupCols`: per-(group, value) counts, a prefix sum
+    * PARTITIONED by group (no partition-less window at any value
+    * cardinality — the grouped form never needs the [[
+    * graft.operators.PrefixSum]] decomposition), rank re-attach joins
+    * on (group, value), and one DECIMAL(38,0) rollup per group.
+    * Groups with a constant side report NULL.
+    */
+  def spearmanByGroup(df: DataFrame, groupCols: Seq[String], xCol: String,
+                      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "use spearman for the ungrouped form")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((g :+ col(xCol).as("__x") :+ col(yCol).as("__y")): _*)
+      .localCheckpoint()
+    def midrank2(in: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val keys = groupCols :+ valueCol
+      val groups = in.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = groups
+        .withColumn("__cum", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+        .select((keys.map(col) :+
+          (col("__cum") * 2 + col("__cnt") + 1).as(outCol)): _*)
+      in.join(ranked, keys)
+    }
+    val withRanks = midrank2(midrank2(rows, "__x", "rx"), "__y", "ry")
+    val d = "decimal(38,0)"
+    val sums = withRanks.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(d)).as("sx"), sum(col("ry").cast(d)).as("sy"),
+      sum((col("rx") * col("ry")).cast(d)).as("sxy"),
+      sum((col("rx") * col("rx")).cast(d)).as("sxx"),
+      sum((col("ry") * col("ry")).cast(d)).as("syy"))
+    val num = (col("n").cast(d) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val vx = (col("n").cast(d) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val vy = (col("n").cast(d) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    sums.select((g :+ col("n") :+
+      when(vx > 0 && vy > 0, num / (sqrt(vx) * sqrt(vy))).as("spearman")): _*)
+  }
+
+  /** DuckDB replay of [[spearmanByGroup]] for `rowsSql` yielding
+    * `(groupCols…, x, y)`.
+    */
+  def groupedOracleSql(rowsSql: String, groupCols: Seq[String]): String = {
+    val g = groupCols.mkString(", ")
+    s"""WITH rows_in AS (SELECT $g, x, y FROM ($rowsSql)
+         WHERE x IS NOT NULL AND y IS NOT NULL),
+       gx AS (SELECT $g, x, COUNT(*) AS c FROM rows_in GROUP BY $g, x),
+       rx AS (SELECT $g, x,
+                2 * COALESCE(SUM(c) OVER (PARTITION BY $g ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + c + 1 AS rx
+              FROM gx),
+       gy AS (SELECT $g, y, COUNT(*) AS c FROM rows_in GROUP BY $g, y),
+       ry AS (SELECT $g, y,
+                2 * COALESCE(SUM(c) OVER (PARTITION BY $g ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + c + 1 AS ry
+              FROM gy),
+       wr AS (SELECT r.*, rx.rx, ry.ry FROM rows_in r
+              JOIN rx ON ${groupCols.map(c => s"rx.$c = r.$c").mkString(" AND ")}
+                AND rx.x = r.x
+              JOIN ry ON ${groupCols.map(c => s"ry.$c = r.$c").mkString(" AND ")}
+                AND ry.y = r.y),
+       s AS (SELECT $g, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(rx AS HUGEINT)) AS sx,
+               SUM(CAST(ry AS HUGEINT)) AS sy,
+               SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+               SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+               SUM(CAST(ry AS HUGEINT) * ry) AS syy
+             FROM wr GROUP BY $g)
+       SELECT $g, CAST(n AS BIGINT) AS n,
+         CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+              END AS spearman
+       FROM s"""
+  }
+
   /** DuckDB replay of [[spearman]] for `rowsSql` yielding (x, y). */
   def oracleSql(rowsSql: String): String =
     s"""WITH rows_in AS (SELECT x, y FROM ($rowsSql)

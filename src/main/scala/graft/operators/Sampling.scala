@@ -150,6 +150,16 @@ object Sampling {
     require(targetRows > 0, s"targetRows must be positive: $targetRows")
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(domainCol).agg(count(lit(1)).as("n"))
+    // the deterministic fold collects the count table into ONE row —
+    // bounded by DOMAIN cardinality, which for a mixing taxonomy is
+    // dozens-to-thousands. A million-key column (URL hosts, user ids)
+    // is not a mixing taxonomy; abort loudly instead of materializing
+    // a gigabyte row (pre-aggregate hosts into domains upstream).
+    val nDomains = counts.count()
+    require(nDomains <= 1000000L,
+      s"temperatureMixPlan: $nDomains distinct domains in '$domainCol' — " +
+        "mixing taxonomies are small; pre-aggregate (e.g. host → domain " +
+        "class) before mixing")
     // Σ n^α as a deterministic fold over the domain-sorted array — a
     // plain agg sums doubles in partition order, which would wobble
     // the fractions' last ulp across layouts

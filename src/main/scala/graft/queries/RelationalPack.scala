@@ -505,6 +505,21 @@ object RelationalPack extends QueryPack {
         .select(col("n"), round(col("spearman"), 4).as("spearman"))
     }),
 
+    // Per-group Spearman — the per-domain agreement slice, mirroring
+    // rocAucByGroup: group-partitioned midrank prefix sums (no
+    // partition-less window at any cardinality), one DECIMAL(38,0)
+    // rollup per group.
+    "a_spearman_by_group" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        col("source"),
+        col("n_chars").cast("long").as("x"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("y"))
+      graft.ml.Correlation.spearmanByGroup(docs, Seq("source"), "x", "y")
+        .select(col("source"), col("n"),
+          round(col("spearman"), 4).as("spearman"))
+        .orderBy("source")
+    }),
+
     // Per-group ROC-AUC — the per-domain eval slice: does value rank
     // purchases above other events INSIDE each event day-of-week
     // cohort (a deliberately coarser group than event_type so both
@@ -640,6 +655,15 @@ object RelationalPack extends QueryPack {
                   ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END
                AS BIGINT) AS y
            FROM documents""")})"""),
+    "a_spearman_by_group" -> (s"""SELECT source, n,
+        ROUND(spearman, 4) AS spearman FROM (
+      ${graft.ml.Correlation.groupedOracleSql(
+        """SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END
+               AS BIGINT) AS y
+           FROM documents""", groupCols = Seq("source"))})
+      ORDER BY source"""),
     "a_roc_auc_by_group" -> (graft.ml.Auc.groupedOracleSql(
       """SELECT user_id % 4 AS cohort, value AS s,
            event_type = 'purchase' AS y FROM events""",

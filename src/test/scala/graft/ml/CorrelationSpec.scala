@@ -61,4 +61,32 @@ class CorrelationSpec extends AnyFunSuite {
     assert(math.abs(a - want) < 1e-12)
     assert(a === b)
   }
+
+  test("grouped spearman equals the per-group filtered global computation") {
+    val rows = (1 to 600).map { i =>
+      val g = s"g${i % 5}"
+      (g, ((i * 37) % 83).toLong, ((i * 53 + (i % 5) * 7) % 61).toLong)
+    }
+    val df = rows.toDF("g", "x", "y").repartition(9)
+    val grouped = Correlation.spearmanByGroup(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("spearman")))).toMap
+    (0 until 5).map(i => s"g$i").foreach { g =>
+      val solo = Correlation
+        .spearman(df.filter(org.apache.spark.sql.functions.col("g") === g),
+          "x", "y").head()
+      assert(grouped(g)._1 === solo.getAs[Long]("n"), s"n for $g")
+      assert(grouped(g)._2 === solo.getAs[Double]("spearman"),
+        s"spearman for $g")
+    }
+    // a constant side inside ONE group nulls only that group
+    val withConst = rows.map { case (g, x, y) =>
+      if (g == "g0") (g, x, 7L) else (g, x, y) }
+    val gc = Correlation.spearmanByGroup(
+        withConst.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        Option(r.getAs[java.lang.Double]("spearman"))).toMap
+    assert(gc("g0") === None)
+    assert(gc("g1").isDefined)
+  }
 }
