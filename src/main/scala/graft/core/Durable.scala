@@ -25,6 +25,13 @@ import org.apache.spark.sql.DataFrame
   * GraphSpec — the cut changes WHERE blocks live, never their
   * content); operators expose the choice as an optional
   * `checkpointDir` and default to local.
+  *
+  * Housekeeping: reliable-mode files accumulate one state snapshot per
+  * iteration under `dir` and Spark does not remove them at job end
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints` is off by
+  * default, and enabling it ties cleanup to GC timing) — give each run
+  * its own subdirectory and delete it after the results are persisted,
+  * exactly like any scratch dir.
   */
 final class Durable(checkpointDir: Option[String]) {
   private var dirSet = false
