@@ -73,6 +73,80 @@ object Ranking {
         when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6)))
   }
 
+  /** Precision@k / Recall@k / MRR@k per query — the set-based
+    * retrieval metrics beside [[ndcgAtK]]'s graded one. Relevance is
+    * binary here (`rel > 0`, the standard collapse of graded labels);
+    * all three are SINGLE divisions of exact integers (hits, k, n_rel,
+    * first rank), so outputs are bit-exact with no rounding, and the
+    * per-query shape macro-averages trivially downstream.
+    *
+    * Output per query: `(queryCols…, n_rel, hits, p_at_k, r_at_k,
+    * rr_at_k)` — `rr_at_k` is 1/rank of the FIRST relevant item within
+    * the top-k (NULL when none lands there: reciprocal rank at cutoff,
+    * the usual MRR@k convention); `r_at_k` is NULL for queries with no
+    * relevant items at all (0/0 has no meaning — filter or count them
+    * separately).
+    *
+    * Same scale shape as [[ndcgAtK]]: ONE map-side-combined
+    * aggregation carries the k-bounded score-order heap AND the
+    * relevant-count — no rank window, no join, the corpus shuffles
+    * once.
+    */
+  def retrievalAtK(df: DataFrame, queryCols: Seq[String], idCol: String,
+                   scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(queryCols.nonEmpty, "queryCols must be non-empty")
+    require(k >= 1 && k <= 1000, s"k out of [1,1000]: $k")
+    val g = queryCols.map(col)
+    val rel = graft.operators.Quantized.checkedLong(col(relCol),
+      "Ranking.retrievalAtK")
+    val rows = df
+      .filter(col(scoreCol).isNotNull && col(relCol).isNotNull)
+      .select((g :+ col(idCol).as("__id") :+
+        col(scoreCol).cast("double").as("__s") :+ rel.as("__r")): _*)
+    import graft.functions.expressions.TopKExpressions.topKStructs
+    val tops = rows.groupBy(g: _*).agg(
+      topKStructs(struct(
+        struct((col("__s") * -1.0).as("ns"), col("__id")).as("__k"),
+        col("__r")), k).as("__top"),
+      sum(when(col("__r") > 0, 1L).otherwise(0L)).as("n_rel"))
+    val relFlags = transform(col("__top"), x => x.getField("__r") > 0)
+    tops
+      .withColumn("hits",
+        size(filter(col("__top"), x => x.getField("__r") > 0)).cast("long"))
+      .withColumn("__first", nullif(array_position(relFlags, true), lit(0L)))
+      .select((g :+ col("n_rel") :+ col("hits") :+
+        (col("hits").cast("double") / k).as("p_at_k") :+
+        when(col("n_rel") > 0,
+          col("hits").cast("double") / col("n_rel").cast("double"))
+          .as("r_at_k") :+
+        (lit(1.0) / col("__first").cast("double")).as("rr_at_k")): _*)
+  }
+
+  /** DuckDB replay of [[retrievalAtK]] for `rowsSql` yielding
+    * `(queryCols…, id, s, rel)`.
+    */
+  def retrievalOracleSql(rowsSql: String, queryCols: Seq[String],
+                         k: Int): String = {
+    val g = queryCols.mkString(", ")
+    s"""WITH rows_in AS (SELECT $g, id, s, rel FROM ($rowsSql)
+         WHERE s IS NOT NULL AND rel IS NOT NULL),
+       ranked AS (SELECT $g, rel,
+           ROW_NUMBER() OVER (PARTITION BY $g ORDER BY s DESC, id) AS rk
+         FROM rows_in),
+       per_q AS (SELECT $g,
+           CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+           CAST(SUM(CASE WHEN rel > 0 AND rk <= $k THEN 1 ELSE 0 END)
+             AS BIGINT) AS hits,
+           MIN(CASE WHEN rel > 0 AND rk <= $k THEN rk END) AS first_rk
+         FROM ranked GROUP BY $g)
+       SELECT $g, n_rel, hits,
+         CAST(hits AS DOUBLE) / $k AS p_at_k,
+         CASE WHEN n_rel > 0
+              THEN CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) END AS r_at_k,
+         1.0 / CAST(first_rk AS DOUBLE) AS rr_at_k
+       FROM per_q"""
+  }
+
   /** DuckDB replay of [[ndcgAtK]] for `rowsSql` yielding
     * `(queryCols…, id, s, rel)`.
     */

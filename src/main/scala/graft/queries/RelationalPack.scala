@@ -576,6 +576,22 @@ object RelationalPack extends QueryPack {
         .orderBy("cohort")
     }),
 
+    // Precision/Recall/MRR@5 per cohort — the set-based retrieval
+    // metrics beside NDCG: single divisions of exact integers, so the
+    // whole row is bit-exact with no rounding.
+    "a_retrieval_at_k" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(pmod(col("user_id"), lit(25L)).as("cohort"),
+          col("event_id"), col("value"),
+          when(col("event_type") === "purchase", 3L)
+            .when(col("event_type") === "signup", 2L)
+            .when(col("event_type") === "click", 1L)
+            .otherwise(0L).as("rel"))
+      graft.ml.Ranking.retrievalAtK(ev, Seq("cohort"), "event_id", "value",
+          "rel", k = 5)
+        .orderBy("cohort")
+    }),
+
     // Fleiss' kappa over a 3-rater panel (three length-proxy quality
     // raters per document): the multi-annotator agreement gate. All
     // terms exact in the DECIMAL(38,0) lane, ONE pinned division;
@@ -675,6 +691,12 @@ object RelationalPack extends QueryPack {
              AS b
          FROM documents"""),
     "a_ndcg" -> (graft.ml.Ranking.oracleSql(
+      """SELECT user_id % 25 AS cohort, event_id AS id, value AS s,
+           CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+                WHEN 'click' THEN 1 ELSE 0 END AS rel
+         FROM events""",
+      queryCols = Seq("cohort"), k = 5) + " ORDER BY cohort"),
+    "a_retrieval_at_k" -> (graft.ml.Ranking.retrievalOracleSql(
       """SELECT user_id % 25 AS cohort, event_id AS id, value AS s,
            CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
                 WHEN 'click' THEN 1 ELSE 0 END AS rel

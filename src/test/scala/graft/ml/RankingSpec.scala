@@ -68,6 +68,30 @@ class RankingSpec extends AnyFunSuite {
     assert(k1 === 1.0)
   }
 
+  test("retrieval@k: hits, precision, recall, reciprocal rank — exact by hand") {
+    val rows = Seq(
+      // q1: 3 relevant of 4; top-5 by score: ids 10(r),11(n),12(r),13(r)
+      (1L, 10L, 9.0, 1L), (1L, 11L, 8.0, 0L), (1L, 12L, 7.0, 2L),
+      (1L, 13L, 6.0, 1L),
+      // q2: relevant exists but OUTSIDE top-2 at k=2
+      (2L, 20L, 9.0, 0L), (2L, 21L, 8.0, 0L), (2L, 22L, 7.0, 1L),
+      // q3: nothing relevant anywhere
+      (3L, 30L, 5.0, 0L))
+      .toDF("q", "id", "s", "rel")
+    val got = Ranking.retrievalAtK(rows, Seq("q"), "id", "s", "rel", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.getAs[java.lang.Double]("r_at_k")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("rr_at_k")).map(_.doubleValue))))
+      .toMap
+    // q1 at k=2: top-2 = ids 10, 11 → 1 hit; first relevant at rank 1
+    assert(got(1L) === ((3L, 1L, 0.5, Some(1.0 / 3), Some(1.0))))
+    // q2: relevant item ranks 3rd → no hit, rr NULL at cutoff
+    assert(got(2L) === ((1L, 0L, 0.0, Some(0.0), None)))
+    // q3: no relevant at all → recall undefined
+    assert(got(3L) === ((0L, 0L, 0.0, None, None)))
+  }
+
   test("fractional and out-of-range relevance abort loudly") {
     val frac = Seq((1L, 1L, 1.0, 1.5)).toDF("q", "id", "s", "rel")
     val e1 = intercept[Exception] {
