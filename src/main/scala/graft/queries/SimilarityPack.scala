@@ -183,6 +183,26 @@ object SimilarityPack extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // Incremental batch check against the at-rest corpus (the vector
+    // twin of the text side's incremental dedup): which new vectors
+    // near-duplicate something already stored. nlist=1 ⇒ the single
+    // home cell IS the whole corpus, so the check is exhaustive and
+    // the brute cross-pair oracle applies; multi-cell recall and the
+    // exchange-free home-cell plan are VectorStorageSpec'd.
+    "ann_batch_check" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val index = Ann.trainIvf(emb, nlist = 1)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vecstore-batch").toString + "/vecs"
+      graft.similarity.VectorStorage.writeBucketed(
+        emb, index, "vec_corpus_batch_gate", path, nBuckets = 8)
+      val batch = emb.filter(pmod(col("vec_id"), lit(4L)) === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.similarity.VectorStorage.checkBatch(s, "vec_corpus_batch_gate",
+          batch, index, threshold = 0.9)
+        .orderBy("batch_id", "id")
+    }),
+
     // LSH-bucketed ANN (scale path). Probing is exhaustive here
     // (probeRadius = planes ⇒ every bucket probed ⇒ each query meets each
     // corpus row exactly once), which makes the whole LSH machinery —
@@ -397,6 +417,30 @@ object SimilarityPack extends QueryPack {
                      JOIN lnrm nb ON nb.vec_id = id_b)
          SELECT id_a, id_b, ROUND(c, 6) + 0.0 AS cos
          FROM cos WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    // brute cross-pair rule: every (batch, at-rest) pair with cosine ≥
+    // 0.9 — exhaustive at nlist=1
+    "ann_batch_check" ->
+      s"""WITH $ListCte,
+         batch AS (SELECT vec_id + 100000 AS batch_id, e
+                   FROM ed WHERE vec_id % 4 = 0),
+         bnrm AS (SELECT batch_id,
+                    SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nm
+                  FROM batch),
+         dots AS (
+           SELECT b.batch_id, c.vec_id AS id,
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(b.e) + 1),
+                    i -> b.e[i] * c.e[i])) AS dot
+           FROM batch b CROSS JOIN ed c),
+         cos AS (
+           SELECT batch_id, id,
+                  CASE WHEN bn.nm * cn.nm = 0 THEN 0.0
+                       ELSE dot / (bn.nm * cn.nm) END AS c
+           FROM dots JOIN bnrm bn USING (batch_id)
+                     JOIN lnrm cn ON cn.vec_id = id)
+         SELECT batch_id, id, ROUND(c, 6) + 0.0 AS cos
+         FROM cos WHERE c >= 0.9
+         ORDER BY batch_id, id""",
+
     // same exhaustive rule as ann_semdedup — the at-rest layout must be
     // result-invisible; only the plan changes
     "ann_at_rest_semdedup" ->

@@ -142,6 +142,56 @@ object VectorStorage {
         round(col("p.cos"), 6).as("cos"))
   }
 
+  /** Incremental batch check — the vector twin of the text side's
+    * bloom-prefiltered incremental dedup: which vectors of a NEW batch
+    * near-duplicate something already at rest. The batch is assigned
+    * cells with the SAME index the table was written under (anything
+    * else silently mis-routes — persist the index via [[IvfStore]]),
+    * joined cell-co-resident against storage, and every candidate is
+    * verified with the exact cosine. `nprobe` cells per batch vector
+    * (1 = home cell; `= nlist` makes the check exhaustive — the
+    * oracle setting).
+    *
+    * Scale shape: the corpus side is the bucketed scan (never
+    * shuffles); the batch side is ingestion-sized and broadcasts
+    * size-conditionally (measured count vs `maxBroadcastBatchRows`,
+    * shuffle fallback above) — so the recurring per-batch check plans
+    * with ZERO shuffle exchanges in the common case (asserted in
+    * VectorStorageSpec). Returns `(batch_id, id, cos)` pairs at
+    * `threshold` or above; ids cast to long per the celled contract.
+    */
+  def checkBatch(spark: SparkSession, table: String, batch: DataFrame,
+                 index: Ann.IvfIndex, threshold: Double, nprobe: Int = 1,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 maxBroadcastBatchRows: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val base = batch.select(col(idCol).cast("long").as("batch_id"),
+        Ann.asDouble(col(vecCol)).as("bv"))
+      .withColumn("bn", Ann.norm(col("bv")))
+    val probes0 = base.as[(Long, Array[Double], Double)]
+      .flatMap { case (id, v, n) =>
+        index.nearestCentroids(v, nprobe).map(cell => (id, v, n, cell))
+      }.toDF("batch_id", "bv", "bn", CellCol)
+    val probes =
+      if (batch.count() * nprobe <= maxBroadcastBatchRows) broadcast(probes0)
+      else probes0
+    val paired = scan(spark, table)
+      .select(col(CellCol), col("id"), col("v"), col("nm"))
+      .join(probes, Seq(CellCol))
+      .select(col("batch_id"), col("id"),
+        when(col("bn") * col("nm") === 0.0, 0.0)
+          .otherwise(Ann.dot(col("bv"), col("v")) / (col("bn") * col("nm")))
+          .as("cos"))
+    // a pair can meet through two probed cells — but only when probing
+    // more than one (the dedupe is a shuffle; home-cell checks skip it
+    // and stay exchange-free)
+    val unique =
+      if (nprobe > 1) paired.dropDuplicates("batch_id", "id") else paired
+    unique
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** [[Ann.hardNegativeTopK]] with `nprobe = 1` semantics over the
     * at-rest corpus (`keyCol` must have been carried at write time):
     * candidates cell-co-resident via the storage bucketing, per-anchor

@@ -73,6 +73,38 @@ class VectorStorageSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental batch check: exhaustive ≡ brute cross pairs; home-cell plan is exchange-free") {
+    withTable("vec_rest_batch") {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      // batch = a slice of the corpus under shifted ids: every batch
+      // vector has an exact at-rest twin (cos 1) plus whatever else
+      val batch = emb.filter(pmod(col("vec_id"), lit(4L)) === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val got = VectorStorage.checkBatch(spark, "vec_rest_batch", batch,
+          index, threshold = 0.9, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // brute reference over the cross product
+      val brute = Ann.bruteForceTopK(
+          batch.withColumnRenamed("vec_id", "query_id"), emb,
+          k = emb.count().toInt)
+        .filter(col("cos") >= 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got === brute)
+      // every batch vector found its exact twin
+      assert(batch.collect().map(_.getLong(0)).forall(b =>
+        got.exists(p => p._1 == b && p._2 == b - 100000L && p._3 == 1.0)))
+      // home-cell check: zero shuffle exchanges (bucketed scan + broadcast)
+      val home = VectorStorage.checkBatch(spark, "vec_rest_batch", batch,
+        index, threshold = 0.9, nprobe = 1)
+      home.count()
+      assert(graft.Explain.shuffleCount(home) === 0,
+        s"home-cell batch check must be exchange-free:\n" +
+          home.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("IvfStore: round-trip identity, latest-run, fingerprint ties index to corpus") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivfstore").toString
