@@ -113,4 +113,57 @@ object Drift {
           col("__cc").cast("double") / col("__tc").cast("double")).as("cdf_cur"): _*)
       .withColumn("gap", abs(col("cdf_ref") - col("cdf_cur")))
   }
+
+  /** Embedding-space drift — the VECTOR complement of [[psi]]/[[
+    * ksTable]]: did the embedding distribution move between a reference
+    * corpus snapshot and the current one (a retrained encoder, a
+    * changed upstream tokenizer, a shifted source mix all show up here
+    * before any scalar metric notices). One row per dimension:
+    * `(i, mean_ref, mean_cur, gap)` — per-dimension centroid means
+    * (AVG-class, rounded at 6) and their absolute difference. The
+    * summary every dashboard wants — cosine between the two centroids,
+    * L2 of the gap — is one in-order fold over this 64-row table;
+    * [[embeddingShift]] computes it from the ROUNDED means so the
+    * fold replays bit-for-bit in SQL.
+    *
+    * 100 TB shape: each side is ONE map-side-combined aggregation of
+    * the exploded (i, x) pairs — the shuffle carries dims × partitions
+    * partial rows, never vectors — joined on the 64-row dimension key.
+    * No row crosses between the frames.
+    */
+  def embeddingMeans(ref: DataFrame, cur: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    def means(df: DataFrame, name: String): DataFrame = df
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(graft.similarity.Ann.asDouble(col(vecCol)))
+        .as(Seq("i", "__x")))
+      .groupBy("i").agg(round(avg(col("__x")), 6).as(name))
+    means(ref, "mean_ref").join(means(cur, "mean_cur"), Seq("i"))
+      .select(col("i"), col("mean_ref"), col("mean_cur"),
+        round(abs(col("mean_ref") - col("mean_cur")), 6).as("gap"))
+  }
+
+  /** One-row centroid-shift summary over [[embeddingMeans]]:
+    * `(dims, centroid_cos, shift_l2)` — both folds run in DIMENSION
+    * order over the rounded means (deterministic left fold ≡ the
+    * oracle's ordered-LIST fold), final transcendentals rounded at 6.
+    * Zero-norm centroids report NULL cosine.
+    */
+  def embeddingShift(ref: DataFrame, cur: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    val byDim = embeddingMeans(ref, cur, vecCol)
+    val arr = byDim.agg(
+      array_sort(collect_list(struct(col("i"), col("mean_ref"),
+        col("mean_cur")))).as("a"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("a"), lit(0.0), (acc, x) => acc + f(x))
+    val dot = fold(x => x.getField("mean_ref") * x.getField("mean_cur"))
+    val nr = sqrt(fold(x => x.getField("mean_ref") * x.getField("mean_ref")))
+    val nc = sqrt(fold(x => x.getField("mean_cur") * x.getField("mean_cur")))
+    val d2 = fold(x => (x.getField("mean_ref") - x.getField("mean_cur")) *
+      (x.getField("mean_ref") - x.getField("mean_cur")))
+    arr.select(size(col("a")).as("dims"),
+      when(nr * nc =!= 0.0, round(dot / (nr * nc), 6)).as("centroid_cos"),
+      round(sqrt(d2), 6).as("shift_l2"))
+  }
 }

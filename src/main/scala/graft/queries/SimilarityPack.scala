@@ -183,6 +183,24 @@ object SimilarityPack extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // Embedding-space drift between two corpus snapshots (vec_id
+    // parity split): per-dimension centroid means + gap, and the
+    // one-row centroid cosine / L2 shift summary — the vector
+    // complement of the scalar PSI/KS monitors.
+    "ann_embedding_drift" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Drift.embeddingMeans(
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 1))
+        .orderBy("i")
+    }),
+    "ann_embedding_shift" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Drift.embeddingShift(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1))
+    }),
+
     // Incremental batch check against the at-rest corpus (the vector
     // twin of the text side's incremental dedup): which new vectors
     // near-duplicate something already stored. nlist=1 ⇒ the single
@@ -417,6 +435,41 @@ object SimilarityPack extends QueryPack {
                      JOIN lnrm nb ON nb.vec_id = id_b)
          SELECT id_a, id_b, ROUND(c, 6) + 0.0 AS cos
          FROM cos WHERE c >= 0.4 ORDER BY id_a, id_b""",
+    "ann_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, embedding,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i FROM embeddings),
+         v AS (SELECT vec_id, i - 1 AS i,
+                 CAST(embedding[i] AS DOUBLE) AS x FROM e),
+         mr AS (SELECT i, ROUND(AVG(x), 6) AS mean_ref FROM v
+                WHERE vec_id % 2 = 0 GROUP BY i),
+         mc AS (SELECT i, ROUND(AVG(x), 6) AS mean_cur FROM v
+                WHERE vec_id % 2 = 1 GROUP BY i)
+         SELECT i, mean_ref, mean_cur,
+           ROUND(ABS(mean_ref - mean_cur), 6) AS gap
+         FROM mr JOIN mc USING (i) ORDER BY i""",
+    "ann_embedding_shift" ->
+      """WITH e AS (SELECT vec_id, embedding,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i FROM embeddings),
+         v AS (SELECT vec_id, i - 1 AS i,
+                 CAST(embedding[i] AS DOUBLE) AS x FROM e),
+         mr AS (SELECT i, ROUND(AVG(x), 6) AS mean_ref FROM v
+                WHERE vec_id % 2 = 0 GROUP BY i),
+         mc AS (SELECT i, ROUND(AVG(x), 6) AS mean_cur FROM v
+                WHERE vec_id % 2 = 1 GROUP BY i),
+         m AS (SELECT i, mean_ref, mean_cur FROM mr JOIN mc USING (i)),
+         f AS (SELECT CAST(COUNT(*) AS INT) AS dims,
+                 LIST_SUM(LIST(mean_ref * mean_cur ORDER BY i)) AS dot,
+                 SQRT(LIST_SUM(LIST(mean_ref * mean_ref ORDER BY i))) AS nr,
+                 SQRT(LIST_SUM(LIST(mean_cur * mean_cur ORDER BY i))) AS nc,
+                 LIST_SUM(LIST((mean_ref - mean_cur) * (mean_ref - mean_cur)
+                   ORDER BY i)) AS d2
+               FROM m)
+         SELECT dims,
+           CASE WHEN nr * nc <> 0 THEN ROUND(dot / (nr * nc), 6) END
+             AS centroid_cos,
+           ROUND(SQRT(d2), 6) AS shift_l2
+         FROM f""",
+
     // brute cross-pair rule: every (batch, at-rest) pair with cosine ≥
     // 0.9 — exhaustive at nlist=1
     "ann_batch_check" ->

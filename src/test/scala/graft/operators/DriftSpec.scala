@@ -88,4 +88,27 @@ class DriftSpec extends AnyFunSuite {
     assert(row.isNullAt(row.fieldIndex("cdf_cur")))
     assert(row.getAs[Double]("cdf_ref") === 1.0)
   }
+
+  test("embedding drift: identical corpora are zero-shift; a planted dim-0 shift shows up") {
+    import spark.implicits._
+    val ref = (1 to 40).map(i =>
+      (i.toLong, Array(1.0f, 0.5f + (i % 5) * 0.01f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val same = Drift.embeddingShift(ref, ref).head()
+    assert(same.getInt(0) === 3)
+    assert(same.getAs[Double]("centroid_cos") === 1.0)
+    assert(same.getAs[Double]("shift_l2") === 0.0)
+    // shift dimension 0 by +2 in the current snapshot
+    val cur = ref.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        (x, i) => org.apache.spark.sql.functions.when(i === 0, x + 2.0f)
+          .otherwise(x)).as("embedding"))
+    val means = Drift.embeddingMeans(ref, cur)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(math.abs(means(0) - 2.0) < 1e-6)
+    assert(means(1) === 0.0 && means(2) === 0.0)
+    val shifted = Drift.embeddingShift(ref, cur).head()
+    assert(math.abs(shifted.getAs[Double]("shift_l2") - 2.0) < 1e-6)
+    assert(shifted.getAs[Double]("centroid_cos") < 1.0)
+  }
 }
