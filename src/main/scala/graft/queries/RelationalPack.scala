@@ -620,6 +620,15 @@ object RelationalPack extends QueryPack {
       graft.ml.Calibration.reliabilityTable(ev, "p", "y", bins = 10)
         .orderBy("bin")
     }),
+    "a_calibration_by_group" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(pmod(col("user_id"), lit(4L)).as("cohort"),
+          (col("value") - floor(col("value"))).as("p"),
+          (col("event_type") === "purchase").as("y"))
+      graft.ml.Calibration.reliabilityTableByGroup(ev, Seq("cohort"),
+          "p", "y", bins = 10)
+        .orderBy("cohort", "bin")
+    }),
     "a_brier_ece" -> ((s, dir) => {
       val ev = table(s, dir, "events")
         .select((col("value") - floor(col("value"))).as("p"),
@@ -718,6 +727,10 @@ object RelationalPack extends QueryPack {
     "a_calibration" -> (graft.ml.Calibration.tableOracleSql(
       """SELECT value - FLOOR(value) AS p, event_type = 'purchase' AS y
          FROM events""", bins = 10) + " ORDER BY bin"),
+    "a_calibration_by_group" -> (graft.ml.Calibration.groupedTableOracleSql(
+      """SELECT user_id % 4 AS cohort, value - FLOOR(value) AS p,
+           event_type = 'purchase' AS y FROM events""",
+      groupCols = Seq("cohort"), bins = 10) + " ORDER BY cohort, bin"),
     "a_brier_ece" -> graft.ml.Calibration.summaryOracleSql(
       """SELECT value - FLOOR(value) AS p, event_type = 'purchase' AS y
          FROM events""", bins = 10),

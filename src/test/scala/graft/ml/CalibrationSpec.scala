@@ -61,4 +61,24 @@ class CalibrationSpec extends AnyFunSuite {
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
     assert(run(1) === run(16))
   }
+
+  test("grouped reliability equals the per-group filtered global table") {
+    val rows = (1 to 900).map { i =>
+      (s"g${i % 3}", (i * 2654435761L % 1000).toDouble / 1000.0, i % 4 == 0)
+    }
+    val df = rows.toDF("g", "p", "y").repartition(7)
+    val grouped = Calibration
+      .reliabilityTableByGroup(df, Seq("g"), "p", "y")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    (0 until 3).map(i => s"g$i").foreach { g =>
+      val solo = Calibration.reliabilityTable(
+          df.filter(org.apache.spark.sql.functions.col("g") === g), "p", "y")
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+      solo.foreach { case (bin, v) => assert(grouped((g, bin)) === v, s"$g/$bin") }
+    }
+  }
 }
