@@ -668,6 +668,49 @@ object RelationalPack extends QueryPack {
         .toDF("col", "n_nonnull", "n_rows")
         .withColumn("rejected", col("n_nonnull") === 0)
         .orderBy("col")
+    }),
+
+    // Data-quality gates — the nightly promote/abort contract: range
+    // and consistency predicates (ONE scan per table however many
+    // gates), key uniqueness (one distinct agg), referential
+    // integrity (LEFT ANTI counts). Exact BIGINT violation counts;
+    // the events range gate is deliberately violated by the data so
+    // a broken counting lane cannot hide behind all-zeros.
+    "dq_gates" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val ev = table(s, dir, "events")
+      val docs = table(s, dir, "documents")
+      val orders = table(s, dir, "orders")
+      predicateGates(ev, Seq(
+          Gate("events_value_in_range",
+            col("value").isNull || col("value") < 0.01 || col("value") > 450),
+          Gate("events_ts_in_2024", year(col("ts")) =!= 2024)))
+        .unionAll(predicateGates(docs, Seq(
+          Gate("docs_nchars_consistent", col("n_chars") =!= length(col("text"))),
+          Gate("docs_lang_nonnull", col("lang").isNull))))
+        .unionAll(predicateGates(orders, Seq(
+          Gate("orders_price_positive", col("o_totalprice") <= 0))))
+        .unionAll(uniquenessGate(ev, Seq("event_id"), "events_id_unique"))
+        .unionAll(fkGate(orders, "o_custkey",
+          table(s, dir, "customer"), "c_custkey", "orders_custkey_fk"))
+        .unionAll(fkGate(table(s, dir, "lineitem"), "l_orderkey",
+          orders, "o_orderkey", "lineitem_orderkey_fk"))
+        .orderBy("check")
+    }),
+
+    // Per-nation OLS price trend — exact DECIMAL(38,0) normal-
+    // equation sums over quantized (epoch-day, whole-dollar) lanes;
+    // slope/intercept/r2 are pinned IEEE tails over exact terms, so
+    // they hash without rounding.
+    "a_group_trend" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val rows = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nation"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("x"),
+          floor(col("o_totalprice")).cast("long").as("y"))
+      graft.ml.Trend.groupedOls(rows, Seq("nation"), "x", "y")
+        .orderBy("nation")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1087,5 +1130,53 @@ object RelationalPack extends QueryPack {
                 nn_purchase_value = 0 FROM counts
          UNION ALL
          SELECT 'value', nn_value, n_rows, nn_value = 0 FROM counts
-         ORDER BY col""")
+         ORDER BY col""",
+
+    "dq_gates" ->
+      """WITH ev AS (
+           SELECT COUNT(*) AS total,
+             COUNT(*) FILTER (WHERE value IS NULL OR value < 0.01
+                              OR value > 450) AS v1,
+             COUNT(*) FILTER (WHERE DATE_PART('year', ts) <> 2024) AS v2,
+             COUNT(*) - COUNT(DISTINCT event_id) AS v3
+           FROM events),
+         dc AS (
+           SELECT COUNT(*) AS total,
+             COUNT(*) FILTER (WHERE n_chars <> LENGTH(text)) AS v1,
+             COUNT(*) FILTER (WHERE lang IS NULL) AS v2
+           FROM documents),
+         od AS (
+           SELECT COUNT(*) AS total,
+             COUNT(*) FILTER (WHERE o_totalprice <= 0) AS v1
+           FROM orders),
+         ofk AS (
+           SELECT (SELECT COUNT(*) FROM orders) AS total,
+             (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey)) AS v1),
+         lfk AS (
+           SELECT (SELECT COUNT(*) FROM lineitem) AS total,
+             (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey)) AS v1),
+         g AS (
+           SELECT 'events_value_in_range' AS chk, v1 AS violations, total FROM ev
+           UNION ALL SELECT 'events_ts_in_2024', v2, total FROM ev
+           UNION ALL SELECT 'events_id_unique', v3, total FROM ev
+           UNION ALL SELECT 'docs_nchars_consistent', v1, total FROM dc
+           UNION ALL SELECT 'docs_lang_nonnull', v2, total FROM dc
+           UNION ALL SELECT 'orders_price_positive', v1, total FROM od
+           UNION ALL SELECT 'orders_custkey_fk', v1, total FROM ofk
+           UNION ALL SELECT 'lineitem_orderkey_fk', v1, total FROM lfk)
+         SELECT chk AS "check", CAST(violations AS BIGINT) AS violations,
+           CAST(total AS BIGINT) AS total,
+           CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+         FROM g ORDER BY chk""",
+
+    "a_group_trend" -> (graft.ml.Trend.oracleSql(
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+         FROM orders JOIN customer ON c_custkey = o_custkey""",
+      Seq("nation")) + " ORDER BY nation"))
 }

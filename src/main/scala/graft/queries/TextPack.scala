@@ -914,6 +914,17 @@ object TextPack extends QueryPack {
         docs.filter(col("lang") === "en"), docs, "text", m)
       Dsir.select(Dsir.score(docs, "doc_id", "text", w, m), "doc_id", 0.25)
         .orderBy("doc_id")
+    }),
+
+    // PMI collocations: adjacent bigrams sticking together beyond
+    // chance — the order-sensitive complement to t_token_pairs'
+    // basket co-occurrence. Pairs built map-side (one zip_with, no
+    // self-join); pmi_ratio is ONE IEEE tree over exact counts, so
+    // no rounding row is needed.
+    "t_pmi_bigrams" -> ((s, dir) => {
+      graft.text.Collocations.pmiTable(
+          table(s, dir, "documents"), "text", minCount = 5)
+        .orderBy("a", "b")
     }))
 
   /** Per-source keep fractions for `t_domain_mix` — 0.25/0.5/0.75/1.0
@@ -2084,5 +2095,8 @@ object TextPack extends QueryPack {
          n AS (SELECT COUNT(*) AS n FROM sc)
          SELECT doc_id, dsir_score,
                 (ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) <= CEIL(n.n * 0.25)) AS kept
-         FROM sc CROSS JOIN n ORDER BY doc_id""")
+         FROM sc CROSS JOIN n ORDER BY doc_id""",
+
+    "t_pmi_bigrams" -> (graft.text.Collocations.oracleSql(minCount = 5) +
+      " ORDER BY a, b"))
 }

@@ -230,6 +230,33 @@ object WindowPack extends QueryPack {
           table(s, dir, "events"), Seq("event_id"), n = 10)
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
+    }),
+
+    // Two-sided CUSUM level monitor over the per-(type, day) value
+    // totals — "did this feed's daily level step-shift": the
+    // sequential-detection companion to the distributional monitors
+    // (KS/PSI). The recursion runs as its closed prefix form — two
+    // window passes over one partitioning — on exact BIGINTs.
+    "a_cusum_changepoint" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(floor(col("value")).cast("long")).as("v"))
+      graft.operators.Changepoint.cusum(daily,
+          keyCols = Seq("event_type"), orderCols = Seq("day"),
+          valueCol = "v", driftK = 16000L, threshold = 8000L)
+        .orderBy("event_type", "day")
+    }),
+
+    // First-order Markov transition matrix of each user's event
+    // sequence — the "what happens after X" empirical next-step
+    // model; counts exact, probability ONE pinned division. Sequence
+    // order made unique by (ts, event_id).
+    "w_markov_transitions" -> ((s, dir) => {
+      graft.operators.Transitions.transitionMatrix(
+          table(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "event_type")
+        .orderBy("prev", "next")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -368,5 +395,18 @@ object WindowPack extends QueryPack {
       """WITH r AS (SELECT event_id, user_id, event_type,
              ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events)
          SELECT event_id, user_id, event_type FROM r
-         WHERE (rn - 1) % 10 = 0 ORDER BY event_id""")
+         WHERE (rn - 1) % 10 = 0 ORDER BY event_id""",
+
+    "a_cusum_changepoint" -> (graft.operators.Changepoint.oracleSql(
+      """SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY 1, 2""",
+      keyCols = Seq("event_type"), orderCols = Seq("day"),
+      valueCol = "v", driftK = 16000L, threshold = 8000L) +
+      " ORDER BY event_type, day"),
+
+    "w_markov_transitions" -> (graft.operators.Transitions.oracleSql(
+      "SELECT user_id, ts, event_id, event_type FROM events",
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      stateCol = "event_type") + " ORDER BY prev, next"))
 }

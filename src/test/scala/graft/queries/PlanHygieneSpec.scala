@@ -435,6 +435,53 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"per-group cuts should broadcast:\n$s")
   }
 
+  test("cusum: both CUSUM sides share ONE series-key window shuffle") {
+    val df = graft.SparkEntry.queries("a_cusum_changepoint")(spark, sf)
+    // day pre-agg + the shared window partitioning + output sort
+    assert(shuffles(df) <= 3)
+    val s = df.queryExecution.executedPlan.toString
+    // the four window functions (2 sums, 2 mins) must coalesce into
+    // window operators over one partitioning, not re-exchange per side
+    val exchangesOnType =
+      "hashpartitioning\\(event_type".r.findAllIn(s.toLowerCase).size
+    assert(exchangesOnType <= 1,
+      s"CUSUM sides re-shuffled the series partitioning:\n$s")
+  }
+
+  test("markov transitions: lag window + pair count, matrix stays bounded") {
+    val df = graft.SparkEntry.queries("w_markov_transitions")(spark, sf)
+    // user shuffle (lag) + pair-count shuffle + bounded row-total/sort
+    assert(shuffles(df) <= 4)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!"(?i)cartesianproduct".r.findFirstIn(s).isDefined)
+  }
+
+  test("dq gates: each table scanned once per gate family, anti-joins bounded") {
+    val df = graft.SparkEntry.queries("dq_gates")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    // FK checks must be anti-joins, not exists-subquery nested loops
+    assert(!"(?i)broadcastnestedloopjoin".r.findFirstIn(s).isDefined,
+      s"FK gate fell back to a nested loop:\n$s")
+  }
+
+  test("group trend: ONE aggregation, no window, no sort but the output's") {
+    val df = graft.SparkEntry.queries("a_group_trend")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Window"),
+      s"OLS sums must be a plain aggregation:\n$s")
+    assert(shuffles(df) <= 3) // join + group agg + output sort
+  }
+
+  test("pmi bigrams: pairs build map-side — no self-join of the token table") {
+    val df = graft.SparkEntry.queries("t_pmi_bigrams")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    val gens = "(?i)generate explode".r.findAllIn(s).size
+    assert(gens <= 2, s"expected one explode per count pass:\n$s")
+  }
+
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
     val docs = graft.core.Tables.table(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id").as("x"),
