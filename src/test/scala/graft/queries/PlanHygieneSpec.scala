@@ -442,8 +442,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     val s = df.queryExecution.executedPlan.toString
     // the four window functions (2 sums, 2 mins) must coalesce into
     // window operators over one partitioning, not re-exchange per side
+    // (count EXCHANGE nodes on the series key, not windowspec mentions)
+    // keyed by event_type ALONE — the (event_type, day) pre-agg
+    // exchange is the separate, expected daily-rollup shuffle
     val exchangesOnType =
-      "hashpartitioning\\(event_type".r.findAllIn(s.toLowerCase).size
+      "exchange hashpartitioning\\(event_type#\\d+, \\d+\\)"
+        .r.findAllIn(s.toLowerCase).size
     assert(exchangesOnType <= 1,
       s"CUSUM sides re-shuffled the series partitioning:\n$s")
   }
@@ -460,9 +464,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     val df = graft.SparkEntry.queries("dq_gates")(spark, sf)
     df.count()
     val s = df.queryExecution.executedPlan.toString
-    // FK checks must be anti-joins, not exists-subquery nested loops
-    assert(!"(?i)broadcastnestedloopjoin".r.findFirstIn(s).isDefined,
-      s"FK gate fell back to a nested loop:\n$s")
+    // FK checks must be HASH anti-joins — a nested-loop LeftAnti would
+    // re-scan the parent per child row. (The 1-row violations × total
+    // cross joins legitimately plan as bounded nested loops.)
+    assert(!"(?i)nestedloopjoin[^\\n]*leftanti".r.findFirstIn(s).isDefined,
+      s"FK gate fell back to a nested-loop anti join:\n$s")
+    assert("(?i)leftanti".r.findFirstIn(s).isDefined,
+      s"expected anti-join FK checks in:\n$s")
   }
 
   test("group trend: ONE aggregation, no window, no sort but the output's") {
