@@ -200,6 +200,12 @@ object PipelineBench {
     "graph_pagerank_1M_edges" -> 36.7,
     "graph_triangles_1M_edges" -> 16.7,
     "graph_kcore_1M_edges" -> 8.0,
+    // first priced by a round-10 filtered local sweep
+    // (SPARK_GRAFT_PIPELINE_ONLY=graph_labelprop_1M_edges,graph_kcore_1M_edges;
+    // the kcore anchor measured 6.7 cpu-sec vs its 8.0 ref in the same
+    // window, i.e. quiet) — an upper bound that min-folds tighter as
+    // later artifacts publish
+    "graph_labelprop_1M_edges" -> 21.4,
     // first published by the round-10 local sweep (same command/box;
     // that sweep was PARTIALLY contended — month_e2e measured 1.5× its
     // quiet cpu in the same run — so these first values are upper
@@ -405,20 +411,38 @@ object PipelineBench {
         // skewed graph peels a deep cascade before the fixed point
         TimedStage("graph_kcore_1M_edges", 2, cpuCompanion = true)(() =>
           graft.graph.KCore.kCore(graphEdgesDf, "src", "dst", k = 6,
-            maxRounds = 40).count()))
+            maxRounds = 40).count()),
+        // synchronous label propagation on the same skewed graph — 4
+        // fixed rounds price the per-round edge⨝label join + two aggs
+        // + checkpoint loop at realistic edge scale (the gate's
+        // co-purchase LPA runs the identical code at 1/500 the size)
+        TimedStage("graph_labelprop_1M_edges", 2, cpuCompanion = true)(() =>
+          graft.graph.LabelProp.propagate(graphEdgesDf, "src", "dst",
+            rounds = 4).count()))
+
+      // SPARK_GRAFT_PIPELINE_ONLY=a,b,c runs just those stages — for
+      // pricing a new stage without paying the full sweep. The
+      // cross-stage ratio pins below publish (and gate) only when both
+      // of their stages ran.
+      val onlyStages = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      val stagesRun = onlyStages match {
+        case Some(sel) => stages.filter(st => sel.contains(st.name))
+        case None => stages
+      }
 
       // round-robin sweep: stage order inside a sweep preserves the
       // combine → impute/feature-gen read dependency
       val samples = scala.collection.mutable.LinkedHashMap
         .empty[String, Vector[(Double, Double)]]
-      val maxRepeats = stages.map(_.repeats).max
-      for (rep <- 0 until maxRepeats; st <- stages if rep < st.repeats) {
+      val maxRepeats = stagesRun.map(_.repeats).max
+      for (rep <- 0 until maxRepeats; st <- stagesRun if rep < st.repeats) {
         val sample = timeWithCpu(spark)(st.body())
         samples(st.name) = samples.getOrElse(st.name, Vector.empty) :+ sample
       }
 
       val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      stages.foreach { st =>
+      stagesRun.foreach { st =>
         val runs = samples(st.name)
         out += st.name -> runs.map(_._1).min
         // `_cpu_sec` of the fastest run: a contended round is diagnosable
@@ -447,25 +471,29 @@ object PipelineBench {
       // aborts only when BOTH ratios break the bound — genuine
       // superlinearity — instead of crashing the whole bench artifact on
       // a one-sided burst; both ratios publish either way.
-      val wallRatio = out("pm25_quarter_e2e") / out("pm25_month_e2e")
-      val cpuRatio =
-        out("pm25_quarter_e2e_cpu_sec") / out("pm25_month_e2e_cpu_sec")
-      out += "pm25_e2e_quarter_over_month_wall" -> wallRatio
-      out += "pm25_e2e_quarter_over_month_cpu" -> cpuRatio
-      require(wallRatio <= 3.5 || cpuRatio <= 3.5,
-        f"quarter e2e is superlinear: wall ${wallRatio}%.2f×, " +
-          f"cpu ${cpuRatio}%.2f× the month (want ≤ 3.5× in at least one)")
+      if (out.contains("pm25_quarter_e2e") && out.contains("pm25_month_e2e")) {
+        val wallRatio = out("pm25_quarter_e2e") / out("pm25_month_e2e")
+        val cpuRatio =
+          out("pm25_quarter_e2e_cpu_sec") / out("pm25_month_e2e_cpu_sec")
+        out += "pm25_e2e_quarter_over_month_wall" -> wallRatio
+        out += "pm25_e2e_quarter_over_month_cpu" -> cpuRatio
+        require(wallRatio <= 3.5 || cpuRatio <= 3.5,
+          f"quarter e2e is superlinear: wall ${wallRatio}%.2f×, " +
+            f"cpu ${cpuRatio}%.2f× the month (want ≤ 3.5× in at least one)")
+      }
       // same pin one order of magnitude out: 12 months must price
       // ≤ 13.5× the month (12× work + amortized fixed cost) — the
       // ratio BASELINE's ~80-month backfill envelope actually rests on
-      val yWallRatio = out("pm25_year_e2e") / out("pm25_month_e2e")
-      val yCpuRatio =
-        out("pm25_year_e2e_cpu_sec") / out("pm25_month_e2e_cpu_sec")
-      out += "pm25_e2e_year_over_month_wall" -> yWallRatio
-      out += "pm25_e2e_year_over_month_cpu" -> yCpuRatio
-      require(yWallRatio <= 13.5 || yCpuRatio <= 13.5,
-        f"year e2e is superlinear: wall ${yWallRatio}%.2f×, " +
-          f"cpu ${yCpuRatio}%.2f× the month (want ≤ 13.5× in at least one)")
+      if (out.contains("pm25_year_e2e") && out.contains("pm25_month_e2e")) {
+        val yWallRatio = out("pm25_year_e2e") / out("pm25_month_e2e")
+        val yCpuRatio =
+          out("pm25_year_e2e_cpu_sec") / out("pm25_month_e2e_cpu_sec")
+        out += "pm25_e2e_year_over_month_wall" -> yWallRatio
+        out += "pm25_e2e_year_over_month_cpu" -> yCpuRatio
+        require(yWallRatio <= 13.5 || yCpuRatio <= 13.5,
+          f"year e2e is superlinear: wall ${yWallRatio}%.2f×, " +
+            f"cpu ${yCpuRatio}%.2f× the month (want ≤ 13.5× in at least one)")
+      }
 
       // Shuffle counts recorded AS metrics, next to the wall-times: the
       // zero-exchange property — the actual 100 TB lever — is noise-free

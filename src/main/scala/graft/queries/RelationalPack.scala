@@ -711,6 +711,28 @@ object RelationalPack extends QueryPack {
           floor(col("o_totalprice")).cast("long").as("y"))
       graft.ml.Trend.groupedOls(rows, Seq("nation"), "x", "y")
         .orderBy("nation")
+    }),
+
+    // Mutual-information cell table between event type and the
+    // value's 100-bucket — "does this cheap signal carry label
+    // information": exact BIGINT masses, per-cell ln contributions
+    // rounded per the transcendental convention (a global float sum
+    // would be addition-order-dependent; the PSI posture).
+    "a_mutual_information" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type").as("x"),
+          floor(col("value") / lit(100)).cast("long").as("y"))
+      graft.operators.InfoTheory.miTable(ev, "x", "y")
+        .orderBy("x", "y")
+    }),
+
+    // Per-source Gini impurity of the language mix — "how mixed is
+    // each slice": Σc² in the DECIMAL(38,0) lane, gini ONE pinned
+    // division — bit-exact, no rounding.
+    "a_group_gini" -> ((s, dir) => {
+      graft.operators.InfoTheory.giniByGroup(
+          table(s, dir, "documents"), Seq("source"), "lang")
+        .orderBy("source")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1178,5 +1200,14 @@ object RelationalPack extends QueryPack {
            DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
            CAST(FLOOR(o_totalprice) AS BIGINT) AS y
          FROM orders JOIN customer ON c_custkey = o_custkey""",
-      Seq("nation")) + " ORDER BY nation"))
+      Seq("nation")) + " ORDER BY nation"),
+
+    "a_mutual_information" -> (graft.operators.InfoTheory.miOracleSql(
+      """SELECT event_type AS x,
+           CAST(FLOOR(value / 100) AS BIGINT) AS y FROM events""") +
+      " ORDER BY x, y"),
+
+    "a_group_gini" -> (graft.operators.InfoTheory.giniOracleSql(
+      "SELECT source, lang AS label FROM documents", Seq("source")) +
+      " ORDER BY source"))
 }

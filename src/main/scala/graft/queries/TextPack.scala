@@ -925,6 +925,17 @@ object TextPack extends QueryPack {
       graft.text.Collocations.pmiTable(
           table(s, dir, "documents"), "text", minCount = 5)
         .orderBy("a", "b")
+    }),
+
+    // Pairwise source-vocabulary overlap — the "same crawl in
+    // different clothes" curation matrix: exact Jaccard/containment
+    // between every source pair's distinct token sets from ONE
+    // inverted (token → sources) pass; the KMV sketch is the
+    // unbounded-source path, this is the exact small-k form.
+    "t_source_overlap" -> ((s, dir) => {
+      graft.text.SourceOverlap.vocabOverlap(
+          table(s, dir, "documents"), "source", "text")
+        .orderBy("g_a", "g_b")
     }))
 
   /** Per-source keep fractions for `t_domain_mix` — 0.25/0.5/0.75/1.0
@@ -2098,5 +2109,8 @@ object TextPack extends QueryPack {
          FROM sc CROSS JOIN n ORDER BY doc_id""",
 
     "t_pmi_bigrams" -> (graft.text.Collocations.oracleSql(minCount = 5) +
-      " ORDER BY a, b"))
+      " ORDER BY a, b"),
+
+    "t_source_overlap" -> (graft.text.SourceOverlap.oracleSql("source") +
+      " ORDER BY g_a, g_b"))
 }

@@ -257,6 +257,19 @@ object WindowPack extends QueryPack {
           table(s, dir, "events"), Seq("user_id"),
           Seq("ts", "event_id"), "event_type")
         .orderBy("prev", "next")
+    }),
+
+    // Step-function time-weighted average per user — the correct
+    // "average level" over irregular arrivals (plain AVG overweights
+    // dense bursts): µs-gap × quantized-value masses in the
+    // DECIMAL(38,0) lane, TWA one pinned division.
+    "w_time_weighted_avg" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value")).cast("long").as("v"))
+      graft.operators.TimeWeighted.stepTwa(ev, Seq("user_id"),
+          Seq("ts", "event_id"), "ts", "v")
+        .orderBy("user_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -408,5 +421,11 @@ object WindowPack extends QueryPack {
     "w_markov_transitions" -> (graft.operators.Transitions.oracleSql(
       "SELECT user_id, ts, event_id, event_type FROM events",
       keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
-      stateCol = "event_type") + " ORDER BY prev, next"))
+      stateCol = "event_type") + " ORDER BY prev, next"),
+
+    "w_time_weighted_avg" -> (graft.operators.TimeWeighted.oracleSql(
+      """SELECT user_id, ts, event_id,
+           CAST(FLOOR(value) AS BIGINT) AS v FROM events""",
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id")) +
+      " ORDER BY user_id"))
 }

@@ -497,6 +497,135 @@ object EventsStream {
       }
   }
 
+  // ------------------------------------------------- CUSUM level monitor
+
+  final case class CusumUpdate(key: String, t: Long, v: Long,
+                               cusumPos: Long, cusumNeg: Long, alarm: Int)
+  /** Carried per-key CUSUM state: both sides + the last absorbed order
+    * key (the monotonicity handle).
+    */
+  final case class CusumState(sp: Long, sn: Long, lastT: Long)
+
+  /** Streaming twin of [[graft.operators.Changepoint.cusum]]: the
+    * textbook recursion `S⁺ = max(0, S⁺ + (x − k))` run as an explicit
+    * per-key fold — two longs of state — emitting one update per
+    * absorbed row, so the alarm fires in the micro-batch where the
+    * level shift crosses `threshold`, not at job end. The batch
+    * operator's closed prefix form and this fold are the same
+    * function; StreamingSpec pins them row-for-row.
+    *
+    * Order contract: in-batch rows are sorted by `orderCol` per key
+    * (micro-batches deliver a group unordered); ACROSS batches the
+    * recursion is order-sensitive and cannot be merged, so a row whose
+    * order key is ≤ the last absorbed one ABORTS loudly (an unordered
+    * or re-delivered feed breaks a fold where it merely double-counts
+    * a mergeable sketch — pair with [[dedupEvents]] and a
+    * time-ordered source, the same posture as [[asOfAttach]]).
+    */
+  def cusumStream(events: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String, driftK: Long,
+                  threshold: Long): Dataset[CusumUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as[String],
+        graft.operators.Quantized
+          .checkedLong(col(orderCol), "cusumStream order").as[Long],
+        graft.operators.Quantized
+          .checkedLong(col(valueCol), "cusumStream value").as[Long])
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(
+            CusumState(0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumUpdate]
+          rows.toArray.sortBy(_._2).foreach { case (_, t, v) =>
+            if (t <= s.lastT)
+              throw new IllegalStateException(
+                s"cusumStream: order key $t arrived at or before the last " +
+                  s"absorbed ${s.lastT} for key $key — the CUSUM fold needs " +
+                  "a deduplicated, time-ordered feed (dedupEvents upstream)")
+            val sp = math.max(0L, s.sp + (v - driftK))
+            val sn = math.max(0L, s.sn + (driftK - v))
+            s = CusumState(sp, sn, t)
+            out += CusumUpdate(key, t, v, sp, sn,
+              if (sp > threshold || sn > threshold) 1 else 0)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  // --------------------------------------------- Markov transitions
+
+  final case class TransitionUpdate(key: String, prev: String, next: String,
+                                    cnt: Long)
+  /** Carried per-key state: running (prev→next) counts plus the last
+    * absorbed (order, state) — the cross-batch lag cell.
+    */
+  final case class TransitionState(counts: Map[String, Long], lastT: Long,
+                                   lastState: String)
+
+  /** Streaming twin of [[graft.operators.Transitions]]: per-key
+    * transition counts accumulated across batches, the lag cell
+    * carried as explicit state so a pair spanning a batch boundary is
+    * counted exactly once. Emits the UPDATED (prev, next) counts each
+    * batch (update-mode semantics: fold the latest row per
+    * (key, prev, next) downstream). The count map is
+    * |states|²-bounded per key — bounded state like every twin here.
+    *
+    * Same order contract as [[cusumStream]]: in-batch rows sort by
+    * the order key; an order key at or before the last absorbed one
+    * aborts loudly (the lag fold cannot merge re-deliveries).
+    */
+  def transitionsStream(events: DataFrame, keyCol: String, orderCol: String,
+                        stateCol: String): Dataset[TransitionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col(stateCol).isNotNull)
+      .select(col(keyCol).cast("string").as[String],
+        graft.operators.Quantized
+          .checkedLong(col(orderCol), "transitionsStream order").as[Long],
+        col(stateCol).cast("string").as[String])
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransitionState, TransitionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[TransitionState]) =>
+          var s = state.getOption.getOrElse(
+            TransitionState(Map.empty, Long.MinValue, null))
+          val touched = scala.collection.mutable.Set.empty[String]
+          rows.toArray.sortBy(_._2).foreach { case (_, t, st) =>
+            if (t <= s.lastT)
+              throw new IllegalStateException(
+                s"transitionsStream: order key $t arrived at or before the " +
+                  s"last absorbed ${s.lastT} for key $key — the lag fold " +
+                  "needs a deduplicated, time-ordered feed")
+            val counts =
+              if (s.lastState == null) s.counts
+              else {
+                // NUL-packed pair key — states are arbitrary strings,
+                // any printable delimiter could collide with content
+                val pair = s.lastState + "\u0000" + st
+                touched += pair
+                s.counts.updated(pair, s.counts.getOrElse(pair, 0L) + 1L)
+              }
+            s = TransitionState(counts, t, st)
+          }
+          state.update(s)
+          touched.iterator.map { pair =>
+            val Array(p, n) = pair.split("\u0000", 2)
+            TransitionUpdate(key, p, n, s.counts(pair))
+          }.toSeq.iterator
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

@@ -490,6 +490,37 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(gens <= 2, s"expected one explode per count pass:\n$s")
   }
 
+  test("gini: two bounded aggregations, no window, no join") {
+    val df = graft.SparkEntry.queries("a_group_gini")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Window"))
+    assert(!"(?i)sortmergejoin|shuffledhashjoin".r.findFirstIn(s).isDefined,
+      s"gini needs no join at all:\n$s")
+    assert(shuffles(df) <= 3) // (g,label) agg + g rollup + output sort
+  }
+
+  test("MI cells: marginals broadcast back — no corpus re-scan, no SMJ") {
+    val df = graft.SparkEntry.queries("a_mutual_information")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("Scan ExistingRDD"),
+      s"joint cells should be checkpointed once and reused:\n$s")
+    assert(!"(?i)sortmergejoin".r.findFirstIn(s).isDefined,
+      s"cell-bounded marginals must broadcast:\n$s")
+  }
+
+  test("time-weighted avg: lead + agg share ONE series-key exchange") {
+    val df = graft.SparkEntry.queries("w_time_weighted_avg")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    val exchangesOnKey =
+      "exchange hashpartitioning\\(user_id#\\d+, \\d+\\)"
+        .r.findAllIn(s.toLowerCase).size
+    assert(exchangesOnKey <= 1,
+      s"TWA re-shuffled the series partitioning:\n$s")
+  }
+
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
     val docs = graft.core.Tables.table(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id").as("x"),

@@ -500,4 +500,99 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     assert(got.nonEmpty && got === batch)
   }
+
+  test("streaming CUSUM fold equals the batch closed-prefix form row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    // a keyed daily series with a level shift halfway, split into two
+    // time-ordered deliveries (days 1–15, then 16–30)
+    def series(lo: Int, hi: Int) = (lo to hi).flatMap { t =>
+      Seq(("a", t.toLong, if (t > 12) 30L else 10L),
+          ("b", t.toLong, 10L))
+    }.toDF("key", "t", "v")
+    series(1, 15).coalesce(1).write.parquet(s"$dir/d0")
+    val stream = EventsStream.cusumStream(
+      spark.readStream.schema("key string, t long, v long")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/d*/"),
+      "key", "t", "v", driftK = 10L, threshold = 25L).toDF()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_stream").start()
+    try {
+      q.processAllAvailable()
+      series(16, 30).coalesce(1).write.parquet(s"$dir/d1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum_stream")
+      .select("key", "t", "v", "cusumPos", "cusumNeg", "alarm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).sortBy(x => (x._1, x._2))
+      .toSeq
+    val batch = graft.operators.Changepoint.cusum(
+        series(1, 30), Seq("key"), Seq("t"), "v", 10L, 25L)
+      .select(col("key"), col("t"), col("v"), col("cusum_pos"),
+        col("cusum_neg"), col("alarm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).sortBy(x => (x._1, x._2))
+      .toSeq
+    assert(got === batch)
+    // the shifted key alarms, the flat key never does
+    assert(got.exists(r => r._1 == "a" && r._6 == 1))
+    assert(got.filter(_._1 == "b").forall(_._6 == 0))
+  }
+
+  test("streaming transitions accumulate across batch boundaries exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans").toString
+    // one user's path A B A | B B — the boundary pair (A, B) between
+    // deliveries must be counted exactly once via the carried lag cell
+    Seq(("u1", 1L, "A"), ("u1", 2L, "B"), ("u1", 3L, "A"))
+      .toDF("key", "t", "st").coalesce(1).write.parquet(s"$dir/d0")
+    val stream = EventsStream.transitionsStream(
+      spark.readStream.schema("key string, t long, st string")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/d*/"),
+      "key", "t", "st").toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("trans_stream").start()
+    try {
+      q.processAllAvailable()
+      Seq(("u1", 4L, "B"), ("u1", 5L, "B"))
+        .toDF("key", "t", "st").coalesce(1).write.parquet(s"$dir/d1")
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: latest count per (key, prev, next) is the total
+    val got = spark.table("trans_stream").collect()
+      .groupBy(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .map { case (k, rows) => k -> rows.map(_.getLong(3)).max }
+    val batch = graft.operators.Transitions.transitionMatrix(
+        Seq(("u1", 1L, "A"), ("u1", 2L, "B"), ("u1", 3L, "A"),
+          ("u1", 4L, "B"), ("u1", 5L, "B")).toDF("key", "t", "st"),
+        Seq("key"), Seq("t"), "st")
+      .collect()
+      .map(r => ("u1", r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === batch)
+    assert(got(("u1", "A", "B")) === 2L) // one of them spans the boundary
+  }
+
+  test("streaming CUSUM aborts on out-of-order delivery (fold, not merge)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum-ooo").toString
+    Seq(("a", 5L, 10L)).toDF("key", "t", "v")
+      .coalesce(1).write.parquet(s"$dir/d0")
+    val stream = EventsStream.cusumStream(
+      spark.readStream.schema("key string, t long, v long")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/d*/"),
+      "key", "t", "v", driftK = 10L, threshold = 25L).toDF()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_ooo").start()
+    try {
+      q.processAllAvailable()
+      // a LATER batch replays an EARLIER order key — must abort loudly
+      Seq(("a", 3L, 10L)).toDF("key", "t", "v")
+        .coalesce(1).write.parquet(s"$dir/d1")
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(m => m != null && m.contains("time-ordered")))
+    } finally q.stop()
+  }
 }
