@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sliding-window distinct counts via rolling HLL merges — the
+  * "7-day active users per day" family at 100 TB. A windowed
+  * `COUNT(DISTINCT)` recomputes each window from raw rows (every row
+  * processed `windowDays` times, distinct state per window); the
+  * sketch form touches the corpus ONCE (the daily register build, a
+  * map-side-combining max-agg) and then works entirely on register
+  * tables — days × m rows — because register-wise max IS the HLL
+  * union ([[HllSketch]]).
+  *
+  * The rolling merge is a SCATTER, not a range join: each day's
+  * registers post themselves to every window that contains the day
+  * (a bounded explode of `windowDays` offsets — one equi-shuffle on
+  * the target day, no non-equi join, no per-window re-scan), then one
+  * max-agg per (window-end day, bucket). Windows whose end falls
+  * beyond the observed horizon are dropped against the broadcast
+  * day list (days-bounded).
+  *
+  * Everything through `s_mass` is exact integers under any
+  * partitioning (the HllSketch contract), so the whole rolling
+  * pipeline replays bit-for-bit in SQL; `est` carries the one `ln`
+  * of the linear-counting branch — gates round it per the house
+  * transcendental convention.
+  */
+object SlidingDistinct {
+
+  /** Per-day trailing-window distinct estimate of `valueCol`:
+    * `(day, n_buckets, v_empty, s_mass, est_raw, est)` — one row per
+    * OBSERVED day (`tsCol` is a timestamp; the day is its date), the
+    * window covering that day and the `windowDays − 1` before it.
+    */
+  def rollingDistinct(df: DataFrame, tsCol: String, valueCol: String,
+                      p: Int, windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays out of [1,366]: $windowDays")
+    val withDay = df.withColumn("__day", to_date(col(tsCol)))
+    val daily = HllSketch.sketch(withDay, valueCol, p,
+      groupCols = Seq("__day"))
+    // feeds the day list AND the scatter — cut once (Triangles lesson)
+    val regs = daily.registers.localCheckpoint()
+    val days = regs.select(col("__day").as("day")).distinct()
+    val scattered = regs
+      .select(col("__day"), col("bucket"), col("reg"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
+      .select(date_add(col("__day"), col("__off")).as("day"),
+        col("bucket"), col("reg"))
+    val rolled = scattered
+      .join(broadcast(days), Seq("day"))
+      .groupBy("day", "bucket").agg(max(col("reg")).as("reg"))
+    HllSketch.Hll(rolled, p, Seq("day")).estimate()
+  }
+
+  /** DuckDB replay of [[rollingDistinct]]: the same daily registers,
+    * offset scatter, observed-day restriction and estimate trees.
+    * `valuesSql` must yield (ts TIMESTAMP, v non-null).
+    */
+  def oracleSql(valuesSql: String, p: Int, windowDays: Int): String =
+    s"""WITH vals AS (
+         SELECT CAST(ts AS DATE) AS __day, v FROM ($valuesSql)),
+       regs0 AS (${HllSketch.registersSql(
+        "SELECT __day, v FROM vals", p, Seq("__day"))}),
+       days AS (SELECT DISTINCT __day AS day FROM regs0),
+       scattered AS (
+         SELECT __day + CAST(off AS INTEGER) AS day, bucket, reg
+         FROM regs0 CROSS JOIN (
+           SELECT UNNEST(RANGE(0, $windowDays)) AS off)),
+       regs AS (
+         SELECT s.day, bucket, MAX(reg) AS reg
+         FROM scattered s JOIN days d ON d.day = s.day
+         GROUP BY s.day, bucket)
+       ${HllSketch.estimateSql(p, Seq("day"))}"""
+}

@@ -270,6 +270,20 @@ object WindowPack extends QueryPack {
       graft.operators.TimeWeighted.stepTwa(ev, Seq("user_id"),
           Seq("ts", "event_id"), "ts", "v")
         .orderBy("user_id")
+    }),
+
+    // Rolling 7-day distinct users per day via sliding HLL merges —
+    // the windowed COUNT(DISTINCT) that touches the corpus ONCE (daily
+    // register build) and rolls on register tables: the offset scatter
+    // + max-agg IS the window union. Exact through s_mass; est rounds
+    // its linear-counting ln per the transcendental convention.
+    "w_rolling_distinct" -> ((s, dir) => {
+      graft.operators.SlidingDistinct.rollingDistinct(
+          table(s, dir, "events"), "ts", "user_id", p = 8, windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_buckets"), col("v_empty"), col("s_mass"), col("est_raw"),
+          round(col("est"), 4).as("est"))
+        .orderBy("day")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -427,5 +441,13 @@ object WindowPack extends QueryPack {
       """SELECT user_id, ts, event_id,
            CAST(FLOOR(value) AS BIGINT) AS v FROM events""",
       keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id")) +
-      " ORDER BY user_id"))
+      " ORDER BY user_id"),
+
+    "w_rolling_distinct" ->
+      s"""SELECT STRFTIME(day, '%Y-%m-%d') AS day, n_buckets, v_empty,
+           s_mass, est_raw, ROUND(est, 4) AS est
+         FROM (${graft.operators.SlidingDistinct.oracleSql(
+        "SELECT ts, user_id AS v FROM events WHERE user_id IS NOT NULL",
+        p = 8, windowDays = 7)})
+         ORDER BY day""")
 }
