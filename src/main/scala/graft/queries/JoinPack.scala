@@ -53,6 +53,22 @@ object JoinPack extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // Snapshot reconciliation: added/removed/changed/unchanged between
+    // two derived versions of the events table — one full outer join
+    // on the key, null-safe column comparison, exact counts.
+    "j_snapshot_diff" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val oldSnap = ev.filter(col("event_id") % 97 =!= 0)
+      val newSnap = ev.filter(col("event_id") % 89 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 13 === 0, col("value") + 1)
+            .otherwise(col("value")))
+      graft.operators.SnapshotDiff.summary(oldSnap, newSnap,
+          Seq("event_id"), Seq("event_type", "value"))
+        .orderBy("status")
+    }),
+
     // Semi join: customers having at least one open order.
     // Salted equi-join: hot-key-safe layout, result identical to the
     // plain join (which is exactly what the oracle states). Aggregated
@@ -271,5 +287,14 @@ object JoinPack extends QueryPack {
                WHERE event_type = 'error') o
            ON c.user_id = o.user_id
           AND c.ts >= o.ts AND c.ts <= o.ts + INTERVAL 1 HOUR
-         ORDER BY click_id, error_id""")
+         ORDER BY click_id, error_id""",
+
+    "j_snapshot_diff" -> (graft.operators.SnapshotDiff.summaryOracleSql(
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_id % 97 <> 0""",
+      """SELECT event_id, event_type,
+           CASE WHEN event_id % 13 = 0 THEN value + 1 ELSE value END AS value
+         FROM events WHERE event_id % 89 <> 0""",
+      keyCols = Seq("event_id"),
+      compareCols = Seq("event_type", "value")) + " ORDER BY status"))
 }

@@ -733,6 +733,17 @@ object RelationalPack extends QueryPack {
       graft.operators.InfoTheory.giniByGroup(
           table(s, dir, "documents"), Seq("source"), "lang")
         .orderBy("source")
+    }),
+
+    // One-way variance decomposition — "how much of the value does
+    // the event type explain": exact DECIMAL(38,0) masses; the one
+    // per-group division folds in group order on BOTH engines (the
+    // list-fold idiom), so eta² is bit-exact with no rounding.
+    "a_variance_decomp" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type").as("g"),
+          floor(col("value")).cast("long").as("y"))
+      graft.operators.VarianceDecomp.etaSquared(ev, "g", "y")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1209,5 +1220,9 @@ object RelationalPack extends QueryPack {
 
     "a_group_gini" -> (graft.operators.InfoTheory.giniOracleSql(
       "SELECT source, lang AS label FROM documents", Seq("source")) +
-      " ORDER BY source"))
+      " ORDER BY source"),
+
+    "a_variance_decomp" -> graft.operators.VarianceDecomp.oracleSql(
+      """SELECT event_type AS g,
+           CAST(FLOOR(value) AS BIGINT) AS y FROM events"""))
 }
