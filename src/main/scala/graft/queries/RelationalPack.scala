@@ -735,6 +735,15 @@ object RelationalPack extends QueryPack {
         .orderBy("source")
     }),
 
+    // Key-load skew profile — "is user_id safe to shuffle on":
+    // exact key/row/hot-key masses + the Gini coefficient of the
+    // per-key load via the tie-collapsed rank-run form over the load
+    // HISTOGRAM (no per-key rank window; the prefix sum decomposed).
+    "a_key_skew" -> ((s, dir) => {
+      graft.operators.KeySkew.loadProfile(
+        table(s, dir, "events"), Seq("user_id"))
+    }),
+
     // One-way variance decomposition — "how much of the value does
     // the event type explain": exact DECIMAL(38,0) masses; the one
     // per-group division folds in group order on BOTH engines (the
@@ -1224,5 +1233,8 @@ object RelationalPack extends QueryPack {
 
     "a_variance_decomp" -> graft.operators.VarianceDecomp.oracleSql(
       """SELECT event_type AS g,
-           CAST(FLOOR(value) AS BIGINT) AS y FROM events"""))
+           CAST(FLOOR(value) AS BIGINT) AS y FROM events"""),
+
+    "a_key_skew" -> graft.operators.KeySkew.oracleSql(
+      "SELECT user_id FROM events", Seq("user_id")))
 }
