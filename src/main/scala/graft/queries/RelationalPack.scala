@@ -735,6 +735,17 @@ object RelationalPack extends QueryPack {
         .orderBy("source")
     }),
 
+    // Wilson-interval rate monitor — per-cohort purchase rate with
+    // honest small-n confidence bounds: exact (n, k) from one agg,
+    // lo/hi a fixed IEEE tree both engines evaluate bit-identically.
+    "a_rate_wilson" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(pmod(col("user_id"), lit(4L)).as("cohort"),
+          (col("event_type") === "purchase").as("success"))
+      graft.operators.Rates.wilson(ev, Seq("cohort"), col("success"))
+        .orderBy("cohort")
+    }),
+
     // Key-load skew profile — "is user_id safe to shuffle on":
     // exact key/row/hot-key masses + the Gini coefficient of the
     // per-key load via the tie-collapsed rank-run form over the load
@@ -1236,5 +1247,10 @@ object RelationalPack extends QueryPack {
            CAST(FLOOR(value) AS BIGINT) AS y FROM events"""),
 
     "a_key_skew" -> graft.operators.KeySkew.oracleSql(
-      "SELECT user_id FROM events", Seq("user_id")))
+      "SELECT user_id FROM events", Seq("user_id")),
+
+    "a_rate_wilson" -> (graft.operators.Rates.oracleSql(
+      """SELECT user_id % 4 AS cohort,
+           event_type = 'purchase' AS success FROM events""",
+      Seq("cohort")) + " ORDER BY cohort"))
 }
