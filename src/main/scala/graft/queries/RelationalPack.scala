@@ -735,6 +735,64 @@ object RelationalPack extends QueryPack {
         .orderBy("source")
     }),
 
+    // COMPOSED nightly monitor report — the artifact a 100 TB ingest
+    // actually publishes: DQ gates, CUSUM level alarms, OLS ramps,
+    // Wilson rates and shuffle-key skew unioned into one
+    // (area, item, value, flag) frame. Every leaf is its own green
+    // gate; this row pins that they COMPOSE (shapes, nullability,
+    // ordering) without a bespoke pipeline.
+    "dq_monitor_report" -> ((s, dir) => {
+      import graft.operators._
+      val ev = table(s, dir, "events")
+      val gates = {
+        import DataQuality._
+        predicateGates(ev, Seq(
+            Gate("events_value_in_range",
+              col("value").isNull || col("value") < 0.01 || col("value") > 450),
+            Gate("events_ts_in_2024", year(col("ts")) =!= 2024)))
+          .unionAll(uniquenessGate(ev, Seq("event_id"), "events_id_unique"))
+          .select(lit("dq").as("area"), col("check").as("item"),
+            col("violations").cast("double").as("value"),
+            (lit(1) - col("pass")).as("flag"))
+      }
+      val daily = ev.groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(floor(col("value")).cast("long")).as("v"))
+      val cusum = Changepoint.cusum(daily, Seq("event_type"), Seq("day"),
+          "v", driftK = 16000L, threshold = 8000L)
+        .groupBy("event_type")
+        .agg(sum(col("alarm")).as("n_alarms"), max(col("alarm")).as("mx"))
+        .select(lit("cusum").as("area"), col("event_type").as("item"),
+          col("n_alarms").cast("double").as("value"), col("mx").as("flag"))
+      val trend = {
+        val rows = table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").cast("long").as("nation"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).as("x"),
+            floor(col("o_totalprice")).cast("long").as("y"))
+        graft.ml.Trend.groupedOls(rows, Seq("nation"), "x", "y")
+          .select(lit("trend").as("area"),
+            col("nation").cast("string").as("item"),
+            col("slope").as("value"),
+            when(abs(col("slope")) > 5.0, 1).otherwise(0).cast("int")
+              .as("flag"))
+      }
+      val rate = Rates.wilson(
+          ev.select(pmod(col("user_id"), lit(4L)).as("cohort"),
+            (col("event_type") === "purchase").as("success")),
+          Seq("cohort"), col("success"))
+        .select(lit("rate").as("area"), col("cohort").cast("string").as("item"),
+          col("rate").as("value"),
+          when(col("lo") > 0.25, 1).otherwise(0).cast("int").as("flag"))
+      val skew = KeySkew.loadProfile(ev, Seq("user_id"))
+        .select(lit("skew").as("area"), lit("user_id").as("item"),
+          col("gini_load").as("value"),
+          when(col("gini_load") > 0.5, 1).otherwise(0).cast("int").as("flag"))
+      gates.unionAll(cusum).unionAll(trend).unionAll(rate).unionAll(skew)
+        .orderBy("area", "item")
+    }),
+
     // Wilson-interval rate monitor — per-cohort purchase rate with
     // honest small-n confidence bounds: exact (n, k) from one agg,
     // lo/hi a fixed IEEE tree both engines evaluate bit-identically.
@@ -1252,5 +1310,68 @@ object RelationalPack extends QueryPack {
     "a_rate_wilson" -> (graft.operators.Rates.oracleSql(
       """SELECT user_id % 4 AS cohort,
            event_type = 'purchase' AS success FROM events""",
-      Seq("cohort")) + " ORDER BY cohort"))
+      Seq("cohort")) + " ORDER BY cohort"),
+
+    "dq_monitor_report" -> {
+      val cusumSql = graft.operators.Changepoint.oracleSql(
+        """SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2""",
+        keyCols = Seq("event_type"), orderCols = Seq("day"),
+        valueCol = "v", driftK = 16000L, threshold = 8000L)
+      val trendSql = graft.ml.Trend.oracleSql(
+        """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+           FROM orders JOIN customer ON c_custkey = o_custkey""",
+        Seq("nation"))
+      val rateSql = graft.operators.Rates.oracleSql(
+        """SELECT user_id % 4 AS cohort,
+             event_type = 'purchase' AS success FROM events""",
+        Seq("cohort"))
+      val skewSql = graft.operators.KeySkew.oracleSql(
+        "SELECT user_id FROM events", Seq("user_id"))
+      s"""WITH evm AS (
+           SELECT
+             COUNT(*) FILTER (WHERE value IS NULL OR value < 0.01
+                              OR value > 450) AS v1,
+             COUNT(*) FILTER (WHERE DATE_PART('year', ts) <> 2024) AS v2,
+             COUNT(*) - COUNT(DISTINCT event_id) AS v3
+           FROM events),
+         dq AS (
+           SELECT 'dq' AS area, 'events_value_in_range' AS item,
+             CAST(v1 AS DOUBLE) AS value,
+             CAST(CASE WHEN v1 = 0 THEN 0 ELSE 1 END AS INTEGER) AS flag
+           FROM evm
+           UNION ALL SELECT 'dq', 'events_ts_in_2024', CAST(v2 AS DOUBLE),
+             CAST(CASE WHEN v2 = 0 THEN 0 ELSE 1 END AS INTEGER) FROM evm
+           UNION ALL SELECT 'dq', 'events_id_unique', CAST(v3 AS DOUBLE),
+             CAST(CASE WHEN v3 = 0 THEN 0 ELSE 1 END AS INTEGER) FROM evm),
+         cus AS (
+           SELECT 'cusum' AS area, event_type AS item,
+             CAST(SUM(alarm) AS DOUBLE) AS value,
+             CAST(MAX(alarm) AS INTEGER) AS flag
+           FROM ($cusumSql) GROUP BY event_type),
+         tr AS (
+           SELECT 'trend' AS area, CAST(nation AS VARCHAR) AS item,
+             slope AS value,
+             CAST(CASE WHEN ABS(slope) > 5.0 THEN 1 ELSE 0 END AS INTEGER)
+               AS flag
+           FROM ($trendSql)),
+         ra AS (
+           SELECT 'rate' AS area, CAST(cohort AS VARCHAR) AS item,
+             rate AS value,
+             CAST(CASE WHEN lo > 0.25 THEN 1 ELSE 0 END AS INTEGER) AS flag
+           FROM ($rateSql)),
+         sk AS (
+           SELECT 'skew' AS area, 'user_id' AS item, gini_load AS value,
+             CAST(CASE WHEN gini_load > 0.5 THEN 1 ELSE 0 END AS INTEGER)
+               AS flag
+           FROM ($skewSql))
+         SELECT * FROM (
+           SELECT * FROM dq UNION ALL SELECT * FROM cus
+           UNION ALL SELECT * FROM tr UNION ALL SELECT * FROM ra
+           UNION ALL SELECT * FROM sk)
+         ORDER BY area, item"""
+    })
 }
