@@ -212,6 +212,13 @@ object PipelineBench {
     // bounds that later artifacts will tighten by min-fold)
     "pm25_year_e2e" -> 3854.0,
     "eval_auc_10M" -> 14.3,
+    // first priced by a round-10 filtered local sweep
+    // (SPARK_GRAFT_PIPELINE_ONLY=monitor_*; min of 2 interleaved
+    // repeats; the cusum/twa numbers carry the deliberate 5M-row
+    // single-key window sort) — upper bounds that min-fold tighter
+    "monitor_cusum_10M" -> 62.5,
+    "monitor_twa_10M" -> 34.4,
+    "monitor_skew_10M" -> 3.3,
     "eval_spearman_10M" -> 98.3,
     "ann_semdedup_100k_adhoc" -> 23.8,
     "ann_semdedup_100k_at_rest" -> 11.3)
@@ -267,6 +274,13 @@ object PipelineBench {
       // once, untimed — the stages time the operators, not the range
       evalInput(spark).write.mode("overwrite").parquet(s"$outRoot/eval_rows")
       val evalRows = spark.read.parquet(s"$outRoot/eval_rows")
+      // 10M-row monitor-soak table: same harmonic key tail (group 1
+      // holds ~half the corpus — a 5M-row single-key window run is
+      // exactly the keyed-window adversary the monitors must survive),
+      // unique per-key order, integral values (setup, untimed)
+      monitorInput(spark).write.mode("overwrite")
+        .parquet(s"$outRoot/monitor_rows")
+      val monitorRows = spark.read.parquet(s"$outRoot/monitor_rows")
       // 100k-vector / dim-16 corpus for the at-rest ANN pair: ad-hoc
       // SemDeDup re-assigns cells + re-shuffles per pass; the at-rest
       // table amortized that at write time (setup, untimed)
@@ -371,6 +385,25 @@ object PipelineBench {
           graft.ml.Auc.rocAucByGroup(evalRows, Seq("g"), "s", "y").count()),
         TimedStage("eval_spearman_10M", 2, cpuCompanion = true)(() =>
           graft.ml.Correlation.spearman(evalRows, "s", "s2").count()),
+        // the round-10 monitor family at soak scale: two-sided CUSUM
+        // and step-TWA ride per-key windows (the heavy-tail key makes
+        // one key a 5M-row sort — the honest price), skew runs the
+        // decomposed rank-run Gini over 5000 distinct loads
+        // .agg over the computed columns, NOT .count(): a count lets
+        // Catalyst prune the window/division work out of the plan and
+        // the stage would time a bare scan
+        TimedStage("monitor_cusum_10M", 2, cpuCompanion = true)(() =>
+          graft.operators.Changepoint.cusum(monitorRows, Seq("g"),
+              Seq("t"), "v", driftK = 500L, threshold = 5000L)
+            .agg(sum(col("cusum_pos")), sum(col("cusum_neg")),
+              sum(col("alarm"))).head()),
+        TimedStage("monitor_twa_10M", 2, cpuCompanion = true)(() =>
+          graft.operators.TimeWeighted.stepTwa(monitorRows, Seq("g"),
+              Seq("ts", "t"), "ts", "v")
+            .agg(sum(col("twa")), sum(col("span_us"))).head()),
+        TimedStage("monitor_skew_10M", 2, cpuCompanion = true)(() =>
+          graft.operators.KeySkew.loadProfile(monitorRows, Seq("g"))
+            .count()),
         // the at-rest lever, priced: identical SemDeDup verdicts, cold
         // (cell assign + corpus shuffle per pass) vs bucketed-at-rest
         // (exchange-free candidate join off storage)
@@ -538,6 +571,19 @@ object PipelineBench {
         .as("s2"),
       (pmod(col("id") * 7919L, lit(100000L)) <
         pmod(col("id") * 48611L, lit(100000L)) + 15000L).as("y"))
+
+  /** The 10M-row monitor-soak table: `(g, t, ts, v)` — the harmonic
+    * key tail of [[evalInput]] (group 1 ≈ half the corpus), `t` the
+    * unique per-key order, `ts` its timestamp form (µs), `v` integral
+    * on a 1000-value grid. Deterministic function of the row id.
+    */
+  def monitorInput(spark: SparkSession): DataFrame =
+    spark.range(10000000L).select(
+      least(expr("1000000L div (pmod(id * 2654435761, 1000000) + 1)"),
+        lit(5000L)).as("g"),
+      col("id").as("t"),
+      timestamp_micros(col("id")).as("ts"),
+      pmod(col("id") * 48611L, lit(1000L)).as("v"))
 
   /** 100k deterministic dim-16 float vectors for the at-rest ANN pair:
     * 64 planted directions (so the IVF quantizer finds real structure)
