@@ -521,6 +521,25 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"TWA re-shuffled the series partitioning:\n$s")
   }
 
+  test("rolling distinct: offset scatter, no range join, day list broadcasts") {
+    val df = graft.SparkEntry.queries("w_rolling_distinct")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!"(?i)nestedloopjoin".r.findFirstIn(s).isDefined,
+      s"the scatter must be an equi-join against the day list:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"the observed-day restriction should broadcast:\n$s")
+  }
+
+  test("wilson rates: ONE aggregation, interval math map-side") {
+    val df = graft.SparkEntry.queries("a_rate_wilson")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("Window") && !"(?i)join".r.findFirstIn(s).isDefined,
+      s"wilson needs one agg and nothing else:\n$s")
+    assert(shuffles(df) <= 2) // group agg + output sort
+  }
+
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
     val docs = graft.core.Tables.table(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id").as("x"),

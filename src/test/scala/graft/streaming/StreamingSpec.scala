@@ -572,6 +572,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(("u1", "A", "B")) === 2L) // one of them spans the boundary
   }
 
+  test("streaming transitions abort on out-of-order delivery like CUSUM") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans-ooo").toString
+    Seq(("u1", 5L, "A")).toDF("key", "t", "st")
+      .coalesce(1).write.parquet(s"$dir/d0")
+    val stream = EventsStream.transitionsStream(
+      spark.readStream.schema("key string, t long, st string")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/d*/"),
+      "key", "t", "st").toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("trans_ooo").start()
+    try {
+      q.processAllAvailable()
+      Seq(("u1", 3L, "B")).toDF("key", "t", "st")
+        .coalesce(1).write.parquet(s"$dir/d1")
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(m => m != null && m.contains("time-ordered")))
+    } finally q.stop()
+  }
+
   test("streaming CUSUM aborts on out-of-order delivery (fold, not merge)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cusum-ooo").toString
     Seq(("a", 5L, 10L)).toDF("key", "t", "v")
