@@ -60,6 +60,28 @@ object Changepoint {
       .drop("__pp", "__pn")
   }
 
+  /** [[cusum]] plus alarm DEBOUNCING — the alert-hygiene layer: a
+    * page fires only after `consecutive` breaching rows in a row
+    * (`alarm_debounced`), so a single noisy sample cannot flap the
+    * monitor. One more windowed sum over the SAME partitioning — the
+    * plan gains no exchange; `alarm_streak` (breaches among the last
+    * `consecutive` rows) rides along for dashboards.
+    */
+  def cusumDebounced(df: DataFrame, keyCols: Seq[String],
+                     orderCols: Seq[String], valueCol: String, driftK: Long,
+                     threshold: Long, consecutive: Int): DataFrame = {
+    require(consecutive >= 1, s"consecutive must be >= 1: $consecutive")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(consecutive - 1), Window.currentRow)
+    cusum(df, keyCols, orderCols, valueCol, driftK, threshold)
+      .withColumn("alarm_streak",
+        sum(col("alarm")).over(w).cast("long"))
+      .withColumn("alarm_debounced",
+        when(col("alarm_streak") === consecutive, 1).otherwise(0)
+          .cast("int"))
+  }
+
   /** DuckDB replay of [[cusum]] over `inputSql` (which must yield the
     * key/order columns and an integral `valueCol`): the same two
     * window passes, same LEAST-against-zero empty-prefix handling.
@@ -89,5 +111,27 @@ object Changepoint {
          CAST(CASE WHEN cusum_pos > $threshold OR cusum_neg > $threshold
               THEN 1 ELSE 0 END AS INTEGER) AS alarm
        FROM c"""
+  }
+
+  /** DuckDB replay of [[cusumDebounced]]: the [[oracleSql]] frame plus
+    * the identical trailing-`consecutive` alarm sum.
+    */
+  def debouncedOracleSql(inputSql: String, keyCols: Seq[String],
+                         orderCols: Seq[String], valueCol: String,
+                         driftK: Long, threshold: Long,
+                         consecutive: Int): String = {
+    val part = if (keyCols.isEmpty) "" else
+      s"PARTITION BY ${keyCols.mkString(", ")} "
+    val ord = s"ORDER BY ${orderCols.mkString(", ")}"
+    val base = oracleSql(inputSql, keyCols, orderCols, valueCol,
+      driftK, threshold)
+    s"""SELECT *,
+         CAST(SUM(alarm) OVER ($part$ord
+           ROWS BETWEEN ${consecutive - 1} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS alarm_streak,
+         CAST(CASE WHEN SUM(alarm) OVER ($part$ord
+           ROWS BETWEEN ${consecutive - 1} PRECEDING AND CURRENT ROW)
+           = $consecutive THEN 1 ELSE 0 END AS INTEGER) AS alarm_debounced
+       FROM ($base)"""
   }
 }

@@ -18,25 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  /** Per-session rollup: (key…, session_start, session_end, n_events),
-    * timestamps in epoch millis. `tsCol` must be a TimestampType column.
+  /** Every input row plus its within-key session sequence number
+    * (`session_seq`, 0-based in event-time order) and the epoch-millis
+    * timestamp (`__ms`) — the per-EVENT face of the gaps-and-islands
+    * pass, for composing session-scoped analytics (co-occurrence
+    * baskets, per-session funnels) without re-deriving the windows.
     */
-  def sessionize(events: DataFrame, keys: Seq[String], tsCol: String,
-                 gapMs: Long): DataFrame = {
+  def assignIds(events: DataFrame, keys: Seq[String], tsCol: String,
+                gapMs: Long): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val ms = floor(unix_micros(col(tsCol)) / 1000).cast("long")
-    val flagged = events
+    events
       .withColumn("__ms", ms)
       .withColumn("__brk",
         when(col("__ms") - lag(col("__ms"), 1).over(w) > gapMs, 1L)
           .otherwise(lit(0L)))
-      .withColumn("__sid", sum(col("__brk"))
+      .withColumn("session_seq", sum(col("__brk"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged
-      .groupBy((keys.map(col) :+ col("__sid")): _*)
+      .drop("__brk")
+  }
+
+  /** Per-session rollup: (key…, session_start, session_end, n_events),
+    * timestamps in epoch millis. `tsCol` must be a TimestampType column.
+    */
+  def sessionize(events: DataFrame, keys: Seq[String], tsCol: String,
+                 gapMs: Long): DataFrame =
+    assignIds(events, keys, tsCol, gapMs)
+      .groupBy((keys.map(col) :+ col("session_seq")): _*)
       .agg(min(col("__ms")).as("session_start"),
         max(col("__ms")).as("session_end"),
         count(lit(1)).as("n_events"))
-      .drop("__sid")
-  }
+      .drop("session_seq")
 }

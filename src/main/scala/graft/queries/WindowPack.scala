@@ -248,6 +248,41 @@ object WindowPack extends QueryPack {
         .orderBy("event_type", "day")
     }),
 
+    // COMPOSED session co-occurrence: which event types co-occur in
+    // the same 30-minute session beyond chance — Sessions.assignIds
+    // (per-row gaps-and-islands ids) feeding FrequentPairs (a-priori
+    // pruned 2-itemsets with exact support/lift). Two green operators,
+    // one plan; the basket key is a numeric (user, session) compose.
+    "w_session_pairs" -> ((s, dir) => {
+      // 3-DAY visit epochs, not 30-minute sessions: the synthetic log
+      // averages ~5 events/user/month, so short gaps yield singleton
+      // baskets and a vacuously-empty (hash-equal but weak) gate
+      val withSid = graft.operators.Sessions.assignIds(
+        table(s, dir, "events"), Seq("user_id"), "ts",
+        gapMs = 3L * 24 * 60 * 60 * 1000)
+      val rel = withSid.select(
+        (col("user_id") * 100000L + col("session_seq")).as("basket"),
+        col("event_type").as("item"))
+      graft.operators.FrequentPairs
+        .frequentPairs(rel, "basket", "item", minSupportFrac = 0.02)
+        .orderBy("item_a", "item_b")
+    }),
+
+    // Debounced CUSUM — the alert-hygiene layer: a page fires only
+    // after 2 consecutive breaching days, so one noisy sample cannot
+    // flap the monitor. Same partitioning, no extra exchange.
+    "a_cusum_debounced" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(floor(col("value")).cast("long")).as("v"))
+      graft.operators.Changepoint.cusumDebounced(daily,
+          keyCols = Seq("event_type"), orderCols = Seq("day"),
+          valueCol = "v", driftK = 16000L, threshold = 8000L,
+          consecutive = 2)
+        .orderBy("event_type", "day")
+    }),
+
     // First-order Markov transition matrix of each user's event
     // sequence — the "what happens after X" empirical next-step
     // model; counts exact, probability ONE pinned division. Sequence
@@ -431,6 +466,29 @@ object WindowPack extends QueryPack {
       keyCols = Seq("event_type"), orderCols = Seq("day"),
       valueCol = "v", driftK = 16000L, threshold = 8000L) +
       " ORDER BY event_type, day"),
+
+    "w_session_pairs" -> (graft.operators.FrequentPairs.oracleSql(
+      """SELECT user_id * 100000 + sid AS basket, event_type AS item
+         FROM (
+           SELECT user_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM (
+             SELECT user_id, event_type, ms,
+               CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id
+                 ORDER BY ms) > 259200000 THEN 1 ELSE 0 END AS brk
+             FROM (SELECT user_id, event_type,
+                     CAST(epoch_us(ts) // 1000 AS BIGINT) AS ms
+                   FROM events)))""",
+      minSupportFrac = 0.02) + " ORDER BY item_a, item_b"),
+
+    "a_cusum_debounced" -> (graft.operators.Changepoint.debouncedOracleSql(
+      """SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY 1, 2""",
+      keyCols = Seq("event_type"), orderCols = Seq("day"),
+      valueCol = "v", driftK = 16000L, threshold = 8000L,
+      consecutive = 2) + " ORDER BY event_type, day"),
 
     "w_markov_transitions" -> (graft.operators.Transitions.oracleSql(
       "SELECT user_id, ts, event_id, event_type FROM events",

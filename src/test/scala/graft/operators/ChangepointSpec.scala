@@ -53,6 +53,23 @@ class ChangepointSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq === Seq(0L, 90L))
   }
 
+  test("debounce: a lone breach cannot page; a streak of m can") {
+    // values: one isolated spike, then a sustained shift
+    val vals = Seq(10L, 60L, 10L, 10L, 60L, 60L, 60L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i, v) }
+      .toDF("key", "t", "v")
+    val out = Changepoint.cusumDebounced(df, Seq("key"), Seq("t"), "v",
+        driftK = 10L, threshold = 20L, consecutive = 2)
+      .orderBy("t").select("alarm", "alarm_streak", "alarm_debounced")
+      .as[(Int, Long, Int)].collect().toSeq
+    // S⁺ = prefix of (x−10) = 0,50,50,50,100,150,200: the t=1 spike
+    // breaches immediately, but the DEBOUNCED page waits for the
+    // second consecutive breaching row (t=2)
+    assert(out.map(_._1) === Seq(0, 1, 1, 1, 1, 1, 1))
+    assert(out.map(_._3) === Seq(0, 0, 1, 1, 1, 1, 1))
+    assert(out.map(_._2) === Seq(0L, 1L, 2L, 2L, 2L, 2L, 2L))
+  }
+
   test("fractional values abort with quantize guidance") {
     val df = Seq(("s", 1, 1.5)).toDF("key", "t", "v")
     val ex = intercept[Exception] {
