@@ -936,6 +936,18 @@ object TextPack extends QueryPack {
       graft.text.SourceOverlap.vocabOverlap(
           table(s, dir, "documents"), "source", "text")
         .orderBy("g_a", "g_b")
+    }),
+
+    // COMPOSED vocabulary skew: KeySkew over the token stream — "how
+    // Zipfian is this corpus's vocabulary" as one exact Gini-of-load
+    // row (plus hot-token share). The same operator that prices
+    // shuffle keys prices vocabulary heavy-tails; composition is the
+    // point.
+    "t_vocab_skew" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(graft.text.CorpusStats.tokens(col("text")))
+          .as("tok"))
+      graft.operators.KeySkew.loadProfile(toks, Seq("tok"))
     }))
 
   /** Per-source keep fractions for `t_domain_mix` — 0.25/0.5/0.75/1.0
@@ -2112,5 +2124,11 @@ object TextPack extends QueryPack {
       " ORDER BY a, b"),
 
     "t_source_overlap" -> (graft.text.SourceOverlap.oracleSql("source") +
-      " ORDER BY g_a, g_b"))
+      " ORDER BY g_a, g_b"),
+
+    "t_vocab_skew" -> graft.operators.KeySkew.oracleSql(
+      """SELECT UNNEST(LIST_FILTER(
+           STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+           t -> LENGTH(t) > 0)) AS tok
+         FROM documents""", Seq("tok")))
 }
