@@ -213,11 +213,13 @@ object PipelineBench {
     "pm25_year_e2e" -> 3854.0,
     "eval_auc_10M" -> 14.3,
     // first priced by a round-10 filtered local sweep
-    // (SPARK_GRAFT_PIPELINE_ONLY=monitor_*; min of 2 interleaved
-    // repeats; the cusum/twa numbers carry the deliberate 5M-row
-    // single-key window sort) — upper bounds that min-fold tighter
-    "monitor_cusum_10M" -> 62.5,
-    "monitor_twa_10M" -> 34.4,
+    // (SPARK_GRAFT_PIPELINE_ONLY=monitor_*), then min-folded with the
+    // round-10 full quiet sweep (25.6 / 22.4 cpu-sec — the filtered
+    // sweep's cusum/twa figures were themselves contended; skew's
+    // filtered figure 3.3 remains the min). The cusum/twa numbers
+    // carry the deliberate 5M-row single-key window sort.
+    "monitor_cusum_10M" -> 25.6,
+    "monitor_twa_10M" -> 22.4,
     "monitor_skew_10M" -> 3.3,
     "eval_spearman_10M" -> 98.3,
     "ann_semdedup_100k_adhoc" -> 23.8,
