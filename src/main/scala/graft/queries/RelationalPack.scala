@@ -793,6 +793,22 @@ object RelationalPack extends QueryPack {
         .orderBy("area", "item")
     }),
 
+    // Lead–lag scan: do clicks LEAD purchases day-over-day — Pearson
+    // of (clicks_t, purchases_{t+lag}) per lag from exact DECIMAL
+    // sums over the bounded daily series (the "series at rest"
+    // contract); the corr tail is the pinned sqrt/divide tree,
+    // rounded per the transcendental convention.
+    "a_lead_lag" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      def series(tp: String) = ev.filter(col("event_type") === tp)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.LeadLag.crossCorrelation(
+          series("click"), series("purchase"), "t", "v", maxLag = 5)
+        .select(col("lag"), col("n"), round(col("corr"), 6).as("corr"))
+        .orderBy("lag")
+    }),
+
     // Wilson-interval rate monitor — per-cohort purchase rate with
     // honest small-n confidence bounds: exact (n, k) from one agg,
     // lo/hi a fixed IEEE tree both engines evaluate bit-identically.
@@ -1306,6 +1322,16 @@ object RelationalPack extends QueryPack {
 
     "a_key_skew" -> graft.operators.KeySkew.oracleSql(
       "SELECT user_id FROM events", Seq("user_id")),
+
+    "a_lead_lag" -> (s"""SELECT lag, n, ROUND(corr, 6) AS corr FROM (
+      ${graft.operators.LeadLag.oracleSql(
+        """SELECT DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+             COUNT(*) AS v FROM events WHERE event_type = 'click'
+           GROUP BY 1""",
+        """SELECT DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+             COUNT(*) AS v FROM events WHERE event_type = 'purchase'
+           GROUP BY 1""",
+        maxLag = 5)}) ORDER BY lag"""),
 
     "a_rate_wilson" -> (graft.operators.Rates.oracleSql(
       """SELECT user_id % 4 AS cohort,
