@@ -35,9 +35,14 @@ object InfoTheory {
     * Shape: one (x,y) count shuffle (cell-bounded output), the two
     * marginals derived from the CELLS (no second corpus pass),
     * broadcast-joined back; the total enters via a 1-row broadcast.
+    * The bounded-categorical contract is ENFORCED: the marginals ride
+    * broadcasts, so a continuous column (cells ≈ corpus) aborts
+    * in-plan past `maxCells` — quantize to a grid first; the guard is
+    * woven into the emitted `mi_term` so pruning cannot elide it.
     */
   def miTable(df: DataFrame, xCol: String, yCol: String,
-              roundAt: Int = 6): DataFrame = {
+              roundAt: Int = 6, maxCells: Int = 1 << 20): DataFrame = {
+    require(maxCells >= 4, s"maxCells too small: $maxCells")
     val joint = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("x"), col(yCol).as("y"))
@@ -45,17 +50,23 @@ object InfoTheory {
       .localCheckpoint() // feeds marginals + total + output (4 reads)
     val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
     val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
-    val total = broadcast(joint.agg(sum(col("nxy")).as("n")))
+    val total = broadcast(joint.agg(sum(col("nxy")).as("n"),
+      count(lit(1)).as("__cells")))
+    val term = (col("nxy").cast("double") / col("n").cast("double")) *
+      log(col("nxy").cast("double") * col("n").cast("double") /
+        (col("nx").cast("double") * col("ny").cast("double")))
     joint
       .join(broadcast(mx), Seq("x"))
       .join(broadcast(my), Seq("y"))
       .crossJoin(total)
       .select(col("x"), col("y"), col("nxy"), col("nx"), col("ny"), col("n"),
-        round(
-          (col("nxy").cast("double") / col("n").cast("double")) *
-            log(col("nxy").cast("double") * col("n").cast("double") /
-              (col("nx").cast("double") * col("ny").cast("double"))),
-          roundAt).as("mi_term"))
+        when(col("__cells") > maxCells,
+            raise_error(concat(lit("InfoTheory.miTable: "),
+              col("__cells").cast("string"),
+              lit(s" cells exceed maxCells=$maxCells — both columns must" +
+                " be bounded-categorical (quantize continuous signals" +
+                " to a grid first)"))).cast("double"))
+          .otherwise(round(term, roundAt)).as("mi_term"))
   }
 
   /** Per-group Gini impurity of a label column:

@@ -37,8 +37,17 @@ object VarianceDecomp {
     * `sst_n` = N·SST exactly (DECIMAL cast to double at the end),
     * `ssb_n` = N·SSB via the ordered fold, and `eta_sq = ssb_n/sst_n`.
     * Zero-variance data reports NULL eta_sq.
+    *
+    * The bounded-factor contract is ENFORCED, not advisory: the group
+    * list folds inside one row, so a high-cardinality "factor" (a
+    * raw id column) would build a row-sized array — the operator
+    * aborts in-plan past `maxGroups` (raise the cap deliberately for
+    * genuinely wide factors; the guard is woven into the emitted
+    * `ssb_n` so column pruning cannot elide it).
     */
-  def etaSquared(df: DataFrame, groupCol: String, yCol: String): DataFrame = {
+  def etaSquared(df: DataFrame, groupCol: String, yCol: String,
+                 maxGroups: Int = 100000): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups too small: $maxGroups")
     val d = "decimal(38,0)"
     val y = Quantized.checkedLong(col(yCol), "VarianceDecomp.etaSquared")
     val rows = df
@@ -64,8 +73,16 @@ object VarianceDecomp {
       (acc, e) => acc +
         e.getField("tg").cast("double") * e.getField("tg").cast("double") /
           e.getField("ng").cast("double"))
-    val ssbN = col("n").cast("double") * sumTsqOverN -
+    val ssbNRaw = col("n").cast("double") * sumTsqOverN -
       (col("s") * col("s")).cast("double")
+    val ssbN = when(col("k_groups") > maxGroups,
+        raise_error(concat(lit("VarianceDecomp.etaSquared: "),
+          col("k_groups").cast("string"),
+          lit(s" groups exceed maxGroups=$maxGroups — a variance" +
+            " decomposition needs a bounded categorical factor, not an" +
+            " id column; raise the cap deliberately if the factor is" +
+            " genuinely this wide"))).cast("double"))
+      .otherwise(ssbNRaw)
     folded.select(
         col("n"), col("k_groups"), sstN.as("sst_n"), ssbN.as("ssb_n"))
       .withColumn("eta_sq",

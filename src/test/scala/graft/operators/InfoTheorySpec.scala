@@ -60,6 +60,14 @@ class InfoTheorySpec extends AnyFunSuite {
     assert(out === (("g", 4L, 0.375)))
   }
 
+  test("MI aborts in-plan past the cell cap (enforced, not advisory)") {
+    val df = (1 to 50).map(i => (i, i)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      InfoTheory.miTable(df, "x", "y", maxCells = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxCells"))
+  }
+
   test("nulls are excluded from both operators") {
     val df = Seq(("g", Some("a")), ("g", None), ("g", Some("a")))
       .toDF("g", "label")

@@ -51,6 +51,14 @@ class VarianceDecompSpec extends AnyFunSuite {
     assert(a === b) // bit-identical, not just close
   }
 
+  test("aborts in-plan past the group cap (a raw id is not a factor)") {
+    val df = (1 to 60).map(i => (s"g$i", i.toLong)).toDF("g", "y")
+    val ex = intercept[Exception] {
+      VarianceDecomp.etaSquared(df, "g", "y", maxGroups = 20).collect()
+    }
+    assert(ex.getMessage.contains("maxGroups"))
+  }
+
   test("fractional y aborts with quantize guidance") {
     val df = Seq(("a", 1.5)).toDF("g", "y")
     val ex = intercept[Exception] {
