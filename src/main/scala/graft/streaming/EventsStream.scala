@@ -576,14 +576,21 @@ object EventsStream {
     * counted exactly once. Emits the UPDATED (prev, next) counts each
     * batch (update-mode semantics: fold the latest row per
     * (key, prev, next) downstream). The count map is
-    * |states|²-bounded per key — bounded state like every twin here.
+    * |states|²-bounded per key, and that bound is ENFORCED: a
+    * free-text state column would grow the map without limit inside
+    * the state store, so crossing `maxStates²` distinct pairs aborts
+    * loudly (a Markov matrix over unbounded states is a modeling
+    * error, not a bigger map).
     *
     * Same order contract as [[cusumStream]]: in-batch rows sort by
     * the order key; an order key at or before the last absorbed one
     * aborts loudly (the lag fold cannot merge re-deliveries).
     */
   def transitionsStream(events: DataFrame, keyCol: String, orderCol: String,
-                        stateCol: String): Dataset[TransitionUpdate] = {
+                        stateCol: String,
+                        maxStates: Int = 1000): Dataset[TransitionUpdate] = {
+    require(maxStates >= 2, s"maxStates too small: $maxStates")
+    val maxPairs = maxStates.toLong * maxStates
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -616,6 +623,11 @@ object EventsStream {
                 touched += pair
                 s.counts.updated(pair, s.counts.getOrElse(pair, 0L) + 1L)
               }
+            if (counts.size > maxPairs)
+              throw new IllegalStateException(
+                s"transitionsStream: ${counts.size} distinct (prev, next) " +
+                  s"pairs for key $key exceed maxStates²=$maxPairs — the " +
+                  "state column must be a bounded vocabulary")
             s = TransitionState(counts, t, st)
           }
           state.update(s)

@@ -572,6 +572,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(("u1", "A", "B")) === 2L) // one of them spans the boundary
   }
 
+  test("streaming transitions abort past the state-vocabulary cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans-cap").toString
+    // 5 distinct states -> up to 4 observed pairs here; maxStates = 2
+    // allows 4 pairs, the walk below creates 5 distinct ones
+    Seq(("u", 1L, "a"), ("u", 2L, "b"), ("u", 3L, "c"), ("u", 4L, "d"),
+        ("u", 5L, "e"), ("u", 6L, "a"))
+      .toDF("key", "t", "st").coalesce(1).write.parquet(s"$dir/d0")
+    val stream = EventsStream.transitionsStream(
+      spark.readStream.schema("key string, t long, st string")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/d*/"),
+      "key", "t", "st", maxStates = 2).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("trans_cap").start()
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(m => m != null && m.contains("bounded vocabulary")))
+    } finally q.stop()
+  }
+
   test("streaming transitions abort on out-of-order delivery like CUSUM") {
     val dir = java.nio.file.Files.createTempDirectory("graft-trans-ooo").toString
     Seq(("u1", 5L, "A")).toDF("key", "t", "st")
