@@ -268,6 +268,27 @@ object WindowPack extends QueryPack {
         .orderBy("item_a", "item_b")
     }),
 
+    // Seasonality-aware outliers: each (type, day) total judged
+    // against ITS OWN (type, weekday) slot — weekly rhythm stops
+    // masquerading as anomaly. The flag is an exact integer
+    // inequality (dev² > k²·vt — no floats); dow is portable integer
+    // arithmetic ((epochDay+4) mod 7, 0 = Sunday) on both engines.
+    // k = 1 because month-long data gives 4–5 samples per slot and
+    // population-σ z is bounded by √(n−1) there.
+    "w_seasonal_outliers" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+        .agg(sum(floor(col("value")).cast("long")).as("v"))
+        .withColumn("dow", pmod(col("d") + 4, lit(7)))
+      graft.operators.Seasonal.outliers(daily,
+          Seq("event_type", "dow"), "v", k = 1)
+        .select(col("event_type"), col("d"), col("dow"), col("v"),
+          col("slot_cnt"), col("dev_scaled"), col("outlier"),
+          round(col("z"), 6).as("z"))
+        .orderBy("event_type", "d")
+    }),
+
     // Debounced CUSUM — the alert-hygiene layer: a page fires only
     // after 2 consecutive breaching days, so one noisy sample cannot
     // flap the monitor. Same partitioning, no extra exchange.
@@ -481,6 +502,16 @@ object WindowPack extends QueryPack {
                      CAST(epoch_us(ts) // 1000 AS BIGINT) AS ms
                    FROM events)))""",
       minSupportFrac = 0.02) + " ORDER BY item_a, item_b"),
+
+    "w_seasonal_outliers" -> (s"""SELECT event_type, d, dow, v, slot_cnt,
+        dev_scaled, outlier, ROUND(z, 6) AS z FROM (
+      ${graft.operators.Seasonal.oracleSql(
+        """SELECT event_type, d, (d + 4) % 7 AS dow, v FROM (
+             SELECT event_type,
+               DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS v
+             FROM events GROUP BY 1, 2)""",
+        slotCols = Seq("event_type", "dow"), k = 1)}) ORDER BY event_type, d"""),
 
     "a_cusum_debounced" -> (graft.operators.Changepoint.debouncedOracleSql(
       """SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
