@@ -268,6 +268,22 @@ object WindowPack extends QueryPack {
         .orderBy("item_a", "item_b")
     }),
 
+    // Rolling 7-day p50/p90 of the event value via sliding dyadic-
+    // sketch merges — the quantile sibling of w_rolling_distinct: the
+    // corpus sketches once per day, windows merge CELL TABLES (the
+    // CMS merge is addition), the per-window walk is deterministic
+    // integer descent the oracle replays step-for-step.
+    "w_rolling_quantile" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("ts"), floor(col("value")).cast("long").as("v"))
+      graft.operators.RollingQuantile.rollingQuantiles(
+          ev, "ts", "v", levels = 10, depth = 4, width = 256,
+          windowDays = 7, qs = Seq(0.5, 0.9))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("q"), col("q_value"))
+        .orderBy("day", "q")
+    }),
+
     // Seasonality-aware outliers: each (type, day) total judged
     // against ITS OWN (type, weekday) slot — weekly rhythm stops
     // masquerading as anomaly. The flag is an exact integer
@@ -502,6 +518,68 @@ object WindowPack extends QueryPack {
                      CAST(epoch_us(ts) // 1000 AS BIGINT) AS ms
                    FROM events)))""",
       minSupportFrac = 0.02) + " ORDER BY item_a, item_b"),
+
+    // daily cells → offset scatter (the SlidingDistinct idiom) →
+    // the t_dq_quantile walk keyed by window-end day
+    "w_rolling_quantile" ->
+      s"""WITH RECURSIVE
+         d AS (SELECT unnest(range(0, 4)) AS i),
+         lv AS (SELECT unnest(range(0, 10)) AS lvl),
+         ev AS (SELECT CAST(ts AS DATE) AS dday,
+                  CAST(FLOOR(value) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+         cells0 AS (
+           SELECT dday, lvl, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(v >> lvl AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)" +
+               " || ':' || CAST(i AS VARCHAR)")} % 256 AS bucket
+           FROM ev CROSS JOIN lv CROSS JOIN d),
+         sk0 AS (SELECT dday, lvl, i, bucket, COUNT(*) AS cnt
+                 FROM cells0 GROUP BY 1, 2, 3, 4),
+         days AS (SELECT DISTINCT dday AS day FROM sk0),
+         scat AS (
+           SELECT dday + CAST(off AS INTEGER) AS day, lvl, i, bucket, cnt
+           FROM sk0 CROSS JOIN (SELECT UNNEST(RANGE(0, 7)) AS off)),
+         sk AS (SELECT s.day, lvl, i, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+                FROM scat s JOIN days dd ON dd.day = s.day
+                GROUP BY 1, 2, 3, 4),
+         tot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS n FROM sk
+                 WHERE lvl = 0 AND i = 0 GROUP BY 1),
+         qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+         walk AS (
+           SELECT tot.day, qs.q, 10 AS l,
+                  GREATEST(CAST(CEIL(qs.q * tot.n) AS BIGINT),
+                           CAST(1 AS BIGINT)) AS t,
+                  CAST(0 AS BIGINT) AS p
+           FROM tot CROSS JOIN qs WHERE tot.n > 0
+           UNION ALL
+           SELECT day, q, l - 1,
+                  CASE WHEN t <= lc THEN t ELSE t - lc END,
+                  CASE WHEN t <= lc THEN p * 2 ELSE p * 2 + 1 END
+           FROM (
+             SELECT w.day, w.q, w.l, w.t, w.p, LEAST(
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.day = w.day AND sk.lvl = w.l - 1
+                   AND sk.i = 0 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':0'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.day = w.day AND sk.lvl = w.l - 1
+                   AND sk.i = 1 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':1'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.day = w.day AND sk.lvl = w.l - 1
+                   AND sk.i = 2 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':2'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.day = w.day AND sk.lvl = w.l - 1
+                   AND sk.i = 3 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':3'")} % 256), 0)) AS lc
+             FROM walk w WHERE w.l > 0) z)
+         SELECT STRFTIME(day, '%Y-%m-%d') AS day, q, p AS q_value
+         FROM walk WHERE l = 0 ORDER BY day, q""",
 
     "w_seasonal_outliers" -> (s"""SELECT event_type, d, dow, v, slot_cnt,
         dev_scaled, outlier, ROUND(z, 6) AS z FROM (
