@@ -221,6 +221,11 @@ object PipelineBench {
     "monitor_cusum_10M" -> 25.6,
     "monitor_twa_10M" -> 22.4,
     "monitor_skew_10M" -> 3.3,
+    // first priced by a round-10 filtered local sweep (min of 2
+    // interleaved repeats; the quiet skew/cusum anchors of the same
+    // box apply) — upper bounds that min-fold tighter
+    "monitor_rolling_distinct_10M" -> 16.8,
+    "monitor_rolling_quantile_10M" -> 25.0,
     "eval_spearman_10M" -> 98.3,
     "ann_semdedup_100k_adhoc" -> 23.8,
     "ann_semdedup_100k_at_rest" -> 11.3)
@@ -406,6 +411,25 @@ object PipelineBench {
         TimedStage("monitor_skew_10M", 2, cpuCompanion = true)(() =>
           graft.operators.KeySkew.loadProfile(monitorRows, Seq("g"))
             .count()),
+        // the rolling-sketch pair at soak scale: 10M rows spread over
+        // ~115 synthetic days (t seconds → date), 7-day windows — the
+        // stage prices the daily build + cell/register scatter + walk,
+        // i.e. the whole "corpus touched once" claim
+        TimedStage("monitor_rolling_distinct_10M", 2, cpuCompanion = true)(() =>
+          graft.operators.SlidingDistinct.rollingDistinct(
+              monitorRows.withColumn("ts2",
+                timestamp_micros(col("t") * 1000000L)),
+              "ts2", "v", p = 12, windowDays = 7)
+            // max, not sum: per-day s_mass ≈ m·2^(61−p) ≈ 2.3e18, a
+            // LONG sum over 115 days overflows ANSI arithmetic
+            .agg(max(col("s_mass")), sum(col("est"))).head()),
+        TimedStage("monitor_rolling_quantile_10M", 2, cpuCompanion = true)(() =>
+          graft.operators.RollingQuantile.rollingQuantiles(
+              monitorRows.withColumn("ts2",
+                timestamp_micros(col("t") * 1000000L)),
+              "ts2", "v", levels = 10, depth = 4, width = 256,
+              windowDays = 7, qs = Seq(0.5, 0.95))
+            .agg(sum(col("q_value"))).head()),
         // the at-rest lever, priced: identical SemDeDup verdicts, cold
         // (cell assign + corpus shuffle per pass) vs bucketed-at-rest
         // (exchange-free candidate join off storage)
