@@ -540,6 +540,26 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(shuffles(df) <= 2) // group agg + output sort
   }
 
+  test("rolling quantile: cell scatter is an equi-join, no range join") {
+    val df = graft.SparkEntry.queries("w_rolling_quantile")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!"(?i)nestedloopjoin[^\\n]*(inner|leftouter)?range"
+        .r.findFirstIn(s).isDefined &&
+      !"(?i)cartesianproduct".r.findFirstIn(s).isDefined,
+      s"the window merge must be the offset scatter, not a range join:\n$s")
+  }
+
+  test("seasonal outliers: slot profile broadcasts, flags map-side") {
+    val df = graft.SparkEntry.queries("w_seasonal_outliers")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"the slot profile should broadcast back:\n$s")
+    assert(!"(?i)sortmergejoin".r.findFirstIn(s).isDefined,
+      s"a slot-bounded profile must not sort-merge:\n$s")
+  }
+
   test("z-order layout plans a range exchange (tiles, not hash buckets)") {
     val docs = graft.core.Tables.table(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id").as("x"),
