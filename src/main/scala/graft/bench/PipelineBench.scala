@@ -210,7 +210,7 @@ object PipelineBench {
     // that sweep was PARTIALLY contended — month_e2e measured 1.5× its
     // quiet cpu in the same run — so these first values are upper
     // bounds that later artifacts will tighten by min-fold)
-    "pm25_year_e2e" -> 3854.0,
+    "pm25_year_e2e" -> 3697.7,
     "eval_auc_10M" -> 14.3,
     // first priced by a round-10 filtered local sweep
     // (SPARK_GRAFT_PIPELINE_ONLY=monitor_*), then min-folded with the
@@ -218,8 +218,8 @@ object PipelineBench {
     // sweep's cusum/twa figures were themselves contended; skew's
     // filtered figure 3.3 remains the min). The cusum/twa numbers
     // carry the deliberate 5M-row single-key window sort.
-    "monitor_cusum_10M" -> 25.6,
-    "monitor_twa_10M" -> 22.4,
+    "monitor_cusum_10M" -> 18.0,
+    "monitor_twa_10M" -> 17.8,
     "monitor_skew_10M" -> 3.3,
     // first priced by a round-10 filtered local sweep (min of 2
     // interleaved repeats; the quiet skew/cusum anchors of the same
