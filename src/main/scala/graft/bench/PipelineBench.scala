@@ -94,6 +94,59 @@ object PipelineBench {
     java.nio.file.Files.createTempDirectory(base, "graft-pbench").toString
   }
 
+  /** Generator VERSION for every cached bench input below. The soak and
+    * e2e inputs are deterministic functions of the row id, so they are
+    * written ONCE under a versioned path and reused across repeats AND
+    * runs (round-10 regenerated ~40M rows of parquet per bench run, all
+    * inside the driver's kill window). BUMP THIS whenever any generator
+    * in this file changes — a stale cache would silently bench old data,
+    * and the QuietCpuRef convention already requires generator stability
+    * (see [[graphEdges]]).
+    */
+  val InputGenVersion = 1
+
+  /** Cache root for the versioned inputs: tmpfs when available (the
+    * same reasoning as [[scratchRoot]]), `java.io.tmpdir` for the
+    * deliberately-on-disk variants.
+    */
+  private def cacheRoot(preferShm: Boolean): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (preferShm && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val dir = base.resolve("graft-bench-cache")
+    java.nio.file.Files.createDirectories(dir)
+    dir
+  }
+
+  /** Generate-once parquet: returns `(path, cacheHit)`. The `_GRAFT_OK`
+    * marker is written only after a complete generation, so a killed
+    * run never leaves a half-written dataset masquerading as cached.
+    */
+  def cachedParquet(name: String, preferShm: Boolean = true)
+                   (gen: => DataFrame): (String, Boolean) = {
+    val dir = cacheRoot(preferShm).resolve(s"${name}_v$InputGenVersion")
+    val marker = dir.resolve("_GRAFT_OK")
+    if (java.nio.file.Files.exists(marker)) (dir.toString, true)
+    else {
+      gen.write.mode("overwrite").parquet(dir.toString)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      (dir.toString, false)
+    }
+  }
+
+  /** [[e2eInputs]] under the generate-once convention. */
+  def cachedE2e(spark: SparkSession, name: String, days: Int): (String, Boolean) = {
+    val dir = cacheRoot(preferShm = true).resolve(s"${name}_v$InputGenVersion")
+    val marker = dir.resolve("_GRAFT_OK")
+    if (java.nio.file.Files.exists(marker)) (dir.toString, true)
+    else {
+      e2eInputs(spark, dir.toString, days)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      (dir.toString, false)
+    }
+  }
+
   /** Pre-materialized stage inputs (setup, untimed): the production
     * combine reads stage outputs at rest, and fusing the synthesis into
     * the join would hide the scan+shuffle being measured. Built ONCE and
@@ -104,36 +157,45 @@ object PipelineBench {
   final case class Staged(plain: Seq[(String, DataFrame)],
                           bucketed: Seq[(String, String)])
 
-  /** s01 inputs: 12 monthly datasets (1–3 cols) + 2 static, written as
-    * plain parquet under `root` and read back — the combine must scan
-    * stage outputs at rest, like the production pipeline.
+  /** s01 inputs: 12 monthly datasets (1–3 cols) + 2 static, at rest as
+    * plain parquet — the combine must scan stage outputs at rest, like
+    * the production pipeline. Cached generate-once; `preferShm = false`
+    * is the deliberately-on-disk variant the `_disk` stage reads.
+    * Returns the frames plus the cache-hit count.
     */
-  def stageInputs(spark: SparkSession, root: String): Seq[(String, DataFrame)] = {
+  def stageInputs(spark: SparkSession,
+                  preferShm: Boolean): (Seq[(String, DataFrame)], Int) = {
     val monthly = (0 until 12).map(i =>
-      s"ds$i" -> monthlyDataset(spark, s"ds$i", 1 + i % 3))
-    val static = Seq("elev" -> staticDataset(spark, "elev"),
-      "grid" -> staticDataset(spark, "gridmeta"))
-    (monthly ++ static).map { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$root/stage/$name")
-      name -> spark.read.parquet(s"$root/stage/$name")
+      s"ds$i" -> (() => monthlyDataset(spark, s"ds$i", 1 + i % 3)))
+    val static = Seq(
+      "elev" -> (() => staticDataset(spark, "elev")),
+      "grid" -> (() => staticDataset(spark, "gridmeta")))
+    var hits = 0
+    val dfs = (monthly ++ static).map { case (name, gen) =>
+      val tag = if (preferShm) s"stage_$name" else s"stage_disk_$name"
+      val (path, hit) = cachedParquet(tag, preferShm)(gen())
+      if (hit) hits += 1
+      name -> spark.read.parquet(path)
     }
+    (dfs, hits)
   }
 
-  def prepare(spark: SparkSession, outRoot: String): Staged = {
-    val plain = stageInputs(spark, outRoot)
+  def prepare(spark: SparkSession, outRoot: String): (Staged, Int) = {
+    val (plain, hits) = stageInputs(spark, preferShm = true)
     val monthly = (0 until 12).map(i =>
       s"ds$i" -> monthlyDataset(spark, s"ds$i", 1 + i % 3))
     val static = Seq("elev" -> staticDataset(spark, "elev"),
       "grid" -> staticDataset(spark, "gridmeta"))
     // bucketed stage outputs (the cluster-scale path) — in production
-    // these replace the plain stage writes 1:1, so they are setup too
+    // these replace the plain stage writes 1:1, so they are setup too;
+    // per-run (not cached): the bucket spec lives in the session catalog
     val bucketed = (monthly ++ static).map { case (name, df) =>
       val tbl = s"bench_bkt_$name"
       graft.operators.BucketedStages.writeBucketed(df, tbl,
         s"$outRoot/bkt/$name")
       name -> tbl
     }
-    Staged(plain, bucketed)
+    (Staged(plain, bucketed), hits)
   }
 
   def cleanup(spark: SparkSession, staged: Staged): Unit =
@@ -228,7 +290,12 @@ object PipelineBench {
     "monitor_rolling_quantile_10M" -> 25.0,
     "eval_spearman_10M" -> 98.3,
     "ann_semdedup_100k_adhoc" -> 23.8,
-    "ann_semdedup_100k_at_rest" -> 11.3)
+    "ann_semdedup_100k_at_rest" -> 11.3,
+    // first priced by a round-11 filtered local sweep
+    // (SPARK_GRAFT_PIPELINE_ONLY=ann_mnn_100k_adhoc,ann_mnn_100k_at_rest,
+    // 2 interleaved repeats) — upper bounds that min-fold tighter
+    "ann_mnn_100k_adhoc" -> 130.2,
+    "ann_mnn_100k_at_rest" -> 98.4)
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
     * over their repeats. Contention noise on a shared sandbox is
@@ -245,18 +312,46 @@ object PipelineBench {
     * sweep order, a burst can blanket at most one repeat of each stage,
     * so the min still sees a quiet window for every stage unless the
     * whole bench is contended end-to-end (which the `_cpu_sec`
-    * companions then corroborate). Setup is built once, untimed.
+    * companions then corroborate). Setup is built once, untimed — but
+    * it DOES count against `deadlineNanos`, and its wall is published
+    * as `bench_setup_sec` (+ `bench_setup_cache_hits`) so the artifact
+    * prices the whole run the driver actually pays for.
+    *
+    * `deadlineNanos`: no new sample starts past it — stages that got at
+    * least one sample publish their min; stages that never started are
+    * returned in the skipped list (second tuple element). `emitSample`
+    * fires after every completed sample with the stage's current min,
+    * so a mid-run kill still leaves every measured number on stdout.
+    *
+    * `pm25_year_e2e` is OPT-IN (`SPARK_GRAFT_BENCH_YEAR=1`, or naming
+    * it in SPARK_GRAFT_PIPELINE_ONLY): its 6.9×-month linearity figure
+    * is proven and pinned from round 10, and the quarter pin guards the
+    * same composition at a third of the cost — ~270 s of wall (plus a
+    * 365-day input build) does not belong in every default sweep.
     */
-  def runBest(spark: SparkSession, outRoot: String, n: Int): Map[String, Double] = {
-    val staged = prepare(spark, outRoot)
+  def runBest(spark: SparkSession, outRoot: String, n: Int,
+              deadlineNanos: Long = Long.MaxValue,
+              emitSample: (String, Double, Int) => Unit = (_, _, _) => ())
+      : (Map[String, Double], Seq[String]) = {
+    val setupT0 = System.nanoTime()
+    var cacheHits = 0
+    val (staged, hitsPrep) = prepare(spark, outRoot)
+    cacheHits += hitsPrep
     val diskRoot = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-pbench-disk").toString
     try {
-      // ---- one-time, untimed setup for every stage ----
-      val diskPlain = stageInputs(spark, diskRoot)
-      val yearDf = rangeDataset(spark, "2022-12-01", 396, cols = 8)
-      yearDf.write.mode("overwrite").parquet(s"$outRoot/year_in")
-      val yearIn = spark.read.parquet(s"$outRoot/year_in")
+      // ---- one-time, untimed setup for every stage (generate-once
+      // caches under [[cacheRoot]]; see [[InputGenVersion]]) ----
+      val onlyStages = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      val yearEnabled = sys.env.get("SPARK_GRAFT_BENCH_YEAR").contains("1") ||
+        onlyStages.exists(_.contains("pm25_year_e2e"))
+      val (diskPlain, hitsDisk) = stageInputs(spark, preferShm = false)
+      cacheHits += hitsDisk
+      val (yearInPath, hitYear) = cachedParquet("year_in")(
+        rangeDataset(spark, "2022-12-01", 396, cols = 8))
+      if (hitYear) cacheHits += 1
+      val yearIn = spark.read.parquet(yearInPath)
       val baseCols = yearIn.columns.filter(_.startsWith("y_v")).toSeq
       val generated = FeatureGenerator.generate(
         yearIn.withColumn("month", substring(col("date"), 1, 7)), 2023,
@@ -266,37 +361,62 @@ object PipelineBench {
         .join(broadcast(grid), Seq("grid_id"))
       val denseDf = denseInput(spark)
       val graphEdgesDf = graphEdges(spark)
-      e2eInputs(spark, s"$outRoot/e2e_in")
+      val (e2eInPath, hitE2e) = cachedE2e(spark, "e2e_in", 31)
+      if (hitE2e) cacheHits += 1
       // Q1 2023 inputs for the linearity pin: 90 days through the same
       // composed pipeline (setup, untimed)
-      e2eInputs(spark, s"$outRoot/e2e_in_q", days = 90)
+      val (e2eInQPath, hitE2eQ) = cachedE2e(spark, "e2e_in_q", 90)
+      if (hitE2eQ) cacheHits += 1
       val quarterMonths = Seq("2023-01", "2023-02", "2023-03")
-      // full-2023 inputs for the year composition (setup, untimed)
-      e2eInputs(spark, s"$outRoot/e2e_in_y", days = 365)
+      // full-2023 inputs for the year composition — built ONLY when the
+      // opt-in year stage will run
+      val e2eInYPath = if (yearEnabled) {
+        val (p, hitE2eY) = cachedE2e(spark, "e2e_in_y", 365)
+        if (hitE2eY) cacheHits += 1
+        Some(p)
+      } else None
       val yearMonths = (1 to 12).map(m => f"2023-$m%02d")
       // 10M-row eval-soak table: heavy-tailed groups (group g draws
       // ~1/g(g+1) of the corpus — group 1 holds ~half the rows, the
       // skew a per-domain eval slice actually sees), two quantized
-      // scores on a 100k-value grid, label correlated with s. Written
+      // scores on a 100k-value grid, label correlated with s. Generated
       // once, untimed — the stages time the operators, not the range
-      evalInput(spark).write.mode("overwrite").parquet(s"$outRoot/eval_rows")
-      val evalRows = spark.read.parquet(s"$outRoot/eval_rows")
+      val (evalPath, hitEval) = cachedParquet("eval_rows")(evalInput(spark))
+      if (hitEval) cacheHits += 1
+      val evalRows = spark.read.parquet(evalPath)
       // 10M-row monitor-soak table: same harmonic key tail (group 1
       // holds ~half the corpus — a 5M-row single-key window run is
       // exactly the keyed-window adversary the monitors must survive),
       // unique per-key order, integral values (setup, untimed)
-      monitorInput(spark).write.mode("overwrite")
-        .parquet(s"$outRoot/monitor_rows")
-      val monitorRows = spark.read.parquet(s"$outRoot/monitor_rows")
-      // 100k-vector / dim-16 corpus for the at-rest ANN pair: ad-hoc
+      val (monitorPath, hitMon) = cachedParquet("monitor_rows")(
+        monitorInput(spark))
+      if (hitMon) cacheHits += 1
+      val monitorRows = spark.read.parquet(monitorPath)
+      // 100k-vector / dim-16 corpus for the at-rest ANN pairs: ad-hoc
       // SemDeDup re-assigns cells + re-shuffles per pass; the at-rest
-      // table amortized that at write time (setup, untimed)
-      annVectors(spark).write.mode("overwrite").parquet(s"$outRoot/ann_vecs")
-      val annVecs = spark.read.parquet(s"$outRoot/ann_vecs")
-      val annIndex = graft.similarity.Ann.trainIvf(annVecs, nlist = 64,
-        vecCol = "embedding")
+      // table amortized that at write time (setup, untimed). The IVF
+      // index itself is persisted through [[graft.similarity.IvfStore]]
+      // — the production convention for recurring passes — so repeat
+      // runs skip the KMeans fit too.
+      val (annPath, hitAnn) = cachedParquet("ann_vecs")(annVectors(spark))
+      if (hitAnn) cacheHits += 1
+      val annVecs = spark.read.parquet(annPath)
+      val ivfStore = new graft.similarity.IvfStore(spark,
+        cacheRoot(preferShm = true).resolve(s"ann_ivf_v$InputGenVersion").toString)
+      val annIndex = ivfStore.latestRun("bench_ivf") match {
+        case Some(run) => cacheHits += 1; ivfStore.load("bench_ivf", run)
+        case None =>
+          val idx = graft.similarity.Ann.trainIvf(annVecs, nlist = 64,
+            vecCol = "embedding")
+          ivfStore.save("bench_ivf", "bench", idx,
+            ivfStore.corpusFingerprint(annVecs))
+          idx
+      }
       graft.similarity.VectorStorage.writeBucketed(annVecs, annIndex,
         "bench_vec_at_rest", s"$outRoot/ann_vecs_bucketed", nBuckets = 32)
+      val setupSec = (System.nanoTime() - setupT0) / 1e9
+      emitSample("bench_setup_sec", setupSec, 0)
+      emitSample("bench_setup_cache_hits", cacheHits.toDouble, 0)
 
       val stages = Seq(
         TimedStage("pm25_combine_month_1M", math.max(1, n),
@@ -351,7 +471,7 @@ object PipelineBench {
         TimedStage("pm25_month_e2e", 2, cpuCompanion = true)(() => {
           val runRoot = java.nio.file.Files.createTempDirectory(
             java.nio.file.Paths.get(outRoot), "e2e-run").toString
-          try runMonthE2e(spark, s"$outRoot/e2e_in", runRoot)
+          try runMonthE2e(spark, e2eInPath, runRoot)
           finally org.apache.commons.io.FileUtils
             .deleteQuietly(new java.io.File(runRoot))
         }),
@@ -362,7 +482,7 @@ object PipelineBench {
         TimedStage("pm25_quarter_e2e", 2, cpuCompanion = true)(() => {
           val runRoot = java.nio.file.Files.createTempDirectory(
             java.nio.file.Paths.get(outRoot), "e2e-runq").toString
-          try runMonthE2e(spark, s"$outRoot/e2e_in_q", runRoot,
+          try runMonthE2e(spark, e2eInQPath, runRoot,
             months = quarterMonths)
           finally org.apache.commons.io.FileUtils
             .deleteQuietly(new java.io.File(runRoot))
@@ -374,10 +494,14 @@ object PipelineBench {
         // below (12 months of work + amortized per-run fixed cost).
         // One repeat: the stage is ~8× the month e2e and the linearity
         // pin (plus the cpu companion) diagnoses a contended sample.
-        TimedStage("pm25_year_e2e", 1, cpuCompanion = true)(() => {
+        // OPT-IN (SPARK_GRAFT_BENCH_YEAR=1): round 10's default sweep
+        // outgrew the driver envelope carrying this ~270 s stage; the
+        // quarter pin guards composition linearity in every sweep.
+        TimedStage("pm25_year_e2e", if (yearEnabled) 1 else 0,
+                   cpuCompanion = true)(() => {
           val runRoot = java.nio.file.Files.createTempDirectory(
             java.nio.file.Paths.get(outRoot), "e2e-runy").toString
-          try runMonthE2e(spark, s"$outRoot/e2e_in_y", runRoot,
+          try runMonthE2e(spark, e2eInYPath.get, runRoot,
             months = yearMonths)
           finally org.apache.commons.io.FileUtils
             .deleteQuietly(new java.io.File(runRoot))
@@ -440,6 +564,16 @@ object PipelineBench {
           graft.similarity.VectorStorage.semDedup(spark, "bench_vec_at_rest",
               threshold = 0.95)
             .filter(!col("kept")).count()),
+        // mutual-NN at the same corpus scale, ad-hoc (cell re-assign +
+        // corpus shuffle per pass) vs at-rest (exchange-free candidate
+        // join off the bucketing) — the same lever the semdedup pair
+        // prices, on the rank-1 alignment pass
+        TimedStage("ann_mnn_100k_adhoc", 2, cpuCompanion = true)(() =>
+          graft.similarity.Ann.mutualNearestNeighborsCelled(annVecs, annIndex,
+            nprobe = 1).count()),
+        TimedStage("ann_mnn_100k_at_rest", 2, cpuCompanion = true)(() =>
+          graft.similarity.VectorStorage.mutualNearestNeighbors(spark,
+            "bench_vec_at_rest").count()),
         TimedStage("pm25_spatial_impute_quarter", 3, cpuCompanion = true)(() =>
           DailySpatialInterpolator
             .interpolate(quarter, "date", "original_x", "original_y",
@@ -482,26 +616,39 @@ object PipelineBench {
       // SPARK_GRAFT_PIPELINE_ONLY=a,b,c runs just those stages — for
       // pricing a new stage without paying the full sweep. The
       // cross-stage ratio pins below publish (and gate) only when both
-      // of their stages ran.
-      val onlyStages = sys.env.get("SPARK_GRAFT_PIPELINE_ONLY")
-        .map(_.split(",").map(_.trim).toSet)
-      val stagesRun = onlyStages match {
+      // of their stages ran. repeats == 0 stages are config-disabled
+      // (the opt-in year e2e), not budget skips.
+      val stagesRun = (onlyStages match {
         case Some(sel) => stages.filter(st => sel.contains(st.name))
         case None => stages
-      }
+      }).filter(_.repeats > 0)
 
       // round-robin sweep: stage order inside a sweep preserves the
-      // combine → impute/feature-gen read dependency
+      // combine → impute/feature-gen read dependency. No new sample
+      // starts past the deadline — with repeats interleaved (rep i of
+      // every stage before rep i+1 of any) and stages ordered headline-
+      // first, a budget cut costs later REPEATS before it costs stages.
       val samples = scala.collection.mutable.LinkedHashMap
         .empty[String, Vector[(Double, Double)]]
       val maxRepeats = stagesRun.map(_.repeats).max
-      for (rep <- 0 until maxRepeats; st <- stagesRun if rep < st.repeats) {
-        val sample = timeWithCpu(spark)(st.body())
-        samples(st.name) = samples.getOrElse(st.name, Vector.empty) :+ sample
+      var budgetHit = false
+      for (rep <- 0 until maxRepeats; st <- stagesRun
+           if rep < st.repeats && !budgetHit) {
+        if (System.nanoTime() >= deadlineNanos) budgetHit = true
+        else {
+          val sample = timeWithCpu(spark)(st.body())
+          samples(st.name) = samples.getOrElse(st.name, Vector.empty) :+ sample
+          emitSample(st.name, samples(st.name).map(_._1).min, rep)
+        }
+      }
+      val skippedStages = stagesRun.collect {
+        case st if !samples.contains(st.name) => st.name
       }
 
       val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      stagesRun.foreach { st =>
+      out += "bench_setup_sec" -> setupSec
+      out += "bench_setup_cache_hits" -> cacheHits.toDouble
+      stagesRun.filter(st => samples.contains(st.name)).foreach { st =>
         val runs = samples(st.name)
         out += st.name -> runs.map(_._1).min
         // `_cpu_sec` of the fastest run: a contended round is diagnosable
@@ -572,7 +719,7 @@ object PipelineBench {
       val exchanges = graft.Explain.shuffleCount(generated)
       require(exchanges <= 1,
         s"feature-gen year plan has $exchanges shuffle exchanges (want 1)")
-      out.toMap
+      (out.toMap, skippedStages)
     } finally {
       cleanup(spark, staged)
       spark.sql("DROP TABLE IF EXISTS bench_vec_at_rest")

@@ -129,33 +129,64 @@ object Ann {
     val cand = base.select(col("id").as("neighbor_id"), col("v").as("cv"),
         col("nm").as("cn"))
       .withColumn("cell", ivfCell(col("cv"), index))
-    // a pair can meet through two probed cells — dedupe (on identical
-    // rows once the cell key is dropped) before ranking
-    mutualResolve(cand.join(probes, Seq("cell"))
-      .drop("cell")
-      .dropDuplicates("query_id", "neighbor_id"))
+    val scoredAll = scorePairs(cand.join(probes, Seq("cell")))
+    // a pair can meet through two probed cells — dedupe before ranking.
+    // Only when probing MORE than one cell: at nprobe = 1 each query
+    // meets a neighbor at most once, and the dedupe would be a full
+    // candidate-product shuffle for nothing (the checkBatch condition)
+    val scored =
+      if (nprobe > 1) scoredAll.dropDuplicates("query_id", "neighbor_id")
+      else scoredAll
+    resolveScored(scored)
   }
 
-  /** Shared core of the mutual-NN forms. `pairs` carries one row per
-    * candidate `(query_id, qv, qn, neighbor_id, cv, cn)` pair; rank-1
-    * per query is taken here, then the mutuality self-join. The rank-1
-    * frame is localCheckpointed before the self-join — Catalyst would
-    * otherwise re-execute the whole candidate scoring (the expensive
-    * step) twice per action, the shared-subtree re-execution the
-    * repo's iterative operators all guard against.
+  /** Score the candidate product and PROJECT AWAY the vectors in the
+    * same (codegen-fused, map-side) stage: every exchange a mutual-NN
+    * pass plans after this point carries `(query_id, neighbor_id,
+    * cos)` — 3 scalars — instead of two dim-d payloads per row. At the
+    * 100k-corpus bench scale that is the difference between ~50 GB and
+    * ~4 GB of shuffle per pass.
     */
-  private def mutualResolve(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    val nn = pairs
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        when(col("qn") * col("cn") === 0.0, 0.0)
-          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("query_id").as("ida"), col("neighbor_id").as("idb"),
-        col("cos"))
+  private def scorePairs(pairs: DataFrame): DataFrame = pairs
+    .filter(col("query_id") =!= col("neighbor_id"))
+    .select(col("query_id"), col("neighbor_id"),
+      when(col("qn") * col("cn") === 0.0, 0.0)
+        .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .as("cos"))
+
+  /** Shared core of the mutual-NN forms. `pairs` carries one row per
+    * candidate `(query_id, qv, qn, neighbor_id, cv, cn)` pair; it is
+    * scored and projected map-side ([[scorePairs]]), rank-1 per query
+    * is taken, then the mutuality self-join.
+    */
+  private def mutualResolve(pairs: DataFrame): DataFrame =
+    resolveScored(scorePairs(pairs))
+
+  /** Rank-1 per query over scored `(query_id, neighbor_id, cos)`
+    * candidates, then the mutuality self-join. Rank-1 is one
+    * `min(struct(−cos, id))` aggregation (ties: higher cos, then
+    * smaller neighbor id). The struct buffer makes Spark plan it as
+    * SortAggregate — a DELIBERATE choice, measured at the 100k bench
+    * corpus: the partition-local sort of the compact 3-column rows
+    * costs 171 executor-cpu-sec where the k-bounded heap aggregator
+    * ([[graft.operators.Sampling.topKPerGroupSkewSafe]] at k = 1, no
+    * sort but one heap-object update per row) costs 403, and the old
+    * rank window over un-projected rows (two corpus-product exchanges
+    * carrying both dim-d vectors) ran >300 s wall. Both agg forms are
+    * map-side partial, so the exchange carries one row per query per
+    * partition either way — the sort never crosses the wire. The
+    * rank-1 frame is localCheckpointed before the self-join —
+    * Catalyst would otherwise re-execute the whole candidate scoring
+    * (the expensive step) twice per action, the shared-subtree
+    * re-execution the repo's iterative operators all guard against.
+    */
+  private def resolveScored(scored: DataFrame): DataFrame = {
+    val nn = scored
+      .select(col("query_id"),
+        struct((col("cos") * -1.0).as("negcos"), col("neighbor_id")).as("cand"))
+      .groupBy("query_id").agg(min(col("cand")).as("best"))
+      .select(col("query_id").as("ida"), col("best.neighbor_id").as("idb"),
+        (col("best.negcos") * -1.0).as("cos"))
       .localCheckpoint()
     nn.as("p").join(nn.as("q"),
         col("p.ida") === col("q.idb") && col("p.idb") === col("q.ida"))

@@ -112,34 +112,50 @@ object VectorStorage {
 
   /** [[Ann.mutualNearestNeighbors]] restricted to cell co-residents
     * (the `nprobe = 1` celled semantics — recurring alignment over an
-    * indexed corpus probes the home cell). Rank-1 per query is ONE
-    * map-side-combining `min(struct(−cos, id))` aggregation instead of
-    * a rank window, so the only exchange after the (exchange-free)
-    * candidate join carries one partial row per query per partition.
+    * indexed corpus probes the home cell). Candidates are scored and
+    * projected to `(query_id, neighbor_id, cos)` inside the
+    * (exchange-free) candidate join's stage; rank-1 per query is one
+    * map-side-combining `min(struct(−cos, id))` aggregation — planned
+    * as SortAggregate (struct buffer), which the 100k bench measured
+    * FASTER than the heap aggregator at k = 1 (110 vs 417 cpu-sec:
+    * sorting compact 3-column rows beats per-row heap-object updates;
+    * see [[Ann]]'s resolveScored note) — so the only exchange after
+    * the candidate join carries one partial row per query per
+    * partition.
     */
   def mutualNearestNeighbors(spark: SparkSession, table: String): DataFrame = {
-    val t = scan(spark, table)
-    val l = t.select(col(CellCol), col("id").as("qid"),
-      col("v").as("qv"), col("nm").as("qn"))
-    val r = t.select(col(CellCol), col("id").as("nid"),
-      col("v").as("cv"), col("nm").as("cn"))
-    val nn = l.hint("merge").join(r, Seq(CellCol))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"),
-        struct(
-          (when(col("qn") * col("cn") === 0.0, 0.0)
-            .otherwise(Ann.dot(col("qv"), col("cv")) /
-              (col("qn") * col("cn"))) * -1.0).as("negcos"),
-          col("nid")).as("cand"))
-      .groupBy("qid").agg(min(col("cand")).as("best"))
-      .select(col("qid").as("ida"), col("best.nid").as("idb"),
-        (col("best.negcos") * -1.0).as("cos"))
-      .localCheckpoint()
+    val nn = mnnRank1Plan(spark, table).localCheckpoint()
     nn.as("p").join(nn.as("q"),
         col("p.ida") === col("q.idb") && col("p.idb") === col("q.ida"))
       .filter(col("p.ida") < col("p.idb"))
       .select(col("p.ida").as("id_a"), col("p.idb").as("id_b"),
         round(col("p.cos"), 6).as("cos"))
+  }
+
+  /** The rank-1 stage of [[mutualNearestNeighbors]] BEFORE its
+    * checkpoint cut — exposed so the plan contract (candidate join
+    * exchange-free off the bucketing, exactly one id-sized exchange
+    * for the rank-1 aggregation) is assertable in VectorStorageSpec;
+    * a localCheckpoint would truncate the lineage being asserted.
+    */
+  def mnnRank1Plan(spark: SparkSession, table: String): DataFrame = {
+    val t = scan(spark, table)
+    val l = t.select(col(CellCol), col("id").as("qid"),
+      col("v").as("qv"), col("nm").as("qn"))
+    val r = t.select(col(CellCol), col("id").as("nid"),
+      col("v").as("cv"), col("nm").as("cn"))
+    val scored = l.hint("merge").join(r, Seq(CellCol))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(Ann.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cos"))
+    scored
+      .select(col("query_id"),
+        struct((col("cos") * -1.0).as("negcos"), col("neighbor_id")).as("cand"))
+      .groupBy("query_id").agg(min(col("cand")).as("best"))
+      .select(col("query_id").as("ida"), col("best.neighbor_id").as("idb"),
+        (col("best.negcos") * -1.0).as("cos"))
   }
 
   /** Incremental batch check — the vector twin of the text side's

@@ -59,6 +59,25 @@ class VectorStorageSpec extends AnyFunSuite {
     }
   }
 
+  test("at-rest mutual NN rank-1 plan: candidate join off the bucketing, one id-sized exchange") {
+    withTable("vec_rest_mnn_plan") {
+      val rank1 = VectorStorage.mnnRank1Plan(spark, "vec_rest_mnn_plan")
+      rank1.count()
+      val s = rank1.queryExecution.executedPlan.toString
+      // the candidate join consumes the storage bucketing; the only
+      // exchange anywhere in the stage is the rank-1 aggregation's,
+      // carrying (query_id, best-candidate) partials — never vectors
+      assert(graft.Explain.shuffleCount(rank1) === 1,
+        s"rank-1 stage must plan exactly one (id-sized) exchange:\n$s")
+      assert(s.contains("SortMergeJoin"),
+        s"corpus-sized sides must never broadcast:\n$s")
+      // the exchange's input is the min(struct) PARTIAL aggregate —
+      // the scored projection, never the vector payloads
+      assert(!s.contains("Exchange hashpartitioning(cell"),
+        s"no corpus-sized exchange on the cell key may appear:\n$s")
+    }
+  }
+
   test("at-rest hard negatives ≡ Ann.hardNegativeTopK at nprobe=1") {
     withTable("vec_rest_hneg") {
       val atRest = VectorStorage.hardNegatives(spark, "vec_rest_hneg",
