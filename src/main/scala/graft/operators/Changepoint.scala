@@ -85,6 +85,10 @@ object Changepoint {
   /** DuckDB replay of [[cusum]] over `inputSql` (which must yield the
     * key/order columns and an integral `valueCol`): the same two
     * window passes, same LEAST-against-zero empty-prefix handling.
+    * Mirrors the operator's COLUMN CONTRACT exactly: every input
+    * column rides through (`src.*`), so a query whose input carries
+    * columns beyond key/order/value stays oracle-parity instead of
+    * silently diverging on projection width.
     */
   def oracleSql(inputSql: String, keyCols: Seq[String],
                 orderCols: Seq[String], valueCol: String,
@@ -93,7 +97,6 @@ object Changepoint {
       s"PARTITION BY ${keyCols.mkString(", ")} "
     val ord = s"ORDER BY ${orderCols.mkString(", ")}"
     val frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-    val sel = (keyCols ++ orderCols).distinct.mkString(", ")
     s"""WITH src AS ($inputSql),
        p AS (
          SELECT *,
@@ -105,7 +108,7 @@ object Changepoint {
            pp - LEAST(0, MIN(pp) OVER ($part$ord $frame)) AS cusum_pos,
            pn - LEAST(0, MIN(pn) OVER ($part$ord $frame)) AS cusum_neg
          FROM p)
-       SELECT $sel, $valueCol,
+       SELECT * EXCLUDE (pp, pn, cusum_pos, cusum_neg),
          CAST(cusum_pos AS BIGINT) AS cusum_pos,
          CAST(cusum_neg AS BIGINT) AS cusum_neg,
          CAST(CASE WHEN cusum_pos > $threshold OR cusum_neg > $threshold

@@ -35,10 +35,11 @@ object InfoTheory {
     * Shape: one (x,y) count shuffle (cell-bounded output), the two
     * marginals derived from the CELLS (no second corpus pass),
     * broadcast-joined back; the total enters via a 1-row broadcast.
-    * The bounded-categorical contract is ENFORCED: the marginals ride
-    * broadcasts, so a continuous column (cells ≈ corpus) aborts
-    * in-plan past `maxCells` — quantize to a grid first; the guard is
-    * woven into the emitted `mi_term` so pruning cannot elide it.
+    * The bounded-categorical contract is ENFORCED EAGERLY: the
+    * marginals ride broadcasts, so a continuous column (cells ≈
+    * corpus) aborts past `maxCells` with one cheap count over the
+    * already-materialized cell table, BEFORE any broadcast builds —
+    * quantize to a grid first.
     */
   def miTable(df: DataFrame, xCol: String, yCol: String,
               roundAt: Int = 6, maxCells: Int = 1 << 20): DataFrame = {
@@ -48,10 +49,18 @@ object InfoTheory {
       .groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("nxy"))
       .localCheckpoint() // feeds marginals + total + output (4 reads)
+    // EAGER cap check — joint is already materialized (the checkpoint
+    // above), so the count is cheap, and it fires BEFORE the marginal
+    // broadcasts build. The previous in-plan guard evaluated only in
+    // the final projection, after the broadcasts had already shipped.
+    val cells = joint.count()
+    if (cells > maxCells) throw new IllegalArgumentException(
+      s"InfoTheory.miTable: $cells cells exceed maxCells=$maxCells — both" +
+        " columns must be bounded-categorical (quantize continuous signals" +
+        " to a grid first)")
     val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
     val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
-    val total = broadcast(joint.agg(sum(col("nxy")).as("n"),
-      count(lit(1)).as("__cells")))
+    val total = broadcast(joint.agg(sum(col("nxy")).as("n")))
     val term = (col("nxy").cast("double") / col("n").cast("double")) *
       log(col("nxy").cast("double") * col("n").cast("double") /
         (col("nx").cast("double") * col("ny").cast("double")))
@@ -60,13 +69,7 @@ object InfoTheory {
       .join(broadcast(my), Seq("y"))
       .crossJoin(total)
       .select(col("x"), col("y"), col("nxy"), col("nx"), col("ny"), col("n"),
-        when(col("__cells") > maxCells,
-            raise_error(concat(lit("InfoTheory.miTable: "),
-              col("__cells").cast("string"),
-              lit(s" cells exceed maxCells=$maxCells — both columns must" +
-                " be bounded-categorical (quantize continuous signals" +
-                " to a grid first)"))).cast("double"))
-          .otherwise(round(term, roundAt)).as("mi_term"))
+        round(term, roundAt).as("mi_term"))
   }
 
   /** Per-group Gini impurity of a label column:

@@ -30,7 +30,14 @@ object RollingQuantile {
                        windowDays: Int, qs: Seq[Double]): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays out of [1,366]: $windowDays")
-    val withDay = df.withColumn("__day", to_date(col(tsCol)))
+    // NULL timestamps abort loudly (the SlidingDistinct posture): a
+    // NULL __day group would be silently dropped by the observed-day
+    // equi-join downstream
+    val withDay = df.withColumn("__day",
+      when(col(tsCol).isNull, raise_error(lit(
+          s"RollingQuantile.rollingQuantiles: NULL $tsCol — filter or " +
+            "repair null timestamps upstream")))
+        .otherwise(to_date(col(tsCol))))
     val daily = QuantileSketch.sketch(withDay, valueCol, levels, depth,
       width, groupCols = Seq("__day"))
     // feeds the day list AND the scatter — cut once (Triangles lesson)

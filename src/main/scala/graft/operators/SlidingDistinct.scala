@@ -37,7 +37,15 @@ object SlidingDistinct {
                       p: Int, windowDays: Int): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays out of [1,366]: $windowDays")
-    val withDay = df.withColumn("__day", to_date(col(tsCol)))
+    // NULL timestamps abort loudly: a NULL __day would build a null-day
+    // register group and then be SILENTLY dropped by the equi-join
+    // against the observed-day list — this codebase's convention is a
+    // loud in-plan abort, never silent row loss
+    val withDay = df.withColumn("__day",
+      when(col(tsCol).isNull, raise_error(lit(
+          s"SlidingDistinct.rollingDistinct: NULL $tsCol — filter or " +
+            "repair null timestamps upstream")))
+        .otherwise(to_date(col(tsCol))))
     val daily = HllSketch.sketch(withDay, valueCol, p,
       groupCols = Seq("__day"))
     // feeds the day list AND the scatter — cut once (Triangles lesson)

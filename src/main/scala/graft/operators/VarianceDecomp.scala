@@ -43,7 +43,14 @@ object VarianceDecomp {
     * raw id column) would build a row-sized array — the operator
     * aborts in-plan past `maxGroups` (raise the cap deliberately for
     * genuinely wide factors; the guard is woven into the emitted
-    * `ssb_n` so column pruning cannot elide it).
+    * `ssb_n` so column pruning cannot elide it). The abort fires at
+    * the END of the operator's single corpus pass — the guard reads
+    * `k_groups` from the same aggregation that builds the array, so
+    * the over-cap array HAS been built by the time it throws. Unlike
+    * SourceOverlap/miTable there is no materialized intermediate to
+    * pre-count cheaply (an eager check would be a second full corpus
+    * pass); callers with unknown-cardinality factors should pre-check
+    * `approx_count_distinct(groupCol)` themselves.
     */
   def etaSquared(df: DataFrame, groupCol: String, yCol: String,
                  maxGroups: Int = 100000): DataFrame = {

@@ -614,11 +614,24 @@ object EventsStream {
                 s"transitionsStream: order key $t arrived at or before the " +
                   s"last absorbed ${s.lastT} for key $key — the lag fold " +
                   "needs a deduplicated, time-ordered feed")
+            // the pair key below is NUL-packed, so a state VALUE that
+            // itself contains NUL would collide two distinct pairs into
+            // one key (prev="a·b", next="c" vs prev="a", next="b·c" for
+            // · = NUL) and the 2-limited split on emission would then
+            // mis-attribute the remainder — reject it loudly, like the
+            // stream's other feed contracts
+            if (st.indexOf('\u0000') >= 0)
+              throw new IllegalStateException(
+                s"transitionsStream: state value for key $key contains a " +
+                  "NUL character, which the (prev, next) pair encoding " +
+                  "reserves — sanitize the state column upstream")
             val counts =
               if (s.lastState == null) s.counts
               else {
                 // NUL-packed pair key — states are arbitrary strings,
-                // any printable delimiter could collide with content
+                // any printable delimiter could collide with content;
+                // NUL itself is rejected from state values above, so
+                // the packing is unambiguous
                 val pair = s.lastState + "\u0000" + st
                 touched += pair
                 s.counts.updated(pair, s.counts.getOrElse(pair, 0L) + 1L)

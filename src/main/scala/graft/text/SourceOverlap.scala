@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * sizes; then a token-keyed self-join restricted to `g_a < g_b`
   * feeding one (pair → intersection) count. The join fan-out is
   * C(k_t, 2) per token, k_t = groups containing the token — bounded
-  * by `maxGroups²` per token, which is why the operator ABORTS IN-PLAN
-  * when the observed group count exceeds `maxGroups` (a thousands-of-
-  * sources matrix wants the KMV path, not an exact quadratic; the
+  * by `maxGroups²` per token, which is why the operator aborts
+  * EAGERLY (one cheap count over the already-materialized presence
+  * set, BEFORE the quadratic join or any broadcast executes) when the
+  * observed group count exceeds `maxGroups` (a thousands-of-sources
+  * matrix wants the KMV path, not an exact quadratic; the
   * FrequentPairs cap posture). Jaccard and containment are single
   * IEEE divisions over exact BIGINTs — bit-replayable, no rounding.
   *
@@ -46,25 +48,23 @@ object SourceOverlap {
       .select(col(groupCol).as("g"), explode(toks).as("tok"))
       .distinct()
       .localCheckpoint() // feeds sizes + both join sides (Triangles lesson)
+    // EAGER cap check — pres is already materialized (the checkpoint
+    // above), so the count is a cheap local aggregation, and it fires
+    // BEFORE the quadratic self-join or any broadcast executes. The
+    // previous in-plan guard was post-hoc: woven into the join output,
+    // it evaluated only after the expensive work — and never at all
+    // when no two groups shared a token (empty join, nothing emitted).
+    val k = pres.select("g").distinct().count()
+    if (k > maxGroups) throw new IllegalArgumentException(
+      s"SourceOverlap: $k groups exceed maxGroups=$maxGroups — use the" +
+        " KMV overlap sketch for wide matrices")
     val sizes = pres.groupBy("g").agg(count(lit(1)).as("n"))
-    // in-plan cap: the quadratic fan-out is priced by the group count,
-    // so a too-wide matrix aborts loudly. The guard bit MULTIPLIES
-    // into the emitted count (×1 when under the cap) — an unreferenced
-    // guard column would be pruned out of the plan and never evaluate.
-    val guard = broadcast(sizes.agg(count(lit(1)).as("__k")).select(
-      when(col("__k") > maxGroups, raise_error(concat(
-          lit(s"SourceOverlap: "), col("__k").cast("string"),
-          lit(s" groups exceed maxGroups=$maxGroups — use the KMV overlap" +
-            " sketch for wide matrices"))).cast("long"))
-        .otherwise(lit(1L)).as("__ok")))
     val inter = pres.as("x")
       .join(pres.as("y"),
         col("x.tok") === col("y.tok") && col("x.g") < col("y.g"))
       .groupBy(col("x.g").as("g_a"), col("y.g").as("g_b"))
-      .agg(count(lit(1)).as("__inter"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .crossJoin(guard)
-      .withColumn("inter", col("__inter") * col("__ok"))
       .join(sizes.select(col("g").as("g_a"), col("n").as("n_a")), Seq("g_a"))
       .join(sizes.select(col("g").as("g_b"), col("n").as("n_b")), Seq("g_b"))
       .select(col("g_a"), col("g_b"), col("inter"), col("n_a"), col("n_b"),

@@ -595,6 +595,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions reject state values containing NUL") {
+    // a NUL inside a state value would collide two distinct (prev, next)
+    // pairs in the NUL-packed map key — the contract rejects it loudly
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans-nul").toString
+    Seq(("u", 1L, "a\u0000b"), ("u", 2L, "c")).toDF("key", "t", "st")
+      .coalesce(1).write.parquet(s"$dir/d0")
+    val stream = EventsStream.transitionsStream(
+      spark.readStream.schema("key string, t long, st string")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/d*/"),
+      "key", "t", "st").toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("trans_nul").start()
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(m => m != null && m.contains("NUL")))
+    } finally q.stop()
+  }
+
   test("streaming transitions abort on out-of-order delivery like CUSUM") {
     val dir = java.nio.file.Files.createTempDirectory("graft-trans-ooo").toString
     Seq(("u1", 5L, "A")).toDF("key", "t", "st")
