@@ -1,0 +1,223 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing + Hamming-banded near-duplicate pairs — the
+  * image arm of the dedup family. A training-data pipeline dedups images
+  * as well as text (re-encoded, recolored, resized copies of the same
+  * picture), and byte-level hashing cannot see through a re-encode; the
+  * classic cheap answer is a perceptual hash over a tiny luminance
+  * thumbnail:
+  *
+  *   - dHash (difference hash): box-downsample to a 9×8 gray grid, one
+  *     bit per horizontal neighbor comparison `g(x,y) > g(x+1,y)` —
+  *     64 bits encoding the gradient SIGN structure, invariant to
+  *     global brightness shifts and (by the box resample) to uniform
+  *     upscaling.
+  *   - aHash (average hash): 8×8 gray grid, one bit per cell
+  *     `g > mean` — coarser, kept for cross-checking.
+  *
+  * All arithmetic is EXACT integer (luminance `(299r + 587g + 114b) /
+  * 1000` floor-divided, box means floor-divided), so a hash is a pure
+  * function of the pixel raster — replayable bit-for-bit by an oracle
+  * given a closed-form raster (the `mm_phash_neardup` gate), and stable
+  * across JVMs.
+  *
+  * Near-dup pairs reuse the SimHash pigeonhole banding
+  * ([[graft.dedup.Dedup.simhashPairs]], `Dedup.scala:192`): split the
+  * 64-bit hash into `maxHamming + 1` chunks — any pair within the
+  * Hamming bound shares at least one exact chunk — and shuffle on
+  * (chunk index, value), never O(n²). Identical hashes (exact or
+  * re-encoded duplicates — the worst bucket skew) are collapsed to one
+  * representative BEFORE banding and re-expanded at hamming 0,
+  * mirroring the text path's exact-content collapse.
+  *
+  * 100 TB shape: decode + hash are partition-local (the [[Multimodal
+  * .decode]] idiom — pixels never shuffle); banding ships 8-byte
+  * fingerprints, `maxHamming + 1` rows each; the candidate join is
+  * bounded by bucket co-residency of 16-bit chunk values; output is
+  * pair-bounded. Nothing image-sized crosses the wire after the hash.
+  */
+object ImageHash {
+
+  /** Integer luminance (ITU-601 weights, floor division) — exact, and
+    * the identity on gray pixels (r = g = b = v ⇒ 1000v / 1000 = v).
+    */
+  private def lum(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (r * 299 + g * 587 + b * 114) / 1000
+  }
+
+  /** Box-downsample to a `tw`×`th` gray grid: cell (x, y) is the floor
+    * mean of luminance over pixel box [⌊xW/tw⌋, ⌊(x+1)W/tw⌋) ×
+    * [⌊yH/th⌋, ⌊(y+1)H/th⌋). Exact integer; the identity when the
+    * image is already tw×th, and exact under k× pixel replication
+    * (every box holds k² copies of one source pixel ⇒ same mean).
+    */
+  def grayGrid(img: BufferedImage, tw: Int, th: Int): Array[Array[Int]] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= tw && h >= th,
+      s"image ${w}x$h smaller than the ${tw}x$th hash grid — upscale first")
+    Array.tabulate(th, tw) { (y, x) =>
+      val x0 = x * w / tw; val x1 = (x + 1) * w / tw
+      val y0 = y * h / th; val y1 = (y + 1) * h / th
+      var sum = 0L
+      var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) { sum += lum(img.getRGB(xx, yy)); xx += 1 }
+        yy += 1
+      }
+      (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+    }
+  }
+
+  /** dHash: bit `y*8 + x` set iff gray(x, y) > gray(x+1, y) on the
+    * 9×8 grid (x in 0..7, y in 0..7). Bit 63 is the sign bit — the
+    * hash is an ordinary two's-complement long.
+    */
+  def dHash64(img: BufferedImage): Long = {
+    val g = grayGrid(img, 9, 8)
+    var fp = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x) > g(y)(x + 1)) fp |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** aHash: bit `y*8 + x` set iff gray(x, y) > floor-mean of the 8×8
+    * grid.
+    */
+  def aHash64(img: BufferedImage): Long = {
+    val g = grayGrid(img, 8, 8)
+    var sum = 0L
+    var y = 0
+    while (y < 8) { var x = 0; while (x < 8) { sum += g(y)(x); x += 1 }; y += 1 }
+    val mean = sum / 64
+    var fp = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x) > mean) fp |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** Decode image rows and hash them, partition-local ([[Multimodal
+    * .decode]]'s shape: pixels stay inside the task). Returns
+    * `(media_id, dhash, ahash)`.
+    */
+  def imageHashes(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.bytes))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"undecodable image payload for media ${r.media_id} " +
+              s"(${r.bytes.length} bytes)")
+        (r.media_id, dHash64(img), aHash64(img))
+      }
+    }.toDF("media_id", "dhash", "ahash")
+  }
+
+  /** All id pairs within `maxHamming` of each other on a 64-bit
+    * fingerprint column: `(id_a, id_b, hamming)` with id_a < id_b.
+    * Pigeonhole banding over `maxHamming + 1` chunks (the
+    * [[graft.dedup.Dedup.simhashPairs]] machinery, generalized to any
+    * fingerprint); identical fingerprints collapse to a representative
+    * before banding (re-encoded exact copies are the worst band skew)
+    * and re-expand at hamming 0.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, fpCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming out of [1,15]: $maxHamming")
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val h = hashes.select(col(idCol).as("id"), col(fpCol).as("fp"))
+    // exact-fingerprint collapse: one representative per distinct hash
+    val groups = h.groupBy("fp").agg(min(col("id")).as("rep"))
+    val member = h.join(groups, Seq("fp"))
+    val keyed = groups.select(col("rep"), col("fp"),
+        explode(array((0 until chunks).map { i =>
+          struct(lit(i).as("chunk"),
+            (shiftrightunsigned(col("fp"), i * bits) bitwiseAND
+              lit((1L << bits) - 1)).as("v"))
+        }: _*)).as("ck"))
+      // primitive join keys — struct keys degrade to a non-hashable join
+      .select(col("rep"), col("fp"), col("ck.chunk").as("chunk"),
+        col("ck.v").as("v"))
+    val l = keyed.select(col("chunk"), col("v"), col("rep").as("ra"),
+      col("fp").as("fa"))
+    val r = keyed.select(col("chunk"), col("v"), col("rep").as("rb"),
+      col("fp").as("fb"))
+    val repPairs = l.join(r, Seq("chunk", "v"))
+      .filter(col("ra") < col("rb"))
+      .dropDuplicates("ra", "rb")
+      .withColumn("hamming",
+        bit_count(col("fa") bitwiseXOR col("fb")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("ra", "rb", "hamming")
+    // cross-group expansion: every member of ra × every member of rb
+    val ma = member.select(col("rep").as("ra"), col("id").as("__ia"))
+    val mb = member.select(col("rep").as("rb"), col("id").as("__ib"))
+    val cross = repPairs.join(ma, Seq("ra")).join(mb, Seq("rb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    // within-group pairs: identical hash ⇒ hamming 0
+    val within = member.select(col("fp"), col("id").as("id_a")).as("x")
+      .join(member.select(col("fp"), col("id").as("id_b")).as("y"),
+        Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
+  }
+
+  /** Closed-form 9×8 gray PNG fixture for the oracle gate: cell
+    * luminance `((grp+3)·(5x + 11y + 7xy + 1)) mod 256` — the mixed
+    * xy term gives every (grp, row) its own comparison-step cadence,
+    * so distinct grps hash ~32 bits apart (measured: zero cross-grp
+    * pairs within Hamming 3 over 100 grps, popcount mean ≈ 31.6; a
+    * plain linear gradient left ≤6 active bits and 31k accidental
+    * cross-grp collisions) — except the LAST column's row-`variant`
+    * cell, which adds 128 (mod 256). The last column participates in
+    * exactly one dHash comparison (x = 7 vs x = 8), so two variants of
+    * one `grp` differ in at most 2 hash bits — planted near-duplicates
+    * whose dHash the oracle computes in closed form.
+    */
+  def fixturePng(grp: Long, variant: Int): Array[Byte] = {
+    val img = new BufferedImage(9, 8, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val base = (((grp + 3) * (5 * x + 11 * y + 7 * x * y + 1)) % 256).toInt
+        val v = if (x == 8 && y == variant) (base + 128) % 256 else base
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+}

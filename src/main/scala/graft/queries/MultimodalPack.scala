@@ -89,6 +89,33 @@ object MultimodalPack extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // Perceptual-hash image near-dup: per-doc 9×8 PNGs are synthesized
+    // on executors from a closed-form luminance grid (grp plants ~5-doc
+    // clusters; var perturbs only the last column, which feeds exactly
+    // one dHash comparison, so cluster members sit within Hamming 2),
+    // decoded + dHashed for real (JDK imageio → box resample → exact
+    // integer luminance), then paired by the pigeonhole Hamming banding.
+    // The oracle recomputes the dHash BIT-FOR-BIT from the same closed
+    // form and replays the banding in SQL — a hash that misreads pixels,
+    // a resampler that drifts off the floor-mean contract, or a band
+    // split that misses a chunk all fail the gate.
+    "mm_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(100)).cast("long").as("grp"),
+        pmod(expr("doc_id div 100"), lit(4)).cast("int").as("vr"))
+      val mkPng = udf((grp: Long, vr: Int) =>
+        graft.multimodal.ImageHash.fixturePng(grp, vr))
+      val media = params.select(col("media_id"), lit("image").as("kind"),
+          mkPng(col("grp"), col("vr")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      val hashed = graft.multimodal.ImageHash.imageHashes(media)
+      graft.multimodal.ImageHash
+        .hammingPairs(hashed, "media_id", "dhash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Real ISO-BMFF (MP4) container parse through the from-spec Mp4
     // codec: per-doc width/height/timescale/duration, codec fourcc and
     // per-sample sizes are closed-form in doc_id, synthesized into a
@@ -153,6 +180,53 @@ object MultimodalPack extends QueryPack {
          CAST(1 + OCTET_LENGTH(ENCODE(text)) % 2 AS INT) AS channels,
          CAST(64 + (OCTET_LENGTH(ENCODE(text)) * 3) % 256 AS INT) AS n_frames
          FROM documents ORDER BY media_id""",
+    // dHash replay: the 9×8 cell grid is closed-form in doc_id; bit
+    // y*8+x compares horizontal neighbors; bit 63 enters as the signed
+    // two's-complement weight so the BIGINT fingerprint matches Spark's
+    // long bit-for-bit; banding = 4 × 16-bit chunks via exact HUGEINT
+    // division on the unsigned view (Spark's shiftrightunsigned twin)
+    "mm_phash_neardup" ->
+      """WITH p AS (
+           SELECT doc_id AS media_id, doc_id % 100 AS grp,
+                  (doc_id // 100) % 4 AS vr
+           FROM documents),
+         cells AS (
+           SELECT media_id, x.x AS x, y.y AS y,
+             CASE WHEN x.x = 8 AND y.y = vr
+                  THEN (((grp+3) * (5*x.x + 11*y.y + 7*x.x*y.y + 1)) % 256
+                        + 128) % 256
+                  ELSE ((grp+3) * (5*x.x + 11*y.y + 7*x.x*y.y + 1)) % 256
+                  END AS g
+           FROM p, range(0, 9) x(x), range(0, 8) y(y)),
+         bits AS (
+           SELECT a.media_id, a.y * 8 + a.x AS pos,
+             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells b
+             ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+           WHERE a.x < 8),
+         fp AS (
+           SELECT media_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+               WHEN pos = 63 THEN -9223372036854775808
+               ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
+             AS BIGINT) AS f
+           FROM bits GROUP BY media_id),
+         keyed AS (
+           SELECT media_id, f, c.chunk,
+             CAST(((CAST(f AS HUGEINT) + CASE WHEN f < 0
+                 THEN CAST('18446744073709551616' AS HUGEINT)
+                 ELSE 0 END)
+               // (CASE c.chunk WHEN 0 THEN 1 WHEN 1 THEN 65536
+                   WHEN 2 THEN 4294967296
+                   ELSE 281474976710656 END)) % 65536 AS BIGINT) AS v
+           FROM fp, range(0, 4) c(chunk)),
+         pairs AS (
+           SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.f AS fa, b.f AS fb
+           FROM keyed a JOIN keyed b
+             ON b.chunk = a.chunk AND b.v = a.v AND a.media_id < b.media_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+         FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+         ORDER BY id_a, id_b""",
     // the closed forms mirror the fixture generator; sample_bytes sums
     // the same per-sample size sequence the stsz table carries (n ≤ 7,
     // so a fixed 0..6 series filtered by i < n replays the loop — DuckDB
