@@ -57,6 +57,144 @@ object Drift {
     p.withColumn("contrib", (pc - pr) * log(pc / pr))
   }
 
+  /** TRAILING-WINDOW PSI — the drift twin of [[SlidingDistinct
+    * .rollingDistinct]]'s scatter idiom, closing the monitor family's
+    * gap: CUSUM watches a series' LEVEL, this watches its trailing
+    * DISTRIBUTION. One row per (observed day, bucket): the PSI
+    * contribution of that bucket over the window covering the day and
+    * the `windowDays − 1` before it, against a PINNED reference frame
+    * (the training snapshot). Σ contrib per day is that day's PSI.
+    *
+    * Execution is the scatter idiom end-to-end: the corpus reduces
+    * ONCE to per-day bucket counts (the only corpus-sized shuffle),
+    * each day's counts post to every window that contains the day (a
+    * bounded `windowDays` explode + ONE equi-shuffle on (day, bucket)
+    * — no non-equi join, no per-window rescan), per-day totals and
+    * reference shares ride broadcasts. The reference side is one
+    * bounded aggregation of the pinned frame. NULL timestamps abort
+    * loudly (the SlidingDistinct posture); NULL values leave the
+    * distribution entirely, like [[psi]].
+    *
+    * Windows ending on unobserved days do not emit (absence of ANY
+    * corpus row that day is its own signal — the [[DataQuality]]
+    * gates watch volume); empty buckets within an observed window
+    * surface as share 0 → `eps`, exactly [[psi]]'s smoothing.
+    */
+  def rollingPsi(df: DataFrame, tsCol: String, valueCol: String,
+                 ref: DataFrame, nBuckets: Int, lo: Double, hi: Double,
+                 windowDays: Int, eps: Double = 1e-4): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"bad grid [$lo, $hi) x $nBuckets")
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays out of [1,366]: $windowDays")
+    val w = (hi - lo) / nBuckets
+    def bucket(c: Column): Column =
+      least(greatest(floor((c.cast("double") - lo) / w), lit(0.0)),
+        lit((nBuckets - 1).toDouble)).cast("int")
+    val spark = df.sparkSession
+    val withDay = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__day",
+        when(col(tsCol).isNull, raise_error(lit(
+            s"Drift.rollingPsi: NULL $tsCol — filter or repair null " +
+              "timestamps upstream")))
+          .otherwise(to_date(col(tsCol))))
+    // the ONE corpus-sized reduction; feeds the day list AND the
+    // scatter — cut once (the Triangles lesson)
+    val daily = withDay
+      .select(col("__day"), bucket(col(valueCol)).as("bucket"))
+      .groupBy("__day", "bucket").agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val days = daily.select(col("__day").as("day")).distinct()
+    val scattered = daily
+      .select(col("__day"), col("bucket"), col("__n"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
+      .select(date_add(col("__day"), col("__off")).as("day"),
+        col("bucket"), col("__n"))
+    val windowed = scattered
+      .join(broadcast(days), Seq("day"))
+      .groupBy("day", "bucket").agg(sum(col("__n")).as("__wn"))
+    val totals = windowed.groupBy("day").agg(sum(col("__wn")).as("__tot"))
+    val refB = ref.filter(col(valueCol).isNotNull)
+      .select(bucket(col(valueCol)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("__rn"))
+    val refShares = refB
+      .crossJoin(broadcast(refB.agg(sum(col("__rn")).as("__rtot"))))
+      .select(col("bucket"),
+        (col("__rn").cast("double") / col("__rtot").cast("double"))
+          .as("p_ref"))
+    // full (observed day) × bucket grid: empty buckets must surface as
+    // 0 shares for the eps smoothing, like psi's grid left-joins
+    val grid = days.crossJoin(broadcast(
+      spark.range(nBuckets).select(col("id").cast("int").as("bucket"))))
+    val p = grid
+      .join(windowed, Seq("day", "bucket"), "left")
+      .join(broadcast(totals), Seq("day"))
+      .join(broadcast(refShares), Seq("bucket"), "left")
+      .select(col("day"), col("bucket"),
+        coalesce(col("p_ref"), lit(0.0)).as("p_ref"),
+        (coalesce(col("__wn"), lit(0L)).cast("double") /
+          col("__tot").cast("double")).as("p_cur"))
+    val pr = greatest(col("p_ref"), lit(eps))
+    val pc = greatest(col("p_cur"), lit(eps))
+    p.withColumn("contrib", (pc - pr) * log(pc / pr))
+  }
+
+  /** DuckDB replay of [[rollingPsi]]: the same daily bucket counts,
+    * offset scatter, observed-day restriction, grid left-joins and
+    * eps-clamped contribution tree. `valuesSql` must yield
+    * `(ts TIMESTAMP, v)` and `refSql` a `v` column; shares are single
+    * IEEE divisions, `contrib` carries the one `ln` — round all three
+    * at the gate per the transcendental convention.
+    */
+  def rollingPsiOracleSql(valuesSql: String, refSql: String, nBuckets: Int,
+                          lo: Double, hi: Double, windowDays: Int,
+                          eps: Double = 1e-4): String = {
+    val w = (hi - lo) / nBuckets
+    def bucketSql(c: String) =
+      s"LEAST(GREATEST(FLOOR((CAST($c AS DOUBLE) - $lo) / $w), 0), ${nBuckets - 1})"
+    s"""WITH vals AS (
+         SELECT CAST(ts AS DATE) AS dday, v FROM ($valuesSql)
+         WHERE v IS NOT NULL),
+       daily AS (
+         SELECT dday, ${bucketSql("v")} AS bucket, COUNT(*) AS n
+         FROM vals GROUP BY 1, 2),
+       days AS (SELECT DISTINCT dday AS day FROM daily),
+       scattered AS (
+         SELECT dday + CAST(off AS INTEGER) AS day, bucket, n
+         FROM daily CROSS JOIN (
+           SELECT UNNEST(RANGE(0, $windowDays)) AS off)),
+       win AS (
+         SELECT s.day, bucket, SUM(n) AS wn
+         FROM scattered s JOIN days d ON d.day = s.day
+         GROUP BY 1, 2),
+       tot AS (SELECT day, SUM(wn) AS tot FROM win GROUP BY 1),
+       refb AS (
+         SELECT ${bucketSql("v")} AS bucket, COUNT(*) AS rn
+         FROM ($refSql) WHERE v IS NOT NULL GROUP BY 1),
+       rshare AS (
+         SELECT bucket, CAST(rn AS DOUBLE) / (SELECT SUM(rn) FROM refb)
+           AS p_ref
+         FROM refb),
+       grid AS (
+         SELECT day, b AS bucket FROM days, (
+           SELECT UNNEST(RANGE(0, $nBuckets)) AS b)),
+       p AS (
+         SELECT g.day, g.bucket,
+           COALESCE(r.p_ref, 0.0) AS p_ref,
+           CAST(COALESCE(w.wn, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE)
+             AS p_cur
+         FROM grid g
+         LEFT JOIN win w ON w.day = g.day AND w.bucket = g.bucket
+         JOIN tot t ON t.day = g.day
+         LEFT JOIN rshare r ON r.bucket = g.bucket)
+       SELECT STRFTIME(day, '%Y-%m-%d') AS day, CAST(bucket AS INT) AS bucket,
+         ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+         ROUND((GREATEST(p_cur, $eps) - GREATEST(p_ref, $eps))
+               * LN(GREATEST(p_cur, $eps) / GREATEST(p_ref, $eps)), 6)
+           + 0.0 AS contrib
+       FROM p"""
+  }
+
   /** Kolmogorov–Smirnov drift table — the binning-free complement of
     * [[psi]] (PSI answers "how much mass moved between my buckets"; KS
     * answers "what is the largest CDF gap anywhere", catching shifts a

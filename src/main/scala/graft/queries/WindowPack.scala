@@ -356,6 +356,26 @@ object WindowPack extends QueryPack {
           col("n_buckets"), col("v_empty"), col("s_mass"), col("est_raw"),
           round(col("est"), 4).as("est"))
         .orderBy("day")
+    }),
+
+    // Trailing-window PSI via the same scatter idiom: per-day bucket
+    // counts post to every containing 7-day window (one equi-shuffle,
+    // no non-equi join), each window's shares compared against the
+    // pinned purchase-slice reference. Shares are single divisions;
+    // contrib carries the one ln — all rounded per the transcendental
+    // convention.
+    "w_rolling_psi" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.operators.Drift.rollingPsi(
+          ev, "ts", "value",
+          ref = ev.filter(col("event_type") === "purchase"),
+          nBuckets = 10, lo = 0.0, hi = 500.0, windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("bucket"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("contrib"), 6).as("contrib"))
+        .orderBy("day", "bucket")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -616,5 +636,11 @@ object WindowPack extends QueryPack {
          FROM (${graft.operators.SlidingDistinct.oracleSql(
         "SELECT ts, user_id AS v FROM events WHERE user_id IS NOT NULL",
         p = 8, windowDays = 7)})
-         ORDER BY day""")
+         ORDER BY day""",
+
+    "w_rolling_psi" -> (graft.operators.Drift.rollingPsiOracleSql(
+      "SELECT ts, value AS v FROM events",
+      "SELECT value AS v FROM events WHERE event_type = 'purchase'",
+      nBuckets = 10, lo = 0.0, hi = 500.0, windowDays = 7) +
+      " ORDER BY day, bucket"))
 }

@@ -111,4 +111,52 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(shifted.getAs[Double]("shift_l2") - 2.0) < 1e-6)
     assert(shifted.getAs[Double]("centroid_cos") < 1.0)
   }
+
+  // ------------------------------------------------------- rolling PSI
+
+  private def tsRows(rows: Seq[(String, Double)]) =
+    rows.toDF("d", "v").select(to_timestamp(col("d")).as("ts"), col("v"))
+
+  test("rolling PSI: each window's rows equal a direct two-frame psi over that slice") {
+    val cur = tsRows(Seq(
+      ("2024-01-01", 5.0), ("2024-01-01", 15.0), ("2024-01-02", 25.0),
+      ("2024-01-03", 5.0), ("2024-01-03", 35.0), ("2024-01-05", 45.0),
+      ("2024-01-05", 5.0)))
+    val ref = Seq(5.0, 15.0, 25.0, 35.0).toDF("v")
+    val got = Drift.rollingPsi(cur, "ts", "v", ref, nBuckets = 5,
+        lo = 0.0, hi = 50.0, windowDays = 3)
+      .select(col("day").cast("string"), col("bucket"), col("p_ref"),
+        col("p_cur"), col("contrib"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r =>
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet)
+      .toMap
+    // observed days only — 01-04 never emits
+    assert(got.keySet === Set("2024-01-01", "2024-01-02", "2024-01-03",
+      "2024-01-05"))
+    for ((day, lastDay) <- Seq("2024-01-02" -> 2, "2024-01-03" -> 3,
+                               "2024-01-05" -> 5)) {
+      val slice = cur.filter(
+        to_date(col("ts")) >= s"2024-01-0${math.max(1, lastDay - 2)}" &&
+          to_date(col("ts")) <= s"2024-01-0$lastDay")
+      val direct = Drift.psi(ref, slice, "v", nBuckets = 5,
+          lo = 0.0, hi = 50.0)
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+      assert(got(day) === direct, s"window ending $day")
+    }
+  }
+
+  test("rolling PSI: NULL timestamps abort loudly") {
+    val cur = Seq((null: String, 5.0), ("2024-01-01", 6.0)).toDF("d", "v")
+      .select(to_timestamp(col("d")).as("ts"), col("v"))
+    val ex = intercept[Exception] {
+      Drift.rollingPsi(cur, "ts", "v", Seq(1.0).toDF("v"),
+        nBuckets = 5, lo = 0.0, hi = 50.0, windowDays = 3).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("NULL ts")))
+  }
 }

@@ -531,6 +531,25 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"the observed-day restriction should broadcast:\n$s")
   }
 
+  test("rolling PSI: offset scatter is an equi-join, day list and shares broadcast") {
+    val df = graft.SparkEntry.queries("w_rolling_psi")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!"(?i)cartesianproduct".r.findFirstIn(s).isDefined,
+      s"the window merge must be the offset scatter, not a range join:\n$s")
+    // the only nested loops allowed are the bounded BROADCAST crosses of
+    // the house one-row/grid-attach idiom (days × 10-bucket grid, ref
+    // total); the scatter and share joins themselves must be hash equi
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 2 &&
+      !"(?i)(?<!broadcast)nestedloopjoin".r.findFirstIn(s.toLowerCase
+        .replace("broadcastnestedloopjoin", "")).isDefined,
+      s"only the bounded broadcast grid-crosses may nested-loop:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"day list / totals / reference shares should broadcast:\n$s")
+    assert(!"(?i)sortmergejoin".r.findFirstIn(s).isDefined,
+      s"every post-reduction frame is bounded — nothing may sort-merge:\n$s")
+  }
+
   test("wilson rates: ONE aggregation, interval math map-side") {
     val df = graft.SparkEntry.queries("a_rate_wilson")(spark, sf)
     df.count()
