@@ -293,6 +293,55 @@ object QuantileSketch {
     }
   }
 
+  /** DOUBLE-VALUED quantile lane — the quantize-and-track wrapper that
+    * removes the caller ceremony the integer contract otherwise
+    * demands: a raw float metric gets monitored quantiles while the
+    * sketch itself stays on the exact-integer grid (the oracle is not
+    * weakened — it replays the SAME integer cells and walk, plus the
+    * closed-form scaling trees around them).
+    *
+    * The grid is derived from the data in one map-side-combined
+    * min/max pass: `scale = (2^levels − 1) / (hi − lo)` (1.0 when the
+    * column is constant), `v = clamp(⌊(x − lo)·scale⌋)`. Every output
+    * row carries the full provenance: the grid value (`q_grid`), the
+    * de-scaled `q_value = lo + q_grid / scale` (the CELL'S LEFT EDGE),
+    * the `scale`, and `max_abs_err = 1/scale` — a strict bound on
+    * |q_value − the true PERCENTILE_DISC of the raw doubles|, because
+    * quantization is monotone (ties merge toward the left edge) so
+    * the walk lands in the true quantile's cell. Precision is chosen
+    * by `levels`; tighten the bound by raising it.
+    *
+    * Scaling trees are single IEEE expressions over the exact min/max
+    * — bit-replayable in SQL like every float in this engine. NULLs
+    * are excluded (the sketch contract); an empty frame yields no
+    * rows. 100 TB shape: unchanged from [[sketch]] — the extra cost is
+    * one min/max aggregation and a broadcast of its single row.
+    */
+  def quantilesDouble(df: DataFrame, valueCol: String, levels: Int,
+                      depth: Int, width: Int, qs: Seq[Double]): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__x"))
+    val top = (1L << levels) - 1
+    val stats = rows
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+      .select(col("__lo"),
+        when(col("__hi") > col("__lo"),
+            lit(top.toDouble) / (col("__hi") - col("__lo")))
+          .otherwise(lit(1.0)).as("__scale"))
+    val quantized = rows.crossJoin(broadcast(stats))
+      .select(least(greatest(
+          floor((col("__x") - col("__lo")) * col("__scale")).cast("long"),
+          lit(0L)), lit(top)).as("__v"))
+    sketch(quantized, "__v", levels, depth, width)
+      .quantiles(qs)
+      .crossJoin(broadcast(stats))
+      .select(col("q"), col("q_value").as("q_grid"),
+        (col("__lo") + col("q_value").cast("double") / col("__scale"))
+          .as("q_value"),
+        col("__scale").as("scale"),
+        (lit(1.0) / col("__scale")).as("max_abs_err"))
+  }
+
   private def checkedValue(df: DataFrame, valueCol: String,
                            levels: Int): Column = {
     val v = col(valueCol).cast("long")

@@ -591,6 +591,24 @@ object TextPack extends QueryPack {
         .orderBy("event_type", "q")
     }),
 
+    // DOUBLE-valued quantile lane: the raw float column is quantized
+    // onto the data-derived grid inside the operator (min/max → scale
+    // → floor), the sketch runs the exact-integer walk unchanged, and
+    // the output de-scales with the grid provenance (scale + strict
+    // max_abs_err bound) riding in every row. The oracle replays the
+    // min/max, the scaling trees AND the full integer walk.
+    "t_dq_double" -> ((s, dir) => {
+      graft.operators.QuantileSketch.quantilesDouble(
+          table(s, dir, "events"), "value",
+          levels = 10, depth = 4, width = 256,
+          qs = Seq(0.1, 0.5, 0.9))
+        .select(col("q"), col("q_grid"),
+          round(col("q_value"), 6).as("q_value"),
+          round(col("scale"), 6).as("scale"),
+          round(col("max_abs_err"), 6).as("max_abs_err"))
+        .orderBy("q")
+    }),
+
     // WEIGHTED quantiles — every doc weighted by its own length, so
     // q=0.5 answers "half the corpus's CHARACTERS live in documents
     // shorter than this" (the mass-based length profile of a corpus
@@ -1394,6 +1412,69 @@ object TextPack extends QueryPack {
              FROM walk w WHERE w.l > 0) z)
          SELECT event_type, q, p AS q_value FROM walk WHERE l = 0
          ORDER BY event_type, q""",
+    // the t_dq_quantile walk, ungrouped, over values quantized by the
+    // SAME closed-form scaling trees the operator computes (min/max →
+    // scale → floor → clamp), then de-scaled with the grid provenance
+    "t_dq_double" ->
+      s"""WITH RECURSIVE
+         d AS (SELECT unnest(range(0, 4)) AS i),
+         lv AS (SELECT unnest(range(0, 10)) AS lvl),
+         raw AS (SELECT CAST(value AS DOUBLE) AS x
+                 FROM events WHERE value IS NOT NULL),
+         sc AS (SELECT lo, CASE WHEN hi > lo THEN 1023.0 / (hi - lo)
+                           ELSE 1.0 END AS scale
+                FROM (SELECT MIN(x) AS lo, MAX(x) AS hi FROM raw)),
+         ev AS (SELECT LEAST(GREATEST(
+                  CAST(FLOOR((x - lo) * scale) AS BIGINT), 0), 1023) AS v
+                FROM raw, sc),
+         cells AS (
+           SELECT lvl, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(v >> lvl AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)" +
+               " || ':' || CAST(i AS VARCHAR)")} % 256 AS bucket
+           FROM ev CROSS JOIN lv CROSS JOIN d),
+         sk AS (SELECT lvl, i, bucket, COUNT(*) AS cnt
+                FROM cells GROUP BY 1, 2, 3),
+         tot AS (SELECT COUNT(*) AS n FROM ev),
+         qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS q),
+         walk AS (
+           SELECT qs.q, 10 AS l,
+                  GREATEST(CAST(CEIL(qs.q * tot.n) AS BIGINT),
+                           CAST(1 AS BIGINT)) AS t,
+                  CAST(0 AS BIGINT) AS p
+           FROM tot CROSS JOIN qs WHERE tot.n > 0
+           UNION ALL
+           SELECT q, l - 1,
+                  CASE WHEN t <= lc THEN t ELSE t - lc END,
+                  CASE WHEN t <= lc THEN p * 2 ELSE p * 2 + 1 END
+           FROM (
+             SELECT w.q, w.l, w.t, w.p, LEAST(
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.lvl = w.l - 1
+                   AND sk.i = 0 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':0'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.lvl = w.l - 1
+                   AND sk.i = 1 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':1'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.lvl = w.l - 1
+                   AND sk.i = 2 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':2'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.lvl = w.l - 1
+                   AND sk.i = 3 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':3'")} % 256), 0)) AS lc
+             FROM walk w WHERE w.l > 0) z)
+         SELECT q, p AS q_grid,
+           ROUND(lo + CAST(p AS DOUBLE) / scale, 6) AS q_value,
+           ROUND(scale, 6) AS scale,
+           ROUND(1.0 / scale, 6) AS max_abs_err
+         FROM walk, sc WHERE l = 0
+         ORDER BY q""",
     // the same walk with SUM(weight) cells: N is total characters, the
     // descent decisions replay over weighted counts — exact BIGINTs
     "t_dq_wmass" ->

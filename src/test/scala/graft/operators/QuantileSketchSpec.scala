@@ -173,4 +173,37 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("outside [0, 2^8)"))
   }
+
+  test("double lane: every answer within its own max_abs_err of the exact disc percentile") {
+    // irregular floats (negatives, fractional, clustered) — nothing on
+    // any integer grid
+    val xs = (0 until 500).map(i =>
+      math.sin(i * 0.7) * 37.3 - 5.1 + (i % 7) * 0.013)
+    val df = xs.map(Tuple1(_)).toDF("x")
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val got = QuantileSketch.quantilesDouble(df, "x",
+        levels = 12, depth = 4, width = 512, qs = qs)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getDouble(2), r.getDouble(4)))).toMap
+    val sorted = xs.sorted
+    qs.foreach { q =>
+      // PERCENTILE_DISC: smallest x with rank ≥ ceil(q·n)
+      val exact = sorted(math.max(math.ceil(q * xs.size).toInt, 1) - 1)
+      val (v, err) = got(q)
+      assert(math.abs(v - exact) <= err,
+        s"q=$q: |$v - $exact| > max_abs_err=$err")
+      // the bound is the advertised grid step
+      assert(math.abs(err - (sorted.last - sorted.head) / 4095.0) < 1e-12)
+    }
+  }
+
+  test("double lane: constant column answers exactly, zero-information grid") {
+    val df = Seq.fill(40)(7.25).map(Tuple1(_)).toDF("x")
+    val rows = QuantileSketch.quantilesDouble(df, "x",
+        levels = 10, depth = 4, width = 256, qs = Seq(0.5))
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getDouble(2) === 7.25) // lo + 0/1.0
+    assert(rows.head.getLong(1) === 0L)
+  }
 }
