@@ -93,15 +93,18 @@ object FuzzyDedup {
   def canonicalizeSpellings(df: DataFrame, strCol: String,
                             maxEdit: Int = 1,
                             maxBucket: Long = 100000L,
-                            maxLen: Int = 40): DataFrame = {
+                            maxLen: Int = 40,
+                            checkpointDir: Option[String] = None): DataFrame = {
     val occ = df.select(col(strCol).cast("string").as("w"))
       .filter(col("w").isNotNull)
-    val counts = occ.groupBy("w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    // the vocab-counts cut and the components loop both honour the
+    // Durable policy (None = local cut; a dir survives executor loss)
+    val counts = new graft.core.Durable(checkpointDir)
+      .cut(occ.groupBy("w").agg(count(lit(1)).as("cnt")))
     val pairs = pairsWithinEdit(counts.select("w"), "w", maxEdit,
         maxBucket, maxLen)
       .select(col("a").as("id_a"), col("b").as("id_b"))
-    val comps = Dedup.connectedComponents(pairs)
+    val comps = Dedup.connectedComponents(pairs, checkpointDir = checkpointDir)
     val mem = counts
       .join(comps.withColumnRenamed("id", "w"), Seq("w"), "left")
       .select(col("w"), col("cnt"),

@@ -92,14 +92,16 @@ object Ann {
     * convention.
     */
   def mutualNearestNeighbors(corpus: DataFrame, idCol: String,
-                             vecCol: String): DataFrame = {
+                             vecCol: String,
+                             checkpointDir: Option[String] = None): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nm", norm(col("v")))
     mutualResolve(
       v.select(col("id").as("neighbor_id"), col("v").as("cv"),
           col("nm").as("cn"))
         .crossJoin(v.select(col("id").as("query_id"), col("v").as("qv"),
-          col("nm").as("qn"))))
+          col("nm").as("qn"))),
+      checkpointDir)
   }
 
   /** [[mutualNearestNeighbors]] at corpus scale: both sides assigned
@@ -116,7 +118,8 @@ object Ann {
     */
   def mutualNearestNeighborsCelled(corpus: DataFrame, index: IvfIndex,
                                    nprobe: Int, idCol: String = "vec_id",
-                                   vecCol: String = "embedding"): DataFrame = {
+                                   vecCol: String = "embedding",
+                                   checkpointDir: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
@@ -137,7 +140,7 @@ object Ann {
     val scored =
       if (nprobe > 1) scoredAll.dropDuplicates("query_id", "neighbor_id")
       else scoredAll
-    resolveScored(scored)
+    resolveScored(scored, checkpointDir)
   }
 
   /** Score the candidate product and PROJECT AWAY the vectors in the
@@ -159,8 +162,9 @@ object Ann {
     * scored and projected map-side ([[scorePairs]]), rank-1 per query
     * is taken, then the mutuality self-join.
     */
-  private def mutualResolve(pairs: DataFrame): DataFrame =
-    resolveScored(scorePairs(pairs))
+  private def mutualResolve(pairs: DataFrame,
+                            checkpointDir: Option[String] = None): DataFrame =
+    resolveScored(scorePairs(pairs), checkpointDir)
 
   /** Rank-1 per query over scored `(query_id, neighbor_id, cos)`
     * candidates, then the mutuality self-join. Rank-1 is one
@@ -179,15 +183,19 @@ object Ann {
     * Catalyst would otherwise re-execute the whole candidate scoring
     * (the expensive step) twice per action, the shared-subtree
     * re-execution the repo's iterative operators all guard against.
+    * The cut honours the engine-wide [[graft.core.Durable]] policy:
+    * `checkpointDir = None` is the local cut; a directory makes the
+    * rank-1 state survive executor loss on a long corpus-alignment
+    * run (bit-identical either way, asserted in AnnSpec).
     */
-  private def resolveScored(scored: DataFrame): DataFrame = {
-    val nn = scored
+  private def resolveScored(scored: DataFrame,
+                            checkpointDir: Option[String]): DataFrame = {
+    val nn = new graft.core.Durable(checkpointDir).cut(scored
       .select(col("query_id"),
         struct((col("cos") * -1.0).as("negcos"), col("neighbor_id")).as("cand"))
       .groupBy("query_id").agg(min(col("cand")).as("best"))
       .select(col("query_id").as("ida"), col("best.neighbor_id").as("idb"),
-        (col("best.negcos") * -1.0).as("cos"))
-      .localCheckpoint()
+        (col("best.negcos") * -1.0).as("cos")))
     nn.as("p").join(nn.as("q"),
         col("p.ida") === col("q.idb") && col("p.idb") === col("q.ida"))
       .filter(col("p.ida") < col("p.idb"))

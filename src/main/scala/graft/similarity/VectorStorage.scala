@@ -123,8 +123,10 @@ object VectorStorage {
     * the candidate join carries one partial row per query per
     * partition.
     */
-  def mutualNearestNeighbors(spark: SparkSession, table: String): DataFrame = {
-    val nn = mnnRank1Plan(spark, table).localCheckpoint()
+  def mutualNearestNeighbors(spark: SparkSession, table: String,
+                             checkpointDir: Option[String] = None): DataFrame = {
+    val nn = new graft.core.Durable(checkpointDir)
+      .cut(mnnRank1Plan(spark, table))
     nn.as("p").join(nn.as("q"),
         col("p.ida") === col("q.idb") && col("p.idb") === col("q.ida"))
       .filter(col("p.ida") < col("p.idb"))

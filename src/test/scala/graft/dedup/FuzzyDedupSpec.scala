@@ -94,6 +94,28 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(got("spark") === (("spark", 7L)))
   }
 
+  test("canonicalizeSpellings: reliable checkpoint mode is bit-identical to local") {
+    val occ = (Seq.fill(10)("color") ++ Seq.fill(4)("colour") ++
+      Seq.fill(2)("colr") ++ Seq.fill(5)("table") ++ Seq.fill(3)("tables") ++
+      Seq.fill(7)("spark")).map(Tuple1(_))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-canon-ckpt").toString
+    try {
+      val local = FuzzyDedup.canonicalizeSpellings(
+          occ.toDF("w"), "w", maxEdit = 1)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val durable = FuzzyDedup.canonicalizeSpellings(
+          occ.toDF("w"), "w", maxEdit = 1, checkpointDir = Some(dir))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(durable === local)
+      assert(new java.io.File(dir).listFiles != null &&
+        new java.io.File(dir).listFiles.nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("canonicalizeSpellings breaks frequency ties lexicographically LAST") {
     val occ = (Seq.fill(3)("gray") ++ Seq.fill(3)("grey")).map(Tuple1(_))
     val got = FuzzyDedup.canonicalizeSpellings(occ.toDF("w"), "w")

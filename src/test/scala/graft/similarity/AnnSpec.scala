@@ -328,4 +328,25 @@ class AnnSpec extends AnyFunSuite {
     val best = got.maxBy(_._4)
     assert(best._1 === 20L)
   }
+
+  test("mutual NN celled: reliable checkpoint mode is bit-identical to local") {
+    val emb = graft.core.Tables.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val index = Ann.trainIvf(emb, nlist = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mnn-ckpt").toString
+    try {
+      val local = Ann.mutualNearestNeighborsCelled(emb, index, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val durable = Ann.mutualNearestNeighborsCelled(emb, index, nprobe = 2,
+          checkpointDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(durable === local)
+      assert(local.nonEmpty)
+      // the reliable cut actually wrote state to the directory
+      assert(new java.io.File(dir).listFiles != null &&
+        new java.io.File(dir).listFiles.nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }
