@@ -116,8 +116,13 @@ object Bench {
       try {
         val tmp = graft.bench.PipelineBench.scratchRoot()
         try {
+          // pipeline repeats beyond the first yield at 70% of the
+          // budget so the micro-query sweep always gets a share — on a
+          // contended box every stage runs uniformly slow, and round
+          // 11's first sweep spent the whole budget on pipeline repeats
           val (stageMap, stageSkipped) = graft.bench.PipelineBench.runBest(
-            spark, tmp, n, deadline, (nm, v, _) => emit(nm, v))
+            spark, tmp, n, deadline, (nm, v, _) => emit(nm, v),
+            laterRepsDeadlineNanos = t0 + (budgetSec * 0.7 * 1e9).toLong)
           stageMap.foreach { case (k, v) => emit(k, v) }
           skipped ++= stageSkipped
         } finally org.apache.commons.io.FileUtils

@@ -139,6 +139,214 @@ object Drift {
     p.withColumn("contrib", (pc - pr) * log(pc / pr))
   }
 
+  /** Multi-FEATURE [[rollingPsi]]: one melt pass over the corpus, one
+    * scatter, one PSI table per (window-end day, feature) — the
+    * drift dashboard's actual shape ("which feature moved this
+    * week"), without scanning the corpus once per feature. Each
+    * feature brings its own fixed grid `(lo, hi)` (scales differ;
+    * normalizing them onto one grid would hide drift in the smaller
+    * ones); `features` maps column name → grid. Output adds a
+    * `feature` column ahead of [[rollingPsi]]'s.
+    *
+    * Execution: the corpus melts map-side to `(day, feature, bucket)`
+    * via one stacked projection (bucket arithmetic inlined per
+    * feature — no per-row grid lookup), reduces ONCE, and everything
+    * downstream is the [[rollingPsi]] pipeline with `feature` carried
+    * through every key — still one corpus-sized shuffle total, not
+    * one per feature.
+    */
+  def rollingPsiStacked(df: DataFrame, tsCol: String,
+                        features: Map[String, (Double, Double)],
+                        nBuckets: Int, ref: DataFrame, windowDays: Int,
+                        eps: Double = 1e-4): DataFrame = {
+    require(features.nonEmpty, "features must be non-empty")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays out of [1,366]: $windowDays")
+    features.foreach { case (c, (lo, hi)) =>
+      require(hi > lo, s"bad grid [$lo, $hi) for feature $c") }
+    val spark = df.sparkSession
+    val feats = features.toSeq.sortBy(_._1)
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      least(greatest(floor((c.cast("double") - lo) /
+        ((hi - lo) / nBuckets)), lit(0.0)),
+        lit((nBuckets - 1).toDouble)).cast("int")
+    def melt(src: DataFrame, withDay: Boolean): DataFrame = {
+      val cells = array(feats.map { case (c, (lo, hi)) =>
+        struct(lit(c).as("feature"),
+          when(col(c).isNotNull, bucket(col(c), lo, hi)).as("bucket"))
+      }: _*)
+      val base = if (withDay)
+        src.select(
+          when(col(tsCol).isNull, raise_error(lit(
+              s"Drift.rollingPsiStacked: NULL $tsCol — filter or repair " +
+                "null timestamps upstream")))
+            .otherwise(to_date(col(tsCol))).as("__day"),
+          explode(cells).as("fc"))
+      else src.select(lit(null).cast("date").as("__day"),
+        explode(cells).as("fc"))
+      // a NULL feature value leaves that feature's distribution (the
+      // psi posture), not the whole row
+      base.select(col("__day"), col("fc.feature").as("feature"),
+          col("fc.bucket").as("bucket"))
+        .filter(col("bucket").isNotNull)
+    }
+    val daily = melt(df, withDay = true)
+      .groupBy("__day", "feature", "bucket").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // feeds day list + scatter (Triangles lesson)
+    val days = daily.select(col("__day").as("day")).distinct()
+    val windowed = daily
+      .select(col("__day"), col("feature"), col("bucket"), col("__n"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
+      .select(date_add(col("__day"), col("__off")).as("day"),
+        col("feature"), col("bucket"), col("__n"))
+      .join(broadcast(days), Seq("day"))
+      .groupBy("day", "feature", "bucket").agg(sum(col("__n")).as("__wn"))
+    val totals = windowed.groupBy("day", "feature")
+      .agg(sum(col("__wn")).as("__tot"))
+    val refB = melt(ref, withDay = false)
+      .groupBy("feature", "bucket").agg(count(lit(1)).as("__rn"))
+    val refShares = refB
+      .join(broadcast(refB.groupBy("feature")
+        .agg(sum(col("__rn")).as("__rtot"))), Seq("feature"))
+      .select(col("feature"), col("bucket"),
+        (col("__rn").cast("double") / col("__rtot").cast("double"))
+          .as("p_ref"))
+    val grid = days
+      .crossJoin(broadcast(spark.range(nBuckets)
+        .select(col("id").cast("int").as("bucket"))))
+      .crossJoin(broadcast(spark.createDataset(feats.map(_._1))(
+        org.apache.spark.sql.Encoders.STRING).toDF("feature")))
+    val p = grid
+      .join(windowed, Seq("day", "feature", "bucket"), "left")
+      .join(broadcast(totals), Seq("day", "feature"))
+      .join(broadcast(refShares), Seq("feature", "bucket"), "left")
+      .select(col("day"), col("feature"), col("bucket"),
+        coalesce(col("p_ref"), lit(0.0)).as("p_ref"),
+        (coalesce(col("__wn"), lit(0L)).cast("double") /
+          col("__tot").cast("double")).as("p_cur"))
+    val pr = greatest(col("p_ref"), lit(eps))
+    val pc = greatest(col("p_cur"), lit(eps))
+    p.withColumn("contrib", (pc - pr) * log(pc / pr))
+  }
+
+  /** TRAILING-WINDOW KS — [[ksTable]] under the scatter idiom, the
+    * binning-free companion of [[rollingPsi]] (PSI needs a grid; KS
+    * catches the shifts a coarse grid averages away). One row per
+    * (observed day, support value v): the ref and trailing-window
+    * CDFs at v and their gap; `MAX(gap)` per day is that day's KS
+    * statistic against the pinned reference.
+    *
+    * Values ride the [[Quantized]] integer contract (quantize floats
+    * first — the ksTable posture), so every count, prefix sum and CDF
+    * division is exact. The support is the GLOBAL union of ref and
+    * corpus values — domain-bounded by quantization — so the per-day
+    * prefix sums run one window over (days × domain) rows, never
+    * corpus-sized; the corpus itself reduces once to per-day value
+    * counts and scatters with the bounded explode. NULL timestamps
+    * abort loudly; NULL values are excluded per the ksTable contract.
+    * Days where the window is empty cannot occur (observed days post
+    * to themselves); an empty REF aborts eagerly (no CDF to compare).
+    */
+  def rollingKs(df: DataFrame, tsCol: String, valueCol: String,
+                ref: DataFrame, windowDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays out of [1,366]: $windowDays")
+    val withDay = df
+      .filter(col(valueCol).isNotNull)
+      .select(
+        when(col(tsCol).isNull, raise_error(lit(
+            s"Drift.rollingKs: NULL $tsCol — filter or repair null " +
+              "timestamps upstream")))
+          .otherwise(to_date(col(tsCol))).as("__day"),
+        Quantized.checkedLong(col(valueCol), "Drift.rollingKs").as("v"))
+    val daily = withDay
+      .groupBy("__day", "v").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // feeds day list + scatter + support
+    val days = daily.select(col("__day").as("day")).distinct()
+    val refCounts = ref.filter(col(valueCol).isNotNull)
+      .select(Quantized.checkedLong(col(valueCol), "Drift.rollingKs ref")
+        .as("v"))
+      .groupBy("v").agg(count(lit(1)).as("__rn"))
+      .localCheckpoint() // feeds support + shares + eager total
+    val refTotal = refCounts.agg(sum(col("__rn")).as("__rt")).head()
+    require(!refTotal.isNullAt(0) && refTotal.getLong(0) > 0,
+      "Drift.rollingKs: empty reference frame — no CDF to compare against")
+    val support = daily.select(col("v"))
+      .union(refCounts.select(col("v"))).distinct()
+    val windowed = daily
+      .select(col("__day"), col("v"), col("__n"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
+      .select(date_add(col("__day"), col("__off")).as("day"),
+        col("v"), col("__n"))
+      .join(broadcast(days), Seq("day"))
+      .groupBy("day", "v").agg(sum(col("__n")).as("__wn"))
+    // (observed day × global support) frame — domain-bounded
+    val frame = days.crossJoin(broadcast(support))
+      .join(windowed, Seq("day", "v"), "left")
+      .join(broadcast(refCounts), Seq("v"), "left")
+      .na.fill(0L, Seq("__wn", "__rn"))
+    val w = Window.partitionBy("day").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = windowed.groupBy("day").agg(sum(col("__wn")).as("__wt"))
+    frame
+      .withColumn("__cw", sum(col("__wn")).over(w))
+      .withColumn("__cr", sum(col("__rn")).over(w))
+      .join(broadcast(totals), Seq("day"))
+      .select(col("day"), col("v"),
+        (col("__cr").cast("double") / lit(refTotal.getLong(0).toDouble))
+          .as("cdf_ref"),
+        (col("__cw").cast("double") / col("__wt").cast("double"))
+          .as("cdf_cur"))
+      .withColumn("gap", abs(col("cdf_ref") - col("cdf_cur")))
+  }
+
+  /** DuckDB replay of [[rollingKs]]: same daily counts, scatter,
+    * global support grid, per-day prefix sums and exact CDF
+    * divisions. `valuesSql` must yield `(ts TIMESTAMP, v integral)`,
+    * `refSql` a `v` column.
+    */
+  def rollingKsOracleSql(valuesSql: String, refSql: String,
+                         windowDays: Int): String =
+    s"""WITH vals AS (
+         SELECT CAST(ts AS DATE) AS dday, v FROM ($valuesSql)
+         WHERE v IS NOT NULL),
+       daily AS (SELECT dday, v, COUNT(*) AS n FROM vals GROUP BY 1, 2),
+       days AS (SELECT DISTINCT dday AS day FROM daily),
+       refc AS (SELECT v, COUNT(*) AS rn FROM ($refSql)
+                WHERE v IS NOT NULL GROUP BY 1),
+       sup AS (SELECT DISTINCT v FROM (
+         SELECT v FROM daily UNION ALL SELECT v FROM refc)),
+       scattered AS (
+         SELECT dday + CAST(off AS INTEGER) AS day, v, n
+         FROM daily CROSS JOIN (
+           SELECT UNNEST(RANGE(0, $windowDays)) AS off)),
+       win AS (
+         SELECT s.day, v, SUM(n) AS wn
+         FROM scattered s JOIN days d ON d.day = s.day GROUP BY 1, 2),
+       wt AS (SELECT day, SUM(wn) AS wt FROM win GROUP BY 1),
+       frame AS (
+         SELECT d.day, sup.v,
+           COALESCE(w.wn, 0) AS wn, COALESCE(r.rn, 0) AS rn
+         FROM days d CROSS JOIN sup
+         LEFT JOIN win w ON w.day = d.day AND w.v = sup.v
+         LEFT JOIN refc r ON r.v = sup.v),
+       cum AS (
+         SELECT day, v,
+           SUM(wn) OVER (PARTITION BY day ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           SUM(rn) OVER (PARTITION BY day ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+         FROM frame)
+       SELECT STRFTIME(cum.day, '%Y-%m-%d') AS day, v,
+         CAST(cr AS DOUBLE) / (SELECT CAST(SUM(rn) AS DOUBLE) FROM refc)
+           AS cdf_ref,
+         CAST(cw AS DOUBLE) / CAST(wt.wt AS DOUBLE) AS cdf_cur,
+         ABS(CAST(cr AS DOUBLE) / (SELECT CAST(SUM(rn) AS DOUBLE) FROM refc)
+             - CAST(cw AS DOUBLE) / CAST(wt.wt AS DOUBLE)) AS gap
+       FROM cum JOIN wt ON wt.day = cum.day"""
+
   /** DuckDB replay of [[rollingPsi]]: the same daily bucket counts,
     * offset scatter, observed-day restriction, grid left-joins and
     * eps-clamped contribution tree. `valuesSql` must yield

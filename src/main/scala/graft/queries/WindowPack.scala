@@ -376,6 +376,45 @@ object WindowPack extends QueryPack {
           round(col("p_cur"), 6).as("p_cur"),
           round(col("contrib"), 6).as("contrib"))
         .orderBy("day", "bucket")
+    }),
+
+    // Multi-feature rolling PSI: one melt pass, per-feature grids, one
+    // PSI row set per (window-end, feature). The oracle is the
+    // per-feature single-column replay UNION'd — the stacked pipeline
+    // must be invisible in the result.
+    "w_rolling_psi_multi" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.operators.Drift.rollingPsiStacked(
+          ev, "ts",
+          features = Map("value" -> ((0.0, 500.0)),
+            "user_id" -> ((0.0, 1000.0))),
+          nBuckets = 8,
+          ref = ev.filter(col("event_type") === "purchase"),
+          windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("feature"), col("bucket"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("contrib"), 6).as("contrib"))
+        .orderBy("day", "feature", "bucket")
+    }),
+
+    // Trailing-window KS vs the pinned reference — the binning-free
+    // companion of w_rolling_psi: exact integer prefix sums over the
+    // global support, one CDF division pair per (day, v).
+    "w_rolling_ks" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("ts"), col("event_type"),
+          floor(col("value")).cast("long").as("v"))
+      graft.operators.Drift.rollingKs(
+          ev, "ts", "v",
+          ref = ev.filter(col("event_type") === "purchase"),
+          windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("v"),
+          round(col("cdf_ref"), 6).as("cdf_ref"),
+          round(col("cdf_cur"), 6).as("cdf_cur"),
+          round(col("gap"), 6).as("gap"))
+        .orderBy("day", "v")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -642,5 +681,27 @@ object WindowPack extends QueryPack {
       "SELECT ts, value AS v FROM events",
       "SELECT value AS v FROM events WHERE event_type = 'purchase'",
       nBuckets = 10, lo = 0.0, hi = 500.0, windowDays = 7) +
-      " ORDER BY day, bucket"))
+      " ORDER BY day, bucket"),
+
+    // per-feature single-column replays, tagged and UNION'd — the
+    // stacked melt must be invisible in the result
+    "w_rolling_psi_multi" -> {
+      def arm(feature: String, lo: Double, hi: Double) =
+        s"""SELECT '$feature' AS feature, * FROM (
+           ${graft.operators.Drift.rollingPsiOracleSql(
+          s"SELECT ts, $feature AS v FROM events",
+          s"SELECT $feature AS v FROM events WHERE event_type = 'purchase'",
+          nBuckets = 8, lo = lo, hi = hi, windowDays = 7)})"""
+      arm("user_id", 0.0, 1000.0) + " UNION ALL " +
+        arm("value", 0.0, 500.0) + " ORDER BY day, feature, bucket"
+    },
+
+    "w_rolling_ks" ->
+      s"""SELECT day, v, ROUND(cdf_ref, 6) AS cdf_ref,
+           ROUND(cdf_cur, 6) AS cdf_cur, ROUND(gap, 6) AS gap
+         FROM (${graft.operators.Drift.rollingKsOracleSql(
+        "SELECT ts, CAST(FLOOR(value) AS BIGINT) AS v FROM events",
+        "SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events" +
+          " WHERE event_type = 'purchase'",
+        windowDays = 7)}) q ORDER BY day, v""")
 }

@@ -148,6 +148,68 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("stacked rolling PSI equals per-feature rollingPsi with a feature tag") {
+    val cur = Seq(
+      ("2024-01-01", 5.0, 100.0), ("2024-01-01", 15.0, 300.0),
+      ("2024-01-02", 25.0, 700.0), ("2024-01-03", 35.0, 100.0),
+      ("2024-01-05", 45.0, 900.0))
+      .toDF("d", "a", "b")
+      .select(to_timestamp(col("d")).as("ts"), col("a"), col("b"))
+    val ref = Seq((5.0, 100.0), (25.0, 500.0), (45.0, 900.0)).toDF("a", "b")
+    val stacked = Drift.rollingPsiStacked(cur, "ts",
+        features = Map("a" -> ((0.0, 50.0)), "b" -> ((0.0, 1000.0))),
+        nBuckets = 5, ref = ref, windowDays = 3)
+      .collect().map(r => (r.getString(1), r.getDate(0).toString, r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val single = Seq(("a", 0.0, 50.0), ("b", 0.0, 1000.0)).flatMap {
+      case (f, lo, hi) =>
+        Drift.rollingPsi(cur, "ts", f, ref, nBuckets = 5, lo = lo, hi = hi,
+            windowDays = 3)
+          .collect().map(r => (f, r.getDate(0).toString, r.getInt(1),
+            r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    }.toSet
+    assert(stacked === single)
+    assert(stacked.nonEmpty)
+  }
+
+  test("rolling KS: per-day max gap equals the two-frame ksTable statistic") {
+    val cur = tsRows(Seq(
+      ("2024-01-01", 1.0), ("2024-01-01", 3.0), ("2024-01-02", 5.0),
+      ("2024-01-03", 3.0), ("2024-01-03", 9.0), ("2024-01-05", 7.0)))
+      .select(col("ts"), col("v").cast("long").as("v"))
+    val ref = Seq(1L, 3L, 5L, 7L).toDF("v")
+    val rolled = Drift.rollingKs(cur, "ts", "v", ref, windowDays = 3)
+    val maxGaps = rolled.groupBy("day").agg(max("gap").as("g"))
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    assert(maxGaps.keySet === Set("2024-01-01", "2024-01-02", "2024-01-03",
+      "2024-01-05"))
+    for ((day, lastDay) <- Seq("2024-01-01" -> 1, "2024-01-03" -> 3,
+                               "2024-01-05" -> 5)) {
+      val slice = cur.filter(
+        to_date(col("ts")) >= s"2024-01-0${math.max(1, lastDay - 2)}" &&
+          to_date(col("ts")) <= s"2024-01-0$lastDay")
+      val direct = Drift.ksTable(ref, slice, "v")
+        .agg(max("gap")).head().getDouble(0)
+      assert(math.abs(maxGaps(day) - direct) < 1e-15, s"day $day")
+    }
+    // CDFs are right-continuous step functions over the global support
+    val row = rolled.filter(col("day") === "2024-01-01" && col("v") === 9L)
+      .head()
+    assert(row.getAs[Double]("cdf_ref") === 1.0)
+    assert(row.getAs[Double]("cdf_cur") === 1.0)
+  }
+
+  test("rolling KS: empty reference aborts eagerly") {
+    val cur = tsRows(Seq(("2024-01-01", 1.0)))
+      .select(col("ts"), col("v").cast("long").as("v"))
+    val ex = intercept[IllegalArgumentException] {
+      Drift.rollingKs(cur, "ts", "v",
+        spark.emptyDataFrame.withColumn("v", lit(null).cast("long")),
+        windowDays = 3)
+    }
+    assert(ex.getMessage.contains("empty reference"))
+  }
+
   test("rolling PSI: NULL timestamps abort loudly") {
     val cur = Seq((null: String, 5.0), ("2024-01-01", 6.0)).toDF("d", "v")
       .select(to_timestamp(col("d")).as("ts"), col("v"))
