@@ -251,7 +251,9 @@ object PipelineBench {
   private val QuietCpuRef = Map(
     "pm25_combine_month_1M" -> 138.0,
     "pm25_combine_month_1M_bucketed" -> 80.0,
-    "pm25_combine_month_1M_disk" -> 140.0,
+    // min-folded with the round-11 local full sweep (contended box —
+    // 13 stages self-flagged — but min-fold only absorbs LOWER values)
+    "pm25_combine_month_1M_disk" -> 135.8,
     "pm25_spatial_impute_month" -> 92.0,
     "pm25_feature_gen_month" -> 205.0,
     "pm25_feature_gen_year" -> 1797.0,
@@ -273,7 +275,7 @@ object PipelineBench {
     // quiet cpu in the same run — so these first values are upper
     // bounds that later artifacts will tighten by min-fold)
     "pm25_year_e2e" -> 3697.7,
-    "eval_auc_10M" -> 14.3,
+    "eval_auc_10M" -> 9.4, // min-folded, round-11 local full sweep
     // first priced by a round-10 filtered local sweep
     // (SPARK_GRAFT_PIPELINE_ONLY=monitor_*), then min-folded with the
     // round-10 full quiet sweep (25.6 / 22.4 cpu-sec — the filtered

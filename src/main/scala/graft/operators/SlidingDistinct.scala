@@ -29,12 +29,18 @@ import org.apache.spark.sql.functions._
 object SlidingDistinct {
 
   /** Per-day trailing-window distinct estimate of `valueCol`:
-    * `(day, n_buckets, v_empty, s_mass, est_raw, est)` — one row per
-    * OBSERVED day (`tsCol` is a timestamp; the day is its date), the
-    * window covering that day and the `windowDays − 1` before it.
+    * `(groupCols…, day, n_buckets, v_empty, s_mass, est_raw, est)` —
+    * one row per OBSERVED (group, day) (`tsCol` is a timestamp; the
+    * day is its date), the window covering that day and the
+    * `windowDays − 1` before it. With `groupCols` one independent
+    * rolling series per group (per-source 7-day active users — the
+    * dashboard shape), each group's windows anchored to ITS OWN
+    * observed days; the scatter/merge keys simply widen, so the plan
+    * gains no stage.
     */
   def rollingDistinct(df: DataFrame, tsCol: String, valueCol: String,
-                      p: Int, windowDays: Int): DataFrame = {
+                      p: Int, windowDays: Int,
+                      groupCols: Seq[String] = Nil): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays out of [1,366]: $windowDays")
     // NULL timestamps abort loudly: a NULL __day would build a null-day
@@ -47,38 +53,48 @@ object SlidingDistinct {
             "repair null timestamps upstream")))
         .otherwise(to_date(col(tsCol))))
     val daily = HllSketch.sketch(withDay, valueCol, p,
-      groupCols = Seq("__day"))
+      groupCols = groupCols :+ "__day")
     // feeds the day list AND the scatter — cut once (Triangles lesson)
     val regs = daily.registers.localCheckpoint()
-    val days = regs.select(col("__day").as("day")).distinct()
+    val days = regs
+      .select(groupCols.map(col) :+ col("__day").as("day"): _*).distinct()
     val scattered = regs
-      .select(col("__day"), col("bucket"), col("reg"),
-        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
-      .select(date_add(col("__day"), col("__off")).as("day"),
-        col("bucket"), col("reg"))
+      .select(groupCols.map(col) ++ Seq(col("__day"), col("bucket"),
+        col("reg"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        date_add(col("__day"), col("__off")).as("day"),
+        col("bucket"), col("reg")): _*)
     val rolled = scattered
-      .join(broadcast(days), Seq("day"))
-      .groupBy("day", "bucket").agg(max(col("reg")).as("reg"))
-    HllSketch.Hll(rolled, p, Seq("day")).estimate()
+      .join(broadcast(days), groupCols :+ "day")
+      .groupBy((groupCols ++ Seq("day", "bucket")).map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+    HllSketch.Hll(rolled, p, groupCols :+ "day").estimate()
   }
 
   /** DuckDB replay of [[rollingDistinct]]: the same daily registers,
     * offset scatter, observed-day restriction and estimate trees.
-    * `valuesSql` must yield (ts TIMESTAMP, v non-null).
+    * `valuesSql` must yield (groupCols…, ts TIMESTAMP, v non-null).
     */
-  def oracleSql(valuesSql: String, p: Int, windowDays: Int): String =
+  def oracleSql(valuesSql: String, p: Int, windowDays: Int,
+                groupCols: Seq[String] = Nil): String = {
+    val g = groupCols.map(_ + ", ").mkString
+    val sOn = (groupCols.map(c => s"d.$c = s.$c") :+ "d.day = s.day")
+      .mkString(" AND ")
     s"""WITH vals AS (
-         SELECT CAST(ts AS DATE) AS __day, v FROM ($valuesSql)),
+         SELECT ${g}CAST(ts AS DATE) AS __day, v FROM ($valuesSql)),
        regs0 AS (${HllSketch.registersSql(
-        "SELECT __day, v FROM vals", p, Seq("__day"))}),
-       days AS (SELECT DISTINCT __day AS day FROM regs0),
+        s"SELECT ${g}__day, v FROM vals", p, groupCols :+ "__day")}),
+       days AS (SELECT DISTINCT ${g}__day AS day FROM regs0),
        scattered AS (
-         SELECT __day + CAST(off AS INTEGER) AS day, bucket, reg
+         SELECT ${g}__day + CAST(off AS INTEGER) AS day, bucket, reg
          FROM regs0 CROSS JOIN (
            SELECT UNNEST(RANGE(0, $windowDays)) AS off)),
        regs AS (
-         SELECT s.day, bucket, MAX(reg) AS reg
-         FROM scattered s JOIN days d ON d.day = s.day
-         GROUP BY s.day, bucket)
-       ${HllSketch.estimateSql(p, Seq("day"))}"""
+         SELECT ${groupCols.map(c => s"s.$c, ").mkString}s.day, bucket,
+           MAX(reg) AS reg
+         FROM scattered s JOIN days d ON $sOn
+         GROUP BY ${groupCols.map(c => s"s.$c, ").mkString}s.day, bucket)
+       ${HllSketch.estimateSql(p, groupCols :+ "day")}"""
+  }
 }

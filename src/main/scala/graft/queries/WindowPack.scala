@@ -358,6 +358,20 @@ object WindowPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // GROUPED rolling distinct: one independent 7-day active-user
+    // series per event type, windows anchored to each type's own
+    // observed days — the scatter/merge keys widen, the plan doesn't.
+    "w_rolling_distinct_by_type" -> ((s, dir) => {
+      graft.operators.SlidingDistinct.rollingDistinct(
+          table(s, dir, "events"), "ts", "user_id", p = 8, windowDays = 7,
+          groupCols = Seq("event_type"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_buckets"), col("v_empty"), col("s_mass"), col("est_raw"),
+          round(col("est"), 4).as("est"))
+        .orderBy("event_type", "day")
+    }),
+
     // Trailing-window PSI via the same scatter idiom: per-day bucket
     // counts post to every containing 7-day window (one equi-shuffle,
     // no non-equi join), each window's shares compared against the
@@ -676,6 +690,15 @@ object WindowPack extends QueryPack {
         "SELECT ts, user_id AS v FROM events WHERE user_id IS NOT NULL",
         p = 8, windowDays = 7)})
          ORDER BY day""",
+
+    "w_rolling_distinct_by_type" ->
+      s"""SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day, n_buckets,
+           v_empty, s_mass, est_raw, ROUND(est, 4) AS est
+         FROM (${graft.operators.SlidingDistinct.oracleSql(
+        "SELECT event_type, ts, user_id AS v FROM events" +
+          " WHERE user_id IS NOT NULL",
+        p = 8, windowDays = 7, groupCols = Seq("event_type"))})
+         ORDER BY event_type, day""",
 
     "w_rolling_psi" -> (graft.operators.Drift.rollingPsiOracleSql(
       "SELECT ts, value AS v FROM events",

@@ -53,6 +53,30 @@ class SlidingDistinctSpec extends AnyFunSuite {
     assert(got5 === batch5)
   }
 
+  test("grouped rolling distinct equals per-group filtered ungrouped runs") {
+    val df = Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 2L),
+      ("a", "2024-01-04", 1L), ("b", "2024-01-01", 9L),
+      ("b", "2024-01-03", 8L), ("b", "2024-01-03", 9L))
+      .toDF("g", "d", "v")
+      .select(col("g"), to_timestamp(col("d")).as("ts"), col("v"))
+    val grouped = SlidingDistinct.rollingDistinct(df, "ts", "v", P, 3,
+        groupCols = Seq("g"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(4)))
+      .toSet
+    val single = Seq("a", "b").flatMap { g =>
+      SlidingDistinct.rollingDistinct(df.filter(col("g") === g),
+          "ts", "v", P, 3)
+        .collect().map(r => (g, r.getDate(0).toString, r.getLong(3)))
+    }.toSet
+    assert(grouped === single)
+    // each group's windows anchor to ITS OWN observed days
+    assert(grouped.map(t => (t._1, t._2)) === Set(
+      ("a", "2024-01-01"), ("a", "2024-01-02"), ("a", "2024-01-04"),
+      ("b", "2024-01-01"), ("b", "2024-01-03")))
+  }
+
   test("only observed days emit rows — no phantom horizon windows") {
     val df = events(Seq(("2024-01-01", 1L), ("2024-01-09", 2L)))
     val days = SlidingDistinct.rollingDistinct(df, "ts", "v", P, 7)
