@@ -253,9 +253,9 @@ object PipelineBench {
     "pm25_combine_month_1M_bucketed" -> 80.0,
     // min-folded with the round-11 local full sweep (contended box —
     // 13 stages self-flagged — but min-fold only absorbs LOWER values)
-    "pm25_combine_month_1M_disk" -> 135.8,
+    "pm25_combine_month_1M_disk" -> 129.2,
     "pm25_spatial_impute_month" -> 92.0,
-    "pm25_feature_gen_month" -> 205.0,
+    "pm25_feature_gen_month" -> 191.1, // min-folded, r11 quiet sweep
     "pm25_feature_gen_year" -> 1797.0,
     "pm25_month_e2e" -> 450.0,
     "pm25_quarter_e2e" -> 839.0,
@@ -289,9 +289,12 @@ object PipelineBench {
     // interleaved repeats; the quiet skew/cusum anchors of the same
     // box apply) — upper bounds that min-fold tighter
     "monitor_rolling_distinct_10M" -> 16.8,
+    // first priced by a round-11 filtered sweep (PIPELINE_ONLY with the
+    // skew anchor quiet at 1.4 cpu-sec vs its 3.3 ref)
+    "monitor_rolling_psi_10M" -> 7.9,
     "monitor_rolling_quantile_10M" -> 25.0,
     "eval_spearman_10M" -> 98.3,
-    "ann_semdedup_100k_adhoc" -> 23.8,
+    "ann_semdedup_100k_adhoc" -> 22.9, // min-folded, r11 quiet sweep
     "ann_semdedup_100k_at_rest" -> 11.3,
     // first priced by a round-11 filtered local sweep
     // (SPARK_GRAFT_PIPELINE_ONLY=ann_mnn_100k_adhoc,ann_mnn_100k_at_rest,
@@ -550,6 +553,17 @@ object PipelineBench {
             // max, not sum: per-day s_mass ≈ m·2^(61−p) ≈ 2.3e18, a
             // LONG sum over 115 days overflows ANSI arithmetic
             .agg(max(col("s_mass")), sum(col("est"))).head()),
+        // trailing-window PSI at soak scale: 10M rows over ~115 days,
+        // 7-day windows vs a broadcast uniform reference — prices the
+        // daily reduce + bucket scatter + grid joins end-to-end
+        TimedStage("monitor_rolling_psi_10M", 2, cpuCompanion = true)(() =>
+          graft.operators.Drift.rollingPsi(
+              monitorRows.withColumn("ts2",
+                timestamp_micros(col("t") * 1000000L)),
+              "ts2", "v",
+              ref = spark.range(1000).select(col("id").as("v")),
+              nBuckets = 20, lo = 0.0, hi = 1000.0, windowDays = 7)
+            .agg(sum(col("contrib")), sum(col("p_cur"))).head()),
         TimedStage("monitor_rolling_quantile_10M", 2, cpuCompanion = true)(() =>
           graft.operators.RollingQuantile.rollingQuantiles(
               monitorRows.withColumn("ts2",

@@ -139,6 +139,53 @@ object Drift {
     p.withColumn("contrib", (pc - pr) * log(pc / pr))
   }
 
+  /** Per-day PSI SUMMARY with alert classification over
+    * [[rollingPsi]] — the row a drift dashboard actually pages on:
+    * `(day, psi, status)` with the industry thresholds (psi < 0.1
+    * `stable`, < 0.25 `watch`, else `action`). The per-bucket
+    * contributions are rounded at 6 FIRST and summed in bucket order
+    * through one in-order fold (the embeddingShift pattern), so the
+    * float total is deterministic under any partitioning and replays
+    * bit-for-bit in SQL; the bucket list is nBuckets-bounded per day.
+    */
+  def rollingPsiSummary(df: DataFrame, tsCol: String, valueCol: String,
+                        ref: DataFrame, nBuckets: Int, lo: Double,
+                        hi: Double, windowDays: Int,
+                        eps: Double = 1e-4): DataFrame = {
+    val byDay = rollingPsi(df, tsCol, valueCol, ref, nBuckets, lo, hi,
+        windowDays, eps)
+      .select(col("day"),
+        struct(col("bucket"), round(col("contrib"), 6).as("c")).as("bc"))
+      .groupBy("day").agg(sort_array(collect_list(col("bc"))).as("a"))
+    val psi = aggregate(col("a"), lit(0.0),
+      (acc, x) => acc + x.getField("c"))
+    byDay.select(col("day"), psi.as("psi"),
+      when(psi < 0.1, lit("stable"))
+        .when(psi < 0.25, lit("watch"))
+        .otherwise(lit("action")).as("status"))
+  }
+
+  /** DuckDB replay of [[rollingPsiSummary]]: the [[rollingPsiOracleSql]]
+    * table folded per day in bucket order with the LIST left-fold
+    * (bit-identical to Spark's `aggregate`), then the same threshold
+    * CASE. Emits `(day, psi, status)` with `day` already formatted.
+    */
+  def rollingPsiSummaryOracleSql(valuesSql: String, refSql: String,
+                                 nBuckets: Int, lo: Double, hi: Double,
+                                 windowDays: Int,
+                                 eps: Double = 1e-4): String =
+    s"""WITH base AS (${rollingPsiOracleSql(valuesSql, refSql, nBuckets,
+          lo, hi, windowDays, eps)}),
+       folded AS (
+         SELECT day,
+           LIST_SUM(LIST(contrib ORDER BY bucket)) AS psi
+         FROM base GROUP BY day)
+       SELECT day, psi,
+         CASE WHEN psi < 0.1 THEN 'stable'
+              WHEN psi < 0.25 THEN 'watch'
+              ELSE 'action' END AS status
+       FROM folded"""
+
   /** Multi-FEATURE [[rollingPsi]]: one melt pass over the corpus, one
     * scatter, one PSI table per (window-end day, feature) — the
     * drift dashboard's actual shape ("which feature moved this

@@ -413,6 +413,20 @@ object WindowPack extends QueryPack {
         .orderBy("day", "feature", "bucket")
     }),
 
+    // Per-day PSI summary + alert status — the page-on row: 6dp
+    // contributions folded in bucket order (deterministic under any
+    // partitioning), thresholds 0.1/0.25 per the PSI rule of thumb.
+    "w_rolling_psi_alarm" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.operators.Drift.rollingPsiSummary(
+          ev, "ts", "value",
+          ref = ev.filter(col("event_type") === "purchase"),
+          nBuckets = 10, lo = 0.0, hi = 500.0, windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("psi"), 6).as("psi"), col("status"))
+        .orderBy("day")
+    }),
+
     // Trailing-window KS vs the pinned reference — the binning-free
     // companion of w_rolling_psi: exact integer prefix sums over the
     // global support, one CDF division pair per (day, v).
@@ -718,6 +732,14 @@ object WindowPack extends QueryPack {
       arm("user_id", 0.0, 1000.0) + " UNION ALL " +
         arm("value", 0.0, 500.0) + " ORDER BY day, feature, bucket"
     },
+
+    "w_rolling_psi_alarm" ->
+      s"""SELECT day, ROUND(psi, 6) AS psi, status
+         FROM (${graft.operators.Drift.rollingPsiSummaryOracleSql(
+        "SELECT ts, value AS v FROM events",
+        "SELECT value AS v FROM events WHERE event_type = 'purchase'",
+        nBuckets = 10, lo = 0.0, hi = 500.0, windowDays = 7)}) q
+       ORDER BY day""",
 
     "w_rolling_ks" ->
       s"""SELECT day, v, ROUND(cdf_ref, 6) AS cdf_ref,

@@ -148,6 +148,38 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling PSI summary: bucket-ordered fold of 6dp contribs, threshold statuses") {
+    val cur = tsRows(Seq(
+      ("2024-01-01", 5.0), ("2024-01-01", 15.0), ("2024-01-02", 25.0),
+      ("2024-01-03", 45.0), ("2024-01-03", 45.0), ("2024-01-03", 45.0)))
+    val ref = Seq(5.0, 15.0, 25.0, 35.0).toDF("v")
+    val got = Drift.rollingPsiSummary(cur, "ts", "v", ref, nBuckets = 5,
+        lo = 0.0, hi = 50.0, windowDays = 2)
+      .collect()
+      .map(r => r.getDate(0).toString -> ((r.getDouble(1), r.getString(2))))
+      .toMap
+    // expected = the per-bucket table's rounded contribs, folded in
+    // bucket order
+    val table = Drift.rollingPsi(cur, "ts", "v", ref, nBuckets = 5,
+        lo = 0.0, hi = 50.0, windowDays = 2)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getDouble(4)))
+      .groupBy(_._1)
+    got.foreach { case (day, (psi, status)) =>
+      val want = table(day).sortBy(_._2).map(t =>
+        BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble).foldLeft(0.0)(_ + _)
+      assert(psi === want, s"day $day")
+      val wantStatus =
+        if (psi < 0.1) "stable" else if (psi < 0.25) "watch" else "action"
+      assert(status === wantStatus)
+    }
+    // the heavy 01-03 shift (all mass in the top bucket, absent from
+    // ref) must page
+    assert(got("2024-01-03")._2 === "action")
+    assert(got.size === 3)
+  }
+
   test("stacked rolling PSI equals per-feature rollingPsi with a feature tag") {
     val cur = Seq(
       ("2024-01-01", 5.0, 100.0), ("2024-01-01", 15.0, 300.0),
