@@ -191,6 +191,32 @@ object ImageHash {
     cross.unionByName(within)
   }
 
+  /** End-to-end perceptual image deduplication — the image twin of
+    * [[graft.dedup.Dedup.deduplicate]]: decode+dHash partition-local,
+    * Hamming-banded near-dup pairs, connected components (the shared
+    * large-star/small-star loop, `checkpointDir` per the
+    * [[graft.core.Durable]] policy), min-id canonical per cluster.
+    * Returns EVERY media row's verdict: `(media_id, cluster, kept)` —
+    * singletons are their own cluster and keep themselves. Transitive
+    * closure is deliberate (a chain of ≤`maxHamming` steps is one
+    * cluster — the standard near-dup recipe); tighten `maxHamming`
+    * rather than fighting chains.
+    */
+  def deduplicate(media: Dataset[Multimodal.MediaRow], maxHamming: Int = 3,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val hashed = imageHashes(media)
+    val pairs = hammingPairs(hashed, "media_id", "dhash", maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.dedup.Dedup.connectedComponents(pairs,
+      checkpointDir = checkpointDir)
+    hashed.select(col("media_id"))
+      .join(comps.withColumnRenamed("id", "media_id"), Seq("media_id"),
+        "left")
+      .select(col("media_id"),
+        coalesce(col("canonical_id"), col("media_id")).as("cluster"))
+      .withColumn("kept", col("media_id") === col("cluster"))
+  }
+
   /** Closed-form 9×8 gray PNG fixture for the oracle gate: cell
     * luminance `((grp+3)·(5x + 11y + 7xy + 1)) mod 256` — the mixed
     * xy term gives every (grp, row) its own comparison-step cadence,

@@ -116,6 +116,27 @@ object MultimodalPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // End-to-end image dedup over the same planted fixture: pairs →
+    // connected components (large-star/small-star) → min-id canonical
+    // verdict per media row. The oracle recomputes the hashes, takes
+    // ALL-pairs edges within the bound, and closes them with the
+    // recursive-reach components idiom — a different algorithm, same
+    // semantics (pigeonhole banding is complete within the bound).
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(100)).cast("long").as("grp"),
+        pmod(expr("doc_id div 100"), lit(4)).cast("int").as("vr"))
+      val mkPng = udf((grp: Long, vr: Int) =>
+        graft.multimodal.ImageHash.fixturePng(grp, vr))
+      val media = params.select(col("media_id"), lit("image").as("kind"),
+          mkPng(col("grp"), col("vr")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      graft.multimodal.ImageHash.deduplicate(media, maxHamming = 3)
+        .orderBy("media_id")
+    }),
+
     // Real ISO-BMFF (MP4) container parse through the from-spec Mp4
     // codec: per-doc width/height/timescale/duration, codec fourcc and
     // per-sample sizes are closed-form in doc_id, synthesized into a
@@ -147,6 +168,37 @@ object MultimodalPack extends QueryPack {
           col("sampleBytes").as("sample_bytes"))
         .orderBy("media_id")
     }))
+
+  /** Shared dHash replay for the phash oracles: the 9×8 cell grid is
+    * closed-form in doc_id; bit y*8+x compares horizontal neighbors;
+    * bit 63 enters as the signed two's-complement weight so the BIGINT
+    * fingerprint matches Spark's long bit-for-bit.
+    */
+  private val PhashFpCte: String =
+    """p AS (
+         SELECT doc_id AS media_id, doc_id % 100 AS grp,
+                (doc_id // 100) % 4 AS vr
+         FROM documents),
+       cells AS (
+         SELECT media_id, x.x AS x, y.y AS y,
+           CASE WHEN x.x = 8 AND y.y = vr
+                THEN (((grp+3) * (5*x.x + 11*y.y + 7*x.x*y.y + 1)) % 256
+                      + 128) % 256
+                ELSE ((grp+3) * (5*x.x + 11*y.y + 7*x.x*y.y + 1)) % 256
+                END AS g
+         FROM p, range(0, 9) x(x), range(0, 8) y(y)),
+       bits AS (
+         SELECT a.media_id, a.y * 8 + a.x AS pos,
+           CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+         FROM cells a JOIN cells b
+           ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+         WHERE a.x < 8),
+       fp AS (
+         SELECT media_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+             WHEN pos = 63 THEN -9223372036854775808
+             ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
+           AS BIGINT) AS f
+         FROM bits GROUP BY media_id)"""
 
   def oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -186,30 +238,7 @@ object MultimodalPack extends QueryPack {
     // long bit-for-bit; banding = 4 × 16-bit chunks via exact HUGEINT
     // division on the unsigned view (Spark's shiftrightunsigned twin)
     "mm_phash_neardup" ->
-      """WITH p AS (
-           SELECT doc_id AS media_id, doc_id % 100 AS grp,
-                  (doc_id // 100) % 4 AS vr
-           FROM documents),
-         cells AS (
-           SELECT media_id, x.x AS x, y.y AS y,
-             CASE WHEN x.x = 8 AND y.y = vr
-                  THEN (((grp+3) * (5*x.x + 11*y.y + 7*x.x*y.y + 1)) % 256
-                        + 128) % 256
-                  ELSE ((grp+3) * (5*x.x + 11*y.y + 7*x.x*y.y + 1)) % 256
-                  END AS g
-           FROM p, range(0, 9) x(x), range(0, 8) y(y)),
-         bits AS (
-           SELECT a.media_id, a.y * 8 + a.x AS pos,
-             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
-           FROM cells a JOIN cells b
-             ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
-           WHERE a.x < 8),
-         fp AS (
-           SELECT media_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
-               WHEN pos = 63 THEN -9223372036854775808
-               ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
-             AS BIGINT) AS f
-           FROM bits GROUP BY media_id),
+      s"""WITH $PhashFpCte,
          keyed AS (
            SELECT media_id, f, c.chunk,
              CAST(((CAST(f AS HUGEINT) + CASE WHEN f < 0
@@ -227,6 +256,29 @@ object MultimodalPack extends QueryPack {
          SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
          FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
          ORDER BY id_a, id_b""",
+
+    // all-pairs edges within the bound + recursive-reach closure +
+    // min-label canonical — algorithmically independent of the Spark
+    // side's banding + large-star/small-star loop
+    "mm_phash_dedup" ->
+      s"""WITH RECURSIVE $PhashFpCte,
+         edges AS (
+           SELECT a.media_id AS ia, b.media_id AS ib
+           FROM fp a JOIN fp b ON a.media_id < b.media_id
+             AND bit_count(xor(a.f, b.f)) <= 3),
+         sym AS (SELECT ia AS src, ib AS dst FROM edges
+                 UNION SELECT ib AS src, ia AS dst FROM edges),
+         reach(node, lbl) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         canon AS (SELECT node, MIN(lbl) AS canonical FROM reach
+                   GROUP BY node)
+         SELECT p.media_id,
+           COALESCE(c.canonical, p.media_id) AS cluster,
+           p.media_id = COALESCE(c.canonical, p.media_id) AS kept
+         FROM p LEFT JOIN canon c ON c.node = p.media_id
+         ORDER BY p.media_id""",
     // the closed forms mirror the fixture generator; sample_bytes sums
     // the same per-sample size sequence the stsz table carries (n ≤ 7,
     // so a fixed 0..6 series filtered by i < n replays the loop — DuckDB

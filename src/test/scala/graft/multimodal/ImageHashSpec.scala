@@ -102,6 +102,22 @@ class ImageHashSpec extends AnyFunSuite {
       brute.exists(_._3 == 2), "fixture should plant hamming 0, 1 and 2")
   }
 
+  test("deduplicate: variant cluster collapses to min id, singleton keeps itself") {
+    val media = Seq(
+      Multimodal.MediaRow(5L, "image", ImageHash.fixturePng(3, 0)),
+      Multimodal.MediaRow(2L, "image", ImageHash.fixturePng(3, 1)),
+      Multimodal.MediaRow(9L, "image", ImageHash.fixturePng(3, 2)),
+      Multimodal.MediaRow(7L, "image", ImageHash.fixturePng(42, 1)))
+      .toDS()
+    val got = ImageHash.deduplicate(media, maxHamming = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(2L) === ((2L, true)))
+    assert(got(5L) === ((2L, false)))
+    assert(got(9L) === ((2L, false)))
+    assert(got(7L) === ((7L, true)))
+  }
+
   test("imageHashes: re-encoded exact copies pair at hamming 0, variants within 2") {
     val media = Seq(
       Multimodal.MediaRow(1L, "image", ImageHash.fixturePng(3, 0)),
