@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
 object RollingQuantile {
 
   /** Per-day trailing-window quantiles of `valueCol`:
-    * `(day, q, q_value)` for each q, one row set per OBSERVED day;
-    * `valueCol` must lie on `[0, 2^levels)` (the sketch's quantized
-    * universe — it aborts loudly otherwise).
+    * `(groupCols…, day, q, q_value)` for each q, one row set per
+    * OBSERVED (group, day); `valueCol` must lie on `[0, 2^levels)`
+    * (the sketch's quantized universe — it aborts loudly otherwise).
+    * With `groupCols` one independent rolling series per group, each
+    * group's windows anchored to ITS OWN observed days (the
+    * SlidingDistinct convention) — the scatter and merge keys widen,
+    * the plan gains no stage.
     */
   def rollingQuantiles(df: DataFrame, tsCol: String, valueCol: String,
                        levels: Int, depth: Int, width: Int,
-                       windowDays: Int, qs: Seq[Double]): DataFrame = {
+                       windowDays: Int, qs: Seq[Double],
+                       groupCols: Seq[String] = Nil): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays out of [1,366]: $windowDays")
     // NULL timestamps abort loudly (the SlidingDistinct posture): a
@@ -39,23 +44,25 @@ object RollingQuantile {
             "repair null timestamps upstream")))
         .otherwise(to_date(col(tsCol))))
     val daily = QuantileSketch.sketch(withDay, valueCol, levels, depth,
-      width, groupCols = Seq("__day"))
+      width, groupCols = groupCols :+ "__day")
     // feeds the day list AND the scatter — cut once (Triangles lesson)
     val cells = daily.cells.localCheckpoint()
-    val days = cells.select(col("__day").as("day")).distinct()
+    val days = cells
+      .select(groupCols.map(col) :+ col("__day").as("day"): _*).distinct()
     val scattered = cells
       .withColumn("__off", explode(sequence(lit(0), lit(windowDays - 1))))
-      .select(date_add(col("__day"), col("__off")).as("day"),
-        col("lvl"), col("i"), col("bucket"), col("cnt"))
+      .select(groupCols.map(col) ++ Seq(
+        date_add(col("__day"), col("__off")).as("day"),
+        col("lvl"), col("i"), col("bucket"), col("cnt")): _*)
     val rolled = scattered
-      .join(broadcast(days), Seq("day"))
-      .groupBy("day", "lvl", "i", "bucket")
+      .join(broadcast(days), groupCols :+ "day")
+      .groupBy((groupCols ++ Seq("day", "lvl", "i", "bucket")).map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
     // no release() here: the distributed walk regime returns a LAZY
     // plan over the persisted cells — the caller releases via the
     // returned Dq if it probes repeatedly (the gate's one-shot read
     // lets the session clean up, like the t_dq gates)
-    QuantileSketch.Dq(rolled, levels, depth, width, Seq("day"))
+    QuantileSketch.Dq(rolled, levels, depth, width, groupCols :+ "day")
       .quantiles(qs)
   }
 }

@@ -358,6 +358,23 @@ object WindowPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // GROUPED rolling quantiles: one independent trailing-median/p90
+    // series per event type, same deterministic sketch walk — the
+    // grouped twin of w_rolling_quantile.
+    "w_rolling_quantile_by_type" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("ts"),
+          floor(col("value")).cast("long").as("v"))
+      graft.operators.RollingQuantile.rollingQuantiles(
+          ev, "ts", "v", levels = 10, depth = 4, width = 256,
+          windowDays = 7, qs = Seq(0.5, 0.9),
+          groupCols = Seq("event_type"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("q"), col("q_value"))
+        .orderBy("event_type", "day", "q")
+    }),
+
     // GROUPED rolling distinct: one independent 7-day active-user
     // series per event type, windows anchored to each type's own
     // observed days — the scatter/merge keys widen, the plan doesn't.
@@ -704,6 +721,71 @@ object WindowPack extends QueryPack {
         "SELECT ts, user_id AS v FROM events WHERE user_id IS NOT NULL",
         p = 8, windowDays = 7)})
          ORDER BY day""",
+
+    // the w_rolling_quantile walk with the group key threaded through
+    // every frame (cells, day list, scatter, totals, walk state and
+    // the correlated child-count lookups)
+    "w_rolling_quantile_by_type" ->
+      s"""WITH RECURSIVE
+         d AS (SELECT unnest(range(0, 4)) AS i),
+         lv AS (SELECT unnest(range(0, 10)) AS lvl),
+         ev AS (SELECT event_type AS g, CAST(ts AS DATE) AS dday,
+                  CAST(FLOOR(value) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+         cells0 AS (
+           SELECT g, dday, lvl, i, ${graft.operators.Sampling.avalancheKeySql(
+             "CAST(v >> lvl AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)" +
+               " || ':' || CAST(i AS VARCHAR)")} % 256 AS bucket
+           FROM ev CROSS JOIN lv CROSS JOIN d),
+         sk0 AS (SELECT g, dday, lvl, i, bucket, COUNT(*) AS cnt
+                 FROM cells0 GROUP BY 1, 2, 3, 4, 5),
+         days AS (SELECT DISTINCT g, dday AS day FROM sk0),
+         scat AS (
+           SELECT g, dday + CAST(off AS INTEGER) AS day, lvl, i, bucket, cnt
+           FROM sk0 CROSS JOIN (SELECT UNNEST(RANGE(0, 7)) AS off)),
+         sk AS (SELECT s.g, s.day, lvl, i, bucket,
+                  CAST(SUM(cnt) AS BIGINT) AS cnt
+                FROM scat s JOIN days dd ON dd.g = s.g AND dd.day = s.day
+                GROUP BY 1, 2, 3, 4, 5),
+         tot AS (SELECT g, day, CAST(SUM(cnt) AS BIGINT) AS n FROM sk
+                 WHERE lvl = 0 AND i = 0 GROUP BY 1, 2),
+         qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+         walk AS (
+           SELECT tot.g, tot.day, qs.q, 10 AS l,
+                  GREATEST(CAST(CEIL(qs.q * tot.n) AS BIGINT),
+                           CAST(1 AS BIGINT)) AS t,
+                  CAST(0 AS BIGINT) AS p
+           FROM tot CROSS JOIN qs WHERE tot.n > 0
+           UNION ALL
+           SELECT g, day, q, l - 1,
+                  CASE WHEN t <= lc THEN t ELSE t - lc END,
+                  CASE WHEN t <= lc THEN p * 2 ELSE p * 2 + 1 END
+           FROM (
+             SELECT w.g, w.day, w.q, w.l, w.t, w.p, LEAST(
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.g = w.g AND sk.day = w.day AND sk.lvl = w.l - 1
+                   AND sk.i = 0 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':0'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.g = w.g AND sk.day = w.day AND sk.lvl = w.l - 1
+                   AND sk.i = 1 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':1'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.g = w.g AND sk.day = w.day AND sk.lvl = w.l - 1
+                   AND sk.i = 2 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':2'")} % 256), 0),
+               COALESCE((SELECT cnt FROM sk
+                 WHERE sk.g = w.g AND sk.day = w.day AND sk.lvl = w.l - 1
+                   AND sk.i = 3 AND sk.bucket = ${graft.operators.Sampling
+                     .avalancheKeySql("CAST(w.p * 2 AS VARCHAR) || ':' ||" +
+                       " CAST(w.l - 1 AS VARCHAR) || ':3'")} % 256), 0)) AS lc
+             FROM walk w WHERE w.l > 0) z)
+         SELECT g AS event_type, STRFTIME(day, '%Y-%m-%d') AS day, q,
+           p AS q_value
+         FROM walk WHERE l = 0 ORDER BY event_type, day, q""",
 
     "w_rolling_distinct_by_type" ->
       s"""SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day, n_buckets,

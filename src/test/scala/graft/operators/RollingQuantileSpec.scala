@@ -30,6 +30,30 @@ class RollingQuantileSpec extends AnyFunSuite {
     assert(rolling === perDay && rolling.nonEmpty)
   }
 
+  test("grouped rolling quantiles equal per-group filtered ungrouped runs") {
+    val df = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-02", 20L),
+      ("a", "2024-01-04", 30L), ("b", "2024-01-01", 500L),
+      ("b", "2024-01-03", 600L), ("b", "2024-01-03", 700L))
+      .toDF("g", "d", "v")
+      .select(col("g"), to_timestamp(col("d")).as("ts"), col("v"))
+    val grouped = RollingQuantile.rollingQuantiles(df, "ts", "v", L, D, W,
+        windowDays = 3, qs = Seq(0.5, 0.9), groupCols = Seq("g"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getLong(3))).toSet
+    val single = Seq("a", "b").flatMap { g =>
+      RollingQuantile.rollingQuantiles(df.filter(col("g") === g),
+          "ts", "v", L, D, W, windowDays = 3, qs = Seq(0.5, 0.9))
+        .collect().map(r => (g, r.getDate(0).toString, r.getDouble(1),
+          r.getLong(2)))
+    }.toSet
+    assert(grouped === single)
+    assert(grouped.map(t => (t._1, t._2)) === Set(
+      ("a", "2024-01-01"), ("a", "2024-01-02"), ("a", "2024-01-04"),
+      ("b", "2024-01-01"), ("b", "2024-01-03")))
+  }
+
   test("a window's quantiles equal a batch sketch over exactly its days") {
     val df = events(
       (1 to 3).flatMap(d => (0 until 50).map(i =>
