@@ -255,15 +255,15 @@ object PipelineBench {
     // 13 stages self-flagged — but min-fold only absorbs LOWER values)
     "pm25_combine_month_1M_disk" -> 129.2,
     "pm25_spatial_impute_month" -> 92.0,
-    "pm25_feature_gen_month" -> 191.1, // min-folded, r11 quiet sweep
+    "pm25_feature_gen_month" -> 189.8, // min-folded, r11 sweeps
     "pm25_feature_gen_year" -> 1797.0,
     "pm25_month_e2e" -> 450.0,
     "pm25_quarter_e2e" -> 839.0,
     "pm25_spatial_impute_quarter" -> 166.0,
     // min-fold of round-9 local sweeps and BENCH_r09.json (see above)
     "graph_pagerank_1M_edges" -> 36.7,
-    "graph_triangles_1M_edges" -> 16.7,
-    "graph_kcore_1M_edges" -> 8.0,
+    "graph_triangles_1M_edges" -> 15.9, // min-folded, r11 sweep
+    "graph_kcore_1M_edges" -> 5.2, // min-folded, r11 sweep
     // first priced by a round-10 filtered local sweep
     // (SPARK_GRAFT_PIPELINE_ONLY=graph_labelprop_1M_edges,graph_kcore_1M_edges;
     // the kcore anchor measured 6.7 cpu-sec vs its 8.0 ref in the same
@@ -294,7 +294,7 @@ object PipelineBench {
     "monitor_rolling_psi_10M" -> 7.9,
     "monitor_rolling_quantile_10M" -> 25.0,
     "eval_spearman_10M" -> 98.3,
-    "ann_semdedup_100k_adhoc" -> 22.9, // min-folded, r11 quiet sweep
+    "ann_semdedup_100k_adhoc" -> 22.8, // min-folded, r11 sweeps
     "ann_semdedup_100k_at_rest" -> 11.3,
     // first priced by a round-11 filtered local sweep
     // (SPARK_GRAFT_PIPELINE_ONLY=ann_mnn_100k_adhoc,ann_mnn_100k_at_rest,
