@@ -23,10 +23,15 @@ import org.apache.spark.sql.SparkSession
   * Budget: SPARK_GRAFT_BENCH_BUDGET_SEC (default 1350 — sized under the
   * driver's observed kill threshold: round 9 survived ~1463 s, round 10
   * died above it) is measured from JVM start and includes setup. Work is
-  * ordered headline-first (pipeline stages, then micro queries sorted by
-  * name), and repeats inside the pipeline sweep are interleaved, so when
-  * the budget expires everything important already has at least one
-  * sample; whatever never started is listed under "skipped".
+  * ordered MICRO-FIRST: the full micro-query sweep (~2 min for all ~170
+  * at the default repeat count, capped at 40 % of the budget as a
+  * runaway guard) runs before the pipeline stages, which then consume
+  * the remaining budget with repeats interleaved. Round 11 ran
+  * pipeline-first and its repeats ate the whole budget on a contended
+  * box — the official artifact published a total and a 249-name skipped
+  * list, zero per-query numbers. Micro-first makes that impossible:
+  * whatever the pipeline leaves unstarted is a handful of repeat-heavy
+  * stages, not the entire sweep.
   *
   * Repeat count: best (minimum) of SPARK_GRAFT_BENCH_N (default 3) per
   * query — single-shot timings on a shared sandbox mis-measured the
@@ -109,45 +114,22 @@ object Bench {
 
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
 
-    // ---- headline first: reference-scale pipeline stages (33k grid ×
-    // month, BASELINE.md's actual workload) — skippable via
-    // SPARK_GRAFT_SKIP_PIPELINE=1
-    if (!sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) {
-      try {
-        val tmp = graft.bench.PipelineBench.scratchRoot()
-        try {
-          // pipeline repeats beyond the first yield at 70% of the
-          // budget so the micro-query sweep always gets a share — on a
-          // contended box every stage runs uniformly slow, and round
-          // 11's first sweep spent the whole budget on pipeline repeats
-          val (stageMap, stageSkipped) = graft.bench.PipelineBench.runBest(
-            spark, tmp, n, deadline, (nm, v, _) => emit(nm, v),
-            laterRepsDeadlineNanos = t0 + (budgetSec * 0.7 * 1e9).toLong)
-          stageMap.foreach { case (k, v) => emit(k, v) }
-          skipped ++= stageSkipped
-        } finally org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(tmp))
-      } catch { case e: Throwable =>
-        // fail SOFT: keep every number already emitted, record the error
-        // in the artifact, and continue to the micro queries
-        hardError = Some(s"pipeline: ${e.getMessage}")
-        System.err.println(s"[bench] pipeline bench failed: ${e.getMessage}")
-        writeFull()
-      }
-    }
-
-    // ---- micro queries (sorted by name), budget-checked per query —
-    // SPARK_GRAFT_SKIP_QUERIES=1 runs only the pipeline stages
+    // ---- micro queries FIRST (sorted by name): the whole sweep costs
+    // ~2 min (median 0.46 s/query at n=3), so it always completes —
+    // the 40 % share cap only guards a runaway query. Skippable via
+    // SPARK_GRAFT_SKIP_QUERIES=1 (pipeline stages only).
+    val microDeadline =
+      math.min(deadline, t0 + (budgetSec * 0.4 * 1e9).toLong)
     val queryDefs =
       if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
     queryDefs.foreach { case (name, fn) =>
-      if (System.nanoTime() >= deadline) skipped += name
+      if (System.nanoTime() >= microDeadline) skipped += name
       else {
         val times = (1 to n).flatMap { i =>
           // always finish at least one repeat once a query starts, so a
           // budget edge never publishes a query as silently absent
-          if (i > 1 && System.nanoTime() >= deadline) None
+          if (i > 1 && System.nanoTime() >= microDeadline) None
           else {
             val s0 = System.nanoTime()
             try { fn(spark, sfDir).count(); Some((System.nanoTime() - s0) / 1e9) }
@@ -162,15 +144,64 @@ object Bench {
       }
     }
 
+    // ---- then the reference-scale pipeline stages (33k grid × month,
+    // BASELINE.md's actual workload) on the remaining budget —
+    // skippable via SPARK_GRAFT_SKIP_PIPELINE=1
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) {
+      try {
+        val tmp = graft.bench.PipelineBench.scratchRoot()
+        try {
+          // first repeats may run to the budget; later repeats yield a
+          // little early so the final emission always fits
+          val (stageMap, stageSkipped) = graft.bench.PipelineBench.runBest(
+            spark, tmp, n, deadline, (nm, v, _) => emit(nm, v),
+            laterRepsDeadlineNanos = t0 + (budgetSec * 0.95 * 1e9).toLong)
+          stageMap.foreach { case (k, v) => emit(k, v) }
+          skipped ++= stageSkipped
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(tmp))
+      } catch { case e: Throwable =>
+        // fail SOFT: keep every number already emitted and record the
+        // error in the artifact
+        hardError = Some(s"pipeline: ${e.getMessage}")
+        System.err.println(s"[bench] pipeline bench failed: ${e.getMessage}")
+        writeFull()
+      }
+    }
+
     // ---- final lines: the big full-precision-ish map, then the compact
     // totals line LAST (the driver parses the last JSON line in its
-    // 2000-char tail; round 4 proved the big line alone gets clipped)
+    // ~2000-char tail; round 4 proved the big line alone gets clipped,
+    // round 11 proved a long skipped list evicts everything else). The
+    // final line carries the HEADLINE per-query walls inline and only
+    // COUNTS the skipped queries — the full lists live in the
+    // penultimate line and the SPARK_GRAFT_BENCH_OUT file.
     writeFull()
     println(fullJson(f3))
+    val headlineKeys = Seq(
+      "pm25_combine_month_1M", "pm25_combine_month_1M_bucketed",
+      "pm25_combine_month_1M_bucketed_shuffle_exchanges",
+      "pm25_combine_month_1M_disk",
+      "pm25_spatial_impute_month", "pm25_spatial_impute_quarter",
+      "pm25_feature_gen_month", "pm25_feature_gen_year",
+      "pm25_month_e2e", "pm25_quarter_e2e", "pm25_year_e2e",
+      "eval_auc_10M", "eval_spearman_10M",
+      "monitor_cusum_10M", "monitor_twa_10M", "monitor_skew_10M",
+      "monitor_rolling_psi_10M", "monitor_rolling_distinct_10M",
+      "monitor_rolling_quantile_10M",
+      "ann_mnn_100k_adhoc", "ann_mnn_100k_at_rest",
+      "ann_semdedup_100k_adhoc", "ann_semdedup_100k_at_rest",
+      "graph_pagerank_1M_edges", "graph_triangles_1M_edges",
+      "graph_kcore_1M_edges", "graph_labelprop_1M_edges",
+      "k1_dense_300k_untiled", "k1_dense_300k_tiled",
+      "q1_pricing_summary")
+    val headline = headlineKeys.flatMap(k =>
+        results.get(k).map(v => "\"" + k + "\":" + f3(v)))
+      .mkString("{", ",", "}")
     val err = hardError.map(e =>
       ",\"error\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) +
         "\"").getOrElse("")
-    println(s"""{"metric":"total","value":${f3(totalSecs)},"unit":"sec","nqueries":${results.size},"nfailed":${failed.size},"nskipped":${skipped.size},"budget_sec":${f3(budgetSec)},"elapsed":${f3(elapsedSec)}$err,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(totalSecs)},"unit":"sec","nqueries":${results.size},"nfailed":${failed.size},"nskipped":${skipped.size},"queries":$headline,"budget_sec":${f3(budgetSec)},"elapsed":${f3(elapsedSec)}$err,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -98,12 +98,29 @@ object PipelineBench {
     * e2e inputs are deterministic functions of the row id, so they are
     * written ONCE under a versioned path and reused across repeats AND
     * runs (round-10 regenerated ~40M rows of parquet per bench run, all
-    * inside the driver's kill window). BUMP THIS whenever any generator
-    * in this file changes — a stale cache would silently bench old data,
-    * and the QuietCpuRef convention already requires generator stability
-    * (see [[graphEdges]]).
+    * inside the driver's kill window).
+    *
+    * Staleness is NOT trusted to this constant alone: [[cachedParquet]]
+    * fingerprints the generator's canonicalized logical plan into the
+    * `_GRAFT_OK` marker and regenerates on mismatch, so editing any
+    * single-frame generator (monitorInput, annVectors, …) invalidates
+    * its cache automatically. Bump the version only for changes the
+    * plan cannot see — [[cachedE2e]]'s multi-output writer, or a
+    * layout change that should evict EVERYTHING (old-version dirs are
+    * swept on first cache access).
     */
   val InputGenVersion = 1
+
+  /** Deterministic digest of a generator frame's canonicalized analyzed
+    * plan — expression ids are normalized, the generators are pure
+    * range-based plans (no file scans), so the string is stable across
+    * JVMs and changes exactly when the generator logic does.
+    */
+  private def planFingerprint(df: DataFrame): String = {
+    val plan = df.queryExecution.analyzed.canonicalized.toString
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Cache root for the versioned inputs: tmpfs when available (the
     * same reasoning as [[scratchRoot]]), `java.io.tmpdir` for the
@@ -116,33 +133,68 @@ object PipelineBench {
       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
     val dir = base.resolve("graft-bench-cache")
     java.nio.file.Files.createDirectories(dir)
+    evictStaleVersions(dir)
     dir
+  }
+
+  /** Bounds the cache: datasets from other [[InputGenVersion]]s are
+    * dead (their paths are never read again) — delete them so the
+    * tmpfs footprint is one version, not every version ever benched.
+    */
+  private def evictStaleVersions(dir: java.nio.file.Path): Unit = {
+    val live = s"_v$InputGenVersion"
+    val kids = dir.toFile.listFiles()
+    if (kids != null) kids.foreach { f =>
+      if (f.isDirectory && f.getName.contains("_v") &&
+          !f.getName.endsWith(live)) {
+        def rm(x: java.io.File): Unit = {
+          val c = x.listFiles(); if (c != null) c.foreach(rm)
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+    }
   }
 
   /** Generate-once parquet: returns `(path, cacheHit)`. The `_GRAFT_OK`
     * marker is written only after a complete generation, so a killed
-    * run never leaves a half-written dataset masquerading as cached.
+    * run never leaves a half-written dataset masquerading as cached;
+    * it carries the generator's [[planFingerprint]], so an edited
+    * generator regenerates instead of silently benching stale data
+    * (plan construction is driver-only and runs no jobs — evaluating
+    * `gen` on the hit path is free).
     */
   def cachedParquet(name: String, preferShm: Boolean = true)
                    (gen: => DataFrame): (String, Boolean) = {
+    val df = gen
+    val fp = planFingerprint(df)
     val dir = cacheRoot(preferShm).resolve(s"${name}_v$InputGenVersion")
     val marker = dir.resolve("_GRAFT_OK")
-    if (java.nio.file.Files.exists(marker)) (dir.toString, true)
+    val hit = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+    if (hit) (dir.toString, true)
     else {
-      gen.write.mode("overwrite").parquet(dir.toString)
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      df.write.mode("overwrite").parquet(dir.toString)
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
       (dir.toString, false)
     }
   }
 
-  /** [[e2eInputs]] under the generate-once convention. */
+  /** [[e2eInputs]] under the generate-once convention. Multi-output
+    * (no single plan to fingerprint) — the marker carries the call
+    * parameters; editing [[e2eInputs]] itself still requires an
+    * [[InputGenVersion]] bump.
+    */
   def cachedE2e(spark: SparkSession, name: String, days: Int): (String, Boolean) = {
     val dir = cacheRoot(preferShm = true).resolve(s"${name}_v$InputGenVersion")
     val marker = dir.resolve("_GRAFT_OK")
-    if (java.nio.file.Files.exists(marker)) (dir.toString, true)
+    val fp = s"e2e:$name:days=$days:v$InputGenVersion"
+    val hit = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+    if (hit) (dir.toString, true)
     else {
       e2eInputs(spark, dir.toString, days)
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
       (dir.toString, false)
     }
   }

@@ -88,7 +88,9 @@ object Changepoint {
     * Mirrors the operator's COLUMN CONTRACT exactly: every input
     * column rides through (`src.*`), so a query whose input carries
     * columns beyond key/order/value stays oracle-parity instead of
-    * silently diverging on projection width.
+    * silently diverging on projection width. Intermediates use the
+    * operator's collision-resistant `__`-prefixed names, so an input
+    * that itself carries a `pp`/`pn` column replays too.
     */
   def oracleSql(inputSql: String, keyCols: Seq[String],
                 orderCols: Seq[String], valueCol: String,
@@ -100,18 +102,18 @@ object Changepoint {
     s"""WITH src AS ($inputSql),
        p AS (
          SELECT *,
-           SUM($valueCol - $driftK) OVER ($part$ord $frame) AS pp,
-           SUM($driftK - $valueCol) OVER ($part$ord $frame) AS pn
+           SUM($valueCol - $driftK) OVER ($part$ord $frame) AS __pp,
+           SUM($driftK - $valueCol) OVER ($part$ord $frame) AS __pn
          FROM src),
        c AS (
          SELECT *,
-           pp - LEAST(0, MIN(pp) OVER ($part$ord $frame)) AS cusum_pos,
-           pn - LEAST(0, MIN(pn) OVER ($part$ord $frame)) AS cusum_neg
+           __pp - LEAST(0, MIN(__pp) OVER ($part$ord $frame)) AS __cusum_pos,
+           __pn - LEAST(0, MIN(__pn) OVER ($part$ord $frame)) AS __cusum_neg
          FROM p)
-       SELECT * EXCLUDE (pp, pn, cusum_pos, cusum_neg),
-         CAST(cusum_pos AS BIGINT) AS cusum_pos,
-         CAST(cusum_neg AS BIGINT) AS cusum_neg,
-         CAST(CASE WHEN cusum_pos > $threshold OR cusum_neg > $threshold
+       SELECT * EXCLUDE (__pp, __pn, __cusum_pos, __cusum_neg),
+         CAST(__cusum_pos AS BIGINT) AS cusum_pos,
+         CAST(__cusum_neg AS BIGINT) AS cusum_neg,
+         CAST(CASE WHEN __cusum_pos > $threshold OR __cusum_neg > $threshold
               THEN 1 ELSE 0 END AS INTEGER) AS alarm
        FROM c"""
   }

@@ -200,7 +200,10 @@ object Drift {
     * feature — no per-row grid lookup), reduces ONCE, and everything
     * downstream is the [[rollingPsi]] pipeline with `feature` carried
     * through every key — still one corpus-sized shuffle total, not
-    * one per feature.
+    * one per feature. Observed days are tracked PER FEATURE: a
+    * feature with NULLs on some days emits exactly the rows its
+    * single-feature [[rollingPsi]] would — the stacked output is the
+    * per-feature union, bit for bit.
     */
   def rollingPsiStacked(df: DataFrame, tsCol: String,
                         features: Map[String, (Double, Double)],
@@ -241,13 +244,19 @@ object Drift {
     val daily = melt(df, withDay = true)
       .groupBy("__day", "feature", "bucket").agg(count(lit(1)).as("__n"))
       .localCheckpoint() // feeds day list + scatter (Triangles lesson)
-    val days = daily.select(col("__day").as("day")).distinct()
+    // observed days PER FEATURE — each feature's windows anchor to its
+    // own observed days (the per-feature rollingPsi semantics), not to
+    // days where only some OTHER feature had data: features with
+    // disjoint NULL patterns must produce exactly the single-feature
+    // output, row for row
+    val featDays = daily.select(col("feature"), col("__day").as("day"))
+      .distinct()
     val windowed = daily
       .select(col("__day"), col("feature"), col("bucket"), col("__n"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
       .select(date_add(col("__day"), col("__off")).as("day"),
         col("feature"), col("bucket"), col("__n"))
-      .join(broadcast(days), Seq("day"))
+      .join(broadcast(featDays), Seq("feature", "day"))
       .groupBy("day", "feature", "bucket").agg(sum(col("__n")).as("__wn"))
     val totals = windowed.groupBy("day", "feature")
       .agg(sum(col("__wn")).as("__tot"))
@@ -259,11 +268,12 @@ object Drift {
       .select(col("feature"), col("bucket"),
         (col("__rn").cast("double") / col("__rtot").cast("double"))
           .as("p_ref"))
-    val grid = days
+    // (feature, observed-for-that-feature day) × bucket — every grid
+    // row's feature has data ON that day, so its window is non-empty
+    // and the inner totals join below drops nothing
+    val grid = featDays
       .crossJoin(broadcast(spark.range(nBuckets)
         .select(col("id").cast("int").as("bucket"))))
-      .crossJoin(broadcast(spark.createDataset(feats.map(_._1))(
-        org.apache.spark.sql.Encoders.STRING).toDF("feature")))
     val p = grid
       .join(windowed, Seq("day", "feature", "bucket"), "left")
       .join(broadcast(totals), Seq("day", "feature"))

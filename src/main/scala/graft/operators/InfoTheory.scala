@@ -40,6 +40,13 @@ object InfoTheory {
     * corpus) aborts past `maxCells` with one cheap count over the
     * already-materialized cell table, BEFORE any broadcast builds —
     * quantize to a grid first.
+    *
+    * NOT lazy plan construction: calling this runs Spark jobs (the
+    * cell checkpoint + the cap count) even if the returned frame is
+    * never acted on — the price of the preventive guard. Callers that
+    * build plans speculatively or in a loop pay one joint aggregation
+    * per call; cache the result, not the call. [[graft.text
+    * .SourceOverlap]] and [[VarianceDecomp]] share this posture.
     */
   def miTable(df: DataFrame, xCol: String, yCol: String,
               roundAt: Int = 6, maxCells: Int = 1 << 20): DataFrame = {

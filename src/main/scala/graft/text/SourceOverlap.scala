@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * set, BEFORE the quadratic join or any broadcast executes) when the
   * observed group count exceeds `maxGroups` (a thousands-of-sources
   * matrix wants the KMV path, not an exact quadratic; the
-  * FrequentPairs cap posture). Jaccard and containment are single
+  * FrequentPairs cap posture). The guard makes the call NON-lazy:
+  * invoking it runs Spark jobs (checkpoint + count) even if the
+  * returned frame is never acted on — cache the result, not the
+  * call (the [[graft.operators.InfoTheory.miTable]] posture). Jaccard and containment are single
   * IEEE divisions over exact BIGINTs — bit-replayable, no rounding.
   *
   * 100 TB shape: the corpus reduces to its (group, token) presence

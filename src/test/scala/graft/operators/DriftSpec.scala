@@ -204,6 +204,40 @@ class DriftSpec extends AnyFunSuite {
     assert(stacked.nonEmpty)
   }
 
+  test("stacked rolling PSI: per-feature NULL days anchor each feature's own windows") {
+    // feature b is NULL on 01-02 and 01-05: those days are observed for
+    // a only — b must NOT emit rows there (its single-feature run
+    // wouldn't), and days where ONLY b has data must not leak into a.
+    val cur = Seq(
+      ("2024-01-01", Some(5.0), Some(100.0)),
+      ("2024-01-02", Some(25.0), None),
+      ("2024-01-03", None, Some(700.0)),
+      ("2024-01-05", Some(45.0), None),
+      ("2024-01-06", None, Some(900.0)))
+      .toDF("d", "a", "b")
+      .select(to_timestamp(col("d")).as("ts"), col("a"), col("b"))
+    val ref = Seq((5.0, 100.0), (25.0, 500.0), (45.0, 900.0)).toDF("a", "b")
+    val stacked = Drift.rollingPsiStacked(cur, "ts",
+        features = Map("a" -> ((0.0, 50.0)), "b" -> ((0.0, 1000.0))),
+        nBuckets = 5, ref = ref, windowDays = 3)
+      .collect().map(r => (r.getString(1), r.getDate(0).toString, r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val single = Seq(("a", 0.0, 50.0), ("b", 0.0, 1000.0)).flatMap {
+      case (f, lo, hi) =>
+        Drift.rollingPsi(cur, "ts", f, ref, nBuckets = 5, lo = lo, hi = hi,
+            windowDays = 3)
+          .collect().map(r => (f, r.getDate(0).toString, r.getInt(1),
+            r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    }.toSet
+    assert(stacked === single)
+    // b emits nothing on 01-02/01-05; a emits nothing on 01-06 (window
+    // 01-04..01-06 holds only b data) — spot-check the day sets
+    val daysOf = stacked.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    assert(daysOf("a") === Set("2024-01-01", "2024-01-02", "2024-01-05"))
+    assert(daysOf("b") === Set("2024-01-01", "2024-01-03", "2024-01-06"))
+  }
+
   test("rolling KS: per-day max gap equals the two-frame ksTable statistic") {
     val cur = tsRows(Seq(
       ("2024-01-01", 1.0), ("2024-01-01", 3.0), ("2024-01-02", 5.0),
