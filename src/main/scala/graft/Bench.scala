@@ -191,6 +191,7 @@ object Bench {
       "monitor_rolling_quantile_10M",
       "ann_mnn_100k_adhoc", "ann_mnn_100k_at_rest",
       "ann_semdedup_100k_adhoc", "ann_semdedup_100k_at_rest",
+      "img_phash_100k_adhoc", "img_phash_100k_at_rest",
       "graph_pagerank_1M_edges", "graph_triangles_1M_edges",
       "graph_kcore_1M_edges", "graph_labelprop_1M_edges",
       "k1_dense_300k_untiled", "k1_dense_300k_tiled",

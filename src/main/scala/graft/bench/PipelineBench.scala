@@ -352,7 +352,15 @@ object PipelineBench {
     // (SPARK_GRAFT_PIPELINE_ONLY=ann_mnn_100k_adhoc,ann_mnn_100k_at_rest,
     // 2 interleaved repeats) — upper bounds that min-fold tighter
     "ann_mnn_100k_adhoc" -> 130.2,
-    "ann_mnn_100k_at_rest" -> 98.4)
+    "ann_mnn_100k_at_rest" -> 98.4,
+    // first priced by a round-12 filtered local sweep
+    // (SPARK_GRAFT_PIPELINE_ONLY=img_phash_100k_adhoc,img_phash_100k_at_rest,
+    // 2 interleaved repeats) — upper bounds that min-fold tighter. The
+    // ~30× cpu gap IS the at-rest lever: ad hoc re-decodes 100k PNGs
+    // (ImageIO dominates) and re-shuffles the bands; at rest both are
+    // storage properties.
+    "img_phash_100k_adhoc" -> 290.9,
+    "img_phash_100k_at_rest" -> 9.6)
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
     * over their repeats. Contention noise on a shared sandbox is
@@ -472,6 +480,18 @@ object PipelineBench {
       }
       graft.similarity.VectorStorage.writeBucketed(annVecs, annIndex,
         "bench_vec_at_rest", s"$outRoot/ann_vecs_bucketed", nBuckets = 32)
+      // 100k-image corpus for the phash pair: payloads generate-once,
+      // the at-rest hash tables written per run (setup, untimed — the
+      // one decode pass the layout exists to amortize)
+      val (imgPath, hitImg) = cachedParquet("img_media")(imageMedia(spark))
+      if (hitImg) cacheHits += 1
+      val imgMedia100k = {
+        import spark.implicits._
+        spark.read.parquet(imgPath).as[graft.multimodal.Multimodal.MediaRow]
+      }
+      graft.multimodal.ImageStorage.writeBucketed(
+        graft.multimodal.ImageHash.imageHashes(imgMedia100k),
+        "bench_img_at_rest", s"$outRoot/img_bucketed", nBuckets = 32)
       val setupSec = (System.nanoTime() - setupT0) / 1e9
       emitSample("bench_setup_sec", setupSec, 0)
       emitSample("bench_setup_cache_hits", cacheHits.toDouble, 0)
@@ -643,6 +663,17 @@ object PipelineBench {
         TimedStage("ann_mnn_100k_at_rest", 2, cpuCompanion = true)(() =>
           graft.similarity.VectorStorage.mutualNearestNeighbors(spark,
             "bench_vec_at_rest").count()),
+        // perceptual image dedup pair: ad hoc re-decodes 100k PNGs and
+        // re-shuffles the banded fingerprints every pass; at rest both
+        // are storage properties (decode at write, band join off the
+        // bucketing — plan-asserted in ImageStorageSpec)
+        TimedStage("img_phash_100k_adhoc", 2, cpuCompanion = true)(() =>
+          graft.multimodal.ImageHash.hammingPairs(
+            graft.multimodal.ImageHash.imageHashes(imgMedia100k),
+            "media_id", "dhash").count()),
+        TimedStage("img_phash_100k_at_rest", 2, cpuCompanion = true)(() =>
+          graft.multimodal.ImageStorage.pairs(spark,
+            "bench_img_at_rest").count()),
         TimedStage("pm25_spatial_impute_quarter", 3, cpuCompanion = true)(() =>
           DailySpatialInterpolator
             .interpolate(quarter, "date", "original_x", "original_y",
@@ -771,17 +802,19 @@ object PipelineBench {
             f"cpu ${cpuRatio}%.2f× the month (want ≤ 3.5× in at least one)")
       }
       // same pin one order of magnitude out: 12 months must price
-      // ≤ 13.5× the month (12× work + amortized fixed cost) — the
-      // ratio BASELINE's ~80-month backfill envelope actually rests on
+      // ≤ 9× the month (12× work − amortized fixed cost; round 10
+      // measured 6.9×, so 9 leaves noise headroom while still catching
+      // a superlinear break — tightened from 13.5 per the r11 verdict) —
+      // the ratio BASELINE's ~80-month backfill envelope actually rests on
       if (out.contains("pm25_year_e2e") && out.contains("pm25_month_e2e")) {
         val yWallRatio = out("pm25_year_e2e") / out("pm25_month_e2e")
         val yCpuRatio =
           out("pm25_year_e2e_cpu_sec") / out("pm25_month_e2e_cpu_sec")
         out += "pm25_e2e_year_over_month_wall" -> yWallRatio
         out += "pm25_e2e_year_over_month_cpu" -> yCpuRatio
-        require(yWallRatio <= 13.5 || yCpuRatio <= 13.5,
+        require(yWallRatio <= 9.0 || yCpuRatio <= 9.0,
           f"year e2e is superlinear: wall ${yWallRatio}%.2f×, " +
-            f"cpu ${yCpuRatio}%.2f× the month (want ≤ 13.5× in at least one)")
+            f"cpu ${yCpuRatio}%.2f× the month (want ≤ 9× in at least one)")
       }
 
       // Shuffle counts recorded AS metrics, next to the wall-times: the
@@ -852,6 +885,22 @@ object PipelineBench {
         (sin(col("id") % 64 * 0.7 + i * 0.4) * 10.0 +
           sin((col("id") * 2654435761L % 1000L + i * 31L) * 0.01) * 0.4)
           .cast("float")).as("embedding"))
+
+  /** 100k deterministic PNG payloads for the at-rest image pair: the
+    * [[graft.multimodal.ImageHash.fixturePng]] closed form over 25k
+    * grp clusters × 4 variants — each cluster a planted near-dup set
+    * within Hamming 2, clusters ~32 bits apart. Generated once
+    * ([[cachedParquet]]); the stages time decode+hash+banding, never
+    * PNG synthesis.
+    */
+  def imageMedia(spark: SparkSession): DataFrame = {
+    val mk = udf((grp: Long, vr: Int) =>
+      graft.multimodal.ImageHash.fixturePng(grp, vr))
+    spark.range(100000L).select(col("id").as("media_id"),
+      lit("image").as("kind"),
+      mk(pmod(col("id"), lit(25000L)),
+        pmod(floor(col("id") / 25000L), lit(4)).cast("int")).as("bytes"))
+  }
 
   /** The dense-grid K1 scenario: 300k points/day (9× the production
     * grid), 2 days. Untiled, each day is ONE Delaunay task — 30 of 32

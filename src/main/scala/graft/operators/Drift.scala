@@ -287,6 +287,182 @@ object Drift {
     p.withColumn("contrib", (pc - pr) * log(pc / pr))
   }
 
+  /** CATEGORICAL trailing-window PSI (+ chi-square) — [[rollingPsi]]
+    * for STRING-valued columns (source domain, langid, quality tier,
+    * split label…), where a numeric grid cannot exist. Buckets are the
+    * pinned reference frame's category VALUES plus one `__other__`
+    * bucket that absorbs categories the reference never saw — novel
+    * categories are exactly the drift a source-mix monitor pages on,
+    * and folding them into one bucket keeps the grid
+    * reference-bounded however wild the current side gets.
+    *
+    * One row per (observed day, category): reference share, trailing-
+    * window share, the PSI contribution, and the chi-square
+    * contribution `(obs − exp)² / exp` with `exp = max(p_ref, eps) ·
+    * window_total` (the eps smoothing keeps `__other__` — reference
+    * share zero by construction — finite on both metrics). Σ contrib
+    * per day is the day's PSI; Σ chi2 per day is the day's chi-square
+    * statistic against the reference mix.
+    *
+    * The BOUNDED-DOMAIN contract is enforced eagerly: the reference's
+    * distinct category count must not exceed `maxCategories` — the
+    * categories ride broadcasts and the grid is days × categories, so
+    * a high-cardinality column (user ids are not categories) aborts
+    * BEFORE any broadcast builds, with one cheap count over the
+    * already-reduced reference table (the [[InfoTheory.miTable]]
+    * posture — and like it, this makes the call NON-lazy). The current
+    * side needs no cap: its values reduce map-side to per-day counts
+    * (the one corpus-sized aggregation) and collapse into the bounded
+    * category set immediately after.
+    *
+    * Execution is the [[rollingPsi]] scatter, keys swapped from bucket
+    * ids to category strings: reduce once, bounded `windowDays`
+    * explode, ONE equi-shuffle on (day, category), everything else on
+    * broadcasts. NULL timestamps abort loudly; NULL categories leave
+    * the distribution (the [[psi]] posture).
+    */
+  def rollingPsiCat(df: DataFrame, tsCol: String, catCol: String,
+                    ref: DataFrame, windowDays: Int,
+                    eps: Double = 1e-4,
+                    maxCategories: Int = 100000): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays out of [1,366]: $windowDays")
+    require(maxCategories >= 1, s"maxCategories too small: $maxCategories")
+    val Other = "__other__"
+    val refCounts = ref.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("category"))
+      .groupBy("category").agg(count(lit(1)).as("__rn"))
+      .localCheckpoint() // feeds cap + shares + grid (3 reads)
+    val nCats = refCounts.count()
+    require(nCats > 0, "Drift.rollingPsiCat: empty reference frame")
+    require(nCats <= maxCategories,
+      s"Drift.rollingPsiCat: $nCats reference categories exceed " +
+        s"maxCategories=$maxCategories — this operator monitors bounded " +
+        "categorical mixes (collapse or hash high-cardinality keys first)")
+    require(refCounts.filter(col("category") === Other).isEmpty,
+      s"Drift.rollingPsiCat: reference contains the reserved '$Other' " +
+        "category")
+    val withDay = df
+      .filter(col(catCol).isNotNull)
+      .select(
+        when(col(tsCol).isNull, raise_error(lit(
+            s"Drift.rollingPsiCat: NULL $tsCol — filter or repair null " +
+              "timestamps upstream")))
+          .otherwise(to_date(col(tsCol))).as("__day"),
+        col(catCol).cast("string").as("__v"))
+    // the ONE corpus-sized reduction (raw values), then the bounded
+    // collapse into ref categories + __other__
+    val dailyRaw = withDay
+      .groupBy("__day", "__v").agg(count(lit(1)).as("__n"))
+    val daily = dailyRaw
+      .join(broadcast(refCounts.select(col("category").as("__v"),
+        lit(true).as("__inref"))), Seq("__v"), "left")
+      .select(col("__day"),
+        when(col("__inref"), col("__v")).otherwise(lit(Other))
+          .as("category"),
+        col("__n"))
+      .groupBy("__day", "category").agg(sum(col("__n")).as("__n"))
+      .localCheckpoint() // feeds day list + scatter (Triangles lesson)
+    val days = daily.select(col("__day").as("day")).distinct()
+    val windowed = daily
+      .select(col("__day"), col("category"), col("__n"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
+      .select(date_add(col("__day"), col("__off")).as("day"),
+        col("category"), col("__n"))
+      .join(broadcast(days), Seq("day"))
+      .groupBy("day", "category").agg(sum(col("__n")).as("__wn"))
+    val totals = windowed.groupBy("day").agg(sum(col("__wn")).as("__tot"))
+    val refShares = refCounts
+      .crossJoin(broadcast(refCounts.agg(sum(col("__rn")).as("__rtot"))))
+      .select(col("category"),
+        (col("__rn").cast("double") / col("__rtot").cast("double"))
+          .as("p_ref"))
+    val grid = days.crossJoin(broadcast(
+      refCounts.select(col("category"))
+        .unionByName(refCounts.sparkSession.range(1)
+          .select(lit(Other).as("category")))))
+    val p = grid
+      .join(windowed, Seq("day", "category"), "left")
+      .join(broadcast(totals), Seq("day"))
+      .join(broadcast(refShares), Seq("category"), "left")
+      .select(col("day"), col("category"),
+        coalesce(col("p_ref"), lit(0.0)).as("p_ref"),
+        (coalesce(col("__wn"), lit(0L)).cast("double") /
+          col("__tot").cast("double")).as("p_cur"),
+        coalesce(col("__wn"), lit(0L)).as("__wn"), col("__tot"))
+    val pr = greatest(col("p_ref"), lit(eps))
+    val pc = greatest(col("p_cur"), lit(eps))
+    val exp = pr * col("__tot").cast("double")
+    p.select(col("day"), col("category"), col("p_ref"), col("p_cur"),
+      ((pc - pr) * log(pc / pr)).as("contrib"),
+      ((col("__wn").cast("double") - exp) * (col("__wn").cast("double") - exp)
+        / exp).as("chi2"))
+  }
+
+  /** DuckDB replay of [[rollingPsiCat]]: same daily raw-value counts,
+    * ref-set collapse to categories + `__other__`, offset scatter,
+    * observed-day restriction, grid left-joins, eps-clamped PSI tree
+    * and smoothed chi-square. `valuesSql` must yield `(ts TIMESTAMP,
+    * v VARCHAR)`, `refSql` a `v VARCHAR` column. p_* are single IEEE
+    * divisions; `contrib` carries the one `ln`; chi2 one division-
+    * square tree — round all four at the gate per the transcendental
+    * convention.
+    */
+  def rollingPsiCatOracleSql(valuesSql: String, refSql: String,
+                             windowDays: Int,
+                             eps: Double = 1e-4): String =
+    s"""WITH refc AS (
+         SELECT CAST(v AS VARCHAR) AS category, COUNT(*) AS rn
+         FROM ($refSql) WHERE v IS NOT NULL GROUP BY 1),
+       vals AS (
+         SELECT CAST(ts AS DATE) AS dday, CAST(v AS VARCHAR) AS vv
+         FROM ($valuesSql) WHERE v IS NOT NULL),
+       dailyraw AS (
+         SELECT dday, vv, COUNT(*) AS n FROM vals GROUP BY 1, 2),
+       daily AS (
+         SELECT dday,
+           CASE WHEN r.category IS NULL THEN '__other__' ELSE d.vv END
+             AS category,
+           SUM(n) AS n
+         FROM dailyraw d LEFT JOIN refc r ON r.category = d.vv
+         GROUP BY 1, 2),
+       days AS (SELECT DISTINCT dday AS day FROM daily),
+       scattered AS (
+         SELECT dday + CAST(off AS INTEGER) AS day, category, n
+         FROM daily CROSS JOIN (
+           SELECT UNNEST(RANGE(0, $windowDays)) AS off)),
+       win AS (
+         SELECT s.day, category, SUM(n) AS wn
+         FROM scattered s JOIN days d ON d.day = s.day GROUP BY 1, 2),
+       tot AS (SELECT day, SUM(wn) AS tot FROM win GROUP BY 1),
+       rshare AS (
+         SELECT category, CAST(rn AS DOUBLE) / (SELECT SUM(rn) FROM refc)
+           AS p_ref
+         FROM refc),
+       cats AS (SELECT category FROM refc
+                UNION ALL SELECT '__other__' AS category),
+       grid AS (SELECT day, category FROM days, cats),
+       p AS (
+         SELECT g.day, g.category,
+           COALESCE(r.p_ref, 0.0) AS p_ref,
+           CAST(COALESCE(w.wn, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE)
+             AS p_cur,
+           COALESCE(w.wn, 0) AS wn, t.tot AS tot
+         FROM grid g
+         LEFT JOIN win w ON w.day = g.day AND w.category = g.category
+         JOIN tot t ON t.day = g.day
+         LEFT JOIN rshare r ON r.category = g.category)
+       SELECT STRFTIME(day, '%Y-%m-%d') AS day, category,
+         ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+         ROUND((GREATEST(p_cur, $eps) - GREATEST(p_ref, $eps))
+               * LN(GREATEST(p_cur, $eps) / GREATEST(p_ref, $eps)), 6)
+           + 0.0 AS contrib,
+         ROUND((CAST(wn AS DOUBLE) - GREATEST(p_ref, $eps) * CAST(tot AS DOUBLE))
+               * (CAST(wn AS DOUBLE) - GREATEST(p_ref, $eps) * CAST(tot AS DOUBLE))
+               / (GREATEST(p_ref, $eps) * CAST(tot AS DOUBLE)), 6)
+           + 0.0 AS chi2
+       FROM p"""
+
   /** TRAILING-WINDOW KS — [[ksTable]] under the scatter idiom, the
     * binning-free companion of [[rollingPsi]] (PSI needs a grid; KS
     * catches the shifts a coarse grid averages away). One row per

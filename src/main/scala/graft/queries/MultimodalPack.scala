@@ -137,6 +137,68 @@ object MultimodalPack extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // Near-dup pairs off the AT-REST hash corpus (ImageStorage): the
+    // fixture corpus is decoded+hashed ONCE and written as the two
+    // bucketed tables (band rows keyed (chunk, v), collapse members
+    // keyed fp) — the layout a 100 TB image deployment keeps so
+    // recurring passes skip re-decode AND re-shuffle (plan-asserted in
+    // ImageStorageSpec) — then paired off storage. The contract equals
+    // the ad-hoc hammingPairs, so the same closed-form oracle applies.
+    "mm_phash_at_rest" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(100)).cast("long").as("grp"),
+        pmod(expr("doc_id div 100"), lit(4)).cast("int").as("vr"))
+      val mkPng = udf((grp: Long, vr: Int) =>
+        graft.multimodal.ImageHash.fixturePng(grp, vr))
+      val media = params.select(col("media_id"), lit("image").as("kind"),
+          mkPng(col("grp"), col("vr")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      val hashed = graft.multimodal.ImageHash.imageHashes(media)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-imgstore-gate").toString + "/imgs"
+      graft.multimodal.ImageStorage.writeBucketed(
+        hashed, "img_corpus_gate", path, maxHamming = 3, nBuckets = 8)
+      graft.multimodal.ImageStorage.pairs(s, "img_corpus_gate", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Incremental image batch check: docs ≡ 0 (mod 3) re-enter as a NEW
+    // batch (ids shifted +1000000) against the at-rest corpus of the
+    // rest (mod 3, not 4: grp = doc_id % 100 and 100 ≡ 0 (mod 4), so a
+    // %4 split would put every grp cluster wholly on one side and the
+    // gate would be vacuous; 3 is coprime with 100, so clusters mix).
+    // Every batch image near-duplicates its grp cluster mates, so the
+    // oracle is the brute batch×corpus Hamming join over the same
+    // closed-form fingerprints.
+    "mm_phash_batch_check" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(100)).cast("long").as("grp"),
+        pmod(expr("doc_id div 100"), lit(4)).cast("int").as("vr"))
+      val mkPng = udf((grp: Long, vr: Int) =>
+        graft.multimodal.ImageHash.fixturePng(grp, vr))
+      val media = params.select(col("media_id"), lit("image").as("kind"),
+          mkPng(col("grp"), col("vr")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      val corpus = media.filter(pmod(col("media_id"), lit(3L)) =!= 0)
+        .as[Multimodal.MediaRow]
+      val batch = media.filter(pmod(col("media_id"), lit(3L)) === 0)
+        .select((col("media_id") + 1000000L).as("media_id"), col("kind"),
+          col("bytes"))
+        .as[Multimodal.MediaRow]
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-imgstore-batch").toString + "/imgs"
+      graft.multimodal.ImageStorage.writeBucketed(
+        graft.multimodal.ImageHash.imageHashes(corpus),
+        "img_corpus_batch_gate", path, maxHamming = 3, nBuckets = 8)
+      graft.multimodal.ImageStorage.checkBatch(s, "img_corpus_batch_gate",
+          graft.multimodal.ImageHash.imageHashes(batch), maxHamming = 3)
+        .orderBy("batch_id", "id")
+    }),
+
     // Real ISO-BMFF (MP4) container parse through the from-spec Mp4
     // codec: per-doc width/height/timescale/duration, codec fourcc and
     // per-sample sizes are closed-form in doc_id, synthesized into a
@@ -256,6 +318,38 @@ object MultimodalPack extends QueryPack {
          SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
          FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
          ORDER BY id_a, id_b""",
+
+    // identical contract to the ad-hoc banding — same oracle
+    "mm_phash_at_rest" ->
+      s"""WITH $PhashFpCte,
+         keyed AS (
+           SELECT media_id, f, c.chunk,
+             CAST(((CAST(f AS HUGEINT) + CASE WHEN f < 0
+                 THEN CAST('18446744073709551616' AS HUGEINT)
+                 ELSE 0 END)
+               // (CASE c.chunk WHEN 0 THEN 1 WHEN 1 THEN 65536
+                   WHEN 2 THEN 4294967296
+                   ELSE 281474976710656 END)) % 65536 AS BIGINT) AS v
+           FROM fp, range(0, 4) c(chunk)),
+         pairs AS (
+           SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.f AS fa, b.f AS fb
+           FROM keyed a JOIN keyed b
+             ON b.chunk = a.chunk AND b.v = a.v AND a.media_id < b.media_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+         FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+         ORDER BY id_a, id_b""",
+
+    // brute batch×corpus Hamming join over the same fingerprints —
+    // banding + storage layout must be invisible in the result
+    "mm_phash_batch_check" ->
+      s"""WITH $PhashFpCte
+         SELECT b.media_id + 1000000 AS batch_id, c.media_id AS id,
+           CAST(bit_count(xor(b.f, c.f)) AS INT) AS hamming
+         FROM fp b JOIN fp c
+           ON b.media_id % 3 = 0 AND c.media_id % 3 <> 0
+           AND bit_count(xor(b.f, c.f)) <= 3
+         ORDER BY batch_id, id""",
 
     // all-pairs edges within the bound + recursive-reach closure +
     // min-label canonical — algorithmically independent of the Spark

@@ -430,6 +430,26 @@ object WindowPack extends QueryPack {
         .orderBy("day", "feature", "bucket")
     }),
 
+    // Categorical rolling PSI + chi-square on the event-type mix: the
+    // reference deliberately excludes 'click', so current-side clicks
+    // land in the __other__ bucket — the novel-category lane the
+    // source-mix monitor exists for.
+    "w_rolling_psi_cat" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.operators.Drift.rollingPsiCat(
+          ev, "ts", "event_type",
+          ref = ev.filter(pmod(col("user_id"), lit(2L)) === 0 &&
+            col("event_type") =!= "click"),
+          windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("category"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("chi2"), 6).as("chi2"))
+        .orderBy("day", "category")
+    }),
+
     // Per-day PSI summary + alert status — the page-on row: 6dp
     // contributions folded in bucket order (deterministic under any
     // partitioning), thresholds 0.1/0.25 per the PSI rule of thumb.
@@ -814,6 +834,12 @@ object WindowPack extends QueryPack {
       arm("user_id", 0.0, 1000.0) + " UNION ALL " +
         arm("value", 0.0, 500.0) + " ORDER BY day, feature, bucket"
     },
+
+    "w_rolling_psi_cat" -> (graft.operators.Drift.rollingPsiCatOracleSql(
+      "SELECT ts, event_type AS v FROM events",
+      "SELECT event_type AS v FROM events" +
+        " WHERE user_id % 2 = 0 AND event_type <> 'click'",
+      windowDays = 7) + " ORDER BY day, category"),
 
     "w_rolling_psi_alarm" ->
       s"""SELECT day, ROUND(psi, 6) AS psi, status

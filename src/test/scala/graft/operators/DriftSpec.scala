@@ -238,6 +238,55 @@ class DriftSpec extends AnyFunSuite {
     assert(daysOf("b") === Set("2024-01-01", "2024-01-03", "2024-01-06"))
   }
 
+  test("categorical rolling PSI: ref categories + __other__, hand-checked shares") {
+    val cur = Seq(
+      ("2024-01-01", "a"), ("2024-01-01", "a"), ("2024-01-01", "b"),
+      ("2024-01-02", "a"), ("2024-01-02", "c"))
+      .toDF("d", "cat").select(to_timestamp(col("d")).as("ts"), col("cat"))
+    val ref = Seq("a", "a", "b", "b").toDF("cat")
+    val rows = Drift.rollingPsiCat(cur, "ts", "cat", ref, windowDays = 2)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // grid = observed days × (ref cats ∪ __other__)
+    assert(rows.keySet.map(_._2) === Set("a", "b", "__other__"))
+    assert(rows.keySet.map(_._1) === Set("2024-01-01", "2024-01-02"))
+    // day 1: window = {a:2, b:1}, tot 3
+    assert(rows(("2024-01-01", "a"))._1 === 0.5) // p_ref
+    assert(math.abs(rows(("2024-01-01", "a"))._2 - 2.0 / 3) < 1e-15)
+    assert(rows(("2024-01-01", "__other__"))._2 === 0.0)
+    // day 2: window = {a:3, b:1, c→other:1}, tot 5
+    assert(rows(("2024-01-02", "a"))._2 === 0.6)
+    assert(rows(("2024-01-02", "__other__"))._2 === 0.2)
+    assert(rows(("2024-01-02", "__other__"))._1 === 0.0)
+    // chi2 of a planted cell: obs 3, exp = 0.5 * 5
+    assert(math.abs(rows(("2024-01-02", "a"))._4 -
+      (3.0 - 2.5) * (3.0 - 2.5) / 2.5) < 1e-12)
+    // per-day current shares always total 1 (the __other__ bucket keeps
+    // novel categories in the denominator)
+    Seq("2024-01-01", "2024-01-02").foreach { d =>
+      val s = rows.collect { case ((`d`, _), v) => v._2 }.sum
+      assert(math.abs(s - 1.0) < 1e-12, s"day $d shares sum to $s")
+    }
+  }
+
+  test("categorical rolling PSI: the cardinality cap aborts eagerly") {
+    val cur = tsRows(Seq(("2024-01-01", 1.0)))
+      .select(col("ts"), col("v").cast("string").as("cat"))
+    val ref = (1 to 100).map(_.toString).toDF("cat")
+    val ex = intercept[IllegalArgumentException] {
+      Drift.rollingPsiCat(cur, "ts", "cat", ref, windowDays = 2,
+        maxCategories = 10)
+    }
+    assert(ex.getMessage.contains("exceed maxCategories"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Drift.rollingPsiCat(cur, "ts", "cat",
+        Seq("a", "__other__").toDF("cat"), windowDays = 2)
+    }
+    assert(ex2.getMessage.contains("reserved"))
+  }
+
   test("rolling KS: per-day max gap equals the two-frame ksTable statistic") {
     val cur = tsRows(Seq(
       ("2024-01-01", 1.0), ("2024-01-01", 3.0), ("2024-01-02", 5.0),
