@@ -217,6 +217,105 @@ object ImageHash {
       .withColumn("kept", col("media_id") === col("cluster"))
   }
 
+  /** Decode MJPEG-in-MP4 video rows and hash their frames,
+    * partition-local: the from-spec [[Mp4.sampleRanges]] walk locates
+    * each sample's byte extent inside the container, every
+    * `frameStep`-th sample decodes as an ordinary JPEG through the
+    * same JDK ImageIO the image path uses, and the exact-integer
+    * dHash/aHash follow. Returns `(media_id, frame_idx, dhash,
+    * ahash)` — feed the hash column to [[hammingPairs]] (or persist
+    * it via [[ImageStorage]]) and the whole image near-dup machinery
+    * applies to video keyframes unchanged. In MJPEG every sample is a
+    * keyframe; `frameStep` is the sampling stride.
+    *
+    * This is the ONE codec lane with real pixel decode (the JDK ships
+    * no inter-frame decoder); non-MJPEG payloads fail loudly in the
+    * JPEG decode, not silently hash garbage. 100 TB shape: identical
+    * to [[imageHashes]] — containers never shuffle, only 8-byte
+    * fingerprints do.
+    */
+  def videoKeyframeHashes(media: Dataset[Multimodal.MediaRow],
+                          frameStep: Int = 1): DataFrame = {
+    require(frameStep >= 1, s"frameStep must be >= 1: $frameStep")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Mp4.sampleRanges(r.bytes).zipWithIndex
+          .filter(_._2 % frameStep == 0)
+          .map { case ((off, sz), i) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.bytes, off.toInt, sz))
+            if (img == null)
+              throw new IllegalArgumentException(
+                s"undecodable frame $i of media ${r.media_id} " +
+                  s"($sz bytes at offset $off) — not MJPEG?")
+            (r.media_id, i, dHash64(img), aHash64(img))
+          }
+      }
+    }.toDF("media_id", "frame_idx", "dhash", "ahash")
+  }
+
+  /** JPEG-encode at an explicit quality (the default writer quality is
+    * content-dependent; the fixture contract below needs a pinned
+    * high-quality table).
+    */
+  def jpegBytes(img: BufferedImage, quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  /** Closed-form MJPEG-in-MP4 fixture whose frame dHashes survive the
+    * LOSSY codec exactly: frame `j` is a 72×64 gray image of 8×8-pixel
+    * uniform cells — one cell per dHash grid position, each cell
+    * aligned with one JPEG DCT block — with cell luminance
+    * `((a·x + b·y + j) mod 7) · 36`, `a = 1 + grp mod 6` (never ≡ 0
+    * mod 7, so horizontally adjacent cells ALWAYS differ),
+    * `b = (grp/6) mod 7`. A uniform block carries only its DC
+    * coefficient, so JPEG (q = 0.9) perturbs each cell's decoded mean
+    * by a few luma units while adjacent cells sit ≥ 36 apart — every
+    * dHash comparison's sign is codec-proof, and the oracle computes
+    * the hash from the modular closed form without decoding anything.
+    * Cells with EQUAL content decode identically (same block → same
+    * bytes), so the strict `>` is stable there too.
+    */
+  def fixtureMjpegMp4(grp: Long, nFrames: Int): Array[Byte] = {
+    require(nFrames >= 1 && nFrames <= 64, s"nFrames out of [1,64]: $nFrames")
+    val a = 1 + (grp % 6).toInt
+    val b = ((grp / 6) % 7).toInt
+    val frames = (0 until nFrames).map { j =>
+      val img = new BufferedImage(72, 64, BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val v = ((a * x + b * y + j) % 7) * 36
+          var py = 0
+          while (py < 8) {
+            var px = 0
+            while (px < 8) {
+              img.setRGB(x * 8 + px, y * 8 + py, (v << 16) | (v << 8) | v)
+              px += 1
+            }
+            py += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      jpegBytes(img, quality = 0.9f)
+    }
+    Mp4.writeWithSamples(72, 64, 1000L, nFrames * 40L, "jpeg", frames)
+  }
+
   /** Closed-form 9×8 gray PNG fixture for the oracle gate: cell
     * luminance `((grp+3)·(5x + 11y + 7xy + 1)) mod 256` — the mixed
     * xy term gives every (grp, row) its own comparison-step cadence,

@@ -2,17 +2,20 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Minimal ISO-BMFF (MP4) container codec — metadata only, from the
-  * public ISO/IEC 14496-12 box structure: `moov/mvhd` carries the movie
-  * timescale and duration, `moov/trak/tkhd` the track dimensions in
-  * 16.16 fixed point, and `moov/trak/mdia/minf/stbl` the sample tables —
-  * `stsd` (codec fourcc), `stts` (decode timeline sample counts) and
-  * `stsz` (sample count + byte sizes), which is how real tooling gets a
-  * frame count without decoding frames. The JDK ships no video codec, so
-  * this is the video-arm analog of the WAV/AIFF header parse: real
-  * container metadata without sample decode (frame pixels stay out of
-  * scope for the engine — swap in a javacv/ffmpeg [[Multimodal.Codec]]
-  * for that).
+/** Minimal ISO-BMFF (MP4) container codec — from the public ISO/IEC
+  * 14496-12 box structure: `moov/mvhd` carries the movie timescale and
+  * duration, `moov/trak/tkhd` the track dimensions in 16.16 fixed
+  * point, and `moov/trak/mdia/minf/stbl` the sample tables — `stsd`
+  * (codec fourcc), `stts` (decode timeline sample counts), `stsz`
+  * (sample count + byte sizes), `stsc` (sample-to-chunk runs) and
+  * `stco` (chunk offsets), which is how real tooling locates samples
+  * without decoding them. [[sampleRanges]] walks stsz+stsc+stco into
+  * per-sample byte extents, which makes ONE codec lane fully real:
+  * MJPEG-in-MP4, whose samples are ordinary JPEG images the JDK's
+  * ImageIO decodes ([[ImageHash.videoKeyframeHashes]]). Every other
+  * codec (avc1/hev1/av01…) stays metadata-only — the JDK ships no
+  * inter-frame video decoder; swap in a javacv/ffmpeg
+  * [[Multimodal.Codec]] for those.
   *
   * [[write]] emits a minimal valid `ftyp + moov(mvhd, trak(tkhd,
   * mdia(minf(stbl(stsd, stts, stsz)))))` tree so fixtures and the parser
@@ -128,13 +131,134 @@ object Mp4 {
     Meta(w, h, timescale, duration, tracks, codec, nSamples, sampleBytes)
   }
 
+  /** Per-sample byte extents `(offset, size)` of the winning (largest)
+    * video track, from the stsz size table, stsc sample-to-chunk runs
+    * and stco chunk offsets — the standard sample walk (14496-12
+    * §8.7): chunk k (1-based) holds `samples_per_chunk` of the last
+    * stsc run whose `first_chunk ≤ k`; within a chunk, samples are
+    * contiguous from the chunk's stco offset in stsz order. Extents
+    * are validated against the file length, so a truncated mdat fails
+    * precisely here, not inside a decoder.
+    */
+  def sampleRanges(bytes: Array[Byte]): Seq[(Long, Int)] = {
+    require(isMp4(bytes),
+      s"undecodable video payload (${bytes.length} bytes) — not an " +
+        "ISO-BMFF container (no ftyp box)")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var w = 0; var tracks = 0; var inWinner = false
+    var sizes: Array[Int] = Array.emptyIntArray
+    var stsc: Array[(Long, Long)] = Array.empty    // (first_chunk, per_chunk)
+    var stco: Array[Long] = Array.emptyLongArray
+    def walk(from: Int, to: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val size = bb.getInt(o).toLong & 0xffffffffL
+        val typ = new String(bytes, o + 4, 4, "US-ASCII")
+        require(size == 0 || (size >= 8 && o.toLong + size <= to),
+          s"bad box size $size at offset $o (extent $to) — truncated or " +
+            "corrupt container")
+        val end = if (size == 0) to else (o + size).toInt
+        typ match {
+          case "moov" | "mdia" | "minf" | "stbl" => walk(o + 8, end)
+          case "trak" => walk(o + 8, end); inWinner = false
+          case "tkhd" =>
+            tracks += 1
+            val v = bytes(o + 8) & 0xff
+            val wOff = o + 8 + (if (v == 1) 88 else 76)
+            val tw = bb.getInt(wOff) >>> 16
+            inWinner = tw > w || tracks == 1
+            if (inWinner) {
+              w = tw
+              sizes = Array.emptyIntArray; stsc = Array.empty
+              stco = Array.emptyLongArray
+            }
+          case "stsz" if inWinner =>
+            val fixed = bb.getInt(o + 8 + 4)
+            val n = bb.getInt(o + 8 + 8)
+            require(n >= 0, s"negative stsz sample count $n")
+            if (fixed != 0) sizes = Array.fill(n)(fixed)
+            else {
+              require(o.toLong + 8 + 12 + 4L * n <= end,
+                s"stsz sample count $n exceeds box extent")
+              sizes = Array.tabulate(n)(i => bb.getInt(o + 8 + 12 + 4 * i))
+            }
+          case "stsc" if inWinner =>
+            val n = bb.getInt(o + 8 + 4)
+            require(n >= 0 && o.toLong + 8 + 8 + 12L * n <= end,
+              s"stsc entry count $n exceeds box extent")
+            stsc = Array.tabulate(n) { i =>
+              (bb.getInt(o + 8 + 8 + 12 * i).toLong & 0xffffffffL,
+                bb.getInt(o + 8 + 8 + 12 * i + 4).toLong & 0xffffffffL)
+            }
+          case "stco" if inWinner =>
+            val n = bb.getInt(o + 8 + 4)
+            require(n >= 0 && o.toLong + 8 + 8 + 4L * n <= end,
+              s"stco entry count $n exceeds box extent")
+            stco = Array.tabulate(n)(i =>
+              bb.getInt(o + 8 + 8 + 4 * i).toLong & 0xffffffffL)
+          case _ => ()
+        }
+        if (size == 0) o = to else o = end
+      }
+    }
+    walk(0, bytes.length)
+    if (sizes.isEmpty) return Seq.empty
+    require(stco.nonEmpty && stsc.nonEmpty,
+      "stsz present but stsc/stco missing — samples not locatable")
+    val out = Seq.newBuilder[(Long, Int)]
+    var si = 0
+    var chunk = 1L
+    while (si < sizes.length && chunk <= stco.length) {
+      // samples_per_chunk of the last run whose first_chunk ≤ chunk
+      val per = stsc.foldLeft(0L) { case (acc, (fc, n)) =>
+        if (fc <= chunk) n else acc }
+      require(per > 0, s"no stsc run covers chunk $chunk")
+      var off = stco((chunk - 1).toInt)
+      var j = 0L
+      while (j < per && si < sizes.length) {
+        val sz = sizes(si)
+        require(sz >= 0 && off + sz <= bytes.length,
+          s"sample $si extent [$off, ${off + sz}) exceeds file length " +
+            s"${bytes.length} — truncated mdat")
+        out += ((off, sz))
+        off += sz; si += 1; j += 1
+      }
+      chunk += 1
+    }
+    require(si == sizes.length,
+      s"stco chunks exhausted with ${sizes.length - si} samples unplaced")
+    out.result()
+  }
+
   // ------------------------------------------------------------- write
 
   val MaxU32: Long = 0xffffffffL
 
   def write(widthPx: Int, heightPx: Int, timescale: Long,
             durationTicks: Long, codec: String = "",
-            sampleSizes: Seq[Int] = Nil): Array[Byte] = {
+            sampleSizes: Seq[Int] = Nil): Array[Byte] =
+    build(widthPx, heightPx, timescale, durationTicks, codec, sampleSizes,
+      samples = None)
+
+  /** [[write]] with REAL sample payloads: the frames land concatenated
+    * in one `mdat` box addressed by a single-chunk `stsc` + `stco`
+    * pair — the layout [[sampleRanges]] (or any 14496-12 reader) walks
+    * back to the exact bytes. With JPEG frames and fourcc `jpeg` this
+    * is Motion JPEG in MP4 — the one codec lane the JDK can decode
+    * end-to-end.
+    */
+  def writeWithSamples(widthPx: Int, heightPx: Int, timescale: Long,
+                       durationTicks: Long, codec: String,
+                       samples: Seq[Array[Byte]]): Array[Byte] = {
+    require(samples.nonEmpty, "writeWithSamples needs at least one sample")
+    build(widthPx, heightPx, timescale, durationTicks, codec,
+      samples.map(_.length), samples = Some(samples))
+  }
+
+  private def build(widthPx: Int, heightPx: Int, timescale: Long,
+                    durationTicks: Long, codec: String,
+                    sampleSizes: Seq[Int],
+                    samples: Option[Seq[Array[Byte]]]): Array[Byte] = {
     require(timescale >= 1 && timescale <= MaxU32,
       s"mvhd timescale $timescale outside the unsigned-32 slot")
     require(durationTicks >= 0, s"negative duration $durationTicks")
@@ -201,7 +325,7 @@ object Mp4 {
       b.array()
     })
     // sample tables — emitted only when the fixture declares samples
-    val stbl =
+    def stbl(stcoOffset: Long): Array[Byte] =
       if (codec.isEmpty && sampleSizes.isEmpty) Array.emptyByteArray
       else {
         val stsd = box("stsd", {
@@ -229,9 +353,38 @@ object Mp4 {
           sampleSizes.foreach(b.putInt)
           b.array()
         })
-        box("mdia", box("minf", box("stbl", stsd ++ stts ++ stsz)))
+        // sample addressing only when real payloads ride along: one
+        // chunk holding every sample, at the (patched-in) mdat offset
+        val addr = if (samples.isEmpty) Array.emptyByteArray else {
+          val stsc = box("stsc", {
+            val b = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
+            b.putInt(0); b.putInt(1)   // ver/flags, one run
+            b.putInt(1); b.putInt(n); b.putInt(1) // chunk 1 → all samples
+            b.array()
+          })
+          val stco = box("stco", {
+            val b = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+            b.putInt(0); b.putInt(1)   // ver/flags, one chunk
+            require(stcoOffset <= MaxU32, s"stco offset $stcoOffset > u32")
+            b.putInt(stcoOffset.toInt)
+            b.array()
+          })
+          stsc ++ stco
+        }
+        box("mdia", box("minf", box("stbl", stsd ++ stts ++ stsz ++ addr)))
       }
-    val moov = box("moov", mvhd ++ box("trak", tkhd ++ stbl))
-    ftyp ++ moov
+    def moov(stcoOffset: Long): Array[Byte] =
+      box("moov", mvhd ++ box("trak", tkhd ++ stbl(stcoOffset)))
+    samples match {
+      case None => ftyp ++ moov(0L)
+      case Some(frames) =>
+        // stco points INTO the file — size the header with a dummy
+        // offset first (box sizes don't depend on the offset value),
+        // then rebuild with the real one
+        val headerLen = ftyp.length + moov(0L).length
+        val firstSample = headerLen + 8L // past the mdat size+type
+        val mdat = box("mdat", frames.reduce(_ ++ _))
+        ftyp ++ moov(firstSample) ++ mdat
+    }
   }
 }

@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   * `javax.imageio` — PNG/BMP/GIF/JPEG) and audio headers parse for real
   * through JDK-builtin `javax.sound.sampled` (WAV/AIFF/AU — sample rate,
   * channels, frame count from the actual container, no external
-  * libraries); video stays STUBBED behind [[StubCodec]] (the JDK ships no
-  * video codec) with a deterministic fake that derives plausible metadata
-  * from the bytes — for that kind the Spark-side plumbing (schema,
-  * batching, partitioning, binary hygiene) is real and tested, the codec
-  * is not.
+  * libraries). Video container metadata parses for real through the
+  * from-spec [[Mp4]] box codec, and ONE video lane decodes pixels for
+  * real: MJPEG-in-MP4, whose samples [[Mp4.sampleRanges]] locates and
+  * `javax.imageio` decodes ([[ImageHash.videoKeyframeHashes]]).
+  * Inter-frame codecs (avc1/hev1/av01…) remain codec-absent — the JDK
+  * ships no inter-frame decoder; [[StubCodec]] keeps a deterministic
+  * fake for them so the Spark-side plumbing (schema, batching,
+  * partitioning, binary hygiene) stays real and tested even where the
+  * codec is not.
   */
 object Multimodal {
 
@@ -52,8 +56,9 @@ object Multimodal {
     * through `javax.sound.sampled` (WAV/AIFF/AU — sample rate, channels
     * and frame count from the actual container format chunk), and video
     * container metadata through the from-spec [[Mp4]] ISO-BMFF box walk
-    * (dimensions, timescale, duration — frame DECODE still needs a real
-    * codec, the one remaining stub). Feature vector stays the byte
+    * (dimensions, timescale, duration; MJPEG frame pixels decode for
+    * real via [[ImageHash.videoKeyframeHashes]] — inter-frame codecs
+    * still need an external decoder). Feature vector stays the byte
     * histogram fold — a real embedding model is out of scope for the
     * engine.
     */

@@ -199,6 +199,33 @@ object MultimodalPack extends QueryPack {
         .orderBy("batch_id", "id")
     }),
 
+    // MJPEG-in-MP4 keyframe perceptual hashing — the one video codec
+    // lane with REAL pixel decode: per-doc containers are synthesized
+    // with real JPEG frame payloads addressed by stsc/stco, the
+    // from-spec sample walk recovers each frame's bytes, ImageIO
+    // decodes them, and the exact-integer dHash follows. The fixture's
+    // uniform 8×8 cells align with JPEG DCT blocks and keep ≥36 luma
+    // between adjacent cells, so every comparison sign survives the
+    // lossy codec and the oracle computes the hash from the modular
+    // closed form — a sample walk that misplaces an offset, a decoder
+    // that misreads the scan, or a resampler off the box-mean contract
+    // all fail the gate.
+    "mm_video_keyframe_phash" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(50)).cast("long").as("grp"),
+        (lit(2) + pmod(col("doc_id"), lit(3))).cast("int").as("nf"))
+      val mkMp4 = udf((grp: Long, nf: Int) =>
+        graft.multimodal.ImageHash.fixtureMjpegMp4(grp, nf))
+      val media = params.select(col("media_id"), lit("video").as("kind"),
+          mkMp4(col("grp"), col("nf")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      graft.multimodal.ImageHash.videoKeyframeHashes(media)
+        .select(col("media_id"), col("frame_idx"), col("dhash"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Real ISO-BMFF (MP4) container parse through the from-spec Mp4
     // codec: per-doc width/height/timescale/duration, codec fourcc and
     // per-sample sizes are closed-form in doc_id, synthesized into a
@@ -373,6 +400,35 @@ object MultimodalPack extends QueryPack {
            p.media_id = COALESCE(c.canonical, p.media_id) AS kept
          FROM p LEFT JOIN canon c ON c.node = p.media_id
          ORDER BY p.media_id""",
+    // per-frame dHash from the fixture's modular closed form — no
+    // pixel decode on the oracle side; bit 63 enters as the signed
+    // two's-complement weight (the PhashFpCte convention)
+    "mm_video_keyframe_phash" ->
+      """WITH p AS (
+           SELECT doc_id AS media_id,
+             1 + (doc_id % 50) % 6 AS a,
+             ((doc_id % 50) // 6) % 7 AS b,
+             2 + doc_id % 3 AS nf
+           FROM documents),
+         frames AS (
+           SELECT media_id, a, b, j.j AS frame_idx
+           FROM p, range(0, 4) j(j) WHERE j.j < nf),
+         bits AS (
+           SELECT media_id, frame_idx, y.y * 8 + x.x AS pos,
+             CASE WHEN (a*x.x + b*y.y + frame_idx) % 7
+                       > (a*(x.x+1) + b*y.y + frame_idx) % 7
+                  THEN 1 ELSE 0 END AS bit
+           FROM frames, range(0, 8) x(x), range(0, 8) y(y)),
+         fp AS (
+           SELECT media_id, frame_idx,
+             CAST(SUM(CASE WHEN bit = 0 THEN 0
+                 WHEN pos = 63 THEN -9223372036854775808
+                 ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
+               AS BIGINT) AS dhash
+           FROM bits GROUP BY 1, 2)
+         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, dhash
+         FROM fp ORDER BY media_id, frame_idx""",
+
     // the closed forms mirror the fixture generator; sample_bytes sums
     // the same per-sample size sequence the stsz table carries (n ≤ 7,
     // so a fixed 0..6 series filtered by i < n replays the loop — DuckDB
