@@ -128,10 +128,19 @@ object ExactSubstr {
       .drop("__d", "__isl")
   }
 
+  /** `checkpointDir`: the verified-seed table — the last corpus-derived
+    * intermediate before the islands fold — is cut per the
+    * [[graft.core.Durable]] policy (None = localCheckpoint; Some(dir) =
+    * reliable checkpoint surviving executor loss — the production
+    * posture for the multi-hour corpus runs, bit-identical either way,
+    * spec-pinned). The cut also keeps the islands window from replaying
+    * the seed-index lineage once per downstream action.
+    */
   def maximalSharedSpans(docs: DataFrame, idCol: String, textCol: String,
                          spanTokens: Int = 15,
                          maxSeedDf: Int = 10000,
-                         seedKey: Column => Column = xxhash64(_)): DataFrame = {
+                         seedKey: Column => Column = xxhash64(_),
+                         checkpointDir: Option[String] = None): DataFrame = {
     require(spanTokens >= 2, s"spanTokens too small: $spanTokens")
     require(maxSeedDf >= 2, s"maxSeedDf must be at least 2: $maxSeedDf")
     val windows = hashedWindows(docs, idCol, textCol, spanTokens, seedKey)
@@ -146,8 +155,9 @@ object ExactSubstr {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
-    islands(verifySeeds(seedPairs, docs, docs, idCol, textCol, spanTokens),
-      spanTokens)
+    val verified = new graft.core.Durable(checkpointDir)
+      .cut(verifySeeds(seedPairs, docs, docs, idCol, textCol, spanTokens))
+    islands(verified, spanTokens)
   }
 
   /** CROSS-corpus maximal shared spans — every maximal token span
@@ -172,7 +182,8 @@ object ExactSubstr {
                  idCol: String, textCol: String,
                  spanTokens: Int = 15,
                  maxSeedDf: Int = 10000,
-                 seedKey: Column => Column = xxhash64(_)): DataFrame = {
+                 seedKey: Column => Column = xxhash64(_),
+                 checkpointDir: Option[String] = None): DataFrame = {
     require(spanTokens >= 2, s"spanTokens too small: $spanTokens")
     require(maxSeedDf >= 2, s"maxSeedDf must be at least 2: $maxSeedDf")
     val wTrain = hashedWindows(corpus, idCol, textCol, spanTokens, seedKey)
@@ -190,8 +201,9 @@ object ExactSubstr {
       .select(col("a"), explode(col("eocc")).as("b"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
-    islands(verifySeeds(seedPairs, corpus, evalSet, idCol, textCol, spanTokens),
-        spanTokens)
+    val verified = new graft.core.Durable(checkpointDir)
+      .cut(verifySeeds(seedPairs, corpus, evalSet, idCol, textCol, spanTokens))
+    islands(verified, spanTokens)
       .select(col("id_a").as("train_id"), col("id_b").as("eval_id"),
         col("a_start").as("train_start"), col("b_start").as("eval_start"),
         col("span_tokens"))

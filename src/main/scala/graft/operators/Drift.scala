@@ -90,7 +90,6 @@ object Drift {
     def bucket(c: Column): Column =
       least(greatest(floor((c.cast("double") - lo) / w), lit(0.0)),
         lit((nBuckets - 1).toDouble)).cast("int")
-    val spark = df.sparkSession
     val withDay = df
       .filter(col(valueCol).isNotNull)
       .withColumn("__day",
@@ -101,12 +100,39 @@ object Drift {
     // the ONE corpus-sized reduction; feeds the day list AND the
     // scatter — cut once (the Triangles lesson)
     val daily = withDay
-      .select(col("__day"), bucket(col(valueCol)).as("bucket"))
-      .groupBy("__day", "bucket").agg(count(lit(1)).as("__n"))
+      .select(col("__day").as("day"), bucket(col(valueCol)).as("bucket"))
+      .groupBy("day", "bucket").agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    val days = daily.select(col("__day").as("day")).distinct()
+    rollingPsiFromDailyCounts(daily, ref, valueCol, nBuckets, lo, hi,
+      windowDays, eps)
+  }
+
+  /** The window-assembly stage of [[rollingPsi]] over an ALREADY
+    * REDUCED per-day bucket count table `(day DATE, bucket INT,
+    * n LONG)` — factored out so the streaming twin
+    * ([[graft.streaming.EventsStream.psiDailyCountsStream]], which
+    * maintains exactly this table as keyed state) shares the batch
+    * semantics literally: feed its emitted counts here and the output
+    * is row-identical to [[rollingPsi]] over the replayed corpus
+    * (StreamingSpec pins it). Everything downstream of the corpus
+    * reduction is bounded (days × buckets), so this stage is cheap on
+    * either path.
+    */
+  def rollingPsiFromDailyCounts(daily: DataFrame, ref: DataFrame,
+                                valueCol: String, nBuckets: Int, lo: Double,
+                                hi: Double, windowDays: Int,
+                                eps: Double = 1e-4): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"bad grid [$lo, $hi) x $nBuckets")
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays out of [1,366]: $windowDays")
+    val w = (hi - lo) / nBuckets
+    def bucket(c: Column): Column =
+      least(greatest(floor((c.cast("double") - lo) / w), lit(0.0)),
+        lit((nBuckets - 1).toDouble)).cast("int")
+    val spark = daily.sparkSession
+    val days = daily.select(col("day")).distinct()
     val scattered = daily
-      .select(col("__day"), col("bucket"), col("__n"),
+      .select(col("day").as("__day"), col("bucket"), col("n").as("__n"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
       .select(date_add(col("__day"), col("__off")).as("day"),
         col("bucket"), col("__n"))

@@ -651,6 +651,78 @@ object EventsStream {
       }
   }
 
+  // ------------------------------------------- rolling-PSI daily counts
+
+  /** Per-day bucket-count snapshot: `counts(b)` = rows of this day in
+    * grid bucket b so far; `total` their sum (monotone — the
+    * latest-emission handle, like MG's `nTotal`).
+    */
+  final case class PsiDayUpdate(day: String, counts: Array[Long],
+                                total: Long)
+
+  /** Streaming twin of [[graft.operators.Drift.rollingPsi]]'s corpus
+    * reduction: the per-(day, bucket) count table — the ONLY
+    * corpus-sized work in the batch operator — maintained as keyed
+    * state with `mapGroupsWithState`, one `nBuckets`-long array per
+    * observed day (counting is order-insensitive and mergeable, so
+    * unlike the CUSUM/transitions folds there is no order contract —
+    * but it IS additive: re-deliveries double-count, so pair with
+    * [[dedupEvents]] upstream, and StreamingSpec pins that composition
+    * as idempotent). Values bucket on the same fixed grid as the batch
+    * operator, with the same clamp; NULL timestamps abort loudly, NULL
+    * values leave the distribution — the [[graft.operators.Drift.psi]]
+    * posture throughout.
+    *
+    * Each batch emits the day's full updated snapshot (update-mode
+    * semantics: keep the row with the largest `total` per day
+    * downstream). Feed the final snapshots — exploded to `(day,
+    * bucket, n)` — through [[graft.operators.Drift
+    * .rollingPsiFromDailyCounts]] and the result is row-identical to
+    * the batch [[graft.operators.Drift.rollingPsi]] over the replayed
+    * corpus: the window assembly is literally shared code.
+    *
+    * The grid is the state bound (one long per bucket per day), so it
+    * is ENFORCED: `nBuckets` past `maxBuckets` aborts at plan time — a
+    * 10⁶-bucket grid inside a state store is a modeling error, not a
+    * bigger array (the [[transitionsStream]] cap posture).
+    */
+  def psiDailyCountsStream(events: DataFrame, tsCol: String,
+                           valueCol: String, nBuckets: Int, lo: Double,
+                           hi: Double,
+                           maxBuckets: Int = 65536): Dataset[PsiDayUpdate] = {
+    require(nBuckets > 0 && hi > lo, s"bad grid [$lo, $hi) x $nBuckets")
+    require(nBuckets <= maxBuckets,
+      s"psiDailyCountsStream: $nBuckets buckets exceed maxBuckets=" +
+        s"$maxBuckets of per-day stream state — coarsen the grid")
+    val w = (hi - lo) / nBuckets
+    val bucket =
+      least(greatest(floor((col(valueCol).cast("double") - lo) / w),
+        lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(
+        when(col(tsCol).isNull, raise_error(lit(
+            s"psiDailyCountsStream: NULL $tsCol — filter or repair null " +
+              "timestamps upstream")))
+          .otherwise(date_format(to_date(col(tsCol)), "yyyy-MM-dd"))
+          .as[String],
+        bucket.as[Int])
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], PsiDayUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (day: String, rows: Iterator[(String, Int)],
+         state: GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(new Array[Long](nBuckets))
+          rows.foreach { case (_, b) => counts(b) += 1L }
+          state.update(counts)
+          // defensive copy — the live state array must not escape
+          PsiDayUpdate(day, counts.clone(), counts.sum)
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

@@ -102,6 +102,29 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("reliable checkpointDir is bit-identical to the local cut") {
+    val docs = Seq(
+      (1L, "x1 x2 s1 s2 s3 s4 s5 s6 s7 s8 s9 x3 x4"),
+      (2L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 y1 y2 y3"),
+      (3L, "z1 s3 s4 s5 s6 s7 z2 z3 z4 z5 z6 z7")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-substr-ckpt").toString
+    def collect(d: Option[String]) =
+      ExactSubstr.maximalSharedSpans(docs, "doc_id", "text", spanTokens = 4,
+          checkpointDir = d)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4))).toSet
+    val local = collect(None)
+    val reliable = collect(Some(dir))
+    assert(local === reliable)
+    assert(local.nonEmpty)
+    // the reliable cut actually wrote state to the dir
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "reliable checkpoint left no files")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("crossSpans reports only train×eval pairs, never train×train") {
     // train docs 1 and 2 share a span with EACH OTHER and doc 1 also
     // shares one with eval doc 10 — only the cross pair may surface

@@ -501,6 +501,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === batch)
   }
 
+  test("streaming rolling-PSI counts replay into the batch rollingPsi row-for-row") {
+    val dir = stageEventsDir()
+    val stream = EventsStream.psiDailyCountsStream(
+      EventsStream.readEvents(spark, dir), "ts", "value",
+      nBuckets = 10, lo = 0.0, hi = 500.0).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("psi_daily").start()
+    try {
+      q.processAllAvailable()
+      // a second batch with MORE of the same days: counts accumulate
+      // across the batch boundary, not reset
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest snapshot per day = the emission with the largest total
+    val latest = spark.table("psi_daily").collect()
+      .groupBy(_.getAs[String]("day"))
+      .map { case (d, rows) =>
+        d -> rows.maxBy(_.getAs[Long]("total")).getSeq[Long](1) }
+    val dailyDf = latest.toSeq.flatMap { case (d, counts) =>
+      counts.zipWithIndex.collect { case (n, b) if n > 0 => (d, b, n) }
+    }.toDF("d", "bucket", "n")
+      .select(to_date(col("d")).as("day"), col("bucket"), col("n"))
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val doubled = ev.unionByName(ev) // the stream saw the file twice
+    val ref = ev.filter(col("event_type") === "purchase")
+      .select(col("value").as("v"))
+    val got = graft.operators.Drift.rollingPsiFromDailyCounts(
+        dailyDf, ref, "v", nBuckets = 10, lo = 0.0, hi = 500.0,
+        windowDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    val batch = graft.operators.Drift.rollingPsi(
+        doubled.select(col("ts"), col("value").as("v")), "ts", "v", ref,
+        nBuckets = 10, lo = 0.0, hi = 500.0, windowDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
+  test("rolling-PSI stream: dedupEvents upstream makes re-delivery a no-op") {
+    val dir = stageEventsDir()
+    val stream = EventsStream.psiDailyCountsStream(
+      EventsStream.dedupEvents(
+        EventsStream.readEvents(spark, dir), watermark = "10 days"),
+      "ts", "value", nBuckets = 10, lo = 0.0, hi = 500.0).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("psi_daily_dedup").start()
+    try {
+      q.processAllAvailable()
+      // re-deliver the SAME events (same event_ids): the dedup absorbs
+      // them — counting state must not move
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("psi_daily_dedup").collect()
+      .groupBy(_.getAs[String]("day"))
+      .map { case (d, rows) =>
+        d -> rows.maxBy(_.getAs[Long]("total")).getSeq[Long](1).toSeq }
+    val batchCounts = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("value").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        least(greatest(floor((col("value") - 0.0) / 50.0), lit(0.0)),
+          lit(9.0)).cast("int").as("bucket"))
+      .groupBy("day", "bucket").count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (d, rows) =>
+        val dense = new Array[Long](10)
+        rows.foreach(r => dense(r.getInt(1)) = r.getLong(2))
+        d -> dense.toSeq
+      }
+    assert(latest === batchCounts)
+  }
+
+  test("rolling-PSI stream: the grid cap aborts at plan time") {
+    val dir = stageEventsDir()
+    val ex = intercept[IllegalArgumentException] {
+      EventsStream.psiDailyCountsStream(
+        EventsStream.readEvents(spark, dir), "ts", "value",
+        nBuckets = 1000, lo = 0.0, hi = 500.0, maxBuckets = 100)
+    }
+    assert(ex.getMessage.contains("maxBuckets"))
+  }
+
   test("streaming CUSUM fold equals the batch closed-prefix form row-for-row") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
     // a keyed daily series with a level shift halfway, split into two
