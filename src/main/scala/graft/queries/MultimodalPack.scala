@@ -199,6 +199,30 @@ object MultimodalPack extends QueryPack {
         .orderBy("batch_id", "id")
     }),
 
+    // Acoustic near-dup — the audio arm of the dedup triad: per-doc
+    // square-wave WAVs are synthesized from a closed-form modular
+    // amplitude pattern (grp plants clusters; the variant perturbs only
+    // the last window, which feeds exactly one envelope comparison),
+    // PCM-decoded and energy-fingerprinted for real, then paired by the
+    // same pigeonhole Hamming banding as images. The oracle recomputes
+    // the fingerprint bit-for-bit from the modular form (PCM is
+    // lossless, energies are exact integers) and replays the banding.
+    "mm_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(100)).cast("long").as("grp"),
+        pmod(expr("doc_id div 100"), lit(4)).cast("int").as("vr"))
+      val mkWav = udf((grp: Long, vr: Int) =>
+        graft.multimodal.AudioHash.fixtureWav(grp, vr))
+      val media = params.select(col("media_id"), lit("audio").as("kind"),
+          mkWav(col("grp"), col("vr")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      graft.multimodal.AudioHash.neardupPairs(
+          graft.multimodal.AudioHash.audioHashes(media), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // MJPEG-in-MP4 keyframe perceptual hashing — the one video codec
     // lane with REAL pixel decode: per-doc containers are synthesized
     // with real JPEG frame payloads addressed by stsc/stco, the
@@ -400,6 +424,51 @@ object MultimodalPack extends QueryPack {
            p.media_id = COALESCE(c.canonical, p.media_id) AS kept
          FROM p LEFT JOIN canon c ON c.node = p.media_id
          ORDER BY p.media_id""",
+    // envelope fingerprint from the modular closed form (PCM lossless,
+    // exact integer energies) + the same banding replay as the image
+    // gates; bit 63 signed per the PhashFpCte convention
+    "mm_audio_neardup" ->
+      """WITH p AS (
+           SELECT doc_id AS media_id,
+             1 + (doc_id % 100) % 6 AS a,
+             ((doc_id % 100) // 6) % 7 AS b,
+             (doc_id // 100) % 4 AS vr
+           FROM documents),
+         amps AS (
+           SELECT media_id, w.w AS w,
+             1 + (a * w.w + b
+                  + CASE WHEN w.w = 64 THEN vr ELSE 0 END) % 7 AS amp
+           FROM p, range(0, 65) w(w)),
+         bits AS (
+           SELECT x.media_id, x.w AS pos,
+             CASE WHEN x.amp > y.amp THEN 1 ELSE 0 END AS bit
+           FROM amps x JOIN amps y
+             ON y.media_id = x.media_id AND y.w = x.w + 1
+           WHERE x.w < 64),
+         fp AS (
+           SELECT media_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+               WHEN pos = 63 THEN -9223372036854775808
+               ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
+             AS BIGINT) AS f
+           FROM bits GROUP BY media_id),
+         keyed AS (
+           SELECT media_id, f, c.chunk,
+             CAST(((CAST(f AS HUGEINT) + CASE WHEN f < 0
+                 THEN CAST('18446744073709551616' AS HUGEINT)
+                 ELSE 0 END)
+               // (CASE c.chunk WHEN 0 THEN 1 WHEN 1 THEN 65536
+                   WHEN 2 THEN 4294967296
+                   ELSE 281474976710656 END)) % 65536 AS BIGINT) AS v
+           FROM fp, range(0, 4) c(chunk)),
+         pairs AS (
+           SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.f AS fa, b.f AS fb
+           FROM keyed a JOIN keyed b
+             ON b.chunk = a.chunk AND b.v = a.v AND a.media_id < b.media_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+         FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+         ORDER BY id_a, id_b""",
+
     // per-frame dHash from the fixture's modular closed form — no
     // pixel decode on the oracle side; bit 63 enters as the signed
     // two's-complement weight (the PhashFpCte convention)
