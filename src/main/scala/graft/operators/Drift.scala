@@ -368,6 +368,15 @@ object Drift {
     require(refCounts.filter(col("category") === Other).isEmpty,
       s"Drift.rollingPsiCat: reference contains the reserved '$Other' " +
         "category")
+    // cap-gated driver materialization of the category list (the
+    // QuantileSketch gated-walk precedent): a LOCAL category dimension
+    // has known-small stats, so the grid joins below plan broadcast
+    // like rollingPsi's range grid — derived distributively from the
+    // checkpointed refCounts it would carry an unknown-size estimate
+    // and push the bounded grid⋈window join into a sort-merge
+    val catList = refCounts.select("category").collect()
+      .map(_.getString(0)) :+ Other
+    val spark = df.sparkSession
     val withDay = df
       .filter(col(catCol).isNotNull)
       .select(
@@ -390,12 +399,22 @@ object Drift {
       .groupBy("__day", "category").agg(sum(col("__n")).as("__n"))
       .localCheckpoint() // feeds day list + scatter (Triangles lesson)
     val days = daily.select(col("__day").as("day")).distinct()
+    // the full (observed day × category) grid enters the scatter as
+    // ZERO rows, so the one (day, category) aggregation below emits
+    // every grid cell directly — no grid⋈window join exists to
+    // mis-plan (empty cells must surface as 0 shares for the eps
+    // smoothing, like psi's grid left-joins)
+    val gridZero = days
+      .crossJoin(broadcast(spark.createDataset(catList.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("category")))
+      .select(col("day"), col("category"), lit(0L).as("__n"))
     val windowed = daily
       .select(col("__day"), col("category"), col("__n"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
       .select(date_add(col("__day"), col("__off")).as("day"),
         col("category"), col("__n"))
       .join(broadcast(days), Seq("day"))
+      .unionByName(gridZero)
       .groupBy("day", "category").agg(sum(col("__n")).as("__wn"))
     val totals = windowed.groupBy("day").agg(sum(col("__wn")).as("__tot"))
     val refShares = refCounts
@@ -403,19 +422,14 @@ object Drift {
       .select(col("category"),
         (col("__rn").cast("double") / col("__rtot").cast("double"))
           .as("p_ref"))
-    val grid = days.crossJoin(broadcast(
-      refCounts.select(col("category"))
-        .unionByName(refCounts.sparkSession.range(1)
-          .select(lit(Other).as("category")))))
-    val p = grid
-      .join(windowed, Seq("day", "category"), "left")
+    val p = windowed
       .join(broadcast(totals), Seq("day"))
       .join(broadcast(refShares), Seq("category"), "left")
       .select(col("day"), col("category"),
         coalesce(col("p_ref"), lit(0.0)).as("p_ref"),
-        (coalesce(col("__wn"), lit(0L)).cast("double") /
-          col("__tot").cast("double")).as("p_cur"),
-        coalesce(col("__wn"), lit(0L)).as("__wn"), col("__tot"))
+        (col("__wn").cast("double") / col("__tot").cast("double"))
+          .as("p_cur"),
+        col("__wn"), col("__tot"))
     val pr = greatest(col("p_ref"), lit(eps))
     val pc = greatest(col("p_cur"), lit(eps))
     val exp = pr * col("__tot").cast("double")

@@ -550,6 +550,26 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"every post-reduction frame is bounded — nothing may sort-merge:\n$s")
   }
 
+  test("categorical rolling PSI: same scatter shape, category map broadcasts") {
+    val df = graft.SparkEntry.queries("w_rolling_psi_cat")(spark, sf)
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!"(?i)cartesianproduct".r.findFirstIn(s).isDefined,
+      s"the window merge must be the offset scatter, not a range join:\n$s")
+    // bounded broadcast crosses only: days × local category list (the
+    // zero-grid union), the ref one-row total, and the reserved-name
+    // guard's probe
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 3 &&
+      !"(?i)(?<!broadcast)nestedloopjoin".r.findFirstIn(s.toLowerCase
+        .replace("broadcastnestedloopjoin", "")).isDefined,
+      s"only the bounded broadcast grid-crosses may nested-loop:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"category map / day list / shares should broadcast:\n$s")
+    assert(!"(?i)sortmergejoin".r.findFirstIn(s).isDefined,
+      s"every post-reduction frame is category-bounded — nothing may " +
+        s"sort-merge:\n$s")
+  }
+
   test("wilson rates: ONE aggregation, interval math map-side") {
     val df = graft.SparkEntry.queries("a_rate_wilson")(spark, sf)
     df.count()
