@@ -66,6 +66,31 @@ class AudioHashSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("too short"))
   }
 
+  test("audio fingerprints ride the at-rest hash layout unchanged (triad at rest)") {
+    import spark.implicits._
+    val media = (0L until 80L).map { id =>
+      Multimodal.MediaRow(id, "audio",
+        AudioHash.fixtureWav(id % 20, (id / 20 % 4).toInt))
+    }.toDS()
+    val hashed = AudioHash.audioHashes(media).localCheckpoint()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-audiostore").toString + "/afps"
+    ImageStorage.writeBucketed(hashed, "audio_rest_pairs", path,
+      maxHamming = 3, nBuckets = 4, fpCol = "afp")
+    try {
+      val atRest = ImageStorage.pairs(spark, "audio_rest_pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val adHoc = AudioHash.neardupPairs(hashed, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(atRest === adHoc)
+      assert(atRest.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS audio_rest_pairs")
+      spark.sql(s"DROP TABLE IF EXISTS " +
+        ImageStorage.membersTable("audio_rest_pairs"))
+    }
+  }
+
   test("distributed audioHashes + neardupPairs ≡ brute Hamming join") {
     import spark.implicits._
     val media = (0L until 120L).map { id =>
