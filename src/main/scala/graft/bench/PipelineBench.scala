@@ -301,19 +301,19 @@ object PipelineBench {
     * tightens by min-fold as later artifacts publish.
     */
   private val QuietCpuRef = Map(
-    "pm25_combine_month_1M" -> 138.0,
-    "pm25_combine_month_1M_bucketed" -> 80.0,
+    "pm25_combine_month_1M" -> 108.7, // min-folded, r12 full sweeps
+    "pm25_combine_month_1M_bucketed" -> 74.0, // min-folded, r12 full sweep
     // min-folded with the round-11 local full sweep (contended box —
     // 13 stages self-flagged — but min-fold only absorbs LOWER values)
-    "pm25_combine_month_1M_disk" -> 129.2,
+    "pm25_combine_month_1M_disk" -> 120.6, // min-folded, r12 full sweep
     "pm25_spatial_impute_month" -> 92.0,
     "pm25_feature_gen_month" -> 189.8, // min-folded, r11 sweeps
     "pm25_feature_gen_year" -> 1797.0,
     "pm25_month_e2e" -> 450.0,
-    "pm25_quarter_e2e" -> 839.0,
+    "pm25_quarter_e2e" -> 820.9, // min-folded, r12 full sweep
     "pm25_spatial_impute_quarter" -> 166.0,
     // min-fold of round-9 local sweeps and BENCH_r09.json (see above)
-    "graph_pagerank_1M_edges" -> 36.7,
+    "graph_pagerank_1M_edges" -> 35.7, // min-folded, r12 full sweep
     "graph_triangles_1M_edges" -> 15.9, // min-folded, r11 sweep
     "graph_kcore_1M_edges" -> 5.2, // min-folded, r11 sweep
     // first priced by a round-10 filtered local sweep
@@ -345,8 +345,8 @@ object PipelineBench {
     // skew anchor quiet at 1.4 cpu-sec vs its 3.3 ref)
     "monitor_rolling_psi_10M" -> 7.9,
     "monitor_rolling_quantile_10M" -> 25.0,
-    "eval_spearman_10M" -> 98.3,
-    "ann_semdedup_100k_adhoc" -> 22.8, // min-folded, r11 sweeps
+    "eval_spearman_10M" -> 94.0, // min-folded, r12 full sweep
+    "ann_semdedup_100k_adhoc" -> 22.4, // min-folded, r12 full sweep
     "ann_semdedup_100k_at_rest" -> 11.3,
     // first priced by a round-11 filtered local sweep
     // (SPARK_GRAFT_PIPELINE_ONLY=ann_mnn_100k_adhoc,ann_mnn_100k_at_rest,
@@ -359,7 +359,7 @@ object PipelineBench {
     // ~30× cpu gap IS the at-rest lever: ad hoc re-decodes 100k PNGs
     // (ImageIO dominates) and re-shuffles the bands; at rest both are
     // storage properties.
-    "img_phash_100k_adhoc" -> 290.9,
+    "img_phash_100k_adhoc" -> 255.7, // min-folded, r12 full sweeps
     "img_phash_100k_at_rest" -> 9.6)
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
