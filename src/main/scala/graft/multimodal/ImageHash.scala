@@ -255,6 +255,55 @@ object ImageHash {
     }.toDF("media_id", "frame_idx", "dhash", "ahash")
   }
 
+  /** VIDEO-level near-duplicate pairs from a keyframe-hash table
+    * (`media_id, frame_idx, dhash` — [[videoKeyframeHashes]]'s shape):
+    * `(id_a < id_b, shared_frames, min_hamming)` for every video pair
+    * with at least `minSharedFrames` cross-video keyframe pairs within
+    * `maxHamming` — re-encoded, re-containered or trimmed copies of a
+    * clip share most keyframes; unrelated clips share none. Frame
+    * instances pack into synthetic ids (`media_id · maxFramesPerVideo
+    * + frame_idx`, range-guarded in-plan) so [[hammingPairs]]'
+    * exact-collapse banding applies UNCHANGED; the frame-pair table is
+    * then folded per video pair in one aggregation. Packed-id order
+    * equals video order for cross-video pairs, so `id_a < id_b` holds
+    * by construction.
+    *
+    * 100 TB shape: everything up to the fold is the image path
+    * (fingerprints shuffle, frames don't); the fold is one map-side-
+    * combined aggregation of the pair-bounded match table.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3,
+                        minSharedFrames: Int = 1,
+                        maxFramesPerVideo: Int = 1000000): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1: $minSharedFrames")
+    require(maxFramesPerVideo >= 1,
+      s"maxFramesPerVideo must be >= 1: $maxFramesPerVideo")
+    val k = maxFramesPerVideo.toLong
+    // the guard rides inside the packed id so projection pruning can
+    // never drop it (the SourceOverlap lesson)
+    val fid =
+      when(col("media_id") >= 0, col("media_id").cast("long"))
+        .otherwise(raise_error(lit(
+          "videoNearDupPairs: negative media_id breaks the packed-id " +
+            "ordering — re-key upstream"))) * k +
+      when(col("frame_idx").between(0, k - 1), col("frame_idx"))
+        .otherwise(raise_error(lit(
+          s"videoNearDupPairs: frame_idx outside [0, $k) — raise " +
+            "maxFramesPerVideo")))
+    val inst = frameHashes.select(fid.as("fid"), col("dhash"))
+    val framePairs = hammingPairs(inst, "fid", "dhash", maxHamming)
+      // exact long division — a float path would wobble past 2^53
+      .select(expr(s"id_a div $k").as("vid_a"),
+        expr(s"id_b div $k").as("vid_b"), col("hamming"))
+      .filter(col("vid_a") =!= col("vid_b"))
+    framePairs
+      .groupBy(col("vid_a").as("id_a"), col("vid_b").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
   /** JPEG-encode at an explicit quality (the default writer quality is
     * content-dependent; the fixture contract below needs a pinned
     * high-quality table).

@@ -223,6 +223,33 @@ object MultimodalPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Audio fingerprints through the SAME at-rest layout (ImageStorage
+    // is fingerprint-agnostic): the corpus is hashed once, persisted
+    // band-bucketed, and paired off storage — the triad (text, image,
+    // audio) all keep the same at-rest shape. Same result contract as
+    // the ad-hoc mm_audio_neardup, same closed-form oracle.
+    "mm_audio_at_rest" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(100)).cast("long").as("grp"),
+        pmod(expr("doc_id div 100"), lit(4)).cast("int").as("vr"))
+      val mkWav = udf((grp: Long, vr: Int) =>
+        graft.multimodal.AudioHash.fixtureWav(grp, vr))
+      val media = params.select(col("media_id"), lit("audio").as("kind"),
+          mkWav(col("grp"), col("vr")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-audiostore-gate").toString + "/afps"
+      graft.multimodal.ImageStorage.writeBucketed(
+        graft.multimodal.AudioHash.audioHashes(media),
+        "audio_corpus_gate", path, maxHamming = 3, nBuckets = 8,
+        fpCol = "afp")
+      graft.multimodal.ImageStorage
+        .pairs(s, "audio_corpus_gate", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // MJPEG-in-MP4 keyframe perceptual hashing — the one video codec
     // lane with REAL pixel decode: per-doc containers are synthesized
     // with real JPEG frame payloads addressed by stsc/stco, the
@@ -248,6 +275,29 @@ object MultimodalPack extends QueryPack {
       graft.multimodal.ImageHash.videoKeyframeHashes(media)
         .select(col("media_id"), col("frame_idx"), col("dhash"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // VIDEO-level near-dup over the same MJPEG fixtures: keyframe
+    // hashes → banded frame pairs → per-video-pair fold (shared frame
+    // pairs + min hamming). The oracle computes every frame hash from
+    // the modular closed form and takes the brute cross-video frame
+    // join — the banding and packed-id machinery must be invisible.
+    "mm_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(50)).cast("long").as("grp"),
+        (lit(2) + pmod(col("doc_id"), lit(3))).cast("int").as("nf"))
+      val mkMp4 = udf((grp: Long, nf: Int) =>
+        graft.multimodal.ImageHash.fixtureMjpegMp4(grp, nf))
+      val media = params.select(col("media_id"), lit("video").as("kind"),
+          mkMp4(col("grp"), col("nf")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      graft.multimodal.ImageHash.videoNearDupPairs(
+          graft.multimodal.ImageHash.videoKeyframeHashes(media)
+            .select("media_id", "frame_idx", "dhash"),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
     }),
 
     // Real ISO-BMFF (MP4) container parse through the from-spec Mp4
@@ -312,6 +362,53 @@ object MultimodalPack extends QueryPack {
              ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
            AS BIGINT) AS f
          FROM bits GROUP BY media_id)"""
+
+  /** Shared oracle for the ad-hoc and at-rest audio gates: envelope
+    * fingerprint from the modular closed form (PCM lossless, exact
+    * integer energies) + the same banding replay as the image gates;
+    * bit 63 signed per the [[PhashFpCte]] convention.
+    */
+  private val AudioNeardupSql: String =
+    """WITH p AS (
+         SELECT doc_id AS media_id,
+           1 + (doc_id % 100) % 6 AS a,
+           ((doc_id % 100) // 6) % 7 AS b,
+           (doc_id // 100) % 4 AS vr
+         FROM documents),
+       amps AS (
+         SELECT media_id, w.w AS w,
+           1 + (a * w.w + b
+                + CASE WHEN w.w = 64 THEN vr ELSE 0 END) % 7 AS amp
+         FROM p, range(0, 65) w(w)),
+       bits AS (
+         SELECT x.media_id, x.w AS pos,
+           CASE WHEN x.amp > y.amp THEN 1 ELSE 0 END AS bit
+         FROM amps x JOIN amps y
+           ON y.media_id = x.media_id AND y.w = x.w + 1
+         WHERE x.w < 64),
+       fp AS (
+         SELECT media_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+             WHEN pos = 63 THEN -9223372036854775808
+             ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
+           AS BIGINT) AS f
+         FROM bits GROUP BY media_id),
+       keyed AS (
+         SELECT media_id, f, c.chunk,
+           CAST(((CAST(f AS HUGEINT) + CASE WHEN f < 0
+               THEN CAST('18446744073709551616' AS HUGEINT)
+               ELSE 0 END)
+             // (CASE c.chunk WHEN 0 THEN 1 WHEN 1 THEN 65536
+                 WHEN 2 THEN 4294967296
+                 ELSE 281474976710656 END)) % 65536 AS BIGINT) AS v
+         FROM fp, range(0, 4) c(chunk)),
+       pairs AS (
+         SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                a.f AS fa, b.f AS fb
+         FROM keyed a JOIN keyed b
+           ON b.chunk = a.chunk AND b.v = a.v AND a.media_id < b.media_id)
+       SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+       ORDER BY id_a, id_b"""
 
   def oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -427,47 +524,10 @@ object MultimodalPack extends QueryPack {
     // envelope fingerprint from the modular closed form (PCM lossless,
     // exact integer energies) + the same banding replay as the image
     // gates; bit 63 signed per the PhashFpCte convention
-    "mm_audio_neardup" ->
-      """WITH p AS (
-           SELECT doc_id AS media_id,
-             1 + (doc_id % 100) % 6 AS a,
-             ((doc_id % 100) // 6) % 7 AS b,
-             (doc_id // 100) % 4 AS vr
-           FROM documents),
-         amps AS (
-           SELECT media_id, w.w AS w,
-             1 + (a * w.w + b
-                  + CASE WHEN w.w = 64 THEN vr ELSE 0 END) % 7 AS amp
-           FROM p, range(0, 65) w(w)),
-         bits AS (
-           SELECT x.media_id, x.w AS pos,
-             CASE WHEN x.amp > y.amp THEN 1 ELSE 0 END AS bit
-           FROM amps x JOIN amps y
-             ON y.media_id = x.media_id AND y.w = x.w + 1
-           WHERE x.w < 64),
-         fp AS (
-           SELECT media_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
-               WHEN pos = 63 THEN -9223372036854775808
-               ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
-             AS BIGINT) AS f
-           FROM bits GROUP BY media_id),
-         keyed AS (
-           SELECT media_id, f, c.chunk,
-             CAST(((CAST(f AS HUGEINT) + CASE WHEN f < 0
-                 THEN CAST('18446744073709551616' AS HUGEINT)
-                 ELSE 0 END)
-               // (CASE c.chunk WHEN 0 THEN 1 WHEN 1 THEN 65536
-                   WHEN 2 THEN 4294967296
-                   ELSE 281474976710656 END)) % 65536 AS BIGINT) AS v
-           FROM fp, range(0, 4) c(chunk)),
-         pairs AS (
-           SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-                  a.f AS fa, b.f AS fb
-           FROM keyed a JOIN keyed b
-             ON b.chunk = a.chunk AND b.v = a.v AND a.media_id < b.media_id)
-         SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-         FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
-         ORDER BY id_a, id_b""",
+    "mm_audio_neardup" -> AudioNeardupSql,
+
+    // the at-rest layout must be invisible in the result — same oracle
+    "mm_audio_at_rest" -> AudioNeardupSql,
 
     // per-frame dHash from the fixture's modular closed form — no
     // pixel decode on the oracle side; bit 63 enters as the signed
@@ -497,6 +557,41 @@ object MultimodalPack extends QueryPack {
            FROM bits GROUP BY 1, 2)
          SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, dhash
          FROM fp ORDER BY media_id, frame_idx""",
+
+    // brute cross-video frame join over the closed-form hashes, folded
+    // per video pair — banding + packed ids must be invisible
+    "mm_video_neardup" ->
+      """WITH p AS (
+           SELECT doc_id AS media_id,
+             1 + (doc_id % 50) % 6 AS a,
+             ((doc_id % 50) // 6) % 7 AS b,
+             2 + doc_id % 3 AS nf
+           FROM documents),
+         frames AS (
+           SELECT media_id, a, b, j.j AS frame_idx
+           FROM p, range(0, 4) j(j) WHERE j.j < nf),
+         bits AS (
+           SELECT media_id, frame_idx, y.y * 8 + x.x AS pos,
+             CASE WHEN (a*x.x + b*y.y + frame_idx) % 7
+                       > (a*(x.x+1) + b*y.y + frame_idx) % 7
+                  THEN 1 ELSE 0 END AS bit
+           FROM frames, range(0, 8) x(x), range(0, 8) y(y)),
+         fp AS (
+           SELECT media_id, frame_idx,
+             CAST(SUM(CASE WHEN bit = 0 THEN 0
+                 WHEN pos = 63 THEN -9223372036854775808
+                 ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
+               AS BIGINT) AS dhash
+           FROM bits GROUP BY 1, 2),
+         fpairs AS (
+           SELECT fa.media_id AS id_a, fb.media_id AS id_b,
+             CAST(bit_count(xor(fa.dhash, fb.dhash)) AS INT) AS h
+           FROM fp fa JOIN fp fb
+             ON fa.media_id < fb.media_id
+             AND bit_count(xor(fa.dhash, fb.dhash)) <= 3)
+         SELECT id_a, id_b, COUNT(*) AS shared_frames,
+           MIN(h) AS min_hamming
+         FROM fpairs GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the closed forms mirror the fixture generator; sample_bytes sums
     // the same per-sample size sequence the stsz table carries (n ≤ 7,

@@ -65,6 +65,46 @@ class MjpegSpec extends AnyFunSuite {
     }
   }
 
+  test("videoNearDupPairs ≡ brute cross-video frame join; threshold and guards hold") {
+    import spark.implicits._
+    // 12 videos over 4 grps: same-grp videos share every frame pattern
+    val media = (0L until 12L).map { id =>
+      Multimodal.MediaRow(id, "video",
+        ImageHash.fixtureMjpegMp4(id % 4, 2 + (id % 3).toInt))
+    }.toDS()
+    val hashes = ImageHash.videoKeyframeHashes(media)
+      .select("media_id", "frame_idx", "dhash").localCheckpoint()
+    val got = ImageHash.videoNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    val fps = hashes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val brute = (for {
+      (va, _, fa) <- fps; (vb, _, fb) <- fps
+      if va < vb
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= 3
+    } yield ((va, vb), h)).groupBy(_._1).view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._2).min)).toMap
+    assert(got === brute)
+    assert(got.nonEmpty)
+    // same-grp pairs share identical frame patterns → min hamming 0
+    assert(got((0L, 4L))._2 === 0)
+    // a high threshold filters pairs, never invents them
+    val thresh = ImageHash.videoNearDupPairs(hashes, maxHamming = 3,
+        minSharedFrames = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(thresh === brute.filter(_._2._1 >= 5).keySet)
+    // packing guards abort loudly
+    val bad = Seq((-1L, 0, 42L)).toDF("media_id", "frame_idx", "dhash")
+    val ex = intercept[Exception] {
+      ImageHash.videoNearDupPairs(bad).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("negative media_id")))
+  }
+
   test("videoKeyframeHashes: distributed hashes match the closed form; frameStep strides") {
     import spark.implicits._
     val media = Seq(0L, 5L, 17L).map { grp =>
