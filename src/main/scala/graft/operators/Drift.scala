@@ -351,32 +351,7 @@ object Drift {
                     ref: DataFrame, windowDays: Int,
                     eps: Double = 1e-4,
                     maxCategories: Int = 100000): DataFrame = {
-    require(windowDays >= 1 && windowDays <= 366,
-      s"windowDays out of [1,366]: $windowDays")
-    require(maxCategories >= 1, s"maxCategories too small: $maxCategories")
-    val Other = "__other__"
-    val refCounts = ref.filter(col(catCol).isNotNull)
-      .select(col(catCol).cast("string").as("category"))
-      .groupBy("category").agg(count(lit(1)).as("__rn"))
-      .localCheckpoint() // feeds cap + shares + grid (3 reads)
-    val nCats = refCounts.count()
-    require(nCats > 0, "Drift.rollingPsiCat: empty reference frame")
-    require(nCats <= maxCategories,
-      s"Drift.rollingPsiCat: $nCats reference categories exceed " +
-        s"maxCategories=$maxCategories — this operator monitors bounded " +
-        "categorical mixes (collapse or hash high-cardinality keys first)")
-    require(refCounts.filter(col("category") === Other).isEmpty,
-      s"Drift.rollingPsiCat: reference contains the reserved '$Other' " +
-        "category")
-    // cap-gated driver materialization of the category list (the
-    // QuantileSketch gated-walk precedent): a LOCAL category dimension
-    // has known-small stats, so the grid joins below plan broadcast
-    // like rollingPsi's range grid — derived distributively from the
-    // checkpointed refCounts it would carry an unknown-size estimate
-    // and push the bounded grid⋈window join into a sort-merge
-    val catList = refCounts.select("category").collect()
-      .map(_.getString(0)) :+ Other
-    val spark = df.sparkSession
+    val (refCounts, catList) = refCategorySet(ref, catCol, maxCategories)
     val withDay = df
       .filter(col(catCol).isNotNull)
       .select(
@@ -392,13 +367,84 @@ object Drift {
     val daily = dailyRaw
       .join(broadcast(refCounts.select(col("category").as("__v"),
         lit(true).as("__inref"))), Seq("__v"), "left")
-      .select(col("__day"),
+      .select(col("__day").as("day"),
         when(col("__inref"), col("__v")).otherwise(lit(Other))
           .as("category"),
-        col("__n"))
-      .groupBy("__day", "category").agg(sum(col("__n")).as("__n"))
+        col("__n").as("n"))
+      .groupBy("day", "category").agg(sum(col("n")).as("n"))
       .localCheckpoint() // feeds day list + scatter (Triangles lesson)
-    val days = daily.select(col("__day").as("day")).distinct()
+    assembleCat(daily, refCounts, catList, windowDays, eps)
+  }
+
+  private val Other = "__other__"
+
+  /** The pinned reference's category table + cap-gated driver list
+    * (the QuantileSketch gated-walk precedent — a LOCAL category
+    * dimension has known-small stats, so the grid joins plan broadcast
+    * like rollingPsi's range grid; derived distributively from the
+    * checkpointed counts it would carry an unknown-size estimate and
+    * push the bounded grid work into a sort-merge).
+    */
+  private def refCategorySet(ref: DataFrame, catCol: String,
+                             maxCategories: Int)
+      : (DataFrame, Array[String]) = {
+    require(maxCategories >= 1, s"maxCategories too small: $maxCategories")
+    val refCounts = ref.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("category"))
+      .groupBy("category").agg(count(lit(1)).as("__rn"))
+      .localCheckpoint() // feeds cap + shares + grid (3 reads)
+    val nCats = refCounts.count()
+    require(nCats > 0, "Drift.rollingPsiCat: empty reference frame")
+    require(nCats <= maxCategories,
+      s"Drift.rollingPsiCat: $nCats reference categories exceed " +
+        s"maxCategories=$maxCategories — this operator monitors bounded " +
+        "categorical mixes (collapse or hash high-cardinality keys first)")
+    require(refCounts.filter(col("category") === Other).isEmpty,
+      s"Drift.rollingPsiCat: reference contains the reserved '$Other' " +
+        "category")
+    (refCounts, refCounts.select("category").collect()
+      .map(_.getString(0)) :+ Other)
+  }
+
+  /** The window-assembly stage of [[rollingPsiCat]] over an ALREADY
+    * REDUCED-AND-COLLAPSED per-day category count table `(day DATE,
+    * category STRING, n LONG)` — the categorical twin of
+    * [[rollingPsiFromDailyCounts]], factored out so the streaming twin
+    * ([[graft.streaming.EventsStream.psiCatDailyCountsStream]], which
+    * maintains exactly this table as keyed state over the pinned
+    * category set) shares the batch semantics literally. Categories
+    * must already be the reference's set ∪ `__other__` — a stray
+    * value aborts in-plan rather than surfacing as a phantom
+    * zero-reference row.
+    */
+  def rollingPsiCatFromDailyCounts(daily: DataFrame, ref: DataFrame,
+                                   catCol: String, windowDays: Int,
+                                   eps: Double = 1e-4,
+                                   maxCategories: Int = 100000): DataFrame = {
+    val (refCounts, catList) = refCategorySet(ref, catCol, maxCategories)
+    val spark = daily.sparkSession
+    val catsDf = broadcast(spark.createDataset(catList.toSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("category"))
+    // stray-category guard rides the count column (projection-proof)
+    val guarded = daily
+      .join(catsDf.withColumn("__known", lit(true)), Seq("category"), "left")
+      .select(col("day"),
+        when(col("__known"), col("category")).otherwise(raise_error(concat(
+          lit("Drift.rollingPsiCatFromDailyCounts: category '"),
+          col("category"),
+          lit("' is not in the reference set ∪ __other__ — collapse " +
+            "upstream with the same pinned reference")))).as("category"),
+        col("n"))
+    assembleCat(guarded, refCounts, catList, windowDays, eps)
+  }
+
+  private def assembleCat(daily: DataFrame, refCounts: DataFrame,
+                          catList: Array[String], windowDays: Int,
+                          eps: Double): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays out of [1,366]: $windowDays")
+    val spark = daily.sparkSession
+    val days = daily.select(col("day")).distinct()
     // the full (observed day × category) grid enters the scatter as
     // ZERO rows, so the one (day, category) aggregation below emits
     // every grid cell directly — no grid⋈window join exists to
@@ -409,7 +455,7 @@ object Drift {
         org.apache.spark.sql.Encoders.STRING).toDF("category")))
       .select(col("day"), col("category"), lit(0L).as("__n"))
     val windowed = daily
-      .select(col("__day"), col("category"), col("__n"),
+      .select(col("day").as("__day"), col("category"), col("n").as("__n"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
       .select(date_add(col("__day"), col("__off")).as("day"),
         col("category"), col("__n"))

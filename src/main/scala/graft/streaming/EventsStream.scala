@@ -723,6 +723,76 @@ object EventsStream {
       }
   }
 
+  /** Per-day categorical count snapshot: `counts(i)` = rows of this
+    * day in category `categories(i)` (the pinned order the stream was
+    * planned with; the last slot is `__other__`); `total` their sum.
+    */
+  final case class PsiCatDayUpdate(day: String, counts: Array[Long],
+                                   total: Long)
+
+  /** Streaming twin of [[graft.operators.Drift.rollingPsiCat]]'s
+    * corpus reduction: per-(day, category) counts over a PINNED
+    * category set (the reference's categories — collected once when
+    * the monitor deploys, exactly what the batch operator's eager cap
+    * materializes), values outside the set folding into the trailing
+    * `__other__` slot. Keyed state is one `(categories + 1)`-long
+    * array per observed day; the set size is the state bound, so it is
+    * ENFORCED at plan time (`maxCategories`, the [[psiDailyCountsStream]]
+    * cap posture). Counting is additive — pair with [[dedupEvents]]
+    * upstream for re-delivery idempotence, like the numeric twin.
+    *
+    * Explode the final snapshots to `(day, category, n)` (dropping
+    * zero slots or not — the assembly grids zeros either way) and feed
+    * [[graft.operators.Drift.rollingPsiCatFromDailyCounts]] with the
+    * SAME reference: the result is row-identical to the batch
+    * [[graft.operators.Drift.rollingPsiCat]] over the replayed corpus
+    * (StreamingSpec pins it). NULL timestamps abort loudly; NULL
+    * categories leave the distribution; a category VALUE equal to the
+    * reserved `__other__` is rejected from the pinned set.
+    */
+  def psiCatDailyCountsStream(events: DataFrame, tsCol: String,
+                              catCol: String, categories: Seq[String],
+                              maxCategories: Int = 100000)
+      : Dataset[PsiCatDayUpdate] = {
+    require(categories.nonEmpty, "categories must be non-empty")
+    require(categories.size <= maxCategories,
+      s"psiCatDailyCountsStream: ${categories.size} categories exceed " +
+        s"maxCategories=$maxCategories of per-day stream state — collapse " +
+        "or hash high-cardinality keys first")
+    require(!categories.contains("__other__"),
+      "psiCatDailyCountsStream: the pinned set contains the reserved " +
+        "'__other__' category")
+    require(categories.distinct.size == categories.size,
+      "psiCatDailyCountsStream: duplicate categories in the pinned set")
+    val idx = categories.zipWithIndex.toMap
+    val nSlots = categories.size + 1 // trailing __other__
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col(catCol).isNotNull)
+      .select(
+        when(col(tsCol).isNull, raise_error(lit(
+            s"psiCatDailyCountsStream: NULL $tsCol — filter or repair " +
+              "null timestamps upstream")))
+          .otherwise(date_format(to_date(col(tsCol)), "yyyy-MM-dd"))
+          .as[String],
+        col(catCol).cast("string").as[String])
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], PsiCatDayUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (day: String, rows: Iterator[(String, String)],
+         state: GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(new Array[Long](nSlots))
+          rows.foreach { case (_, v) =>
+            counts(idx.getOrElse(v, nSlots - 1)) += 1L
+          }
+          state.update(counts)
+          // defensive copy — the live state array must not escape
+          PsiCatDayUpdate(day, counts.clone(), counts.sum)
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

@@ -582,6 +582,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest === batchCounts)
   }
 
+  test("categorical PSI stream counts replay into the batch rollingPsiCat row-for-row") {
+    val dir = stageEventsDir()
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val ref = ev.filter(pmod(col("user_id"), lit(2L)) === 0 &&
+      col("event_type") =!= "click")
+    // the pinned set = the reference's categories, exactly what a
+    // deployed monitor collects once at startup
+    val cats = ref.select(col("event_type").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val stream = EventsStream.psiCatDailyCountsStream(
+      EventsStream.readEvents(spark, dir), "ts", "event_type", cats).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("psi_cat_daily").start()
+    try {
+      q.processAllAvailable()
+      // second batch: counts accumulate across the boundary
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val slots = cats :+ "__other__"
+    val latest = spark.table("psi_cat_daily").collect()
+      .groupBy(_.getAs[String]("day"))
+      .map { case (d, rows) =>
+        d -> rows.maxBy(_.getAs[Long]("total")).getSeq[Long](1) }
+    val dailyDf = latest.toSeq.flatMap { case (d, counts) =>
+      counts.zipWithIndex.collect { case (n, i) if n > 0 =>
+        (d, slots(i), n) }
+    }.toDF("d", "category", "n")
+      .select(to_date(col("d")).as("day"), col("category"), col("n"))
+    val got = graft.operators.Drift.rollingPsiCatFromDailyCounts(
+        dailyDf, ref, "event_type", windowDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toSet
+    val doubled = ev.unionByName(ev) // the stream saw the file twice
+    val batch = graft.operators.Drift.rollingPsiCat(
+        doubled, "ts", "event_type", ref, windowDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+    // 'click' rows landed in __other__ on both paths
+    assert(got.exists(r => r._2 == "__other__" && r._4 > 0))
+  }
+
+  test("categorical PSI stream: stray-category assembly guard and caps abort") {
+    val dir = stageEventsDir()
+    intercept[IllegalArgumentException] {
+      EventsStream.psiCatDailyCountsStream(
+        EventsStream.readEvents(spark, dir), "ts", "event_type",
+        (1 to 50).map(_.toString), maxCategories = 10)
+    }
+    intercept[IllegalArgumentException] {
+      EventsStream.psiCatDailyCountsStream(
+        EventsStream.readEvents(spark, dir), "ts", "event_type",
+        Seq("a", "__other__"))
+    }
+    // a daily table carrying a category outside ref ∪ __other__ aborts
+    // in-plan at the shared assembly
+    val daily = Seq(("2024-01-01", "zzz", 3L)).toDF("d", "category", "n")
+      .select(to_date(col("d")).as("day"), col("category"), col("n"))
+    val ref = Seq("a", "b").toDF("c")
+    val ex = intercept[Exception] {
+      graft.operators.Drift.rollingPsiCatFromDailyCounts(
+        daily, ref, "c", windowDays = 3).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("not in the reference set")))
+  }
+
   test("rolling-PSI stream: the grid cap aborts at plan time") {
     val dir = stageEventsDir()
     val ex = intercept[IllegalArgumentException] {
