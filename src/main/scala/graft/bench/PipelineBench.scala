@@ -307,8 +307,11 @@ object PipelineBench {
     // 13 stages self-flagged — but min-fold only absorbs LOWER values)
     "pm25_combine_month_1M_disk" -> 120.6, // min-folded, r12 full sweep
     "pm25_spatial_impute_month" -> 92.0,
-    "pm25_feature_gen_month" -> 189.8, // min-folded, r11 sweeps
-    "pm25_feature_gen_year" -> 1797.0,
+    "pm25_feature_gen_month" -> 174.3, // min-folded, r12 filtered sweep
+    "pm25_feature_gen_year" -> 1797.0, // best r12 observation: 2937.8
+    // cpu / 102.0 wall with the untouched k1 anchor at 1.65x ITS quiet
+    // ref in the same run - the residual gap to this r9-era quiet ref is
+    // environmental; the ref stands awaiting a genuinely quiet window
     "pm25_month_e2e" -> 450.0,
     "pm25_quarter_e2e" -> 820.9, // min-folded, r12 full sweep
     "pm25_spatial_impute_quarter" -> 166.0,

@@ -485,6 +485,50 @@ object Drift {
         / exp).as("chi2"))
   }
 
+  /** Composed per-day DRIFT REPORT — the page a 100 TB ingest
+    * publishes nightly for one monitored stream: numeric rolling PSI,
+    * categorical rolling PSI and rolling KS against the same pinned
+    * reference, unioned into `(day, metric, value, status)` with the
+    * shared thresholds (< 0.1 `stable`, < 0.25 `watch`, else
+    * `action`; KS gap graded on the same scale — tighten per stream
+    * if its domain calls for it). Every leaf is its own green gate;
+    * this row pins that the drift monitors COMPOSE (shapes,
+    * rounding, ordering) — the [[DataQuality]] report posture.
+    *
+    * Per-day values are deterministic folds: numeric PSI via
+    * [[rollingPsiSummary]]'s bucket-ordered fold, categorical PSI the
+    * same fold in CATEGORY order, KS one MAX over exact gaps.
+    * `ksCol` must already ride the [[Quantized]] integer contract
+    * (quantize floats upstream — the [[ksTable]] posture).
+    */
+  def driftReport(df: DataFrame, tsCol: String, valueCol: String,
+                  catCol: String, ksCol: String, ref: DataFrame,
+                  nBuckets: Int, lo: Double, hi: Double, windowDays: Int,
+                  eps: Double = 1e-4,
+                  maxCategories: Int = 100000): DataFrame = {
+    def status(v: Column): Column =
+      when(v < 0.1, lit("stable")).when(v < 0.25, lit("watch"))
+        .otherwise(lit("action"))
+    val psiNum = rollingPsiSummary(df, tsCol, valueCol, ref, nBuckets,
+        lo, hi, windowDays, eps)
+      .select(col("day"), lit("psi_value").as("metric"),
+        round(col("psi"), 6).as("value"), col("status"))
+    val catByDay = rollingPsiCat(df, tsCol, catCol, ref, windowDays, eps,
+        maxCategories)
+      .select(col("day"),
+        struct(col("category"), round(col("contrib"), 6).as("c")).as("cc"))
+      .groupBy("day").agg(sort_array(collect_list(col("cc"))).as("a"))
+    val catPsi = aggregate(col("a"), lit(0.0),
+      (acc, x) => acc + x.getField("c"))
+    val psiCat = catByDay.select(col("day"), lit("psi_cat").as("metric"),
+      round(catPsi, 6).as("value"), status(catPsi).as("status"))
+    val ks = rollingKs(df, tsCol, ksCol, ref, windowDays)
+      .groupBy("day").agg(max(col("gap")).as("g"))
+      .select(col("day"), lit("ks_gap").as("metric"),
+        round(col("g"), 6).as("value"), status(col("g")).as("status"))
+    psiNum.unionByName(psiCat).unionByName(ks)
+  }
+
   /** DuckDB replay of [[rollingPsiCat]]: same daily raw-value counts,
     * ref-set collapse to categories + `__other__`, offset scatter,
     * observed-day restriction, grid left-joins, eps-clamped PSI tree

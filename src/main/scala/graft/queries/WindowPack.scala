@@ -464,6 +464,22 @@ object WindowPack extends QueryPack {
         .orderBy("day")
     }),
 
+    // Composed nightly DRIFT report: numeric PSI + categorical PSI +
+    // KS per day against one pinned reference, unioned into the
+    // (day, metric, value, status) page — every leaf is its own green
+    // gate; this row pins that the drift monitors COMPOSE.
+    "w_drift_report" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("kv", floor(col("value")).cast("long"))
+      val ref = ev.filter(pmod(col("user_id"), lit(2L)) === 0)
+      graft.operators.Drift.driftReport(
+          ev, "ts", "value", "event_type", "kv", ref,
+          nBuckets = 10, lo = 0.0, hi = 500.0, windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("metric"), col("value"), col("status"))
+        .orderBy("day", "metric")
+    }),
+
     // Trailing-window KS vs the pinned reference — the binning-free
     // companion of w_rolling_psi: exact integer prefix sums over the
     // global support, one CDF division pair per (day, v).
@@ -848,6 +864,43 @@ object WindowPack extends QueryPack {
         "SELECT value AS v FROM events WHERE event_type = 'purchase'",
         nBuckets = 10, lo = 0.0, hi = 500.0, windowDays = 7)}) q
        ORDER BY day""",
+
+    // the three sub-oracles unioned with the same shaping — status on
+    // the unrounded fold, value rounded at 6, like each leaf
+    "w_drift_report" -> {
+      val values = "SELECT ts, value AS v FROM events"
+      val refNum = "SELECT value AS v FROM events WHERE user_id % 2 = 0"
+      val catVals = "SELECT ts, event_type AS v FROM events"
+      val refCat =
+        "SELECT event_type AS v FROM events WHERE user_id % 2 = 0"
+      val ksVals =
+        "SELECT ts, CAST(FLOOR(value) AS BIGINT) AS v FROM events"
+      val refKs = "SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events" +
+        " WHERE user_id % 2 = 0"
+      s"""SELECT day, 'psi_value' AS metric, ROUND(psi, 6) AS value, status
+         FROM (${graft.operators.Drift.rollingPsiSummaryOracleSql(
+        values, refNum, nBuckets = 10, lo = 0.0, hi = 500.0,
+        windowDays = 7)})
+       UNION ALL
+       SELECT day, 'psi_cat' AS metric,
+         ROUND(LIST_SUM(LIST(contrib ORDER BY category)), 6) AS value,
+         CASE WHEN LIST_SUM(LIST(contrib ORDER BY category)) < 0.1
+              THEN 'stable'
+              WHEN LIST_SUM(LIST(contrib ORDER BY category)) < 0.25
+              THEN 'watch' ELSE 'action' END AS status
+       FROM (${graft.operators.Drift.rollingPsiCatOracleSql(
+        catVals, refCat, windowDays = 7)})
+       GROUP BY day
+       UNION ALL
+       SELECT day, 'ks_gap' AS metric, ROUND(MAX(gap), 6) AS value,
+         CASE WHEN MAX(gap) < 0.1 THEN 'stable'
+              WHEN MAX(gap) < 0.25 THEN 'watch'
+              ELSE 'action' END AS status
+       FROM (${graft.operators.Drift.rollingKsOracleSql(
+        ksVals, refKs, windowDays = 7)})
+       GROUP BY day
+       ORDER BY day, metric"""
+    },
 
     "w_rolling_ks" ->
       s"""SELECT day, v, ROUND(cdf_ref, 6) AS cdf_ref,
