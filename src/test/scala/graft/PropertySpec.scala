@@ -250,6 +250,45 @@ object KernelProperties extends Properties("graft.kernels") {
           m.sampleBytes == sizes.map(_.toLong).sum
     }
 
+  property("mp4 sample walk: random payloads round-trip byte-exact") =
+    forAll(Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 64).flatMap(len =>
+        Gen.listOfN(len, Gen.chooseNum(-128, 127).map(_.toByte))
+          .map(_.toArray))))) { frames =>
+      val mp4 = graft.multimodal.Mp4.writeWithSamples(
+        64, 64, 1000L, 40L * frames.length, "jpeg", frames)
+      val ranges = graft.multimodal.Mp4.sampleRanges(mp4)
+      ranges.length == frames.length &&
+        ranges.zip(frames).forall { case ((off, sz), f) =>
+          sz == f.length &&
+            mp4.slice(off.toInt, off.toInt + sz).sameElements(f)
+        }
+    }
+
+  property("mp4 sample walk: truncation anywhere inside mdat aborts precisely") =
+    forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 200)) { (n, cut) =>
+      val frames = (0 until n).map(i => Array.fill[Byte](40 + i)(7))
+      val mp4 = graft.multimodal.Mp4.writeWithSamples(
+        64, 64, 1000L, 40L * n, "jpeg", frames)
+      val cutLen = math.min(cut, frames.map(_.length).sum - 1)
+      val truncated = mp4.take(mp4.length - cutLen)
+      Prop.throws(classOf[IllegalArgumentException]) {
+        graft.multimodal.Mp4.sampleRanges(truncated)
+      }
+    }
+
+  property("audio envelope fingerprint: gain-invariant and frame-replication-exact") =
+    forAll(Gen.listOfN(65, Gen.chooseNum(1, 7)),
+      Gen.chooseNum(2, 5)) { (amps, kRep) =>
+      def fp(frames: Array[Int]) =
+        graft.multimodal.AudioHash.energyFingerprint64(frames)
+      val base = amps.flatMap(a => Seq(a * 1000, -a * 1000)).toArray
+      val gained = base.map(_ * 3)
+      // k× frame replication keeps every box-window energy ratio
+      val replicated = base.flatMap(v => Array.fill(kRep)(v))
+      fp(base) == fp(gained) && fp(base) == fp(replicated)
+    }
+
   property("mp4 parser rejects corrupt box sizes with a precise error") =
     forAll(Gen.chooseNum(8, 200), Gen.chooseNum(9L, 0xfffffff0L)) {
       (corruptAt, badSize) =>

@@ -125,6 +125,54 @@ class ImageStorageSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming media ingest: foreachBatch checks every delivery against the at-rest corpus") {
+    withTable("img_rest_stream") {
+      import spark.implicits._
+      // new media arrive as parquet files; each micro-batch hashes
+      // partition-local and runs the incremental check — the standard
+      // foreachBatch stream-vs-static reconciliation recipe (inside
+      // foreachBatch the delivery is an ordinary batch frame, so the
+      // whole ImageStorage lane applies unchanged)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-imgstream").toString
+      val batch1 = media.filter(_.media_id % 4 == 0)
+        .map(m => m.copy(media_id = m.media_id + 1000L))
+      // the file source lists dir/* — stage the part files at top level
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft-imgstream-w").toString
+      batch1.coalesce(1).write.mode("overwrite").parquet(staged)
+      new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(s"$dir/part-$i.parquet"))
+        }
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+      val q = spark.readStream
+        .schema(batch1.schema)
+        .parquet(dir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val hits = ImageStorage.checkBatch(spark, "img_rest_stream",
+            ImageHash.imageHashes(df.as[Multimodal.MediaRow]))
+          got.synchronized {
+            got ++= hits.collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getInt(2)))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(300000) finally q.stop()
+      val direct = ImageStorage.checkBatch(spark, "img_rest_stream",
+          ImageHash.imageHashes(batch1))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got.toSet === direct)
+      assert(got.nonEmpty)
+    }
+  }
+
   test("band-split mismatch aborts before planning") {
     withTable("img_rest_split") {
       val ex = intercept[IllegalArgumentException] {
