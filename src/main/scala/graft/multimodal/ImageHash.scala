@@ -275,29 +275,63 @@ object ImageHash {
   def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3,
                         minSharedFrames: Int = 1,
                         maxFramesPerVideo: Int = 1000000): DataFrame = {
-    require(minSharedFrames >= 1,
-      s"minSharedFrames must be >= 1: $minSharedFrames")
+    val inst = packKeyframeHashes(frameHashes, maxFramesPerVideo)
+    foldFramePairs(hammingPairs(inst, "fid", "dhash", maxHamming),
+      maxFramesPerVideo, minSharedFrames)
+  }
+
+  /** Pack a keyframe-hash table into the frame-instance ids
+    * [[videoNearDupPairs]] banding uses — exposed so the corpus can be
+    * persisted AT REST through the fingerprint-agnostic
+    * [[ImageStorage]] (`idCol = "fid"`): recurring video-dedup passes
+    * then skip re-decode AND re-shuffle exactly like the image lane,
+    * and [[videoNearDupPairsAtRest]] folds the stored pairs.
+    */
+  def packKeyframeHashes(frameHashes: DataFrame,
+                         maxFramesPerVideo: Int = 1000000): DataFrame = {
     require(maxFramesPerVideo >= 1,
       s"maxFramesPerVideo must be >= 1: $maxFramesPerVideo")
     val k = maxFramesPerVideo.toLong
-    // the guard rides inside the packed id so projection pruning can
-    // never drop it (the SourceOverlap lesson)
     val fid =
       when(col("media_id") >= 0, col("media_id").cast("long"))
         .otherwise(raise_error(lit(
-          "videoNearDupPairs: negative media_id breaks the packed-id " +
+          "packKeyframeHashes: negative media_id breaks the packed-id " +
             "ordering — re-key upstream"))) * k +
       when(col("frame_idx").between(0, k - 1), col("frame_idx"))
         .otherwise(raise_error(lit(
-          s"videoNearDupPairs: frame_idx outside [0, $k) — raise " +
+          s"packKeyframeHashes: frame_idx outside [0, $k) — raise " +
             "maxFramesPerVideo")))
-    val inst = frameHashes.select(fid.as("fid"), col("dhash"))
-    val framePairs = hammingPairs(inst, "fid", "dhash", maxHamming)
+    frameHashes.select(fid.as("fid"), col("dhash"))
+  }
+
+  /** [[videoNearDupPairs]] off an at-rest packed-keyframe corpus
+    * ([[packKeyframeHashes]] → [[ImageStorage.writeBucketed]] with
+    * `idCol = "fid"`): the banded candidate join consumes the storage
+    * bucketing, the per-video fold is unchanged — same contract, no
+    * decode, no corpus-sized band shuffle. `maxFramesPerVideo` must
+    * equal the packing's.
+    */
+  def videoNearDupPairsAtRest(spark: org.apache.spark.sql.SparkSession,
+                              table: String, maxHamming: Int = 3,
+                              minSharedFrames: Int = 1,
+                              maxFramesPerVideo: Int = 1000000): DataFrame =
+    foldFramePairs(ImageStorage.pairs(spark, table, maxHamming),
+      maxFramesPerVideo, minSharedFrames)
+
+  /** The per-video-pair fold shared by the ad-hoc and at-rest video
+    * near-dup paths: unpack frame-instance pairs to video pairs, drop
+    * within-video matches, count + min-hamming per pair.
+    */
+  private def foldFramePairs(framePairs: DataFrame, maxFramesPerVideo: Int,
+                             minSharedFrames: Int): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1: $minSharedFrames")
+    val k = maxFramesPerVideo.toLong
+    framePairs
       // exact long division — a float path would wobble past 2^53
       .select(expr(s"id_a div $k").as("vid_a"),
         expr(s"id_b div $k").as("vid_b"), col("hamming"))
       .filter(col("vid_a") =!= col("vid_b"))
-    framePairs
       .groupBy(col("vid_a").as("id_a"), col("vid_b").as("id_b"))
       .agg(count(lit(1)).as("shared_frames"),
         min(col("hamming")).as("min_hamming"))

@@ -300,6 +300,36 @@ object MultimodalPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Video near-dup off an AT-REST packed-keyframe corpus: hashes are
+    // decoded once, packed into frame-instance ids and persisted
+    // through the fingerprint-agnostic ImageStorage; the banded
+    // candidate join consumes the storage bucketing and the per-video
+    // fold is unchanged — same result contract and oracle as the
+    // ad-hoc mm_video_neardup.
+    "mm_video_at_rest" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(50)).cast("long").as("grp"),
+        (lit(2) + pmod(col("doc_id"), lit(3))).cast("int").as("nf"))
+      val mkMp4 = udf((grp: Long, nf: Int) =>
+        graft.multimodal.ImageHash.fixtureMjpegMp4(grp, nf))
+      val media = params.select(col("media_id"), lit("video").as("kind"),
+          mkMp4(col("grp"), col("nf")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      val packed = graft.multimodal.ImageHash.packKeyframeHashes(
+        graft.multimodal.ImageHash.videoKeyframeHashes(media)
+          .select("media_id", "frame_idx", "dhash"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-vidstore-gate").toString + "/vids"
+      graft.multimodal.ImageStorage.writeBucketed(
+        packed, "vid_corpus_gate", path, maxHamming = 3, nBuckets = 8,
+        idCol = "fid", fpCol = "dhash")
+      graft.multimodal.ImageHash.videoNearDupPairsAtRest(
+          s, "vid_corpus_gate", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Real ISO-BMFF (MP4) container parse through the from-spec Mp4
     // codec: per-doc width/height/timescale/duration, codec fourcc and
     // per-sample sizes are closed-form in doc_id, synthesized into a
@@ -409,6 +439,43 @@ object MultimodalPack extends QueryPack {
        SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
        ORDER BY id_a, id_b"""
+
+  /** Shared oracle for the ad-hoc and at-rest video gates: brute
+    * cross-video frame join over the closed-form hashes, folded per
+    * video pair — banding, packed ids and storage layout invisible.
+    */
+  private val VideoNeardupSql: String =
+    """WITH p AS (
+         SELECT doc_id AS media_id,
+           1 + (doc_id % 50) % 6 AS a,
+           ((doc_id % 50) // 6) % 7 AS b,
+           2 + doc_id % 3 AS nf
+         FROM documents),
+       frames AS (
+         SELECT media_id, a, b, j.j AS frame_idx
+         FROM p, range(0, 4) j(j) WHERE j.j < nf),
+       bits AS (
+         SELECT media_id, frame_idx, y.y * 8 + x.x AS pos,
+           CASE WHEN (a*x.x + b*y.y + frame_idx) % 7
+                     > (a*(x.x+1) + b*y.y + frame_idx) % 7
+                THEN 1 ELSE 0 END AS bit
+         FROM frames, range(0, 8) x(x), range(0, 8) y(y)),
+       fp AS (
+         SELECT media_id, frame_idx,
+           CAST(SUM(CASE WHEN bit = 0 THEN 0
+               WHEN pos = 63 THEN -9223372036854775808
+               ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
+             AS BIGINT) AS dhash
+         FROM bits GROUP BY 1, 2),
+       fpairs AS (
+         SELECT fa.media_id AS id_a, fb.media_id AS id_b,
+           CAST(bit_count(xor(fa.dhash, fb.dhash)) AS INT) AS h
+         FROM fp fa JOIN fp fb
+           ON fa.media_id < fb.media_id
+           AND bit_count(xor(fa.dhash, fb.dhash)) <= 3)
+       SELECT id_a, id_b, COUNT(*) AS shared_frames,
+         MIN(h) AS min_hamming
+       FROM fpairs GROUP BY 1, 2 ORDER BY 1, 2"""
 
   def oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -560,38 +627,10 @@ object MultimodalPack extends QueryPack {
 
     // brute cross-video frame join over the closed-form hashes, folded
     // per video pair — banding + packed ids must be invisible
-    "mm_video_neardup" ->
-      """WITH p AS (
-           SELECT doc_id AS media_id,
-             1 + (doc_id % 50) % 6 AS a,
-             ((doc_id % 50) // 6) % 7 AS b,
-             2 + doc_id % 3 AS nf
-           FROM documents),
-         frames AS (
-           SELECT media_id, a, b, j.j AS frame_idx
-           FROM p, range(0, 4) j(j) WHERE j.j < nf),
-         bits AS (
-           SELECT media_id, frame_idx, y.y * 8 + x.x AS pos,
-             CASE WHEN (a*x.x + b*y.y + frame_idx) % 7
-                       > (a*(x.x+1) + b*y.y + frame_idx) % 7
-                  THEN 1 ELSE 0 END AS bit
-           FROM frames, range(0, 8) x(x), range(0, 8) y(y)),
-         fp AS (
-           SELECT media_id, frame_idx,
-             CAST(SUM(CASE WHEN bit = 0 THEN 0
-                 WHEN pos = 63 THEN -9223372036854775808
-                 ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
-               AS BIGINT) AS dhash
-           FROM bits GROUP BY 1, 2),
-         fpairs AS (
-           SELECT fa.media_id AS id_a, fb.media_id AS id_b,
-             CAST(bit_count(xor(fa.dhash, fb.dhash)) AS INT) AS h
-           FROM fp fa JOIN fp fb
-             ON fa.media_id < fb.media_id
-             AND bit_count(xor(fa.dhash, fb.dhash)) <= 3)
-         SELECT id_a, id_b, COUNT(*) AS shared_frames,
-           MIN(h) AS min_hamming
-         FROM fpairs GROUP BY 1, 2 ORDER BY 1, 2""",
+    "mm_video_neardup" -> VideoNeardupSql,
+
+    // the at-rest layout must be invisible in the result — same oracle
+    "mm_video_at_rest" -> VideoNeardupSql,
 
     // the closed forms mirror the fixture generator; sample_bytes sums
     // the same per-sample size sequence the stsz table carries (n ≤ 7,
