@@ -121,6 +121,31 @@ object AudioHash {
   def neardupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     ImageHash.hammingPairs(hashes, "media_id", "afp", maxHamming)
 
+  /** End-to-end acoustic deduplication — the audio twin of
+    * [[ImageHash.deduplicate]]: decode+fingerprint partition-local,
+    * Hamming-banded near-dup pairs, connected components (shared
+    * large-star/small-star loop, `checkpointDir` per the
+    * [[graft.core.Durable]] policy), min-id canonical per cluster.
+    * Returns every media row's verdict `(media_id, cluster, kept)`;
+    * transitive closure is deliberate, tighten `maxHamming` rather
+    * than fighting chains.
+    */
+  def deduplicate(media: Dataset[Multimodal.MediaRow], maxHamming: Int = 3,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hashed = audioHashes(media)
+    val pairs = neardupPairs(hashed, maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.dedup.Dedup.connectedComponents(pairs,
+      checkpointDir = checkpointDir)
+    hashed.select(col("media_id"))
+      .join(comps.withColumnRenamed("id", "media_id"), Seq("media_id"),
+        "left")
+      .select(col("media_id"),
+        coalesce(col("canonical_id"), col("media_id")).as("cluster"))
+      .withColumn("kept", col("media_id") === col("cluster"))
+  }
+
   /** Closed-form square-wave WAV fixture for the oracle gate: 65
     * windows × 16 frames of a mono square wave, window `w` at
     * amplitude `(1 + (a·w + b + [w = 64] · variant) mod 7) · 1000`

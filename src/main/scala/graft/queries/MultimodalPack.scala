@@ -300,6 +300,27 @@ object MultimodalPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // End-to-end acoustic dedup over the same planted fixture: pairs →
+    // connected components → min-id canonical verdicts. The oracle
+    // recomputes the fingerprints, takes ALL-pairs edges within the
+    // bound, and closes them with the recursive-reach idiom — a
+    // different algorithm, same semantics (pigeonhole banding is
+    // complete within the bound).
+    "mm_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(100)).cast("long").as("grp"),
+        pmod(expr("doc_id div 100"), lit(4)).cast("int").as("vr"))
+      val mkWav = udf((grp: Long, vr: Int) =>
+        graft.multimodal.AudioHash.fixtureWav(grp, vr))
+      val media = params.select(col("media_id"), lit("audio").as("kind"),
+          mkWav(col("grp"), col("vr")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      graft.multimodal.AudioHash.deduplicate(media, maxHamming = 3)
+        .orderBy("media_id")
+    }),
+
     // Video near-dup off an AT-REST packed-keyframe corpus: hashes are
     // decoded once, packed into frame-instance ids and persisted
     // through the fingerprint-agnostic ImageStorage; the banded
@@ -393,13 +414,13 @@ object MultimodalPack extends QueryPack {
            AS BIGINT) AS f
          FROM bits GROUP BY media_id)"""
 
-  /** Shared oracle for the ad-hoc and at-rest audio gates: envelope
-    * fingerprint from the modular closed form (PCM lossless, exact
-    * integer energies) + the same banding replay as the image gates;
-    * bit 63 signed per the [[PhashFpCte]] convention.
+  /** Shared envelope-fingerprint replay for the audio oracles: the
+    * modular closed form (PCM lossless, exact integer energies); bit
+    * 63 signed per the [[PhashFpCte]] convention. Yields `fp(media_id,
+    * f)`.
     */
-  private val AudioNeardupSql: String =
-    """WITH p AS (
+  private val AudioFpCte: String =
+    """p AS (
          SELECT doc_id AS media_id,
            1 + (doc_id % 100) % 6 AS a,
            ((doc_id % 100) // 6) % 7 AS b,
@@ -421,7 +442,13 @@ object MultimodalPack extends QueryPack {
              WHEN pos = 63 THEN -9223372036854775808
              ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
            AS BIGINT) AS f
-         FROM bits GROUP BY media_id),
+         FROM bits GROUP BY media_id)"""
+
+  /** Shared oracle for the ad-hoc and at-rest audio pair gates:
+    * [[AudioFpCte]] + the same banding replay as the image gates.
+    */
+  private val AudioNeardupSql: String =
+    s"""WITH $AudioFpCte,
        keyed AS (
          SELECT media_id, f, c.chunk,
            CAST(((CAST(f AS HUGEINT) + CASE WHEN f < 0
@@ -595,6 +622,28 @@ object MultimodalPack extends QueryPack {
 
     // the at-rest layout must be invisible in the result — same oracle
     "mm_audio_at_rest" -> AudioNeardupSql,
+
+    // all-pairs edges within the bound + recursive-reach closure +
+    // min-label canonical — the mm_phash_dedup idiom on the audio fp
+    "mm_audio_dedup" ->
+      s"""WITH RECURSIVE $AudioFpCte,
+         edges AS (
+           SELECT a.media_id AS ia, b.media_id AS ib
+           FROM fp a JOIN fp b ON a.media_id < b.media_id
+             AND bit_count(xor(a.f, b.f)) <= 3),
+         sym AS (SELECT ia AS src, ib AS dst FROM edges
+                 UNION SELECT ib AS src, ia AS dst FROM edges),
+         reach(node, lbl) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         canon AS (SELECT node, MIN(lbl) AS canonical FROM reach
+                   GROUP BY node)
+         SELECT p.media_id,
+           COALESCE(c.canonical, p.media_id) AS cluster,
+           p.media_id = COALESCE(c.canonical, p.media_id) AS kept
+         FROM p LEFT JOIN canon c ON c.node = p.media_id
+         ORDER BY p.media_id""",
 
     // per-frame dHash from the fixture's modular closed form — no
     // pixel decode on the oracle side; bit 63 enters as the signed
