@@ -37,6 +37,25 @@ object MultimodalPack extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // Patch-BUDGET batch packing — the vision-language twin of token
+    // bin packing: images must stay whole, a training batch holds a
+    // fixed ViT patch budget, so batching IS bin packing over
+    // patchPlan's n_patches. Pure composition of two green-gated
+    // operators; the oracle replays the closed-form patch counts
+    // through the same recursive FFD.
+    "mm_patch_pack" -> ((s, dir) => {
+      val bl = length(encode(col("text"), "UTF-8"))
+      val imgs = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          (lit(64) + pmod(bl, lit(960))).as("width"),
+          (lit(64) + pmod(bl * 7, lit(540))).as("height"))
+      graft.text.BinPacking.packBinsFFD(
+          Multimodal.patchPlan(imgs, patch = 16),
+          "media_id", "n_patches", capacity = 4096L, numShards = 8)
+        .select("media_id", "n_patches", "shard", "bin")
+        .orderBy("media_id")
+    }),
+
     // Real decode through the partition-local batch transform: PNG
     // payloads are synthesized per doc with JDK imageio at dimensions
     // derived from the text byte length, then decoded back by
@@ -522,6 +541,48 @@ object MultimodalPack extends QueryPack {
            CAST(((width + 15) // 16) * 16 - width AS INT) AS pad_x,
            CAST(((height + 15) // 16) * 16 - height AS INT) AS pad_y
          FROM imgs ORDER BY media_id""",
+    // closed-form patch counts through the same recursive FFD replay
+    // as t_pack_bins (lockstep per-shard bin-load list)
+    "mm_patch_pack" ->
+      s"""WITH RECURSIVE
+         d AS (
+           SELECT doc_id AS media_id,
+             CAST(((64 + OCTET_LENGTH(ENCODE(text)) % 960 + 15) // 16)
+               * ((64 + (OCTET_LENGTH(ENCODE(text)) * 7) % 540 + 15) // 16)
+               AS BIGINT) AS n_patches,
+             CAST(${graft.operators.Sampling.avalancheKeySql("doc_id")} % 8
+               AS INT) AS shard
+           FROM documents),
+         ord AS (
+           SELECT media_id, n_patches, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_patches DESC, media_id) AS pos
+           FROM d),
+         pack AS (
+           SELECT shard, CAST(0 AS BIGINT) AS pos,
+                  CAST(NULL AS BIGINT) AS media_id,
+                  CAST(NULL AS BIGINT) AS n_patches,
+                  CAST(NULL AS INT) AS bin,
+                  CAST([] AS BIGINT[]) AS loads
+           FROM (SELECT DISTINCT shard FROM ord)
+           UNION ALL
+           SELECT shard, pos, media_id, n_patches, CAST(b - 1 AS INT) AS bin,
+                  CASE WHEN b <= LEN(loads)
+                       THEN LIST_TRANSFORM(RANGE(1, LEN(loads) + 1),
+                         i -> CASE WHEN i = b THEN loads[i] + n_patches
+                                   ELSE loads[i] END)
+                       ELSE LIST_APPEND(loads, n_patches) END AS loads
+           FROM (
+             SELECT p.shard, p.pos + 1 AS pos, o.media_id, o.n_patches,
+                    p.loads,
+                    COALESCE(LIST_FILTER(RANGE(1, LEN(p.loads) + 1),
+                      i -> p.loads[i] + o.n_patches <= 4096)[1],
+                      LEN(p.loads) + 1) AS b
+             FROM pack p
+             JOIN ord o ON o.shard = p.shard AND o.pos = p.pos + 1))
+         SELECT media_id, n_patches, shard, bin
+         FROM pack WHERE pos >= 1 ORDER BY media_id""",
+
     "mm_decode" ->
       """SELECT doc_id AS media_id,
          CAST(8 + OCTET_LENGTH(ENCODE(text)) % 24 AS INT) AS width,
