@@ -120,8 +120,10 @@ object Bench {
     // micros, 3–15 s each) the blip is proportionally small and the
     // extra repeats are what made the r12 full sweep outgrow the
     // budget (the 170-query sweep costs ~15 min at a flat n=3, ~7 min
-    // adaptive). A query whose FIRST repeat exceeds the cutoff
-    // publishes that single sample. The 50 % share cap only guards a
+    // adaptive). A query whose min-so-far exceeds the cutoff stops
+    // repeating, except that a first sample within 3× of the cutoff
+    // gets one confirming repeat (a blip on rep 1 must not publish
+    // un-denoised). The 50 % share cap only guards a
     // runaway sweep. Skippable via SPARK_GRAFT_SKIP_QUERIES=1
     // (pipeline stages only).
     val microDeadline =
@@ -134,18 +136,23 @@ object Bench {
     queryDefs.foreach { case (name, fn) =>
       if (System.nanoTime() >= microDeadline) skipped += name
       else {
-        var firstSec = Double.NaN
+        var minSec = Double.NaN
         val times = (1 to n).flatMap { i =>
           // always finish at least one repeat once a query starts, so a
-          // budget edge never publishes a query as silently absent
+          // budget edge never publishes a query as silently absent.
+          // Repeats stop once the MIN so far clears the cutoff — but a
+          // first sample within 3× of it gets one confirming repeat: a
+          // co-tenant blip on rep 1 of a near-cutoff query must not
+          // publish un-denoised (these mins fold into QuietCpuRef pins)
+          val blipRange = !minSec.isNaN && minSec < 3 * microRepCutoffSec
           if (i > 1 && (System.nanoTime() >= microDeadline ||
-              firstSec >= microRepCutoffSec)) None
+              (minSec >= microRepCutoffSec && !(i == 2 && blipRange)))) None
           else {
             val s0 = System.nanoTime()
             try {
               fn(spark, sfDir).count()
               val sec = (System.nanoTime() - s0) / 1e9
-              if (i == 1) firstSec = sec
+              if (minSec.isNaN || sec < minSec) minSec = sec
               Some(sec)
             }
             catch { case e: Throwable =>

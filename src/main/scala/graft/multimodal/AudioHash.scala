@@ -80,8 +80,10 @@ object AudioHash {
     val e = new Array[Long](65)
     var w = 0
     while (w < 65) {
-      val i0 = w * n / 65
-      val i1 = (w + 1) * n / 65
+      // long box bounds: Int `w * n` wraps past ~33M frames (a 12-min
+      // 44.1 kHz clip) and would index negative
+      val i0 = (w.toLong * n / 65).toInt
+      val i1 = ((w + 1).toLong * n / 65).toInt
       var sum = 0L
       var i = i0
       while (i < i1) { sum += math.abs(frames(i).toLong); i += 1 }

@@ -292,11 +292,15 @@ object ImageHash {
     require(maxFramesPerVideo >= 1,
       s"maxFramesPerVideo must be >= 1: $maxFramesPerVideo")
     val k = maxFramesPerVideo.toLong
+    // the upper bound guards silent Long wrap-around: media_id * k must
+    // stay inside the long range or `div` unpacks phantom video ids
+    val maxId = Long.MaxValue / k - 1
     val fid =
-      when(col("media_id") >= 0, col("media_id").cast("long"))
-        .otherwise(raise_error(lit(
-          "packKeyframeHashes: negative media_id breaks the packed-id " +
-            "ordering — re-key upstream"))) * k +
+      when(col("media_id").between(0, maxId), col("media_id").cast("long"))
+        .otherwise(raise_error(concat(lit(
+          "packKeyframeHashes: media_id outside [0, " + maxId + "] breaks " +
+            "the packed-id ordering (overflow) — re-key upstream or lower " +
+            "maxFramesPerVideo; got "), col("media_id").cast("string")))) * k +
       when(col("frame_idx").between(0, k - 1), col("frame_idx"))
         .otherwise(raise_error(lit(
           s"packKeyframeHashes: frame_idx outside [0, $k) — raise " +

@@ -74,10 +74,13 @@ object ImageStorage {
     validateIdentifier(table)
     require(maxHamming >= 1 && maxHamming <= 15,
       s"maxHamming out of [1,15]: $maxHamming")
+    // cut BEFORE the fan-out: both tables derive from the hash frame,
+    // and an uncut lineage would run the upstream decode (the expensive
+    // pass this layout exists to amortize) once per table write
     val h = hashes.select(col(idCol).cast("long").as("id"),
-      col(fpCol).as("fp"))
-    // one corpus-sized reduction: the exact-fingerprint collapse; both
-    // tables derive from it
+        col(fpCol).as("fp"))
+      .localCheckpoint()
+    // one corpus-sized reduction: the exact-fingerprint collapse
     val groups = h.groupBy("fp").agg(min(col("id")).as("rep"))
       .localCheckpoint()
     groups
@@ -108,7 +111,10 @@ object ImageStorage {
     */
   private def requireSameSplit(bands: DataFrame, maxHamming: Int): Unit = {
     val stored = bands.agg(countDistinct(col("chunk"))).head().getLong(0)
-    require(stored == maxHamming + 1,
+    // stored == 0 is a legitimately EMPTY corpus (first deployment, a
+    // filtered-to-nothing snapshot): reads must return zero pairs/hits
+    // so an incremental pipeline can bootstrap, not abort
+    require(stored == 0 || stored == maxHamming + 1,
       s"ImageStorage: table stores ${stored} band chunks but maxHamming=" +
         s"$maxHamming needs ${maxHamming + 1} — rewrite the corpus or pass " +
         "the write-time maxHamming")
@@ -208,8 +214,12 @@ object ImageStorage {
     val bands = scan(spark, table)
     requireSameSplit(bands, maxHamming)
     val member = scan(spark, membersTable(table))
+    // cut: the size probe below counts b, and an uncut lineage would
+    // run the batch's decode twice (once for the count, once for the
+    // band join)
     val b = batchHashes.select(col(idCol).cast("long").as("batch_id"),
-      col(fpCol).as("bfp"))
+        col(fpCol).as("bfp"))
+      .localCheckpoint()
     val probes0 = b
       .select(col("batch_id"), col("bfp"),
         bandCols(col("bfp"), maxHamming).as("ck"))

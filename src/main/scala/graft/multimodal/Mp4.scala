@@ -176,7 +176,15 @@ object Mp4 {
             val fixed = bb.getInt(o + 8 + 4)
             val n = bb.getInt(o + 8 + 8)
             require(n >= 0, s"negative stsz sample count $n")
-            if (fixed != 0) sizes = Array.fill(n)(fixed)
+            if (fixed != 0) {
+              // bound the allocation by what the file could possibly
+              // hold — a hostile count must fail loud, not OOM
+              require(fixed > 0 && n.toLong * fixed <= bytes.length,
+                s"stsz fixed-size table ($n x $fixed bytes) exceeds the " +
+                  s"file length ${bytes.length} — truncated or corrupt " +
+                  "container")
+              sizes = Array.fill(n)(fixed)
+            }
             else {
               require(o.toLong + 8 + 12 + 4L * n <= end,
                 s"stsz sample count $n exceeds box extent")
@@ -363,7 +371,10 @@ object Mp4 {
             b.array()
           })
           val stco = box("stco", {
-            val b = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+            // exactly ver/flags(4) + entry_count(4) + one offset(4) —
+            // an over-allocated buffer would append garbage bytes the
+            // in-repo walk ignores but strict 14496-12 readers reject
+            val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
             b.putInt(0); b.putInt(1)   // ver/flags, one chunk
             require(stcoOffset <= MaxU32, s"stco offset $stcoOffset > u32")
             b.putInt(stcoOffset.toInt)

@@ -173,6 +173,25 @@ class ImageStorageSpec extends AnyFunSuite {
     }
   }
 
+  test("an empty corpus bootstraps: zero pairs and zero batch hits, no abort") {
+    import spark.implicits._
+    val empty = hashed.filter(col("media_id") < 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-imgstore-empty").toString + "/imgs"
+    ImageStorage.writeBucketed(empty, "img_rest_empty", path, nBuckets = 4)
+    try {
+      assert(ImageStorage.pairs(spark, "img_rest_empty").count() === 0L)
+      val batch = ImageHash.imageHashes(
+        media.filter(_.media_id < 8))
+      assert(ImageStorage.checkBatch(spark, "img_rest_empty", batch)
+        .count() === 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS img_rest_empty")
+      spark.sql(s"DROP TABLE IF EXISTS " +
+        ImageStorage.membersTable("img_rest_empty"))
+    }
+  }
+
   test("band-split mismatch aborts before planning") {
     withTable("img_rest_split") {
       val ex = intercept[IllegalArgumentException] {

@@ -102,7 +102,8 @@ class MjpegSpec extends AnyFunSuite {
     }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else t.getMessage +: chain(t.getCause)
-    assert(chain(ex).exists(m => m != null && m.contains("negative media_id")))
+    assert(chain(ex).exists(m => m != null &&
+      m.contains("packed-id ordering")))
   }
 
   test("videoKeyframeHashes: distributed hashes match the closed form; frameStep strides") {
