@@ -349,7 +349,7 @@ object PipelineBench {
     "monitor_rolling_psi_10M" -> 7.9,
     "monitor_rolling_quantile_10M" -> 25.0,
     "eval_spearman_10M" -> 94.0, // min-folded, r12 full sweep
-    "ann_semdedup_100k_adhoc" -> 22.4, // min-folded, r12 full sweep
+    "ann_semdedup_100k_adhoc" -> 20.9, // min-folded, r12 full sweeps
     "ann_semdedup_100k_at_rest" -> 11.3,
     // first priced by a round-11 filtered local sweep
     // (SPARK_GRAFT_PIPELINE_ONLY=ann_mnn_100k_adhoc,ann_mnn_100k_at_rest,
@@ -362,7 +362,7 @@ object PipelineBench {
     // ~30× cpu gap IS the at-rest lever: ad hoc re-decodes 100k PNGs
     // (ImageIO dominates) and re-shuffles the bands; at rest both are
     // storage properties.
-    "img_phash_100k_adhoc" -> 255.7, // min-folded, r12 full sweeps
+    "img_phash_100k_adhoc" -> 145.0, // min-folded, r12 full sweeps
     "img_phash_100k_at_rest" -> 9.6)
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
