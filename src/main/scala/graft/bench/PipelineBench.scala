@@ -308,10 +308,11 @@ object PipelineBench {
     "pm25_combine_month_1M_disk" -> 120.6, // min-folded, r12 full sweep
     "pm25_spatial_impute_month" -> 92.0,
     "pm25_feature_gen_month" -> 174.3, // min-folded, r12 filtered sweep
-    "pm25_feature_gen_year" -> 1797.0, // best r12 observation: 2937.8
-    // cpu / 102.0 wall with the untouched k1 anchor at 1.65x ITS quiet
-    // ref in the same run - the residual gap to this r9-era quiet ref is
-    // environmental; the ref stands awaiting a genuinely quiet window
+    "pm25_feature_gen_year" -> 1797.0, // QUIET-VERIFIED round 12: on a
+    // window where the untouched k1 anchor ran BELOW its own quiet ref
+    // (0.884 vs 0.91), fg_year measured 70.8 s wall / 1911.8 cpu-s,
+    // un-flagged - within noise of r9's quiet 65.2 s / 1908. The r11/r12
+    // full-sweep values (114-179 s) were environmental, not regression
     "pm25_month_e2e" -> 450.0,
     "pm25_quarter_e2e" -> 820.9, // min-folded, r12 full sweep
     "pm25_spatial_impute_quarter" -> 166.0,
