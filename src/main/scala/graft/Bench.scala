@@ -43,8 +43,66 @@ import org.apache.spark.sql.SparkSession
   * 16 time-to-AnalysisException values as runtimes. Failed queries land
   * under "failed"; a pipeline-level hard error lands under "error" in
   * the final lines but never suppresses the numbers already measured.
+  *
+  * SELF-CERTIFICATION (round 13): the artifact must prove its own box
+  * from the inside. Round 12's official run landed on a degraded
+  * driver box and published a combine wall 30× the same-commit local
+  * sweeps with no in-artifact way to attribute that to the
+  * environment. Now, BEFORE anything else: (a) `bench_box_*` probes —
+  * a fixed-work single-threaded SHA-256 loop and a 64 MiB
+  * write+fsync+read on both the tmpfs cache root and java.io.tmpdir —
+  * price the box's CPU and IO directly; (b) a ~25 s certification
+  * prefix ([[graft.bench.PipelineBench.runCertification]]) runs one
+  * rep each of the untouched k1 anchor (quiet wall pinned — the
+  * emitted `bench_box_anchor_ratio` is a pure box-speed multiple) and
+  * the three production headline stages, so every artifact carries
+  * comparable headline values no matter what dies later. The prefix
+  * samples seed the full sweep's min-of-repeats fold.
   */
 object Bench {
+
+  /** Fixed-work CPU probe: SHA-256 over 256 MiB of constant bytes,
+    * single-threaded — ~0.5 s on a quiet core, scaling directly with
+    * how degraded/oversubscribed the box is. Pure compute (no alloc in
+    * the loop), so the number isolates CPU from IO.
+    */
+  def cpuProbeSec(): Double = {
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 7.toByte)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 256) { md.update(buf); i += 1 }
+    md.digest()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed-work IO probe on `dir`: write 64 MiB in 1 MiB chunks, force
+    * to the device, read it back, delete. Run on BOTH the tmpfs cache
+    * root and java.io.tmpdir, the two IO paths the bench actually uses
+    * — a cold /dev/shm or a co-tenant-hammered scratch disk shows up
+    * here, not as an unexplained 30× stage wall.
+    */
+  def ioProbeSec(dir: java.nio.file.Path): Double = {
+    import java.nio.file.StandardOpenOption._
+    val f = java.nio.file.Files.createTempFile(dir, "graft-ioprobe", ".bin")
+    val chunk = java.nio.ByteBuffer.wrap(new Array[Byte](1 << 20))
+    try {
+      val t0 = System.nanoTime()
+      val out = java.nio.channels.FileChannel.open(f, WRITE)
+      try {
+        var i = 0
+        while (i < 64) { chunk.rewind(); out.write(chunk); i += 1 }
+        out.force(false)
+      } finally out.close()
+      val in = java.nio.channels.FileChannel.open(f, READ)
+      try {
+        val bb = java.nio.ByteBuffer.allocate(1 << 20)
+        while (in.read(bb) > 0) bb.clear()
+      } finally in.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally { java.nio.file.Files.deleteIfExists(f); () }
+  }
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,7 +170,42 @@ object Bench {
     // warm-up: touch the session, codegen, and the parquet footers
     graft.core.Tables.table(spark, sfDir, "lineitem").count()
 
+    // ---- box probes FIRST: the artifact prices its own CPU and IO
+    // before a single query runs (quiet yardsticks, measured on this
+    // box round 13: cpu 0.23 s, tmpfs io 0.08 s, disk io 0.44 s — a
+    // several-fold multiple here labels every later anomaly as
+    // environmental from inside the artifact)
+    val shmPath = java.nio.file.Paths.get("/dev/shm")
+    val shmWritable = java.nio.file.Files.isWritable(shmPath)
+    emit("bench_box_cpu_sec", cpuProbeSec())
+    emit("bench_box_io_tmp_sec",
+      ioProbeSec(java.nio.file.Paths.get(sys.props("java.io.tmpdir"))))
+    if (shmWritable) emit("bench_box_io_shm_sec", ioProbeSec(shmPath))
+    // the generate-once input caches land on tmpfs only when /dev/shm
+    // is writable — 0 here explains a slow setup + cold-cache run
+    emit("bench_cache_root_shm", if (shmWritable) 1.0 else 0.0)
+
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+
+    // ---- certification prefix: one rep each of the k1 anchor +
+    // three production headline stages, BEFORE the micro sweep — so a
+    // budget-starved or killed run still publishes comparable headline
+    // values (round 12's official artifact had 3 of ~32). Skipped for
+    // filtered local runs (SKIP_PIPELINE / PIPELINE_ONLY), which are
+    // pricing tools, not official artifacts. Fail-soft like the
+    // pipeline section: a cert error records, never suppresses.
+    val scratch = graft.bench.PipelineBench.scratchRoot()
+    var certSamples = Map.empty[String, (Double, Double)]
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE") &&
+        !sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) {
+      try certSamples =
+        graft.bench.PipelineBench.runCertification(spark, scratch, emit)
+      catch { case e: Throwable =>
+        hardError = Some(s"cert: ${e.getMessage}")
+        System.err.println(s"[bench] certification prefix failed: ${e.getMessage}")
+        writeFull()
+      }
+    }
 
     // ---- micro queries FIRST (sorted by name), with ADAPTIVE repeats:
     // min-of-n de-noises sub-second timings, where one co-tenant blip
@@ -171,25 +264,26 @@ object Bench {
     // skippable via SPARK_GRAFT_SKIP_PIPELINE=1
     if (!sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) {
       try {
-        val tmp = graft.bench.PipelineBench.scratchRoot()
-        try {
-          // first repeats may run to the budget; later repeats yield a
-          // little early so the final emission always fits
-          val (stageMap, stageSkipped) = graft.bench.PipelineBench.runBest(
-            spark, tmp, n, deadline, (nm, v, _) => emit(nm, v),
-            laterRepsDeadlineNanos = t0 + (budgetSec * 0.95 * 1e9).toLong)
-          stageMap.foreach { case (k, v) => emit(k, v) }
-          skipped ++= stageSkipped
-        } finally org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(tmp))
+        // first repeats may run to the budget; later repeats yield a
+        // little early so the final emission always fits. The
+        // certification samples seed the min-of-repeats fold (the
+        // prefix is repeat 0 of its four stages).
+        val (stageMap, stageSkipped) = graft.bench.PipelineBench.runBest(
+          spark, scratch, n, deadline, (nm, v, _) => emit(nm, v),
+          laterRepsDeadlineNanos = t0 + (budgetSec * 0.95 * 1e9).toLong,
+          seed = certSamples)
+        stageMap.foreach { case (k, v) => emit(k, v) }
+        skipped ++= stageSkipped
       } catch { case e: Throwable =>
         // fail SOFT: keep every number already emitted and record the
         // error in the artifact
-        hardError = Some(s"pipeline: ${e.getMessage}")
+        hardError = Some((hardError.map(_ + "; ").getOrElse("")) +
+          s"pipeline: ${e.getMessage}")
         System.err.println(s"[bench] pipeline bench failed: ${e.getMessage}")
         writeFull()
       }
     }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
 
     // ---- final lines: the big full-precision-ish map, then the compact
     // totals line LAST (the driver parses the last JSON line in its
@@ -200,31 +294,61 @@ object Bench {
     // penultimate line and the SPARK_GRAFT_BENCH_OUT file.
     writeFull()
     println(fullJson(f3))
+    // final-line headline map, PRIORITY-ordered: the box probes and
+    // certification stages lead (the self-certification contract — they
+    // must survive any truncation), then the rest of the headline set.
+    // The line is built under a HARD character cap: the driver parses
+    // the last JSON line of a ~2000-char tail, and an uncapped ~40-key
+    // map plus totals fields plus an error string could clip it (the
+    // round-4 failure mode this design exists to avoid). Dropped keys
+    // are counted in "qtrunc"; the full map is always in the
+    // penultimate line and the SPARK_GRAFT_BENCH_OUT file.
     val headlineKeys = Seq(
-      "pm25_combine_month_1M", "pm25_combine_month_1M_bucketed",
+      "bench_box_cpu_sec", "bench_box_io_shm_sec", "bench_box_io_tmp_sec",
+      "bench_box_anchor_ratio", "bench_cache_root_shm",
+      "bench_cert_setup_sec", "bench_cert_cache_hits",
+      "bench_setup_sec", "bench_setup_cache_hits",
+      "k1_dense_300k_tiled",
+      "pm25_combine_month_1M", "pm25_feature_gen_month",
+      "pm25_spatial_impute_month",
+      "pm25_combine_month_1M_bucketed",
       "pm25_combine_month_1M_bucketed_shuffle_exchanges",
       "pm25_combine_month_1M_disk",
-      "pm25_spatial_impute_month", "pm25_spatial_impute_quarter",
-      "pm25_feature_gen_month", "pm25_feature_gen_year",
+      "pm25_spatial_impute_quarter", "pm25_feature_gen_year",
       "pm25_month_e2e", "pm25_quarter_e2e", "pm25_year_e2e",
       "eval_auc_10M", "eval_spearman_10M",
       "monitor_cusum_10M", "monitor_twa_10M", "monitor_skew_10M",
       "monitor_rolling_psi_10M", "monitor_rolling_distinct_10M",
       "monitor_rolling_quantile_10M",
+      "dedup_minhash_1M_adhoc", "dedup_minhash_1M_at_rest",
       "ann_mnn_100k_adhoc", "ann_mnn_100k_at_rest",
       "ann_semdedup_100k_adhoc", "ann_semdedup_100k_at_rest",
       "img_phash_100k_adhoc", "img_phash_100k_at_rest",
+      "audio_fp_100k_adhoc", "audio_fp_100k_at_rest",
       "graph_pagerank_1M_edges", "graph_triangles_1M_edges",
       "graph_kcore_1M_edges", "graph_labelprop_1M_edges",
-      "k1_dense_300k_untiled", "k1_dense_300k_tiled",
+      "k1_dense_300k_untiled",
       "q1_pricing_summary")
-    val headline = headlineKeys.flatMap(k =>
-        results.get(k).map(v => "\"" + k + "\":" + f3(v)))
-      .mkString("{", ",", "}")
     val err = hardError.map(e =>
       ",\"error\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) +
         "\"").getOrElse("")
-    println(s"""{"metric":"total","value":${f3(totalSecs)},"unit":"sec","nqueries":${results.size},"nfailed":${failed.size},"nskipped":${skipped.size},"queries":$headline,"budget_sec":${f3(budgetSec)},"elapsed":${f3(elapsedSec)}$err,"sf":"$sfDir"}""")
+    val entries = headlineKeys.flatMap(k =>
+      results.get(k).map(v => "\"" + k + "\":" + f3(v)))
+    def finalLine(kept: Int, dropped: Int): String = {
+      val headline = entries.take(kept).mkString("{", ",", "}")
+      val trunc = if (dropped > 0) s""","qtrunc":$dropped""" else ""
+      s"""{"metric":"total","value":${f3(totalSecs)},"unit":"sec",""" +
+        s""""nqueries":${results.size},"nfailed":${failed.size},""" +
+        s""""nskipped":${skipped.size},"queries":$headline$trunc,""" +
+        s""""budget_sec":${f3(budgetSec)},"elapsed":${f3(elapsedSec)}""" +
+        s"""$err,"sf":"$sfDir"}"""
+    }
+    val MaxFinalLineChars = 1700
+    var kept = entries.size
+    while (kept > 0 &&
+        finalLine(kept, entries.size - kept).length > MaxFinalLineChars)
+      kept -= 1
+    println(finalLine(kept, entries.size - kept))
     System.out.flush()
     spark.stop()
   }

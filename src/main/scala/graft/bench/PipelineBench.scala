@@ -364,7 +364,94 @@ object PipelineBench {
     // (ImageIO dominates) and re-shuffles the bands; at rest both are
     // storage properties.
     "img_phash_100k_adhoc" -> 145.0, // min-folded, r12 full sweeps
-    "img_phash_100k_at_rest" -> 9.6)
+    "img_phash_100k_at_rest" -> 9.6,
+    // first priced by a round-13 filtered local sweep
+    // (SPARK_GRAFT_PIPELINE_ONLY over the four new stages, 2
+    // interleaved repeats) — upper bounds that min-fold tighter
+    "dedup_minhash_1M_adhoc" -> 222.3,
+    "dedup_minhash_1M_at_rest" -> 74.6,
+    "audio_fp_100k_adhoc" -> 200.8,
+    "audio_fp_100k_at_rest" -> 9.4)
+
+  /** Quiet-box WALL reference for the untouched k1 tiled anchor — the
+    * box-speed yardstick of the certification prefix. PROVENANCE: the
+    * round-9 quiet sweeps pinned 0.91 s; the round-12 captured quiet
+    * window measured 0.884 s (below the pin — the pin stands as the
+    * conservative quiet bound). The anchor's generator
+    * ([[denseInput]]) and kernel ([[TiledInterpolator]]) are
+    * deliberately untouched across rounds, so
+    * `bench_box_anchor_ratio` (= measured wall / this ref) reads as a
+    * pure box-speed multiple from inside any artifact.
+    */
+  val K1TiledQuietWallRef = 0.91
+
+  /** CERTIFICATION PREFIX — round-13 task 1. One rep each of four
+    * comparable headline stages, run BEFORE the micro sweep and before
+    * [[runBest]]'s full setup, so EVERY artifact — budget-starved,
+    * contended, or killed mid-run — carries (a) the untouched k1
+    * anchor (whose quiet wall is pinned at [[K1TiledQuietWallRef]], so
+    * the artifact self-reports the box-speed multiple), and (b) the
+    * three production headline stages the round-over-round comparison
+    * rests on. Round 12's official artifact carried only 3 anomalous
+    * headline values with no in-artifact way to prove the driver box
+    * (not the code) was 30× slow — this prefix is that proof.
+    *
+    * ~25 s quiet (anchor 0.9, combine 7, impute 9, fg_month 8). Setup
+    * (stage inputs, cache-served after the first run) is untimed but
+    * published as `bench_cert_setup_sec` + `bench_cert_cache_hits`.
+    * Emits each stage under its CANONICAL name (wall + `_cpu_sec` +
+    * `_contended`), plus `bench_box_anchor_ratio`; returns the
+    * `(wall, cpu)` samples so [[runBest]] can seed its min-of-repeats
+    * fold with them (the prefix is effectively repeat 0).
+    */
+  def runCertification(spark: SparkSession, outRoot: String,
+                       emit: (String, Double) => Unit)
+      : Map[String, (Double, Double)] = {
+    val setupT0 = System.nanoTime()
+    val (plain, hits) = stageInputs(spark, preferShm = true)
+    val grid = gridFrame(spark)
+    val denseDf = denseInput(spark)
+    emit("bench_cert_setup_sec", (System.nanoTime() - setupT0) / 1e9)
+    emit("bench_cert_cache_hits", hits.toDouble)
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
+    def run1(name: String)(body: => Unit): Unit = {
+      val (wall, cpu) = timeWithCpu(spark)(body)
+      out(name) = (wall, cpu)
+      emit(name, wall)
+      emit(s"${name}_cpu_sec", cpu)
+      QuietCpuRef.get(name).foreach { ref =>
+        emit(s"${name}_contended", if (cpu > ref * 1.3) 1.0 else 0.0)
+      }
+    }
+    // the anchor FIRST: it prices the box before anything else runs
+    run1("k1_dense_300k_tiled")(
+      TiledInterpolator.interpolate(denseDf, "date", "x", "y", Seq("v"),
+        gx = 8, gy = 4, halo = 60.0).count(): Unit)
+    emit("bench_box_anchor_ratio",
+      out("k1_dense_300k_tiled")._1 / K1TiledQuietWallRef)
+    run1("pm25_combine_month_1M")(
+      WideCombiner.combine(plain)
+        .write.mode("overwrite").parquet(s"$outRoot/combined"))
+    run1("pm25_spatial_impute_month") {
+      val withXy = spark.read.parquet(s"$outRoot/combined")
+        .select("grid_id", "date", "ds0__ds0_v0", "ds1__ds1_v0")
+        .join(broadcast(grid), Seq("grid_id"))
+      DailySpatialInterpolator
+        .interpolate(withXy, "date", "original_x", "original_y",
+          Seq("ds0__ds0_v0", "ds1__ds1_v0"))
+        .write.mode("overwrite").parquet(s"$outRoot/imputed")
+    }
+    run1("pm25_feature_gen_month") {
+      val slice = spark.read.parquet(s"$outRoot/combined")
+        .withColumn("month", lit("2023-01"))
+      val cols15 = slice.columns.filter(_.contains("__")).take(15).toSeq
+      FeatureGenerator.generate(slice, 2023,
+          FeatureGenerator.Config(baseColumns = cols15))
+        .write.mode("overwrite").parquet(s"$outRoot/features")
+    }
+    out.toMap
+  }
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
     * over their repeats. Contention noise on a shared sandbox is
@@ -401,7 +488,8 @@ object PipelineBench {
   def runBest(spark: SparkSession, outRoot: String, n: Int,
               deadlineNanos: Long = Long.MaxValue,
               emitSample: (String, Double, Int) => Unit = (_, _, _) => (),
-              laterRepsDeadlineNanos: Long = Long.MaxValue)
+              laterRepsDeadlineNanos: Long = Long.MaxValue,
+              seed: Map[String, (Double, Double)] = Map.empty)
       : (Map[String, Double], Seq[String]) = {
     val setupT0 = System.nanoTime()
     var cacheHits = 0
@@ -740,6 +828,14 @@ object PipelineBench {
       // noise reduction and yield to the micro sweep's budget share.
       val samples = scala.collection.mutable.LinkedHashMap
         .empty[String, Vector[(Double, Double)]]
+      // certification-prefix samples seed the fold: the prefix is
+      // repeat 0 of its four stages, so the published min (and its
+      // paired cpu companion) folds across prefix + sweep — a prefix
+      // run in a quieter window than the sweep keeps its better value
+      seed.foreach { case (name, sample) =>
+        if (stagesRun.exists(_.name == name))
+          samples(name) = Vector(sample)
+      }
       val maxRepeats = stagesRun.map(_.repeats).max
       var budgetHit = false
       for (rep <- 0 until maxRepeats; st <- stagesRun

@@ -46,6 +46,22 @@ object ImageStorage {
 
   def membersTable(table: String): String = table + "_members"
 
+  /** The id column as LONG, failing LOUD on anything the cast would
+    * silently null (non-numeric strings, nulls, overflowing decimals) —
+    * a nulled id here would persist null reps/members and corrupt the
+    * at-rest corpus for every later reader, the opposite of the repo's
+    * raise_error posture (the [[ImageHash.packKeyframeHashes]] guard
+    * pattern). The guard IS the emitted column, so it cannot be pruned
+    * out of the plan.
+    */
+  private def idAsLong(idCol: String): org.apache.spark.sql.Column = {
+    val casted = col(idCol).cast("long")
+    when(casted.isNotNull, casted).otherwise(raise_error(concat(
+      lit(s"ImageStorage: id column '$idCol' does not cast to long (got "),
+      coalesce(col(idCol).cast("string"), lit("null")),
+      lit(") — a silently-nulled id would corrupt the at-rest corpus"))))
+  }
+
   /** Band-explode a fingerprint into `(chunk, v)` rows — the
     * [[ImageHash.hammingPairs]] split: `maxHamming + 1` chunks of
     * `64 / (maxHamming + 1)` bits each.
@@ -77,7 +93,7 @@ object ImageStorage {
     // cut BEFORE the fan-out: both tables derive from the hash frame,
     // and an uncut lineage would run the upstream decode (the expensive
     // pass this layout exists to amortize) once per table write
-    val h = hashes.select(col(idCol).cast("long").as("id"),
+    val h = hashes.select(idAsLong(idCol).as("id"),
         col(fpCol).as("fp"))
       .localCheckpoint()
     // one corpus-sized reduction: the exact-fingerprint collapse
@@ -217,7 +233,7 @@ object ImageStorage {
     // cut: the size probe below counts b, and an uncut lineage would
     // run the batch's decode twice (once for the count, once for the
     // band join)
-    val b = batchHashes.select(col(idCol).cast("long").as("batch_id"),
+    val b = batchHashes.select(idAsLong(idCol).as("batch_id"),
         col(fpCol).as("bfp"))
       .localCheckpoint()
     val probes0 = b

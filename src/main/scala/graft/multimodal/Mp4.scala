@@ -61,13 +61,23 @@ object Mp4 {
           s"bad box size $size at offset $o (extent $to) — truncated or " +
             "corrupt container")
         val end = if (size == 0) to else (o + size).toInt
+        // every leaf handler reads header fields at fixed offsets from
+        // `o` — require the box to actually CONTAIN them, or an 8–19
+        // byte box would read the following box's bytes and the abort
+        // message would misattribute the corruption (or, worse, parse
+        // garbage as a sample table)
+        def need(n: Int): Unit = require(end - o >= n,
+          s"$typ box too small (${end - o} bytes, need >= $n) — " +
+            "truncated or corrupt container")
         typ match {
           case "moov" | "mdia" | "minf" | "stbl" => walk(o + 8, end, depth + 1)
           case "trak" =>
             walk(o + 8, end, depth + 1)
             inWinner = false
           case "mvhd" =>
+            need(9)
             val v = bytes(o + 8) & 0xff
+            need(if (v == 1) 40 else 28)
             if (v == 1) {
               timescale = bb.getInt(o + 8 + 4 + 16).toLong & 0xffffffffL
               duration = bb.getLong(o + 8 + 4 + 20)
@@ -77,7 +87,9 @@ object Mp4 {
             }
           case "tkhd" =>
             tracks += 1
+            need(9)
             val v = bytes(o + 8) & 0xff
+            need(if (v == 1) 104 else 92)
             // offset of width from the version byte: v0 = 4+20+8+8+36,
             // v1 = 4+32+8+8+36 (times are 64-bit)
             val wOff = o + 8 + (if (v == 1) 88 else 76)
@@ -94,6 +106,7 @@ object Mp4 {
             if (end - o >= 8 + 8 + 8 && bb.getInt(o + 8 + 4) >= 1)
               codec = new String(bytes, o + 8 + 8 + 4, 4, "US-ASCII")
           case "stts" if inWinner =>
+            need(16)
             val n = bb.getInt(o + 8 + 4).toLong & 0xffffffffL
             require(o.toLong + 8 + 8 + 8 * n <= end,
               s"stts entry count $n exceeds box extent")
@@ -107,6 +120,7 @@ object Mp4 {
               nSamples = total
             }
           case "stsz" if inWinner =>
+            need(20)
             val fixed = bb.getInt(o + 8 + 4).toLong & 0xffffffffL
             val n = bb.getInt(o + 8 + 8).toLong & 0xffffffffL
             nSamples = n
@@ -158,12 +172,20 @@ object Mp4 {
           s"bad box size $size at offset $o (extent $to) — truncated or " +
             "corrupt container")
         val end = if (size == 0) to else (o + size).toInt
+        // same fixed-offset-containment rule as [[parseMeta]]'s walk: an
+        // 8–19-byte sample-table box must fail HERE, not read the next
+        // box's bytes as its own header fields
+        def need(n: Int): Unit = require(end - o >= n,
+          s"$typ box too small (${end - o} bytes, need >= $n) — " +
+            "truncated or corrupt container")
         typ match {
           case "moov" | "mdia" | "minf" | "stbl" => walk(o + 8, end)
           case "trak" => walk(o + 8, end); inWinner = false
           case "tkhd" =>
             tracks += 1
+            need(9)
             val v = bytes(o + 8) & 0xff
+            need(if (v == 1) 104 else 92)
             val wOff = o + 8 + (if (v == 1) 88 else 76)
             val tw = bb.getInt(wOff) >>> 16
             inWinner = tw > w || tracks == 1
@@ -173,6 +195,7 @@ object Mp4 {
               stco = Array.emptyLongArray
             }
           case "stsz" if inWinner =>
+            need(20)
             val fixed = bb.getInt(o + 8 + 4)
             val n = bb.getInt(o + 8 + 8)
             require(n >= 0, s"negative stsz sample count $n")
@@ -191,6 +214,7 @@ object Mp4 {
               sizes = Array.tabulate(n)(i => bb.getInt(o + 8 + 12 + 4 * i))
             }
           case "stsc" if inWinner =>
+            need(16)
             val n = bb.getInt(o + 8 + 4)
             require(n >= 0 && o.toLong + 8 + 8 + 12L * n <= end,
               s"stsc entry count $n exceeds box extent")
@@ -199,6 +223,7 @@ object Mp4 {
                 bb.getInt(o + 8 + 8 + 12 * i + 4).toLong & 0xffffffffL)
             }
           case "stco" if inWinner =>
+            need(16)
             val n = bb.getInt(o + 8 + 4)
             require(n >= 0 && o.toLong + 8 + 8 + 4L * n <= end,
               s"stco entry count $n exceeds box extent")

@@ -82,7 +82,8 @@ object Drift {
     */
   def rollingPsi(df: DataFrame, tsCol: String, valueCol: String,
                  ref: DataFrame, nBuckets: Int, lo: Double, hi: Double,
-                 windowDays: Int, eps: Double = 1e-4): DataFrame = {
+                 windowDays: Int, eps: Double = 1e-4,
+                 groupCols: Seq[String] = Nil): DataFrame = {
     require(nBuckets > 0 && hi > lo, s"bad grid [$lo, $hi) x $nBuckets")
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays out of [1,366]: $windowDays")
@@ -98,13 +99,17 @@ object Drift {
               "timestamps upstream")))
           .otherwise(to_date(col(tsCol))))
     // the ONE corpus-sized reduction; feeds the day list AND the
-    // scatter — cut once (the Triangles lesson)
+    // scatter — cut once (the Triangles lesson). With `groupCols`
+    // (source, langid, tier…) every bounded dimension below simply
+    // gains the group key — still one corpus reduction, one scatter.
     val daily = withDay
-      .select(col("__day").as("day"), bucket(col(valueCol)).as("bucket"))
-      .groupBy("day", "bucket").agg(count(lit(1)).as("n"))
+      .select(groupCols.map(col) ++
+        Seq(col("__day").as("day"), bucket(col(valueCol)).as("bucket")): _*)
+      .groupBy((groupCols ++ Seq("day", "bucket")).map(col): _*)
+      .agg(count(lit(1)).as("n"))
       .localCheckpoint()
     rollingPsiFromDailyCounts(daily, ref, valueCol, nBuckets, lo, hi,
-      windowDays, eps)
+      windowDays, eps, groupCols)
   }
 
   /** The window-assembly stage of [[rollingPsi]] over an ALREADY
@@ -121,7 +126,8 @@ object Drift {
   def rollingPsiFromDailyCounts(daily: DataFrame, ref: DataFrame,
                                 valueCol: String, nBuckets: Int, lo: Double,
                                 hi: Double, windowDays: Int,
-                                eps: Double = 1e-4): DataFrame = {
+                                eps: Double = 1e-4,
+                                groupCols: Seq[String] = Nil): DataFrame = {
     require(nBuckets > 0 && hi > lo, s"bad grid [$lo, $hi) x $nBuckets")
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays out of [1,366]: $windowDays")
@@ -130,16 +136,26 @@ object Drift {
       least(greatest(floor((c.cast("double") - lo) / w), lit(0.0)),
         lit((nBuckets - 1).toDouble)).cast("int")
     val spark = daily.sparkSession
-    val days = daily.select(col("day")).distinct()
+    val gc = groupCols.map(col)
+    // observed days PER GROUP: a group quiet on some days emits exactly
+    // the rows its single-stream run would — grouped output ≡ the
+    // per-group union, bit for bit (DriftSpec pins it)
+    val days = daily.select(gc :+ col("day"): _*).distinct()
     val scattered = daily
-      .select(col("day").as("__day"), col("bucket"), col("n").as("__n"),
-        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
-      .select(date_add(col("__day"), col("__off")).as("day"),
-        col("bucket"), col("__n"))
+      .select(gc ++ Seq(col("day").as("__day"), col("bucket"),
+        col("n").as("__n"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off")): _*)
+      .select(gc ++ Seq(date_add(col("__day"), col("__off")).as("day"),
+        col("bucket"), col("__n")): _*)
     val windowed = scattered
-      .join(broadcast(days), Seq("day"))
-      .groupBy("day", "bucket").agg(sum(col("__n")).as("__wn"))
-    val totals = windowed.groupBy("day").agg(sum(col("__wn")).as("__tot"))
+      .join(broadcast(days), groupCols :+ "day")
+      .groupBy((groupCols ++ Seq("day", "bucket")).map(col): _*)
+      .agg(sum(col("__n")).as("__wn"))
+    val totals = windowed.groupBy((groupCols :+ "day").map(col): _*)
+      .agg(sum(col("__wn")).as("__tot"))
+    // the reference is the ONE pinned distribution every group is
+    // compared against (global, not per group) — per-group references
+    // are just per-group calls
     val refB = ref.filter(col(valueCol).isNotNull)
       .select(bucket(col(valueCol)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("__rn"))
@@ -148,18 +164,19 @@ object Drift {
       .select(col("bucket"),
         (col("__rn").cast("double") / col("__rtot").cast("double"))
           .as("p_ref"))
-    // full (observed day) × bucket grid: empty buckets must surface as
-    // 0 shares for the eps smoothing, like psi's grid left-joins
+    // full (observed group-day) × bucket grid: empty buckets must
+    // surface as 0 shares for the eps smoothing, like psi's grid
+    // left-joins (days already carries the group key)
     val grid = days.crossJoin(broadcast(
       spark.range(nBuckets).select(col("id").cast("int").as("bucket"))))
     val p = grid
-      .join(windowed, Seq("day", "bucket"), "left")
-      .join(broadcast(totals), Seq("day"))
+      .join(windowed, groupCols ++ Seq("day", "bucket"), "left")
+      .join(broadcast(totals), groupCols :+ "day")
       .join(broadcast(refShares), Seq("bucket"), "left")
-      .select(col("day"), col("bucket"),
+      .select(gc ++ Seq(col("day"), col("bucket"),
         coalesce(col("p_ref"), lit(0.0)).as("p_ref"),
         (coalesce(col("__wn"), lit(0L)).cast("double") /
-          col("__tot").cast("double")).as("p_cur"))
+          col("__tot").cast("double")).as("p_cur")): _*)
     val pr = greatest(col("p_ref"), lit(eps))
     val pc = greatest(col("p_cur"), lit(eps))
     p.withColumn("contrib", (pc - pr) * log(pc / pr))
@@ -177,18 +194,21 @@ object Drift {
   def rollingPsiSummary(df: DataFrame, tsCol: String, valueCol: String,
                         ref: DataFrame, nBuckets: Int, lo: Double,
                         hi: Double, windowDays: Int,
-                        eps: Double = 1e-4): DataFrame = {
+                        eps: Double = 1e-4,
+                        groupCols: Seq[String] = Nil): DataFrame = {
+    val gc = groupCols.map(col)
     val byDay = rollingPsi(df, tsCol, valueCol, ref, nBuckets, lo, hi,
-        windowDays, eps)
-      .select(col("day"),
-        struct(col("bucket"), round(col("contrib"), 6).as("c")).as("bc"))
-      .groupBy("day").agg(sort_array(collect_list(col("bc"))).as("a"))
+        windowDays, eps, groupCols)
+      .select(gc ++ Seq(col("day"),
+        struct(col("bucket"), round(col("contrib"), 6).as("c")).as("bc")): _*)
+      .groupBy((groupCols :+ "day").map(col): _*)
+      .agg(sort_array(collect_list(col("bc"))).as("a"))
     val psi = aggregate(col("a"), lit(0.0),
       (acc, x) => acc + x.getField("c"))
-    byDay.select(col("day"), psi.as("psi"),
+    byDay.select(gc ++ Seq(col("day"), psi.as("psi"),
       when(psi < 0.1, lit("stable"))
         .when(psi < 0.25, lit("watch"))
-        .otherwise(lit("action")).as("status"))
+        .otherwise(lit("action")).as("status")): _*)
   }
 
   /** DuckDB replay of [[rollingPsiSummary]]: the [[rollingPsiOracleSql]]
@@ -350,30 +370,34 @@ object Drift {
   def rollingPsiCat(df: DataFrame, tsCol: String, catCol: String,
                     ref: DataFrame, windowDays: Int,
                     eps: Double = 1e-4,
-                    maxCategories: Int = 100000): DataFrame = {
+                    maxCategories: Int = 100000,
+                    groupCols: Seq[String] = Nil): DataFrame = {
     val (refCounts, catList) = refCategorySet(ref, catCol, maxCategories)
+    val gc = groupCols.map(col)
     val withDay = df
       .filter(col(catCol).isNotNull)
-      .select(
+      .select(gc ++ Seq(
         when(col(tsCol).isNull, raise_error(lit(
             s"Drift.rollingPsiCat: NULL $tsCol — filter or repair null " +
               "timestamps upstream")))
           .otherwise(to_date(col(tsCol))).as("__day"),
-        col(catCol).cast("string").as("__v"))
+        col(catCol).cast("string").as("__v")): _*)
     // the ONE corpus-sized reduction (raw values), then the bounded
     // collapse into ref categories + __other__
     val dailyRaw = withDay
-      .groupBy("__day", "__v").agg(count(lit(1)).as("__n"))
+      .groupBy((groupCols ++ Seq("__day", "__v")).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
     val daily = dailyRaw
       .join(broadcast(refCounts.select(col("category").as("__v"),
         lit(true).as("__inref"))), Seq("__v"), "left")
-      .select(col("__day").as("day"),
+      .select(gc ++ Seq(col("__day").as("day"),
         when(col("__inref"), col("__v")).otherwise(lit(Other))
           .as("category"),
-        col("__n").as("n"))
-      .groupBy("day", "category").agg(sum(col("n")).as("n"))
+        col("__n").as("n")): _*)
+      .groupBy((groupCols ++ Seq("day", "category")).map(col): _*)
+      .agg(sum(col("n")).as("n"))
       .localCheckpoint() // feeds day list + scatter (Triangles lesson)
-    assembleCat(daily, refCounts, catList, windowDays, eps)
+    assembleCat(daily, refCounts, catList, windowDays, eps, groupCols)
   }
 
   private val Other = "__other__"
@@ -440,49 +464,56 @@ object Drift {
 
   private def assembleCat(daily: DataFrame, refCounts: DataFrame,
                           catList: Array[String], windowDays: Int,
-                          eps: Double): DataFrame = {
+                          eps: Double,
+                          groupCols: Seq[String] = Nil): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays out of [1,366]: $windowDays")
     val spark = daily.sparkSession
-    val days = daily.select(col("day")).distinct()
-    // the full (observed day × category) grid enters the scatter as
-    // ZERO rows, so the one (day, category) aggregation below emits
-    // every grid cell directly — no grid⋈window join exists to
+    val gc = groupCols.map(col)
+    val days = daily.select(gc :+ col("day"): _*).distinct()
+    // the full (observed group-day × category) grid enters the scatter
+    // as ZERO rows, so the one (group, day, category) aggregation below
+    // emits every grid cell directly — no grid⋈window join exists to
     // mis-plan (empty cells must surface as 0 shares for the eps
-    // smoothing, like psi's grid left-joins)
+    // smoothing, like psi's grid left-joins). `days` already carries
+    // the group key, so the grid stays per-group.
     val gridZero = days
       .crossJoin(broadcast(spark.createDataset(catList.toSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("category")))
-      .select(col("day"), col("category"), lit(0L).as("__n"))
+      .select(gc ++ Seq(col("day"), col("category"), lit(0L).as("__n")): _*)
     val windowed = daily
-      .select(col("day").as("__day"), col("category"), col("n").as("__n"),
-        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
-      .select(date_add(col("__day"), col("__off")).as("day"),
-        col("category"), col("__n"))
-      .join(broadcast(days), Seq("day"))
+      .select(gc ++ Seq(col("day").as("__day"), col("category"),
+        col("n").as("__n"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off")): _*)
+      .select(gc ++ Seq(date_add(col("__day"), col("__off")).as("day"),
+        col("category"), col("__n")): _*)
+      .join(broadcast(days), groupCols :+ "day")
       .unionByName(gridZero)
-      .groupBy("day", "category").agg(sum(col("__n")).as("__wn"))
-    val totals = windowed.groupBy("day").agg(sum(col("__wn")).as("__tot"))
+      .groupBy((groupCols ++ Seq("day", "category")).map(col): _*)
+      .agg(sum(col("__n")).as("__wn"))
+    val totals = windowed.groupBy((groupCols :+ "day").map(col): _*)
+      .agg(sum(col("__wn")).as("__tot"))
     val refShares = refCounts
       .crossJoin(broadcast(refCounts.agg(sum(col("__rn")).as("__rtot"))))
       .select(col("category"),
         (col("__rn").cast("double") / col("__rtot").cast("double"))
           .as("p_ref"))
     val p = windowed
-      .join(broadcast(totals), Seq("day"))
+      .join(broadcast(totals), groupCols :+ "day")
       .join(broadcast(refShares), Seq("category"), "left")
-      .select(col("day"), col("category"),
+      .select(gc ++ Seq(col("day"), col("category"),
         coalesce(col("p_ref"), lit(0.0)).as("p_ref"),
         (col("__wn").cast("double") / col("__tot").cast("double"))
           .as("p_cur"),
-        col("__wn"), col("__tot"))
+        col("__wn"), col("__tot")): _*)
     val pr = greatest(col("p_ref"), lit(eps))
     val pc = greatest(col("p_cur"), lit(eps))
     val exp = pr * col("__tot").cast("double")
-    p.select(col("day"), col("category"), col("p_ref"), col("p_cur"),
+    p.select(gc ++ Seq(col("day"), col("category"), col("p_ref"),
+      col("p_cur"),
       ((pc - pr) * log(pc / pr)).as("contrib"),
       ((col("__wn").cast("double") - exp) * (col("__wn").cast("double") - exp)
-        / exp).as("chi2"))
+        / exp).as("chi2")): _*)
   }
 
   /** Composed per-day DRIFT REPORT — the page a 100 TB ingest
@@ -500,32 +531,45 @@ object Drift {
     * same fold in CATEGORY order, KS one MAX over exact gaps.
     * `ksCol` must already ride the [[Quantized]] integer contract
     * (quantize floats upstream — the [[ksTable]] posture).
+    *
+    * With `groupCols` (source, langid, tier…) one independent report
+    * per group against the SAME pinned reference — each leaf threads
+    * the key through its bounded dimensions (observed days, totals,
+    * grids, window partitions), so the grouped report is row-identical
+    * to the per-group union (DriftSpec pins it) while the corpus still
+    * reduces exactly once per leaf.
     */
   def driftReport(df: DataFrame, tsCol: String, valueCol: String,
                   catCol: String, ksCol: String, ref: DataFrame,
                   nBuckets: Int, lo: Double, hi: Double, windowDays: Int,
                   eps: Double = 1e-4,
-                  maxCategories: Int = 100000): DataFrame = {
+                  maxCategories: Int = 100000,
+                  groupCols: Seq[String] = Nil): DataFrame = {
     def status(v: Column): Column =
       when(v < 0.1, lit("stable")).when(v < 0.25, lit("watch"))
         .otherwise(lit("action"))
+    val gc = groupCols.map(col)
     val psiNum = rollingPsiSummary(df, tsCol, valueCol, ref, nBuckets,
-        lo, hi, windowDays, eps)
-      .select(col("day"), lit("psi_value").as("metric"),
-        round(col("psi"), 6).as("value"), col("status"))
+        lo, hi, windowDays, eps, groupCols)
+      .select(gc ++ Seq(col("day"), lit("psi_value").as("metric"),
+        round(col("psi"), 6).as("value"), col("status")): _*)
     val catByDay = rollingPsiCat(df, tsCol, catCol, ref, windowDays, eps,
-        maxCategories)
-      .select(col("day"),
-        struct(col("category"), round(col("contrib"), 6).as("c")).as("cc"))
-      .groupBy("day").agg(sort_array(collect_list(col("cc"))).as("a"))
+        maxCategories, groupCols)
+      .select(gc ++ Seq(col("day"),
+        struct(col("category"), round(col("contrib"), 6).as("c"))
+          .as("cc")): _*)
+      .groupBy((groupCols :+ "day").map(col): _*)
+      .agg(sort_array(collect_list(col("cc"))).as("a"))
     val catPsi = aggregate(col("a"), lit(0.0),
       (acc, x) => acc + x.getField("c"))
-    val psiCat = catByDay.select(col("day"), lit("psi_cat").as("metric"),
-      round(catPsi, 6).as("value"), status(catPsi).as("status"))
-    val ks = rollingKs(df, tsCol, ksCol, ref, windowDays)
-      .groupBy("day").agg(max(col("gap")).as("g"))
-      .select(col("day"), lit("ks_gap").as("metric"),
-        round(col("g"), 6).as("value"), status(col("g")).as("status"))
+    val psiCat = catByDay.select(gc ++ Seq(col("day"),
+      lit("psi_cat").as("metric"),
+      round(catPsi, 6).as("value"), status(catPsi).as("status")): _*)
+    val ks = rollingKs(df, tsCol, ksCol, ref, windowDays, groupCols)
+      .groupBy((groupCols :+ "day").map(col): _*)
+      .agg(max(col("gap")).as("g"))
+      .select(gc ++ Seq(col("day"), lit("ks_gap").as("metric"),
+        round(col("g"), 6).as("value"), status(col("g")).as("status")): _*)
     psiNum.unionByName(psiCat).unionByName(ks)
   }
 
@@ -612,22 +656,25 @@ object Drift {
     * to themselves); an empty REF aborts eagerly (no CDF to compare).
     */
   def rollingKs(df: DataFrame, tsCol: String, valueCol: String,
-                ref: DataFrame, windowDays: Int): DataFrame = {
+                ref: DataFrame, windowDays: Int,
+                groupCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays out of [1,366]: $windowDays")
+    val gc = groupCols.map(col)
     val withDay = df
       .filter(col(valueCol).isNotNull)
-      .select(
+      .select(gc ++ Seq(
         when(col(tsCol).isNull, raise_error(lit(
             s"Drift.rollingKs: NULL $tsCol — filter or repair null " +
               "timestamps upstream")))
           .otherwise(to_date(col(tsCol))).as("__day"),
-        Quantized.checkedLong(col(valueCol), "Drift.rollingKs").as("v"))
+        Quantized.checkedLong(col(valueCol), "Drift.rollingKs").as("v")): _*)
     val daily = withDay
-      .groupBy("__day", "v").agg(count(lit(1)).as("__n"))
+      .groupBy((groupCols ++ Seq("__day", "v")).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
       .localCheckpoint() // feeds day list + scatter + support
-    val days = daily.select(col("__day").as("day")).distinct()
+    val days = daily.select(gc :+ col("__day").as("day"): _*).distinct()
     val refCounts = ref.filter(col(valueCol).isNotNull)
       .select(Quantized.checkedLong(col(valueCol), "Drift.rollingKs ref")
         .as("v"))
@@ -636,32 +683,47 @@ object Drift {
     val refTotal = refCounts.agg(sum(col("__rn")).as("__rt")).head()
     require(!refTotal.isNullAt(0) && refTotal.getLong(0) > 0,
       "Drift.rollingKs: empty reference frame — no CDF to compare against")
-    val support = daily.select(col("v"))
-      .union(refCounts.select(col("v"))).distinct()
+    // support PER GROUP (the group's own values ∪ the shared ref
+    // values): a value only another group observed must not fabricate
+    // rows here, so grouped output stays ≡ the per-group union
+    val support =
+      if (groupCols.isEmpty)
+        daily.select(col("v")).union(refCounts.select(col("v"))).distinct()
+      else
+        daily.select(gc :+ col("v"): _*)
+          .union(daily.select(gc: _*).distinct()
+            .crossJoin(refCounts.select(col("v"))))
+          .distinct()
     val windowed = daily
-      .select(col("__day"), col("v"), col("__n"),
-        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
-      .select(date_add(col("__day"), col("__off")).as("day"),
-        col("v"), col("__n"))
-      .join(broadcast(days), Seq("day"))
-      .groupBy("day", "v").agg(sum(col("__n")).as("__wn"))
-    // (observed day × global support) frame — domain-bounded
-    val frame = days.crossJoin(broadcast(support))
-      .join(windowed, Seq("day", "v"), "left")
+      .select(gc ++ Seq(col("__day"), col("v"), col("__n"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off")): _*)
+      .select(gc ++ Seq(date_add(col("__day"), col("__off")).as("day"),
+        col("v"), col("__n")): _*)
+      .join(broadcast(days), groupCols :+ "day")
+      .groupBy((groupCols ++ Seq("day", "v")).map(col): _*)
+      .agg(sum(col("__n")).as("__wn"))
+    // (observed group-day × per-group support) frame — domain-bounded
+    val dayBySupport =
+      if (groupCols.isEmpty) days.crossJoin(broadcast(support))
+      else days.join(broadcast(support), groupCols)
+    val frame = dayBySupport
+      .join(windowed, groupCols ++ Seq("day", "v"), "left")
       .join(broadcast(refCounts), Seq("v"), "left")
       .na.fill(0L, Seq("__wn", "__rn"))
-    val w = Window.partitionBy("day").orderBy("v")
+    val w = Window.partitionBy((groupCols :+ "day").map(col): _*)
+      .orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = windowed.groupBy("day").agg(sum(col("__wn")).as("__wt"))
+    val totals = windowed.groupBy((groupCols :+ "day").map(col): _*)
+      .agg(sum(col("__wn")).as("__wt"))
     frame
       .withColumn("__cw", sum(col("__wn")).over(w))
       .withColumn("__cr", sum(col("__rn")).over(w))
-      .join(broadcast(totals), Seq("day"))
-      .select(col("day"), col("v"),
+      .join(broadcast(totals), groupCols :+ "day")
+      .select(gc ++ Seq(col("day"), col("v"),
         (col("__cr").cast("double") / lit(refTotal.getLong(0).toDouble))
           .as("cdf_ref"),
         (col("__cw").cast("double") / col("__wt").cast("double"))
-          .as("cdf_cur"))
+          .as("cdf_cur")): _*)
       .withColumn("gap", abs(col("cdf_ref") - col("cdf_cur")))
   }
 

@@ -13,6 +13,25 @@ import graft.multimodal.Multimodal
   */
 object MultimodalPack extends QueryPack {
 
+  private val gateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-invocation home for an at-rest gate corpus: a UNIQUE table
+    * name (concurrent evaluations of the same gate never race on a
+    * shared catalog entry) and a UNIQUE temp directory reclaimed by a
+    * JVM shutdown hook (the written parquet must outlive this call —
+    * the returned gate frame reads it lazily — so a finally-delete is
+    * wrong, but repeated runs must not leak corpora on disk either).
+    */
+  private def gateCorpus(gate: String): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$gate-gate")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      ()
+    }))
+    val tbl = s"${gate}_corpus_gate_${gateSeq.incrementAndGet()}"
+    (tbl, dir.resolve("corpus").toString)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload hygiene: byte length + SHA-256 digest survive the
     // string→binary boundary identically on both engines.
@@ -175,11 +194,10 @@ object MultimodalPack extends QueryPack {
           mkPng(col("grp"), col("vr")).as("bytes"))
         .as[Multimodal.MediaRow]
       val hashed = graft.multimodal.ImageHash.imageHashes(media)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-imgstore-gate").toString + "/imgs"
+      val (tbl, path) = gateCorpus("img")
       graft.multimodal.ImageStorage.writeBucketed(
-        hashed, "img_corpus_gate", path, maxHamming = 3, nBuckets = 8)
-      graft.multimodal.ImageStorage.pairs(s, "img_corpus_gate", maxHamming = 3)
+        hashed, tbl, path, maxHamming = 3, nBuckets = 8)
+      graft.multimodal.ImageStorage.pairs(s, tbl, maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -208,12 +226,11 @@ object MultimodalPack extends QueryPack {
         .select((col("media_id") + 1000000L).as("media_id"), col("kind"),
           col("bytes"))
         .as[Multimodal.MediaRow]
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-imgstore-batch").toString + "/imgs"
+      val (tbl, path) = gateCorpus("imgbatch")
       graft.multimodal.ImageStorage.writeBucketed(
         graft.multimodal.ImageHash.imageHashes(corpus),
-        "img_corpus_batch_gate", path, maxHamming = 3, nBuckets = 8)
-      graft.multimodal.ImageStorage.checkBatch(s, "img_corpus_batch_gate",
+        tbl, path, maxHamming = 3, nBuckets = 8)
+      graft.multimodal.ImageStorage.checkBatch(s, tbl,
           graft.multimodal.ImageHash.imageHashes(batch), maxHamming = 3)
         .orderBy("batch_id", "id")
     }),
@@ -258,14 +275,13 @@ object MultimodalPack extends QueryPack {
       val media = params.select(col("media_id"), lit("audio").as("kind"),
           mkWav(col("grp"), col("vr")).as("bytes"))
         .as[Multimodal.MediaRow]
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-audiostore-gate").toString + "/afps"
+      val (tbl, path) = gateCorpus("audio")
       graft.multimodal.ImageStorage.writeBucketed(
         graft.multimodal.AudioHash.audioHashes(media),
-        "audio_corpus_gate", path, maxHamming = 3, nBuckets = 8,
+        tbl, path, maxHamming = 3, nBuckets = 8,
         fpCol = "afp")
       graft.multimodal.ImageStorage
-        .pairs(s, "audio_corpus_gate", maxHamming = 3)
+        .pairs(s, tbl, maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -360,13 +376,12 @@ object MultimodalPack extends QueryPack {
       val packed = graft.multimodal.ImageHash.packKeyframeHashes(
         graft.multimodal.ImageHash.videoKeyframeHashes(media)
           .select("media_id", "frame_idx", "dhash"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-vidstore-gate").toString + "/vids"
+      val (tbl, path) = gateCorpus("vid")
       graft.multimodal.ImageStorage.writeBucketed(
-        packed, "vid_corpus_gate", path, maxHamming = 3, nBuckets = 8,
+        packed, tbl, path, maxHamming = 3, nBuckets = 8,
         idCol = "fid", fpCol = "dhash")
       graft.multimodal.ImageHash.videoNearDupPairsAtRest(
-          s, "vid_corpus_gate", maxHamming = 3)
+          s, tbl, maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 

@@ -480,6 +480,28 @@ object WindowPack extends QueryPack {
         .orderBy("day", "metric")
     }),
 
+    // The same composed report PER GROUP (round-13 task 6): a derived
+    // source key (user_id mod 3) threads through every leaf's bounded
+    // dimensions — observed days, totals, grids, window partitions —
+    // against the ONE pinned reference. The oracle is the per-group
+    // union of single-stream replays (the w_rolling_psi_multi arm
+    // precedent), so the grouped plumbing must be invisible in the
+    // result.
+    "w_drift_report_by_group" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("kv", floor(col("value")).cast("long"))
+        .withColumn("src", pmod(col("user_id"), lit(3L)))
+      val ref = ev.filter(pmod(col("user_id"), lit(2L)) === 0)
+      graft.operators.Drift.driftReport(
+          ev, "ts", "value", "event_type", "kv", ref,
+          nBuckets = 10, lo = 0.0, hi = 500.0, windowDays = 7,
+          groupCols = Seq("src"))
+        .select(col("src"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("metric"), col("value"), col("status"))
+        .orderBy("src", "day", "metric")
+    }),
+
     // Trailing-window KS vs the pinned reference — the binning-free
     // companion of w_rolling_psi: exact integer prefix sums over the
     // global support, one CDF division pair per (day, v).
@@ -900,6 +922,50 @@ object WindowPack extends QueryPack {
         ksVals, refKs, windowDays = 7)})
        GROUP BY day
        ORDER BY day, metric"""
+    },
+
+    // per-group single-stream replays of the w_drift_report oracle,
+    // tagged with the group literal and UNION'd — the reference arm is
+    // IDENTICAL (unfiltered by group) in all three
+    "w_drift_report_by_group" -> {
+      def arm(g: Int): String = {
+        val values = s"SELECT ts, value AS v FROM events WHERE user_id % 3 = $g"
+        val refNum = "SELECT value AS v FROM events WHERE user_id % 2 = 0"
+        val catVals =
+          s"SELECT ts, event_type AS v FROM events WHERE user_id % 3 = $g"
+        val refCat =
+          "SELECT event_type AS v FROM events WHERE user_id % 2 = 0"
+        val ksVals = "SELECT ts, CAST(FLOOR(value) AS BIGINT) AS v " +
+          s"FROM events WHERE user_id % 3 = $g"
+        val refKs = "SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events" +
+          " WHERE user_id % 2 = 0"
+        s"""SELECT $g AS src, day, 'psi_value' AS metric,
+           ROUND(psi, 6) AS value, status
+         FROM (${graft.operators.Drift.rollingPsiSummaryOracleSql(
+          values, refNum, nBuckets = 10, lo = 0.0, hi = 500.0,
+          windowDays = 7)})
+       UNION ALL
+       SELECT $g AS src, day, 'psi_cat' AS metric,
+         ROUND(LIST_SUM(LIST(contrib ORDER BY category)), 6) AS value,
+         CASE WHEN LIST_SUM(LIST(contrib ORDER BY category)) < 0.1
+              THEN 'stable'
+              WHEN LIST_SUM(LIST(contrib ORDER BY category)) < 0.25
+              THEN 'watch' ELSE 'action' END AS status
+       FROM (${graft.operators.Drift.rollingPsiCatOracleSql(
+          catVals, refCat, windowDays = 7)})
+       GROUP BY day
+       UNION ALL
+       SELECT $g AS src, day, 'ks_gap' AS metric,
+         ROUND(MAX(gap), 6) AS value,
+         CASE WHEN MAX(gap) < 0.1 THEN 'stable'
+              WHEN MAX(gap) < 0.25 THEN 'watch'
+              ELSE 'action' END AS status
+       FROM (${graft.operators.Drift.rollingKsOracleSql(
+          ksVals, refKs, windowDays = 7)})
+       GROUP BY day"""
+      }
+      (0 to 2).map(arm).mkString("", " UNION ALL ",
+        " ORDER BY src, day, metric")
     },
 
     "w_rolling_ks" ->

@@ -325,6 +325,55 @@ class DriftSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("empty reference"))
   }
 
+  test("grouped drift report equals the per-group union (shared ref)") {
+    // three sources with DIFFERENT observed-day sets and value/category
+    // mixes; the reference is one pinned global slice. Grouped leaves
+    // must thread the key through days/totals/grids/window partitions,
+    // so the grouped report is row-identical to filtering per group.
+    val rows = Seq(
+      ("a", "2024-01-01", 5.0, "x"), ("a", "2024-01-01", 45.0, "y"),
+      ("a", "2024-01-03", 25.0, "x"), ("b", "2024-01-02", 15.0, "z"),
+      ("b", "2024-01-02", 35.0, "x"), ("b", "2024-01-05", 5.0, "y"),
+      ("c", "2024-01-04", 48.0, "w"), ("c", "2024-01-04", 2.0, "x"))
+    val df = rows.toDF("src", "d", "v", "cat")
+      .select(col("src"), to_timestamp(col("d")).as("ts"), col("v"),
+        col("cat"), floor(col("v")).cast("long").as("kv"))
+    val ref = df.filter(col("cat") =!= "w")
+    def page(d: org.apache.spark.sql.DataFrame, groups: Seq[String]) =
+      Drift.driftReport(d, "ts", "v", "cat", "kv", ref,
+        nBuckets = 5, lo = 0.0, hi = 50.0, windowDays = 3,
+        groupCols = groups)
+    val grouped = page(df, Seq("src"))
+      .select(col("src"), col("day").cast("string"), col("metric"),
+        col("value"), col("status"))
+      .collect().toSet
+    val union = Seq("a", "b", "c").flatMap { g =>
+      page(df.filter(col("src") === g), Nil)
+        .select(lit(g).as("src"), col("day").cast("string"), col("metric"),
+          col("value"), col("status"))
+        .collect()
+    }.toSet
+    assert(grouped === union)
+    assert(grouped.nonEmpty)
+  }
+
+  test("grouped rolling KS support stays per group") {
+    // value 100 is observed ONLY by group b; group a's rows must not
+    // gain a support point for it (per-group support = own ∪ ref)
+    val df = Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-01", 2L),
+      ("b", "2024-01-01", 100L))
+      .toDF("src", "d", "v")
+      .select(col("src"), to_timestamp(col("d")).as("ts"), col("v"))
+    val ref = Seq(1L, 2L).toDF("v")
+    val got = Drift.rollingKs(df, "ts", "v", ref, windowDays = 2,
+        groupCols = Seq("src"))
+      .select(col("src"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("a", 1L), ("a", 2L),
+      ("b", 1L), ("b", 2L), ("b", 100L)))
+  }
+
   test("rolling PSI: NULL timestamps abort loudly") {
     val cur = Seq((null: String, 5.0), ("2024-01-01", 6.0)).toDF("d", "v")
       .select(to_timestamp(col("d")).as("ts"), col("v"))
