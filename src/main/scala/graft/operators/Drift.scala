@@ -672,9 +672,33 @@ object Drift {
         Quantized.checkedLong(col(valueCol), "Drift.rollingKs").as("v")): _*)
     val daily = withDay
       .groupBy((groupCols ++ Seq("__day", "v")).map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n"))
+      .withColumnRenamed("__day", "day")
       .localCheckpoint() // feeds day list + scatter + support
-    val days = daily.select(gc :+ col("__day").as("day"): _*).distinct()
+    rollingKsFromDailyCounts(daily, ref, valueCol, windowDays, groupCols)
+  }
+
+  /** The window-assembly stage of [[rollingKs]] over an ALREADY
+    * REDUCED per-day value count table `(day DATE, v LONG, n LONG)` —
+    * the KS member of the from-daily-counts family
+    * ([[rollingPsiFromDailyCounts]], [[rollingPsiCatFromDailyCounts]]),
+    * factored out so the streaming twin ([[graft.streaming
+    * .EventsStream.ksDailyCountsStream]], which maintains exactly this
+    * table as keyed state) shares the batch semantics literally: feed
+    * its emitted counts here and the output is row-identical to
+    * [[rollingKs]] over the replayed corpus (StreamingSpec pins it).
+    * `v` must already ride the [[Quantized]] integer contract.
+    * Everything downstream of the corpus reduction is bounded
+    * (days × support), so this stage is cheap on either path.
+    */
+  def rollingKsFromDailyCounts(daily: DataFrame, ref: DataFrame,
+                               valueCol: String, windowDays: Int,
+                               groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays out of [1,366]: $windowDays")
+    val gc = groupCols.map(col)
+    val days = daily.select(gc :+ col("day"): _*).distinct()
     val refCounts = ref.filter(col(valueCol).isNotNull)
       .select(Quantized.checkedLong(col(valueCol), "Drift.rollingKs ref")
         .as("v"))
@@ -695,7 +719,7 @@ object Drift {
             .crossJoin(refCounts.select(col("v"))))
           .distinct()
     val windowed = daily
-      .select(gc ++ Seq(col("__day"), col("v"), col("__n"),
+      .select(gc ++ Seq(col("day").as("__day"), col("v"), col("n").as("__n"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("__off")): _*)
       .select(gc ++ Seq(date_add(col("__day"), col("__off")).as("day"),
         col("v"), col("__n")): _*)

@@ -793,6 +793,74 @@ object EventsStream {
       }
   }
 
+  /** Per-day quantized-value count snapshot: `values(i)` holds count
+    * `counts(i)` of that day's rows at value `values(i)` (ascending);
+    * `total` their sum.
+    */
+  final case class KsDayUpdate(day: String, values: Array[Long],
+                               counts: Array[Long], total: Long)
+
+  /** Streaming twin of [[graft.operators.Drift.rollingKs]]'s corpus
+    * reduction: the per-(day, quantized-value) count table — the ONLY
+    * corpus-sized work in the batch operator — maintained as keyed
+    * state with `mapGroupsWithState`, one value→count map per observed
+    * day. Values ride the [[graft.operators.Quantized]] integer
+    * contract (quantize floats upstream, exactly the batch posture —
+    * here enforced as a LongType input column). Counting is additive:
+    * pair with [[dedupEvents]] upstream for re-delivery idempotence,
+    * like the PSI twins.
+    *
+    * Unlike PSI's fixed grid, the KS state bound is the per-day
+    * DISTINCT-value count — a property of the quantization, so it is
+    * ENFORCED per update: a day growing past `maxSupport` distinct
+    * values aborts the query (a finer-than-planned quantizer is a
+    * modeling error, not a bigger map — the cap posture of the PSI
+    * twins).
+    *
+    * Explode the final snapshots to `(day, v, n)` and feed
+    * [[graft.operators.Drift.rollingKsFromDailyCounts]] with the SAME
+    * reference: the result is row-identical to the batch
+    * [[graft.operators.Drift.rollingKs]] over the replayed corpus —
+    * the window assembly is literally shared code (StreamingSpec pins
+    * it).
+    */
+  def ksDailyCountsStream(events: DataFrame, tsCol: String,
+                          valueCol: String,
+                          maxSupport: Int = 65536): Dataset[KsDayUpdate] = {
+    require(maxSupport >= 1, s"maxSupport too small: $maxSupport")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(
+        when(col(tsCol).isNull, raise_error(lit(
+            s"ksDailyCountsStream: NULL $tsCol — filter or repair null " +
+              "timestamps upstream")))
+          .otherwise(date_format(to_date(col(tsCol)), "yyyy-MM-dd"))
+          .as[String],
+        graft.operators.Quantized
+          .checkedLong(col(valueCol), "ksDailyCountsStream").as[Long])
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, Long], KsDayUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (day: String, rows: Iterator[(String, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, v) =>
+            counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
+            if (counts.size > maxSupport)
+              throw new IllegalStateException(
+                s"ksDailyCountsStream: day $day exceeds maxSupport=" +
+                  s"$maxSupport distinct quantized values — coarsen the " +
+                  "quantization upstream")
+          }
+          state.update(counts)
+          val vs = counts.keys.toArray.sorted
+          KsDayUpdate(day, vs, vs.map(counts), counts.valuesIterator.sum)
+      }
+  }
+
   /** Run a streaming frame over currently-available data and return the
     * result: Trigger.AvailableNow processes everything then terminates the
     * query itself — the streaming-native incremental batch run (stateful

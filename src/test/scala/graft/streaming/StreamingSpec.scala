@@ -666,6 +666,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxBuckets"))
   }
 
+  test("streaming rolling-KS counts replay into the batch rollingKs row-for-row") {
+    val dir = stageEventsDir()
+    val stream = EventsStream.ksDailyCountsStream(
+      EventsStream.readEvents(spark, dir)
+        .withColumn("kv", floor(col("value")).cast("long")),
+      "ts", "kv").toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("ks_daily").start()
+    try {
+      q.processAllAvailable()
+      // a second batch with MORE of the same days: counts accumulate
+      // across the batch boundary, not reset
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest snapshot per day = the emission with the largest total
+    val latest = spark.table("ks_daily").collect()
+      .groupBy(_.getAs[String]("day"))
+      .map { case (d, rows) =>
+        val last = rows.maxBy(_.getAs[Long]("total"))
+        d -> last.getSeq[Long](1).zip(last.getSeq[Long](2)) }
+    val dailyDf = latest.toSeq.flatMap { case (d, vc) =>
+      vc.map { case (v, n) => (d, v, n) }
+    }.toDF("d", "v", "n")
+      .select(to_date(col("d")).as("day"), col("v"), col("n"))
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val doubled = ev.unionByName(ev) // the stream saw the file twice
+    val ref = ev.filter(col("event_type") === "purchase")
+      .select(floor(col("value")).cast("long").as("v"))
+    val got = graft.operators.Drift.rollingKsFromDailyCounts(
+        dailyDf, ref, "v", windowDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    val batch = graft.operators.Drift.rollingKs(
+        doubled.select(col("ts"),
+          floor(col("value")).cast("long").as("v")),
+        "ts", "v", ref, windowDays = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
+  test("rolling-KS stream: dedupEvents makes re-delivery a no-op") {
+    val dir = stageEventsDir()
+    val stream = EventsStream.ksDailyCountsStream(
+      EventsStream.dedupEvents(
+          EventsStream.readEvents(spark, dir), watermark = "10 days")
+        .withColumn("kv", floor(col("value")).cast("long")),
+      "ts", "kv").toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("ks_daily_dedup").start()
+    try {
+      q.processAllAvailable()
+      // re-deliver the SAME events (same event_ids): the dedup absorbs
+      // them — counting state must not move
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/part-1.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("ks_daily_dedup").collect()
+      .groupBy(_.getAs[String]("day"))
+      .map { case (d, rows) =>
+        val last = rows.maxBy(_.getAs[Long]("total"))
+        d -> last.getSeq[Long](1).zip(last.getSeq[Long](2)).toMap }
+    val batchCounts = graft.core.Tables
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("value").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value")).cast("long").as("v"))
+      .groupBy("day", "v").count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (d, rows) =>
+        d -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(latest === batchCounts)
+    assert(latest.nonEmpty)
+  }
+
+  test("rolling-KS stream: the support cap aborts the query") {
+    val dir = stageEventsDir()
+    val stream = EventsStream.ksDailyCountsStream(
+      EventsStream.readEvents(spark, dir)
+        .withColumn("kv", floor(col("value")).cast("long")),
+      "ts", "kv", maxSupport = 2).toDF()
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("ks_daily_cap").start()
+    val ex = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("maxSupport")))
+  }
+
   test("streaming CUSUM fold equals the batch closed-prefix form row-for-row") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
     // a keyed daily series with a level shift halfway, split into two
