@@ -584,6 +584,29 @@ object PipelineBench {
       graft.multimodal.ImageStorage.writeBucketed(
         graft.multimodal.ImageHash.imageHashes(imgMedia100k),
         "bench_img_at_rest", s"$outRoot/img_bucketed", nBuckets = 32)
+      // 100k-clip audio corpus (payloads generate-once) + the at-rest
+      // fingerprint tables written per run via the fingerprint-agnostic
+      // ImageStorage — the one decode pass the layout amortizes
+      val (audioPath, hitAudio) = cachedParquet("audio_media")(
+        audioMedia(spark))
+      if (hitAudio) cacheHits += 1
+      val audioMedia100k = {
+        import spark.implicits._
+        spark.read.parquet(audioPath).as[graft.multimodal.Multimodal.MediaRow]
+      }
+      graft.multimodal.ImageStorage.writeBucketed(
+        graft.multimodal.AudioHash.audioHashes(audioMedia100k),
+        "bench_audio_at_rest", s"$outRoot/audio_bucketed", nBuckets = 32,
+        fpCol = "afp")
+      // 1M-doc text corpus (generate-once) + the at-rest banded minhash
+      // tables written per run — the one shingling+signature pass the
+      // layout amortizes
+      val (dedupPath, hitDedup) = cachedParquet("dedup_docs")(
+        dedupDocs(spark))
+      if (hitDedup) cacheHits += 1
+      val dedupDocs1M = spark.read.parquet(dedupPath)
+      graft.dedup.MinHashStorage.writeBucketed(dedupDocs1M, "doc_id",
+        "text", "bench_mh_at_rest", s"$outRoot/mh_bucketed", nBuckets = 32)
       val setupSec = (System.nanoTime() - setupT0) / 1e9
       emitSample("bench_setup_sec", setupSec, 0)
       emitSample("bench_setup_cache_hits", cacheHits.toDouble, 0)
@@ -766,6 +789,26 @@ object PipelineBench {
         TimedStage("img_phash_100k_at_rest", 2, cpuCompanion = true)(() =>
           graft.multimodal.ImageStorage.pairs(spark,
             "bench_img_at_rest").count()),
+        // acoustic dedup pair: ad hoc re-decodes 100k WAVs and
+        // re-shuffles banded fingerprints every pass; at rest both are
+        // storage properties — the third at-rest modality pair
+        TimedStage("audio_fp_100k_adhoc", 2, cpuCompanion = true)(() =>
+          graft.multimodal.AudioHash.neardupPairs(
+            graft.multimodal.AudioHash.audioHashes(audioMedia100k)).count()),
+        TimedStage("audio_fp_100k_at_rest", 2, cpuCompanion = true)(() =>
+          graft.multimodal.ImageStorage.pairs(spark,
+            "bench_audio_at_rest").count()),
+        // text near-dup soak pair at 1M docs: ad hoc re-shingles +
+        // re-signs the corpus and shuffles 32 band rows per doc every
+        // pass; at rest the banded candidate join consumes the storage
+        // bucketing (plan-asserted in DedupSpec) and only pair-bounded
+        // verification rows exchange
+        TimedStage("dedup_minhash_1M_adhoc", 2, cpuCompanion = true)(() =>
+          graft.dedup.Dedup.minhashLsh(dedupDocs1M, "doc_id", "text",
+            threshold = 0.8).count()),
+        TimedStage("dedup_minhash_1M_at_rest", 2, cpuCompanion = true)(() =>
+          graft.dedup.MinHashStorage.pairs(spark, "bench_mh_at_rest",
+            threshold = 0.8).count()),
         TimedStage("pm25_spatial_impute_quarter", 3, cpuCompanion = true)(() =>
           DailySpatialInterpolator
             .interpolate(quarter, "date", "original_x", "original_y",
@@ -998,6 +1041,42 @@ object PipelineBench {
       graft.multimodal.ImageHash.fixturePng(grp, vr))
     spark.range(100000L).select(col("id").as("media_id"),
       lit("image").as("kind"),
+      mk(pmod(col("id"), lit(25000L)),
+        pmod(floor(col("id") / 25000L), lit(4)).cast("int")).as("bytes"))
+  }
+
+  /** 1M-document text corpus for the minhash soak pair: 250k planted
+    * near-dup clusters × 4 variants. Each doc is 28 words — 27 shared
+    * within the cluster (a full multiplicative mix over a 1,000,003-
+    * word vocabulary, prime modulus > #clusters so clusters never
+    * alias) plus one variant-keyed tail word, so cluster mates sit at
+    * shingle Jaccard 25/27 ≈ 0.926 (≥ the 0.8 threshold) and variants
+    * 0 and 3 are EXACT duplicates (variant mod 3) — the exact-collapse
+    * path carries real weight. Deterministic function of the row id.
+    */
+  def dedupDocs(spark: SparkSession): DataFrame = {
+    val cluster = col("id") % 250000L
+    val variant = (col("id") / 250000L).cast("int")
+    val shared = transform(sequence(lit(0), lit(26)),
+      j => concat(lit("w"),
+        pmod(cluster * 50021L + j.cast("long") * 1031L, lit(1000003L))))
+    val tail = concat(lit("v"),
+      pmod(cluster * 7L + pmod(variant, lit(3)) * 13L, lit(1000003L)))
+    spark.range(1000000L).select(col("id").as("doc_id"),
+      concat_ws(" ", concat(shared, array(tail))).as("text"))
+  }
+
+  /** 100k deterministic WAV payloads for the audio pair: 25k clusters
+    * × 4 variants of [[graft.multimodal.AudioHash.benchWav]] — planted
+    * near-dup clusters within Hamming 1, clusters ~32 bits apart.
+    * ~2.1 KB per clip. Generated once; the stages time decode +
+    * fingerprint + banding, never WAV synthesis.
+    */
+  def audioMedia(spark: SparkSession): DataFrame = {
+    val mk = udf((grp: Long, vr: Int) =>
+      graft.multimodal.AudioHash.benchWav(grp, vr))
+    spark.range(100000L).select(col("id").as("media_id"),
+      lit("audio").as("kind"),
       mk(pmod(col("id"), lit(25000L)),
         pmod(floor(col("id") / 25000L), lit(4)).cast("int")).as("bytes"))
   }

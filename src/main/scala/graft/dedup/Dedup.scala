@@ -75,7 +75,7 @@ object Dedup {
   // actually kills a boilerplate-skewed corpus at scale.
 
   /** (member map (doc, ch), representative ids (doc, ch)). */
-  private def exactGroups(docs: DataFrame, idCol: String,
+  private[dedup] def exactGroups(docs: DataFrame, idCol: String,
                           textCol: String): (DataFrame, DataFrame) = {
     val member = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("ch"))
     val repIds = member.groupBy("ch").agg(min(col("doc")).as("doc"))
@@ -83,7 +83,7 @@ object Dedup {
   }
 
   /** Representative docs frame (doc, ch, text under the original name). */
-  private def repDocs(docs: DataFrame, idCol: String, textCol: String,
+  private[dedup] def repDocs(docs: DataFrame, idCol: String, textCol: String,
                       repIds: DataFrame): DataFrame =
     repIds.join(docs.select(col(idCol).as("doc"), col(textCol)), Seq("doc"))
 
@@ -95,7 +95,7 @@ object Dedup {
     * (group, group) pair appears once and groups partition docs, so the
     * expansion introduces no duplicates.
     */
-  private def expandExactGroups(member: DataFrame, repIds: DataFrame,
+  private[dedup] def expandExactGroups(member: DataFrame, repIds: DataFrame,
                                 repPairs: DataFrame,
                                 intraPayload: DataFrame): DataFrame = {
     val payloadCols =

@@ -1,0 +1,157 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed at-rest MinHash-LSH corpus — the NEAR-DUP text twin of
+  * [[CorpusStorage]] (exact text), [[graft.similarity.VectorStorage]]
+  * (vectors) and [[graft.multimodal.ImageStorage]] (perceptual
+  * hashes), closing the last modality without an at-rest lane.
+  *
+  * The recurring text near-dup passes (full-corpus sweep per snapshot)
+  * share two expensive steps the ad-hoc [[Dedup.minhashLsh]] pays
+  * every run: shingling + 128-hash MinHash signatures over every
+  * document (the dominant CPU), and the banded (band, bucket) shuffle
+  * that co-locates candidates (the only corpus-sized exchange).
+  * Persisting the banded index BUCKETED ON THE BAND KEY makes both a
+  * property of the storage: signatures are computed exactly once (at
+  * write), and the banded candidate self-join plans with ZERO shuffle
+  * exchanges (asserted in DedupSpec). At 100 TB of text that converts
+  * each recurring pass from shingle-everything + shuffle-everything
+  * into a co-located scan of ~20-byte band rows plus pair-bounded
+  * verification joins.
+  *
+  * Layout (three tables, one shingling pass over the corpus):
+  *
+  *   - `table` — BAND rows of one REPRESENTATIVE per distinct text:
+  *     `(band, bucket, doc)`, bucketed+sorted by `(band, bucket)`.
+  *     The exact-collapse-before-banding discipline of
+  *     [[Dedup.minhashLsh]] is baked into the layout: mass-duplicated
+  *     boilerplate occupies ONE band row set however many copies.
+  *   - `table_shingles` — the representatives' shingle sets
+  *     `(doc, ch, sh)`, bucketed by `doc`, so candidate verification
+  *     fetches sets with the corpus side exchange-free (only the
+  *     pair-bounded candidate rows shuffle into the buckets).
+  *   - `table_members` — the collapse map `(ch, rep, doc)`, bucketed
+  *     by `ch`, for re-expanding representative pairs onto members.
+  *
+  * The band split (`numHashes`, `bands`, `shingleSize`) is pinned at
+  * write time; readers never re-band, so there is no reader-side
+  * parameter to mismatch — only `threshold` is a read-time choice.
+  */
+object MinHashStorage {
+
+  private def validateIdentifier(table: String): Unit =
+    require(table.split('.').forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"invalid table identifier '$table' — use [A-Za-z_][A-Za-z0-9_]* segments")
+
+  def shinglesTable(table: String): String = table + "_shingles"
+  def membersTable(table: String): String = table + "_members"
+
+  /** Write `docs` (`idCol`, `textCol`) as the three bucketed tables.
+    * Overwrite semantics match the sibling storages: no pre-emptive
+    * DROP — a failed write leaves the previous snapshot readable.
+    */
+  def writeBucketed(docs: DataFrame, idCol: String, textCol: String,
+                    table: String, path: String, shingleSize: Int = 3,
+                    numHashes: Int = 128, bands: Int = 32,
+                    nBuckets: Int = 32): Unit = {
+    validateIdentifier(table)
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val (member, repIds) = Dedup.exactGroups(docs, idCol, textCol)
+    // cut BEFORE the fan-out: bands and shingles both derive from the
+    // shingled representatives, and an uncut lineage would run the
+    // shingling (the expensive pass this layout amortizes) per table
+    val sh = Dedup.repDocs(docs, idCol, textCol, repIds)
+      .select(col("doc"), col("ch"),
+        Dedup.wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    sh.select(col("doc"), posexplode(
+        graft.functions.expressions.MinHashExpressions
+          .minhash_bands(col("sh"), numHashes, bands)))
+      .select(col("pos").as("band"), col("col").as("bucket"), col("doc"))
+      .write.format("parquet").mode("overwrite")
+      .option("path", s"$path/bands")
+      .bucketBy(nBuckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .saveAsTable(table)
+    sh.write.format("parquet").mode("overwrite")
+      .option("path", s"$path/shingles")
+      .bucketBy(nBuckets, "doc")
+      .sortBy("doc")
+      .saveAsTable(shinglesTable(table))
+    member.join(repIds.select(col("ch"), col("doc").as("rep")), Seq("ch"))
+      .select(col("ch"), col("rep"), col("doc"))
+      .write.format("parquet").mode("overwrite")
+      .option("path", s"$path/members")
+      .bucketBy(nBuckets, "ch")
+      .sortBy("ch")
+      .saveAsTable(membersTable(table))
+  }
+
+  def scan(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** The corpus-sized banded candidate self-join BEFORE its
+    * pair-bounded dedupe — exposed so the plan contract (the join
+    * consumes the storage bucketing: ZERO shuffle exchanges) is
+    * assertable in DedupSpec without downstream exchanges muddying
+    * the count.
+    */
+  def candidatePlan(spark: SparkSession, table: String): DataFrame = {
+    val bands = scan(spark, table)
+    val l = bands.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val r = bands.select(col("band"), col("bucket"), col("doc").as("id_b"))
+    // merge hint: both sides are the corpus — broadcasting it is what
+    // the bucketing exists to avoid
+    l.hint("merge").join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  /** [[Dedup.minhashLsh]]'s exact contract `(id_a < id_b, jaccard)`
+    * off the at-rest layout: banded candidates (exchange-free), exact
+    * Jaccard verification on the stored shingle sets (pair-bounded
+    * fetches against the doc-bucketed table), representative pairs
+    * re-expanded onto exact-duplicate members at jaccard 1.0.
+    */
+  def pairs(spark: SparkSession, table: String,
+            threshold: Double = 0.8): DataFrame = {
+    val candidates = candidatePlan(spark, table).distinct()
+    val sh = scan(spark, shinglesTable(table))
+    val repPairs = candidates
+      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val members = scan(spark, membersTable(table))
+    val member = members.select(col("ch"), col("doc"))
+    val repIds = members.select(col("ch"), col("rep").as("doc")).distinct()
+    // intra pairs only for groups with a non-empty shingle set — the
+    // write filtered those, so the stored ch list IS that set
+    val intra = sh.select(col("ch"), lit(1.0).as("jaccard"))
+    Dedup.expandExactGroups(member, repIds, repPairs, intra)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** [[Dedup.deduplicate]] off the at-rest corpus: same survivor
+    * semantics (every doc minus non-canonical near-dup cluster
+    * members, min-id canonical, shared large-star/small-star closure
+    * with [[graft.core.Durable]] cuts via `checkpointDir`), but no
+    * shingling and no corpus-sized band shuffle.
+    */
+  def deduplicate(spark: SparkSession, table: String,
+                  threshold: Double = 0.8,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val p = pairs(spark, table, threshold).select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(p, checkpointDir = checkpointDir)
+    scan(spark, membersTable(table)).select(col("doc"))
+      .join(comps.filter(col("id") =!= col("canonical_id"))
+        .select(col("id").as("doc")), Seq("doc"), "left_anti")
+  }
+}

@@ -159,16 +159,36 @@ object AudioHash {
     * which feeds exactly one comparison (bit 63) — planted
     * near-duplicates within Hamming 1.
     */
-  def fixtureWav(grp: Long, variant: Int): Array[Byte] = {
-    val a = 1 + (grp % 6).toInt
-    val b = ((grp / 6) % 7).toInt
+  def fixtureWav(grp: Long, variant: Int): Array[Byte] =
+    wavFromWindowAmps(w => (1 + ((1 + (grp % 6).toInt) * w +
+      ((grp / 6) % 7).toInt + (if (w == 64) variant else 0)) % 7) * 1000)
+
+  /** Bench-scale fixture: same square-wave construction as
+    * [[fixtureWav]] but with a 97-value amplitude alphabet keyed by a
+    * full multiplicative mix of `cluster`, so distinct clusters get
+    * distinct envelopes. fixtureWav's 42-pattern space is deliberately
+    * tiny for oracle replay; at 100k clips it would collapse into
+    * ~600-member exact-fingerprint groups and the pair set would go
+    * quadratic — this variant keeps clusters apart (64 pseudo-random
+    * gradient-sign bits, cross-cluster Hamming ~32) while the variant
+    * still perturbs only the last window (planted near-duplicates
+    * within Hamming 1 inside a cluster).
+    */
+  def benchWav(cluster: Long, variant: Int): Array[Byte] =
+    wavFromWindowAmps(w => (1 + (((cluster * 131 + w * 17 +
+      (if (w == 64) variant * 23 else 0)) % 97 + 97) % 97).toInt) * 300)
+
+  /** Mono 16-bit LE square-wave WAV: 65 windows × 16 frames, window
+    * `w` alternating ±`amp(w)`.
+    */
+  private def wavFromWindowAmps(amp: Int => Int): Array[Byte] = {
     val frames = new Array[Byte](65 * 16 * 2) // mono 16-bit LE
     var w = 0
     while (w < 65) {
-      val amp = (1 + (a * w + b + (if (w == 64) variant else 0)) % 7) * 1000
+      val a = amp(w)
       var j = 0
       while (j < 16) {
-        val v = if (j % 2 == 0) amp else -amp
+        val v = if (j % 2 == 0) a else -a
         val off = (w * 16 + j) * 2
         frames(off) = (v & 0xff).toByte
         frames(off + 1) = ((v >> 8) & 0xff).toByte

@@ -229,6 +229,19 @@ object Mp4 {
               s"stco entry count $n exceeds box extent")
             stco = Array.tabulate(n)(i =>
               bb.getInt(o + 8 + 8 + 4 * i).toLong & 0xffffffffL)
+          case "co64" if inWinner =>
+            // the 64-bit chunk-offset twin (14496-12 §8.7.5) — files
+            // past 4 GiB address chunks through co64, same table shape
+            // with 8-byte entries
+            need(16)
+            val n = bb.getInt(o + 8 + 4)
+            require(n >= 0 && o.toLong + 8 + 8 + 8L * n <= end,
+              s"co64 entry count $n exceeds box extent")
+            stco = Array.tabulate(n) { i =>
+              val v = bb.getLong(o + 8 + 8 + 8 * i)
+              require(v >= 0, s"negative co64 chunk offset $v")
+              v
+            }
           case _ => ()
         }
         if (size == 0) o = to else o = end
@@ -273,25 +286,55 @@ object Mp4 {
     build(widthPx, heightPx, timescale, durationTicks, codec, sampleSizes,
       samples = None)
 
-  /** [[write]] with REAL sample payloads: the frames land concatenated
-    * in one `mdat` box addressed by a single-chunk `stsc` + `stco`
-    * pair — the layout [[sampleRanges]] (or any 14496-12 reader) walks
-    * back to the exact bytes. With JPEG frames and fourcc `jpeg` this
-    * is Motion JPEG in MP4 — the one codec lane the JDK can decode
-    * end-to-end.
+  /** [[write]] with REAL sample payloads: the frames land in an `mdat`
+    * box addressed by `stsc` + `stco` — the layout [[sampleRanges]]
+    * (or any 14496-12 reader) walks back to the exact bytes. With JPEG
+    * frames and fourcc `jpeg` this is Motion JPEG in MP4 — the one
+    * codec lane the JDK can decode end-to-end.
+    *
+    * Layout knobs (defaults reproduce the original single-chunk
+    * fixture byte-for-byte; the rest exist so the fuzz corpus covers
+    * the general §8.7 walk, not just the layout this writer favors):
+    *   - `samplesPerChunk` — partition of the samples into chunks;
+    *     consecutive equal sizes RLE-compress into one stsc run (the
+    *     "last run whose first_chunk ≤ k" logic real muxers emit);
+    *   - `useCo64` — address chunks through the 64-bit `co64` table;
+    *   - `fixedStsz` — emit the constant-sample-size stsz form
+    *     (`sample_size != 0`, no table; all samples must be equal);
+    *   - `chunkGap` — junk bytes between chunks inside mdat (chunks
+    *     need not be contiguous; only samples within a chunk are).
     */
   def writeWithSamples(widthPx: Int, heightPx: Int, timescale: Long,
                        durationTicks: Long, codec: String,
-                       samples: Seq[Array[Byte]]): Array[Byte] = {
+                       samples: Seq[Array[Byte]],
+                       samplesPerChunk: Seq[Int] = Nil,
+                       useCo64: Boolean = false,
+                       fixedStsz: Boolean = false,
+                       chunkGap: Int = 0): Array[Byte] = {
     require(samples.nonEmpty, "writeWithSamples needs at least one sample")
+    require(samplesPerChunk.isEmpty ||
+      (samplesPerChunk.forall(_ >= 1) &&
+        samplesPerChunk.sum == samples.length),
+      s"samplesPerChunk ${samplesPerChunk.mkString(",")} must partition " +
+        s"${samples.length} samples into >=1-sample chunks")
+    require(!fixedStsz || samples.map(_.length).distinct.size == 1,
+      "fixedStsz needs all samples the same size")
+    require(chunkGap >= 0, s"negative chunkGap $chunkGap")
     build(widthPx, heightPx, timescale, durationTicks, codec,
-      samples.map(_.length), samples = Some(samples))
+      samples.map(_.length), samples = Some(samples),
+      samplesPerChunk =
+        if (samplesPerChunk.isEmpty) Seq(samples.length) else samplesPerChunk,
+      useCo64 = useCo64, fixedStsz = fixedStsz, chunkGap = chunkGap)
   }
 
   private def build(widthPx: Int, heightPx: Int, timescale: Long,
                     durationTicks: Long, codec: String,
                     sampleSizes: Seq[Int],
-                    samples: Option[Seq[Array[Byte]]]): Array[Byte] = {
+                    samples: Option[Seq[Array[Byte]]],
+                    samplesPerChunk: Seq[Int] = Nil,
+                    useCo64: Boolean = false,
+                    fixedStsz: Boolean = false,
+                    chunkGap: Int = 0): Array[Byte] = {
     require(timescale >= 1 && timescale <= MaxU32,
       s"mvhd timescale $timescale outside the unsigned-32 slot")
     require(durationTicks >= 0, s"negative duration $durationTicks")
@@ -358,7 +401,7 @@ object Mp4 {
       b.array()
     })
     // sample tables — emitted only when the fixture declares samples
-    def stbl(stcoOffset: Long): Array[Byte] =
+    def stbl(chunkOffsets: Seq[Long]): Array[Byte] =
       if (codec.isEmpty && sampleSizes.isEmpty) Array.emptyByteArray
       else {
         val stsd = box("stsd", {
@@ -379,48 +422,92 @@ object Mp4 {
                    else math.max(1, (durationTicks / math.max(1, n)).toInt))
           b.array()
         })
-        val stsz = box("stsz", {
-          val b = ByteBuffer.allocate(12 + 4 * n).order(ByteOrder.BIG_ENDIAN)
-          b.putInt(0); b.putInt(0)     // ver/flags, sample_size 0 → table
-          b.putInt(n)
-          sampleSizes.foreach(b.putInt)
-          b.array()
-        })
-        // sample addressing only when real payloads ride along: one
-        // chunk holding every sample, at the (patched-in) mdat offset
-        val addr = if (samples.isEmpty) Array.emptyByteArray else {
-          val stsc = box("stsc", {
-            val b = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
-            b.putInt(0); b.putInt(1)   // ver/flags, one run
-            b.putInt(1); b.putInt(n); b.putInt(1) // chunk 1 → all samples
-            b.array()
-          })
-          val stco = box("stco", {
-            // exactly ver/flags(4) + entry_count(4) + one offset(4) —
-            // an over-allocated buffer would append garbage bytes the
-            // in-repo walk ignores but strict 14496-12 readers reject
+        val stsz = box("stsz",
+          if (fixedStsz) {
+            // constant-sample-size form: sample_size != 0, NO table
             val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
-            b.putInt(0); b.putInt(1)   // ver/flags, one chunk
-            require(stcoOffset <= MaxU32, s"stco offset $stcoOffset > u32")
-            b.putInt(stcoOffset.toInt)
+            b.putInt(0); b.putInt(sampleSizes.head); b.putInt(n)
+            b.array()
+          } else {
+            val b = ByteBuffer.allocate(12 + 4 * n).order(ByteOrder.BIG_ENDIAN)
+            b.putInt(0); b.putInt(0)   // ver/flags, sample_size 0 → table
+            b.putInt(n)
+            sampleSizes.foreach(b.putInt)
             b.array()
           })
-          stsc ++ stco
+        // sample addressing only when real payloads ride along
+        val addr = if (samples.isEmpty) Array.emptyByteArray else {
+          // stsc runs: RLE over per-chunk sample counts — real muxers
+          // emit one run per STRETCH of equal-sized chunks, and the
+          // reader's "last run whose first_chunk ≤ k" walk must expand
+          // them back
+          val runs = samplesPerChunk.zipWithIndex.foldLeft(
+            List.empty[(Int, Int)]) { case (acc, (per, i)) =>
+            acc match {
+              case (fc, p) :: _ if p == per => acc
+              case _ => (i + 1, per) :: acc
+            }
+          }.reverse
+          val stsc = box("stsc", {
+            val b = ByteBuffer.allocate(8 + 12 * runs.length)
+              .order(ByteOrder.BIG_ENDIAN)
+            b.putInt(0); b.putInt(runs.length)
+            runs.foreach { case (firstChunk, per) =>
+              b.putInt(firstChunk); b.putInt(per); b.putInt(1)
+            }
+            b.array()
+          })
+          val offsets =
+            if (useCo64) box("co64", {
+              val b = ByteBuffer.allocate(8 + 8 * chunkOffsets.length)
+                .order(ByteOrder.BIG_ENDIAN)
+              b.putInt(0); b.putInt(chunkOffsets.length)
+              chunkOffsets.foreach(b.putLong)
+              b.array()
+            })
+            else box("stco", {
+              // exact allocation — an over-allocated buffer would
+              // append garbage bytes the in-repo walk ignores but
+              // strict 14496-12 readers reject
+              val b = ByteBuffer.allocate(8 + 4 * chunkOffsets.length)
+                .order(ByteOrder.BIG_ENDIAN)
+              b.putInt(0); b.putInt(chunkOffsets.length)
+              chunkOffsets.foreach { off =>
+                require(off <= MaxU32,
+                  s"stco offset $off > u32 — write with useCo64")
+                b.putInt(off.toInt)
+              }
+              b.array()
+            })
+          stsc ++ offsets
         }
         box("mdia", box("minf", box("stbl", stsd ++ stts ++ stsz ++ addr)))
       }
-    def moov(stcoOffset: Long): Array[Byte] =
-      box("moov", mvhd ++ box("trak", tkhd ++ stbl(stcoOffset)))
+    def moov(chunkOffsets: Seq[Long]): Array[Byte] =
+      box("moov", mvhd ++ box("trak", tkhd ++ stbl(chunkOffsets)))
     samples match {
-      case None => ftyp ++ moov(0L)
+      case None => ftyp ++ moov(Nil)
       case Some(frames) =>
-        // stco points INTO the file — size the header with a dummy
-        // offset first (box sizes don't depend on the offset value),
-        // then rebuild with the real one
-        val headerLen = ftyp.length + moov(0L).length
+        // chunk offsets point INTO the file — size the header with
+        // dummy offsets first (box sizes depend only on the offset
+        // COUNT), then rebuild with the real ones
+        val chunks = {
+          var rest = frames
+          samplesPerChunk.map { per =>
+            val (c, r) = rest.splitAt(per); rest = r; c
+          }
+        }
+        val chunkBytes = chunks.map(_.map(_.length).sum)
+        val gap = Array.fill[Byte](chunkGap)(0x55)
+        val payload = chunks.map(_.reduce(_ ++ _))
+          .reduceLeft((a, b) => a ++ gap ++ b)
+        val headerLen =
+          ftyp.length + moov(Seq.fill(chunks.length)(0L)).length
         val firstSample = headerLen + 8L // past the mdat size+type
-        val mdat = box("mdat", frames.reduce(_ ++ _))
-        ftyp ++ moov(firstSample) ++ mdat
+        val offsets = chunkBytes.init.scanLeft(firstSample)(
+          (acc, sz) => acc + sz + chunkGap)
+        val mdat = box("mdat", payload)
+        ftyp ++ moov(offsets) ++ mdat
     }
   }
 }

@@ -43,6 +43,23 @@ object DedupPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // MinHash-LSH pairs off the AT-REST banded corpus (MinHashStorage):
+    // the corpus is shingled + signed ONCE and written as the three
+    // bucketed tables (band rows keyed (band, bucket), shingle sets by
+    // doc, collapse members by ch) — the layout a 100 TB text
+    // deployment keeps so recurring near-dup passes skip re-shingling
+    // AND the corpus-sized band shuffle (plan-asserted in DedupSpec).
+    // The contract equals the ad-hoc minhashLsh, so the same
+    // brute-force jaccard oracle applies.
+    "dedup_minhash_at_rest" -> ((s, dir) => {
+      val (tbl, path) = gateCorpus("minhash")
+      graft.dedup.MinHashStorage.writeBucketed(
+        table(s, dir, "documents"), "doc_id", "text", tbl, path,
+        shingleSize = 3, numHashes = 128, bands = 32, nBuckets = 8)
+      graft.dedup.MinHashStorage.pairs(s, tbl, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Inverted-index n-gram jaccard pairs (threshold low enough to yield
     // non-planted pairs too).
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -220,6 +237,11 @@ object DedupPack extends QueryPack {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
     "dedup_minhash_lsh" ->
+      s"""WITH $ShingleCte
+         SELECT a AS id_a, b AS id_b, ROUND(jaccard, 6) AS jaccard
+         FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+    // identical contract to the ad-hoc pass — same brute-force oracle
+    "dedup_minhash_at_rest" ->
       s"""WITH $ShingleCte
          SELECT a AS id_a, b AS id_b, ROUND(jaccard, 6) AS jaccard
          FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",

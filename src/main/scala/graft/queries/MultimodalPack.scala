@@ -12,25 +12,8 @@ import graft.multimodal.Multimodal
   * path — all four queries are oracle-checked.
   */
 object MultimodalPack extends QueryPack {
-
-  private val gateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Per-invocation home for an at-rest gate corpus: a UNIQUE table
-    * name (concurrent evaluations of the same gate never race on a
-    * shared catalog entry) and a UNIQUE temp directory reclaimed by a
-    * JVM shutdown hook (the written parquet must outlive this call —
-    * the returned gate frame reads it lazily — so a finally-delete is
-    * wrong, but repeated runs must not leak corpora on disk either).
-    */
-  private def gateCorpus(gate: String): (String, String) = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-$gate-gate")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
-      ()
-    }))
-    val tbl = s"${gate}_corpus_gate_${gateSeq.incrementAndGet()}"
-    (tbl, dir.resolve("corpus").toString)
-  }
+  // at-rest gates use QueryPack.gateCorpus for unique, shutdown-hook
+  // reclaimed corpus homes
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload hygiene: byte length + SHA-256 digest survive the

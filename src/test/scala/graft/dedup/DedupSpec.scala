@@ -408,6 +408,41 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS corpus_replace_spec")
   }
 
+  test("minhash at rest: pairs and dedup equal the ad-hoc pass; candidate join is exchange-free") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mhstore").toString + "/corpus"
+    MinHashStorage.writeBucketed(docs, "doc_id", "text",
+      "mh_rest_spec", path, nBuckets = 2)
+    try {
+      val adhoc = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val atRest = MinHashStorage.pairs(spark, "mh_rest_spec",
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(atRest === adhoc)
+      assert(atRest.nonEmpty)
+      // the corpus-sized band self-join consumes the storage bucketing
+      assert(graft.Explain.shuffleCount(
+          MinHashStorage.candidatePlan(spark, "mh_rest_spec")) === 0,
+        "banded candidate self-join must plan zero shuffle exchanges " +
+          "under the (band, bucket) bucketing")
+      // survivor semantics match the ad-hoc deduplicate
+      val survivorsAdhoc = Dedup.deduplicate(docs, "doc_id", "text",
+          threshold = 0.7)
+        .select("doc_id").as[Long].collect().toSet
+      val survivorsRest = MinHashStorage.deduplicate(spark, "mh_rest_spec",
+          threshold = 0.7)
+        .as[Long].collect().toSet
+      assert(survivorsRest === survivorsAdhoc)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mh_rest_spec")
+      spark.sql("DROP TABLE IF EXISTS mh_rest_spec_shingles")
+      spark.sql("DROP TABLE IF EXISTS mh_rest_spec_members")
+    }
+  }
+
   test("incremental: bloom round-trips through the Hadoop FS path") {
     val bf = Incremental.buildBloom(docs, "text", expectedItems = 1000L)
     val p = java.nio.file.Files.createTempDirectory("bloom").toString + "/snap.bloom"
