@@ -365,13 +365,16 @@ object PipelineBench {
     // storage properties.
     "img_phash_100k_adhoc" -> 145.0, // min-folded, r12 full sweeps
     "img_phash_100k_at_rest" -> 9.6,
-    // first priced by a round-13 filtered local sweep
+    // first priced by round-13 filtered local sweeps
     // (SPARK_GRAFT_PIPELINE_ONLY over the four new stages, 2
-    // interleaved repeats) — upper bounds that min-fold tighter
-    "dedup_minhash_1M_adhoc" -> 222.3,
-    "dedup_minhash_1M_at_rest" -> 74.6,
-    "audio_fp_100k_adhoc" -> 200.8,
-    "audio_fp_100k_at_rest" -> 9.4)
+    // interleaved repeats, min over two sweeps) — upper bounds that
+    // min-fold tighter. The audio refs are from the direct-RIFF
+    // decode era only (the earlier javax.sound figures measured the
+    // provider-registry lock, not the engine).
+    "dedup_minhash_1M_adhoc" -> 408.5,
+    "dedup_minhash_1M_at_rest" -> 246.7,
+    "audio_fp_100k_adhoc" -> 30.3,
+    "audio_fp_100k_at_rest" -> 18.2)
 
   /** Quiet-box WALL reference for the untouched k1 tiled anchor — the
     * box-speed yardstick of the certification prefix. PROVENANCE: the
@@ -599,14 +602,33 @@ object PipelineBench {
         "bench_audio_at_rest", s"$outRoot/audio_bucketed", nBuckets = 32,
         fpCol = "afp")
       // 1M-doc text corpus (generate-once) + the at-rest banded minhash
-      // tables written per run — the one shingling+signature pass the
-      // layout amortizes
+      // tables — written ONCE under the cache root and re-REGISTERED on
+      // later runs (MinHashStorage.register): the at-rest layout is a
+      // cross-session artifact in production, and re-shingling 1M docs
+      // per bench run would spend ~2 min of setup re-proving the write
+      // this pair exists to amortize. The marker carries the
+      // generator's plan fingerprint, so an edited corpus regenerates.
       val (dedupPath, hitDedup) = cachedParquet("dedup_docs")(
         dedupDocs(spark))
       if (hitDedup) cacheHits += 1
       val dedupDocs1M = spark.read.parquet(dedupPath)
-      graft.dedup.MinHashStorage.writeBucketed(dedupDocs1M, "doc_id",
-        "text", "bench_mh_at_rest", s"$outRoot/mh_bucketed", nBuckets = 32)
+      val mhDir = cacheRoot(preferShm = true)
+        .resolve(s"mh_at_rest_v$InputGenVersion")
+      val mhMarker = mhDir.resolve("_GRAFT_OK")
+      // fingerprint the GENERATOR's plan, not the parquet scan — the
+      // scan plan is path-stable even when the generator regenerates
+      val mhFp = planFingerprint(dedupDocs(spark)) + ":mh:3:128:32:32"
+      if (java.nio.file.Files.exists(mhMarker) &&
+          new String(java.nio.file.Files.readAllBytes(mhMarker),
+            "UTF-8") == mhFp) {
+        graft.dedup.MinHashStorage.register(spark, "bench_mh_at_rest",
+          mhDir.toString, nBuckets = 32)
+        cacheHits += 1
+      } else {
+        graft.dedup.MinHashStorage.writeBucketed(dedupDocs1M, "doc_id",
+          "text", "bench_mh_at_rest", mhDir.toString, nBuckets = 32)
+        java.nio.file.Files.write(mhMarker, mhFp.getBytes("UTF-8"))
+      }
       val setupSec = (System.nanoTime() - setupT0) / 1e9
       emitSample("bench_setup_sec", setupSec, 0)
       emitSample("bench_setup_cache_hits", cacheHits.toDouble, 0)
@@ -1046,18 +1068,20 @@ object PipelineBench {
   }
 
   /** 1M-document text corpus for the minhash soak pair: 250k planted
-    * near-dup clusters × 4 variants. Each doc is 28 words — 27 shared
+    * near-dup clusters × 4 variants. Each doc is 16 words — 15 shared
     * within the cluster (a full multiplicative mix over a 1,000,003-
     * word vocabulary, prime modulus > #clusters so clusters never
     * alias) plus one variant-keyed tail word, so cluster mates sit at
-    * shingle Jaccard 25/27 ≈ 0.926 (≥ the 0.8 threshold) and variants
+    * shingle Jaccard 13/15 ≈ 0.867 (≥ the 0.8 threshold) and variants
     * 0 and 3 are EXACT duplicates (variant mod 3) — the exact-collapse
     * path carries real weight. Deterministic function of the row id.
+    * 16 words keeps the ad-hoc signature pass ~1 min on 32 threads —
+    * a soak, not a budget sink.
     */
   def dedupDocs(spark: SparkSession): DataFrame = {
     val cluster = col("id") % 250000L
     val variant = (col("id") / 250000L).cast("int")
-    val shared = transform(sequence(lit(0), lit(26)),
+    val shared = transform(sequence(lit(0), lit(14)),
       j => concat(lit("w"),
         pmod(cluster * 50021L + j.cast("long") * 1031L, lit(1000003L))))
     val tail = concat(lit("v"),

@@ -94,6 +94,39 @@ object MinHashStorage {
   def scan(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Re-ATTACH the catalog entries for a corpus previously written by
+    * [[writeBucketed]] at `path` — the tables are external
+    * (path-backed) and bucket ids ride the parquet file names, so a
+    * new session re-registers the same files with the same declared
+    * bucket spec instead of re-shingling anything. This is the
+    * production restart path: the at-rest layout must survive the
+    * session that wrote it, or "amortized at write time" would really
+    * mean "paid once per JVM". `nBuckets` must match the write —
+    * a mismatched declaration would silently mis-bucket reads, so
+    * pass the write-time value (the [[ImageStorage]] maxHamming
+    * posture).
+    */
+  def register(spark: SparkSession, table: String, path: String,
+               nBuckets: Int = 32): Unit = {
+    validateIdentifier(table)
+    registerOne(spark, table, s"$path/bands", Seq("band", "bucket"), nBuckets)
+    registerOne(spark, shinglesTable(table), s"$path/shingles", Seq("doc"),
+      nBuckets)
+    registerOne(spark, membersTable(table), s"$path/members", Seq("ch"),
+      nBuckets)
+  }
+
+  private def registerOne(spark: SparkSession, table: String, path: String,
+                          bucketCols: Seq[String], nBuckets: Int): Unit = {
+    require(!path.contains("'"), s"path must not contain quotes: $path")
+    val ddl = spark.read.parquet(path).schema.toDDL
+    val cols = bucketCols.mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"""CREATE TABLE $table ($ddl) USING PARQUET
+      CLUSTERED BY ($cols) SORTED BY ($cols) INTO $nBuckets BUCKETS
+      LOCATION '$path'""")
+  }
+
   /** The corpus-sized banded candidate self-join BEFORE its
     * pair-bounded dedupe — exposed so the plan contract (the join
     * consumes the storage bucketing: ZERO shuffle exchanges) is

@@ -38,8 +38,74 @@ object AudioHash {
     * `javax.sound.sampled` recognizes) into per-frame values, channels
     * summed (an exact integer mixdown: gain-invariant downstream, and
     * a mono re-master of a stereo clip keeps its envelope shape).
+    *
+    * Canonical 16-bit PCM WAV takes a DIRECT from-spec RIFF parse
+    * (the Mp4/Hdf5 posture): `AudioSystem.getAudioInputStream` runs a
+    * provider lookup that serializes on a global registry, and a
+    * 100k-clip decode stage measured ~1.2× parallelism on 32 threads
+    * through it — the partition-local decode claim was false in
+    * practice until the hot container format stopped taking the lock.
+    * Anything the fast path declines (AIFF/AU, compressed or
+    * non-16-bit WAV, extensible-format headers) falls back to
+    * javax.sound for breadth; both paths produce identical frames.
     */
-  def pcm16Frames(bytes: Array[Byte]): Array[Int] = {
+  def pcm16Frames(bytes: Array[Byte]): Array[Int] =
+    wavPcm16Frames(bytes).getOrElse(javaxPcm16Frames(bytes))
+
+  /** Direct RIFF/WAVE parse of plain 16-bit PCM: `RIFF…WAVE`, a
+    * `fmt ` chunk with format code 1 (PCM) and 16 bits/sample, and a
+    * `data` chunk of little-endian samples. Returns None (fall back)
+    * on anything else; aborts loudly only on structurally corrupt
+    * chunk sizes.
+    */
+  private[multimodal] def wavPcm16Frames(
+      bytes: Array[Byte]): Option[Array[Int]] = {
+    def ascii(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (bytes.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+      return None
+    var o = 12
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (o + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
+      val id = ascii(o)
+      val sz = u32(o + 4)
+      require(sz >= 0 && o + 8 + sz <= bytes.length,
+        s"RIFF chunk '$id' size $sz exceeds file length ${bytes.length} — " +
+          "truncated or corrupt WAV")
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        val fmtCode = u16(o + 8)
+        val bits = u16(o + 8 + 14)
+        if (fmtCode != 1 || bits != 16) return None // not plain PCM16
+        channels = u16(o + 8 + 2)
+        if (channels < 1) return None
+      } else if (id == "data") {
+        dataOff = o + 8
+        dataLen = sz.toInt
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      o += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (channels < 0 || dataOff < 0) return None
+    val n = dataLen / (2 * channels)
+    Some(Array.tabulate(n) { f =>
+      var s = 0
+      var c = 0
+      while (c < channels) {
+        val off = dataOff + (f * channels + c) * 2
+        s += (bytes(off + 1).toInt << 8) | (bytes(off) & 0xff)
+        c += 1
+      }
+      s
+    })
+  }
+
+  private def javaxPcm16Frames(bytes: Array[Byte]): Array[Int] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val fmt = ais.getFormat
@@ -98,6 +164,72 @@ object AudioHash {
     }
     fp
   }
+
+  /** 64-bit SPECTRAL fingerprint: per box window, the lag-1
+    * AUTOCORRELATION `R_w = Σ x[i]·x[i+1]` (both indices inside the
+    * window), bit `i` = `R_i > R_{i+1}` — exact integer throughout.
+    *
+    * Why a second hash: the energy envelope sees only `Σ|x|` per
+    * window, so any two clips with the same loudness contour collide
+    * regardless of content. Lag-1 autocorrelation is a first
+    * spectral-moment proxy (low-frequency content drives it positive,
+    * Nyquist-heavy content negative — the discrete version of the
+    * spectral centroid's sign structure), so same-envelope clips with
+    * different frequency content now separate
+    * ([[spectralFixtureWav]] + AudioHashSpec pin exactly that).
+    * Uniform gain scales every `R` by k² — comparisons unchanged, the
+    * same invariance as the envelope. Overflow headroom: |x| ≤ 2¹⁸
+    * after an 8-channel mixdown, so each product ≤ 2³⁶ and a
+    * 33M-frame window sum stays ≤ 2⁵⁶, inside Long.
+    */
+  def spectralFingerprint64(frames: Array[Int]): Long = {
+    val n = frames.length
+    require(n >= 130,
+      s"clip too short for the 65-window spectral fingerprint: $n frames")
+    val r = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val i0 = (w.toLong * n / 65).toInt
+      val i1 = ((w + 1).toLong * n / 65).toInt
+      var sum = 0L
+      var i = i0
+      while (i < i1 - 1) { sum += frames(i).toLong * frames(i + 1); i += 1 }
+      r(w) = sum
+      w += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (r(i) > r(i + 1)) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** Decode audio rows and SPECTRALLY fingerprint them — the
+    * [[audioHashes]] shape with [[spectralFingerprint64]]. Returns
+    * `(media_id, sfp)`; feed [[spectralNeardupPairs]] or the at-rest
+    * [[ImageStorage]] with `fpCol = "sfp"` — the banding downstream
+    * is fingerprint-agnostic and unchanged.
+    */
+  def spectralHashes(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try (r.media_id, spectralFingerprint64(pcm16Frames(r.bytes)))
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"undecodable audio payload for media ${r.media_id} " +
+              s"(${r.bytes.length} bytes): ${e.getMessage}", e)
+        }
+      }
+    }.toDF("media_id", "sfp")
+  }
+
+  /** [[neardupPairs]] on the spectral fingerprint. */
+  def spectralNeardupPairs(hashes: DataFrame,
+                           maxHamming: Int = 3): DataFrame =
+    ImageHash.hammingPairs(hashes, "media_id", "sfp", maxHamming)
 
   /** Decode audio rows and fingerprint them, partition-local (the
     * [[ImageHash.imageHashes]] shape). Returns `(media_id, afp)`.
@@ -181,14 +313,41 @@ object AudioHash {
   /** Mono 16-bit LE square-wave WAV: 65 windows × 16 frames, window
     * `w` alternating ±`amp(w)`.
     */
-  private def wavFromWindowAmps(amp: Int => Int): Array[Byte] = {
+  private def wavFromWindowAmps(amp: Int => Int): Array[Byte] =
+    wavFromSampleFn((w, j) => if (j % 2 == 0) amp(w) else -amp(w))
+
+  /** Closed-form SPECTRAL fixture for the `mm_audio_spectral_neardup`
+    * gate: constant amplitude 1000 in EVERY window (so the energy
+    * envelope of every doc is identical — the collision the spectral
+    * hash exists to break), but window `w` carries a square wave of
+    * half-period `2^m` with `m = (a·w + b + [w = 64]·variant) mod 3`,
+    * the [[fixtureWav]] modular family moved from amplitude to
+    * FREQUENCY. Within a 16-frame window the lag-1 products are
+    * `+A²` inside a half-period run and `−A²` at each sign flip
+    * (⌊15/2^m⌋ flips), so `R_w = A²·(15 − 2⌊15/2^m⌋)` — strictly
+    * increasing in `m`, and every fingerprint bit replays in SQL as
+    * `m_i > m_{i+1}`. The variant perturbs only the last window
+    * (bit 63) — planted near-duplicates within Hamming 1.
+    */
+  def spectralFixtureWav(grp: Long, variant: Int): Array[Byte] = {
+    val a = 1 + (grp % 6).toInt
+    val b = ((grp / 6) % 7).toInt
+    wavFromSampleFn { (w, j) =>
+      val h = 1 << ((a * w + b + (if (w == 64) variant else 0)) % 3)
+      if ((j / h) % 2 == 0) 1000 else -1000
+    }
+  }
+
+  /** Mono 16-bit LE WAV of 65 windows × 16 frames, sample (w, j) from
+    * `value(window, frameInWindow)`.
+    */
+  private def wavFromSampleFn(value: (Int, Int) => Int): Array[Byte] = {
     val frames = new Array[Byte](65 * 16 * 2) // mono 16-bit LE
     var w = 0
     while (w < 65) {
-      val a = amp(w)
       var j = 0
       while (j < 16) {
-        val v = if (j % 2 == 0) a else -a
+        val v = value(w, j)
         val off = (w * 16 + j) * 2
         frames(off) = (v & 0xff).toByte
         frames(off + 1) = ((v >> 8) & 0xff).toByte

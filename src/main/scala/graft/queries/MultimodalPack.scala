@@ -268,6 +268,30 @@ object MultimodalPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // SPECTRAL acoustic near-dup — the frequency-sensitive second hash
+    // of the audio arm: every fixture doc has the SAME energy envelope
+    // (constant amplitude — the envelope hash collides corpus-wide by
+    // construction), but per-window square-wave HALF-PERIODS follow
+    // the modular closed form, and the exact-integer lag-1
+    // autocorrelation fingerprint separates them. The oracle replays
+    // R_w = A²·(15 − 2⌊15/2^m⌋) monotonicity as m_i > m_{i+1} and the
+    // same banding as every Hamming gate.
+    "mm_audio_spectral_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val params = table(s, dir, "documents").select(
+        col("doc_id").cast("long").as("media_id"),
+        pmod(col("doc_id"), lit(100)).cast("long").as("grp"),
+        pmod(expr("doc_id div 100"), lit(4)).cast("int").as("vr"))
+      val mkWav = udf((grp: Long, vr: Int) =>
+        graft.multimodal.AudioHash.spectralFixtureWav(grp, vr))
+      val media = params.select(col("media_id"), lit("audio").as("kind"),
+          mkWav(col("grp"), col("vr")).as("bytes"))
+        .as[Multimodal.MediaRow]
+      graft.multimodal.AudioHash.spectralNeardupPairs(
+          graft.multimodal.AudioHash.spectralHashes(media), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // MJPEG-in-MP4 keyframe perceptual hashing — the one video codec
     // lane with REAL pixel decode: per-doc containers are synthesized
     // with real JPEG frame payloads addressed by stsc/stco, the
@@ -681,6 +705,52 @@ object MultimodalPack extends QueryPack {
 
     // the at-rest layout must be invisible in the result — same oracle
     "mm_audio_at_rest" -> AudioNeardupSql,
+
+    // spectral fingerprint from the closed form: per-window half-period
+    // exponent m drives R_w = A²·(15 − 2·⌊15/2^m⌋), strictly increasing
+    // in m, so each gradient bit replays as m_i > m_{i+1}; then the
+    // standard 4×16-bit banding replay
+    "mm_audio_spectral_neardup" ->
+      s"""WITH p AS (
+           SELECT doc_id AS media_id,
+             1 + (doc_id % 100) % 6 AS a,
+             ((doc_id % 100) // 6) % 7 AS b,
+             (doc_id // 100) % 4 AS vr
+           FROM documents),
+         ms AS (
+           SELECT media_id, w.w AS w,
+             (a * w.w + b
+              + CASE WHEN w.w = 64 THEN vr ELSE 0 END) % 3 AS m
+           FROM p, range(0, 65) w(w)),
+         bits AS (
+           SELECT x.media_id, x.w AS pos,
+             CASE WHEN x.m > y.m THEN 1 ELSE 0 END AS bit
+           FROM ms x JOIN ms y
+             ON y.media_id = x.media_id AND y.w = x.w + 1
+           WHERE x.w < 64),
+         fp AS (
+           SELECT media_id, CAST(SUM(CASE WHEN bit = 0 THEN 0
+               WHEN pos = 63 THEN -9223372036854775808
+               ELSE (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) END)
+             AS BIGINT) AS f
+           FROM bits GROUP BY media_id),
+         keyed AS (
+           SELECT media_id, f, c.chunk,
+             CAST(((CAST(f AS HUGEINT) + CASE WHEN f < 0
+                 THEN CAST('18446744073709551616' AS HUGEINT)
+                 ELSE 0 END)
+               // (CASE c.chunk WHEN 0 THEN 1 WHEN 1 THEN 65536
+                   WHEN 2 THEN 4294967296
+                   ELSE 281474976710656 END)) % 65536 AS BIGINT) AS v
+           FROM fp, range(0, 4) c(chunk)),
+         pairs AS (
+           SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.f AS fa, b.f AS fb
+           FROM keyed a JOIN keyed b
+             ON b.chunk = a.chunk AND b.v = a.v AND a.media_id < b.media_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+         FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+         ORDER BY id_a, id_b""",
 
     // all-pairs edges within the bound + recursive-reach closure +
     // min-label canonical — the mm_phash_dedup idiom on the audio fp

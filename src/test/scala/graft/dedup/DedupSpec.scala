@@ -443,6 +443,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash at rest: register re-attaches a written corpus with the bucket spec intact") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mhreg").toString + "/corpus"
+    MinHashStorage.writeBucketed(docs, "doc_id", "text",
+      "mh_reg_written", path, nBuckets = 2)
+    try {
+      val written = MinHashStorage.pairs(spark, "mh_reg_written",
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // a "new session": drop the catalog entries, re-attach from disk
+      Seq("mh_reg_written", "mh_reg_written_shingles",
+        "mh_reg_written_members")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      MinHashStorage.register(spark, "mh_reg_attached", path, nBuckets = 2)
+      val attached = MinHashStorage.pairs(spark, "mh_reg_attached",
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(attached === written)
+      assert(attached.nonEmpty)
+      // the re-attached declaration keeps the zero-exchange contract
+      assert(graft.Explain.shuffleCount(
+          MinHashStorage.candidatePlan(spark, "mh_reg_attached")) === 0,
+        "re-registered corpus must keep the bucketed candidate join " +
+          "exchange-free")
+    } finally Seq("mh_reg_written", "mh_reg_written_shingles",
+      "mh_reg_written_members", "mh_reg_attached",
+      "mh_reg_attached_shingles", "mh_reg_attached_members")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("incremental: bloom round-trips through the Hadoop FS path") {
     val bf = Incremental.buildBloom(docs, "text", expectedItems = 1000L)
     val p = java.nio.file.Files.createTempDirectory("bloom").toString + "/snap.bloom"

@@ -91,6 +91,79 @@ class AudioHashSpec extends AnyFunSuite {
     }
   }
 
+  test("direct RIFF fast path decodes identically to javax.sound and declines non-PCM16") {
+    // the fast path must be byte-identical to the provider path on the
+    // canonical fixtures (mono; the WAVs AudioSystem.write emits)
+    for (g <- Seq(0L, 7L, 41L); v <- Seq(0, 2)) {
+      val bytes = AudioHash.fixtureWav(g, v)
+      val fast = AudioHash.wavPcm16Frames(bytes)
+      assert(fast.isDefined, "canonical WAV must take the fast path")
+      assert(fast.get.toSeq === AudioHash.pcm16Frames(bytes).toSeq)
+    }
+    // a stereo PCM16 WAV: fast path mixes down exactly like the
+    // javax path (write one through AudioSystem to get a real header)
+    val stereoPcm = Array.tabulate[Byte](400 * 2 * 2)(i => (i * 7).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(stereoPcm), fmt, 400L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val stereo = out.toByteArray
+    val fastStereo = AudioHash.wavPcm16Frames(stereo)
+    assert(fastStereo.isDefined)
+    assert(fastStereo.get.toSeq === AudioHash.pcm16Frames(stereo).toSeq)
+    // non-RIFF payloads decline (and the public path still aborts
+    // loudly through the javax fallback's error)
+    assert(AudioHash.wavPcm16Frames("FORMxxxxAIFF".getBytes).isEmpty)
+    // a truncated data chunk aborts with the RIFF parser's message
+    val cut = AudioHash.fixtureWav(0L, 0).dropRight(10)
+    val ex = intercept[IllegalArgumentException] {
+      AudioHash.wavPcm16Frames(cut)
+    }
+    assert(ex.getMessage.contains("truncated or corrupt WAV"))
+  }
+
+  test("spectral fingerprint separates same-envelope clips the energy hash collides on") {
+    // every spectral fixture has constant amplitude → identical energy
+    // envelope → the envelope hash collides corpus-wide; the lag-1
+    // autocorrelation fingerprint must still separate distinct (a, b)
+    // modular patterns and match the closed form R_w = A²(15 − 2⌊15/2^m⌋)
+    // m = (a·w + b) mod 3 depends only on (a mod 3, b mod 3), and
+    // a ≡ 0 (mod 3) gives a constant sequence (fingerprint 0) for any
+    // b — pick the six distinct non-constant residue combos
+    val grps = Seq(0L, 1L, 6L, 7L, 12L, 13L)
+    val clips = grps.map(g => g -> AudioHash.spectralFixtureWav(g, 0))
+    val envFps = clips.map { case (_, b) =>
+      AudioHash.energyFingerprint64(AudioHash.pcm16Frames(b)) }
+    assert(envFps.distinct.size === 1, "envelope hash must collide")
+    val specFps = clips.map { case (g, bytes) =>
+      val got = AudioHash.spectralFingerprint64(AudioHash.pcm16Frames(bytes))
+      val a = 1 + (g % 6).toInt
+      val bb = ((g / 6) % 7).toInt
+      def m(w: Int) = (a * w + bb) % 3
+      var want = 0L
+      for (i <- 0 until 64) if (m(i) > m(i + 1)) want |= 1L << i
+      assert(got === want, s"grp $g closed form")
+      got
+    }
+    assert(specFps.distinct.size === grps.size,
+      "spectral fingerprints must separate distinct patterns")
+    // gain invariance: spectralFixture at 3x gain keeps the fingerprint
+    val base = AudioHash.pcm16Frames(clips.head._2)
+    assert(AudioHash.spectralFingerprint64(base.map(_ * 3)) ===
+      specFps.head)
+    // variant perturbs only the last window → within Hamming 1
+    val v1 = AudioHash.spectralFingerprint64(AudioHash.pcm16Frames(
+      AudioHash.spectralFixtureWav(grps.head, 1)))
+    assert(java.lang.Long.bitCount(v1 ^ specFps.head) <= 1)
+    // too-short clip aborts loudly
+    val ex = intercept[IllegalArgumentException] {
+      AudioHash.spectralFingerprint64(new Array[Int](129))
+    }
+    assert(ex.getMessage.contains("too short"))
+  }
+
   test("distributed audioHashes + neardupPairs ≡ brute Hamming join") {
     import spark.implicits._
     val media = (0L until 120L).map { id =>
