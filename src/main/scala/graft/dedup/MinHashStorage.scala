@@ -172,6 +172,85 @@ object MinHashStorage {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The stored band fan-out must match the reader's `bands` — a
+    * probe banded differently would silently miss candidates. One
+    * cheap aggregation over the band table (the [[ImageStorage]]
+    * requireSameSplit posture); `shingleSize`/`numHashes` cannot be
+    * observed from the fan-out, so they are a documented contract:
+    * pass the write-time values.
+    */
+  private def requireSameBands(bandRows: DataFrame, bands: Int): Unit = {
+    val stored = bandRows.agg(countDistinct(col("band"))).head().getLong(0)
+    // stored == 0 is a legitimately EMPTY corpus (first deployment):
+    // reads must return zero hits so an incremental pipeline can
+    // bootstrap, not abort
+    require(stored == 0 || stored == bands,
+      s"MinHashStorage: table stores $stored bands but the reader asked " +
+        s"for $bands — rewrite the corpus or pass the write-time bands")
+  }
+
+  /** Incremental batch check — which at-rest docs a NEW batch
+    * near-duplicates (`(batch_id, id, jaccard)` with jaccard ≥
+    * `threshold`), the text twin of [[graft.multimodal.ImageStorage
+    * .checkBatch]] / [[Incremental.checkBatch]] (which answers the
+    * EXACT-dup question; this answers the near-dup one). The batch is
+    * ingestion-sized, so its shingling+signing is the cheap side.
+    *
+    * Scale shape: the corpus side is the bucketed band scan — never
+    * shuffled, never re-shingled; the batch band probes broadcast
+    * size-conditionally (measured count vs `maxBroadcastBatchRows`,
+    * shuffle fallback above), so the recurring per-batch check plans
+    * with ZERO corpus-side shuffle exchanges in the common case.
+    * Verification fetches shingle sets only for candidate reps
+    * (pair-bounded), and rep hits expand onto exact-duplicate members
+    * at the same jaccard (identical text). `shingleSize`, `numHashes`
+    * and `bands` must equal the write-time values; recall is the
+    * [[Dedup.minhashLsh]] argument (≥ 1 − 5·10⁻⁸ at threshold 0.8
+    * with 128 hashes / 32 bands — don't lower the threshold past the
+    * banding's recall knee).
+    */
+  def checkBatch(spark: SparkSession, table: String, batchDocs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 shingleSize: Int = 3, numHashes: Int = 128,
+                 bands: Int = 32, threshold: Double = 0.8,
+                 maxBroadcastBatchRows: Long = 4000000L): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val bandRows = scan(spark, table)
+    requireSameBands(bandRows, bands)
+    // cut: the size probe counts the batch, and an uncut lineage would
+    // shingle the batch once per read below
+    val bsh = batchDocs
+      .select(col(idCol).as("batch_id"),
+        Dedup.wordShingles(col(textCol), shingleSize).as("bsh"))
+      .filter(size(col("bsh")) > 0)
+      .localCheckpoint()
+    val probes0 = bsh
+      .select(col("batch_id"), posexplode(
+        graft.functions.expressions.MinHashExpressions
+          .minhash_bands(col("bsh"), numHashes, bands)))
+      .select(col("pos").as("band"), col("col").as("bucket"),
+        col("batch_id"))
+    val probes =
+      if (bsh.count() * bands <= maxBroadcastBatchRows) broadcast(probes0)
+      else probes0
+    val repHits = bandRows.join(probes, Seq("band", "bucket"))
+      .select(col("batch_id"), col("doc"))
+      .dropDuplicates("batch_id", "doc")
+    val sh = scan(spark, shinglesTable(table))
+    val verified = repHits
+      .join(sh.select(col("doc"), col("sh")), Seq("doc"))
+      .join(bsh, Seq("batch_id"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh"), col("bsh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("doc").as("rep"), col("jaccard"))
+    val members = scan(spark, membersTable(table))
+    verified
+      .join(members.select(col("rep"), col("doc").as("id")), Seq("rep"))
+      .select(col("batch_id"), col("id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** [[Dedup.deduplicate]] off the at-rest corpus: same survivor
     * semantics (every doc minus non-canonical near-dup cluster
     * members, min-id canonical, shared large-star/small-star closure

@@ -60,6 +60,25 @@ object DedupPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental near-dup batch check: docs ≡ 0 (mod 3) re-enter as a
+    // NEW batch (ids shifted +1000000) against the at-rest banded
+    // corpus of the rest — the text twin of mm_phash_batch_check. The
+    // oracle is the brute batch×corpus jaccard join over the same
+    // shingle sets (banding + storage must be invisible; recall at
+    // t=0.8 is the LSH convention, ≥ 1−5e-8).
+    "dedup_minhash_batch_check" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val (tbl, path) = gateCorpus("mhbatch")
+      graft.dedup.MinHashStorage.writeBucketed(
+        corpus, "doc_id", "text", tbl, path, nBuckets = 8)
+      graft.dedup.MinHashStorage.checkBatch(s, tbl, batch,
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("batch_id", "id")
+    }),
+
     // Inverted-index n-gram jaccard pairs (threshold low enough to yield
     // non-planted pairs too).
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -245,6 +264,18 @@ object DedupPack extends QueryPack {
       s"""WITH $ShingleCte
          SELECT a AS id_a, b AS id_b, ROUND(jaccard, 6) AS jaccard
          FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+    // brute batch×corpus jaccard over the same shingles; jac holds
+    // unordered pairs a<b, so both orientations contribute
+    "dedup_minhash_batch_check" ->
+      s"""WITH $ShingleCte
+         SELECT a + 1000000 AS batch_id, b AS id,
+           ROUND(jaccard, 6) AS jaccard
+         FROM jac WHERE a % 3 = 0 AND b % 3 <> 0 AND jaccard >= 0.8
+         UNION ALL
+         SELECT b + 1000000 AS batch_id, a AS id,
+           ROUND(jaccard, 6) AS jaccard
+         FROM jac WHERE b % 3 = 0 AND a % 3 <> 0 AND jaccard >= 0.8
+         ORDER BY batch_id, id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte
          SELECT a AS id_a, b AS id_b, ROUND(jaccard, 6) AS jaccard

@@ -443,6 +443,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash at rest: batch check finds near-dups of stored docs; empty corpus bootstraps") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mhbatch").toString
+    // corpus = docs 1, 3, 5; batch = texts of 2 (near-dup of 1),
+    // 4 (exact dup of 1), 6 (exact dup of 3), re-keyed +100
+    val corpus = docs.filter(col("doc_id").isin(1L, 3L, 5L))
+    val batch = docs.filter(col("doc_id").isin(2L, 4L, 6L))
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    MinHashStorage.writeBucketed(corpus, "doc_id", "text",
+      "mh_batch_spec", s"$path/c", nBuckets = 2)
+    try {
+      val got = MinHashStorage.checkBatch(spark, "mh_batch_spec", batch,
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // 13-word texts → 11 shingles; one differing tail word leaves 10
+      // shared of 12 distinct → 10/12
+      assert(got === Set((102L, 1L, 0.833333), (104L, 1L, 1.0),
+        (106L, 3L, 1.0)))
+      // empty corpus: zero hits, no abort (incremental bootstrap)
+      MinHashStorage.writeBucketed(corpus.filter(lit(false)), "doc_id",
+        "text", "mh_batch_empty", s"$path/e", nBuckets = 2)
+      assert(MinHashStorage.checkBatch(spark, "mh_batch_empty", batch)
+        .count() === 0L)
+    } finally Seq("mh_batch_spec", "mh_batch_spec_shingles",
+      "mh_batch_spec_members", "mh_batch_empty", "mh_batch_empty_shingles",
+      "mh_batch_empty_members")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("minhash at rest: register re-attaches a written corpus with the bucket spec intact") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-mhreg").toString + "/corpus"
