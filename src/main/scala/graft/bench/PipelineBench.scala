@@ -418,42 +418,78 @@ object PipelineBench {
     emit("bench_cert_cache_hits", hits.toDouble)
     val out = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double)]
-    def run1(name: String)(body: => Unit): Unit = {
+    // cpuCompanion mirrors the stage's flag in [[runBest]]'s
+    // TimedStage list — the anchor deliberately carries no cpu_sec
+    // there, so the cert prefix must not introduce one only for
+    // cert-enabled artifacts
+    def run1(name: String, cpuCompanion: Boolean)(body: => Unit): Unit = {
       val (wall, cpu) = timeWithCpu(spark)(body)
       out(name) = (wall, cpu)
       emit(name, wall)
-      emit(s"${name}_cpu_sec", cpu)
-      QuietCpuRef.get(name).foreach { ref =>
-        emit(s"${name}_contended", if (cpu > ref * 1.3) 1.0 else 0.0)
+      if (cpuCompanion) {
+        emit(s"${name}_cpu_sec", cpu)
+        QuietCpuRef.get(name).foreach { ref =>
+          emit(s"${name}_contended", if (cpu > ref * 1.3) 1.0 else 0.0)
+        }
       }
     }
-    // the anchor FIRST: it prices the box before anything else runs
-    run1("k1_dense_300k_tiled")(
-      TiledInterpolator.interpolate(denseDf, "date", "x", "y", Seq("v"),
-        gx = 8, gy = 4, halo = 60.0).count(): Unit)
+    // JIT warm-up, untimed: as the first Spark job of the JVM, the
+    // anchor would otherwise pay interpretation + C2 compilation of
+    // the whole Delaunay/tiling path — measured 7.5 s cold vs ~1.1 s
+    // warm ON THE SAME BOX (round 13), which would publish a false 8×
+    // box-speed multiple and defeat the anchor's purpose. A small
+    // interpolation (3k points, same code path) compiles it.
+    TiledInterpolator.interpolate(
+      denseDf.filter(col("x") < 600.0), "date", "x", "y", Seq("v"),
+      gx = 2, gy = 2, halo = 60.0).count()
+    // the anchor FIRST: it prices the box before anything else runs.
+    // Stage bodies are the SAME closures runBest times — a divergent
+    // copy would fold two different workloads into one metric name.
+    run1("k1_dense_300k_tiled", cpuCompanion = false)(
+      k1TiledBody(denseDf))
     emit("bench_box_anchor_ratio",
       out("k1_dense_300k_tiled")._1 / K1TiledQuietWallRef)
-    run1("pm25_combine_month_1M")(
-      WideCombiner.combine(plain)
-        .write.mode("overwrite").parquet(s"$outRoot/combined"))
-    run1("pm25_spatial_impute_month") {
-      val withXy = spark.read.parquet(s"$outRoot/combined")
-        .select("grid_id", "date", "ds0__ds0_v0", "ds1__ds1_v0")
-        .join(broadcast(grid), Seq("grid_id"))
-      DailySpatialInterpolator
-        .interpolate(withXy, "date", "original_x", "original_y",
-          Seq("ds0__ds0_v0", "ds1__ds1_v0"))
-        .write.mode("overwrite").parquet(s"$outRoot/imputed")
-    }
-    run1("pm25_feature_gen_month") {
-      val slice = spark.read.parquet(s"$outRoot/combined")
-        .withColumn("month", lit("2023-01"))
-      val cols15 = slice.columns.filter(_.contains("__")).take(15).toSeq
-      FeatureGenerator.generate(slice, 2023,
-          FeatureGenerator.Config(baseColumns = cols15))
-        .write.mode("overwrite").parquet(s"$outRoot/features")
-    }
+    run1("pm25_combine_month_1M", cpuCompanion = true)(
+      combineBody(plain, outRoot))
+    run1("pm25_spatial_impute_month", cpuCompanion = true)(
+      imputeMonthBody(spark, grid, outRoot))
+    run1("pm25_feature_gen_month", cpuCompanion = true)(
+      fgMonthBody(spark, outRoot))
     out.toMap
+  }
+
+  // ---- stage bodies shared by the certification prefix and the full
+  // sweep: one definition per metric name, so the cert seed and
+  // runBest's repeats always measure the same workload
+  private def k1TiledBody(denseDf: DataFrame): Unit = {
+    TiledInterpolator.interpolate(denseDf, "date", "x", "y", Seq("v"),
+      gx = 8, gy = 4, halo = 60.0).count()
+    ()
+  }
+
+  private def combineBody(plain: Seq[(String, DataFrame)],
+                          outRoot: String): Unit =
+    WideCombiner.combine(plain)
+      .write.mode("overwrite").parquet(s"$outRoot/combined")
+
+  private def imputeMonthBody(spark: SparkSession, grid: DataFrame,
+                              outRoot: String): Unit = {
+    val withXy = spark.read.parquet(s"$outRoot/combined")
+      .select("grid_id", "date", "ds0__ds0_v0", "ds1__ds1_v0")
+      .join(broadcast(grid), Seq("grid_id"))
+    DailySpatialInterpolator
+      .interpolate(withXy, "date", "original_x", "original_y",
+        Seq("ds0__ds0_v0", "ds1__ds1_v0"))
+      .write.mode("overwrite").parquet(s"$outRoot/imputed")
+  }
+
+  private def fgMonthBody(spark: SparkSession, outRoot: String): Unit = {
+    val slice = spark.read.parquet(s"$outRoot/combined")
+      .withColumn("month", lit("2023-01"))
+    val cols15 = slice.columns.filter(_.contains("__")).take(15).toSeq
+    FeatureGenerator.generate(slice, 2023,
+        FeatureGenerator.Config(baseColumns = cols15))
+      .write.mode("overwrite").parquet(s"$outRoot/features")
   }
 
   /** Run the reference-scale stages and report the per-stage MINIMUM
@@ -636,8 +672,7 @@ object PipelineBench {
       val stages = Seq(
         TimedStage("pm25_combine_month_1M", math.max(1, n),
                    cpuCompanion = true)(() =>
-          WideCombiner.combine(staged.plain)
-            .write.mode("overwrite").parquet(s"$outRoot/combined")),
+          combineBody(staged.plain, outRoot)),
         // combine over BUCKETED stage outputs: zero shuffle exchanges
         TimedStage("pm25_combine_month_1M_bucketed", math.max(1, n),
                    cpuCompanion = true)(() =>
@@ -652,26 +687,13 @@ object PipelineBench {
         // projection only, like the reference's P3 select). Reads the
         // combine output written earlier in the same sweep.
         TimedStage("pm25_spatial_impute_month", math.max(1, n),
-                   cpuCompanion = true)(() => {
-          val withXy = spark.read.parquet(s"$outRoot/combined")
-            .select("grid_id", "date", "ds0__ds0_v0", "ds1__ds1_v0")
-            .join(broadcast(grid), Seq("grid_id"))
-          DailySpatialInterpolator
-            .interpolate(withXy, "date", "original_x", "original_y",
-              Seq("ds0__ds0_v0", "ds1__ds1_v0"))
-            .write.mode("overwrite").parquet(s"$outRoot/imputed")
-        }),
+                   cpuCompanion = true)(() =>
+          imputeMonthBody(spark, grid, outRoot)),
         // s02 feature generation over the month (15 base columns × 4
         // window families — the per-year run is this × 12, same plan)
         TimedStage("pm25_feature_gen_month", math.max(1, n),
-                   cpuCompanion = true)(() => {
-          val slice = spark.read.parquet(s"$outRoot/combined")
-            .withColumn("month", lit("2023-01"))
-          val cols15 = slice.columns.filter(_.contains("__")).take(15).toSeq
-          FeatureGenerator.generate(slice, 2023,
-              FeatureGenerator.Config(baseColumns = cols15))
-            .write.mode("overwrite").parquet(s"$outRoot/features")
-        }),
+                   cpuCompanion = true)(() =>
+          fgMonthBody(spark, outRoot)),
         // year-scale soak (396 days, ~13.1 M rows): the stage whose cost
         // must scale linearly with months for the 80-month production
         // backfill to stay inside BASELINE.md's envelope
@@ -840,8 +862,7 @@ object PipelineBench {
           DailySpatialInterpolator
             .interpolate(denseDf, "date", "x", "y", Seq("v")).count()),
         TimedStage("k1_dense_300k_tiled", 2, false)(() =>
-          TiledInterpolator.interpolate(denseDf, "date", "x", "y", Seq("v"),
-            gx = 8, gy = 4, halo = 60.0).count()),
+          k1TiledBody(denseDf)),
         // iterative graph analytics at realistic edge scale: 8 integer
         // power iterations over 1M skewed edges / 200k nodes (the gate's
         // co-purchase graph is only 16k edges — this prices the

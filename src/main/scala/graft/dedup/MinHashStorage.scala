@@ -89,7 +89,24 @@ object MinHashStorage {
       .bucketBy(nBuckets, "ch")
       .sortBy("ch")
       .saveAsTable(membersTable(table))
+    // schema sidecars, written AFTER each table (overwrite clears the
+    // dir first): an EMPTY corpus writes no parquet footers, so
+    // [[register]] in a fresh session would have nothing to infer a
+    // schema from — and the empty corpus is exactly the bootstrap case
+    // requireSameBands exists to serve
+    val spark = docs.sparkSession
+    Seq("bands", "shingles", "members").foreach { sub =>
+      val df = spark.table(
+        if (sub == "bands") table
+        else if (sub == "shingles") shinglesTable(table)
+        else membersTable(table))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/$sub", SchemaSidecar),
+        df.schema.toDDL.getBytes("UTF-8"))
+    }
   }
+
+  private val SchemaSidecar = "_GRAFT_SCHEMA"
 
   def scan(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
@@ -119,7 +136,14 @@ object MinHashStorage {
   private def registerOne(spark: SparkSession, table: String, path: String,
                           bucketCols: Seq[String], nBuckets: Int): Unit = {
     require(!path.contains("'"), s"path must not contain quotes: $path")
-    val ddl = spark.read.parquet(path).schema.toDDL
+    // the sidecar is authoritative (an empty corpus has no parquet
+    // footers to infer from); fall back to inference for corpora
+    // written before the sidecar existed
+    val sidecar = java.nio.file.Paths.get(path, SchemaSidecar)
+    val ddl =
+      if (java.nio.file.Files.exists(sidecar))
+        new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
+      else spark.read.parquet(path).schema.toDDL
     val cols = bucketCols.mkString(", ")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"""CREATE TABLE $table ($ddl) USING PARQUET

@@ -212,19 +212,8 @@ object AudioHash {
     * [[ImageStorage]] with `fpCol = "sfp"` — the banding downstream
     * is fingerprint-agnostic and unchanged.
     */
-  def spectralHashes(media: Dataset[Multimodal.MediaRow]): DataFrame = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        try (r.media_id, spectralFingerprint64(pcm16Frames(r.bytes)))
-        catch {
-          case e: Exception => throw new IllegalArgumentException(
-            s"undecodable audio payload for media ${r.media_id} " +
-              s"(${r.bytes.length} bytes): ${e.getMessage}", e)
-        }
-      }
-    }.toDF("media_id", "sfp")
-  }
+  def spectralHashes(media: Dataset[Multimodal.MediaRow]): DataFrame =
+    hashesWith(media, "sfp", spectralFingerprint64)
 
   /** [[neardupPairs]] on the spectral fingerprint. */
   def spectralNeardupPairs(hashes: DataFrame,
@@ -234,18 +223,27 @@ object AudioHash {
   /** Decode audio rows and fingerprint them, partition-local (the
     * [[ImageHash.imageHashes]] shape). Returns `(media_id, afp)`.
     */
-  def audioHashes(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+  def audioHashes(media: Dataset[Multimodal.MediaRow]): DataFrame =
+    hashesWith(media, "afp", energyFingerprint64)
+
+  /** Shared decode + fingerprint pass: partition-local, one row per
+    * clip, failures wrapped with the media id so an undecodable
+    * payload names itself.
+    */
+  private def hashesWith(media: Dataset[Multimodal.MediaRow],
+                         outCol: String,
+                         fp: Array[Int] => Long): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        try (r.media_id, energyFingerprint64(pcm16Frames(r.bytes)))
+        try (r.media_id, fp(pcm16Frames(r.bytes)))
         catch {
           case e: Exception => throw new IllegalArgumentException(
             s"undecodable audio payload for media ${r.media_id} " +
               s"(${r.bytes.length} bytes): ${e.getMessage}", e)
         }
       }
-    }.toDF("media_id", "afp")
+    }.toDF("media_id", outCol)
   }
 
   /** All media pairs within `maxHamming` on the envelope fingerprint —

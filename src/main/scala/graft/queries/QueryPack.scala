@@ -20,22 +20,36 @@ trait QueryPack {
   /** DuckDB SQL per query key; keys absent here get a rows-only check. */
   def oracles: Map[String, String]
 
-  private val gateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   /** Per-invocation home for an at-rest gate corpus: a UNIQUE table
     * name (concurrent evaluations of the same gate never race on a
-    * shared catalog entry) and a UNIQUE temp directory reclaimed by a
-    * JVM shutdown hook (the written parquet must outlive this call —
-    * the returned gate frame reads it lazily — so a finally-delete is
+    * shared catalog entry) and a UNIQUE temp directory reclaimed at
+    * JVM exit (the written parquet must outlive this call — the
+    * returned gate frame reads it lazily — so a finally-delete is
     * wrong, but repeated runs must not leak corpora on disk either).
+    * One shared janitor hook tracks every gate dir: a repeat-N sweep
+    * allocates N dirs but exactly one hook thread.
     */
   protected def gateCorpus(gate: String): (String, String) = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$gate-gate")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
-      ()
-    }))
-    val tbl = s"${gate}_corpus_gate_${gateSeq.incrementAndGet()}"
+    QueryPack.GateJanitor.track(dir.toFile)
+    val tbl =
+      s"${gate}_corpus_gate_${QueryPack.gateSeq.incrementAndGet()}"
     (tbl, dir.resolve("corpus").toString)
+  }
+}
+
+object QueryPack {
+  private val gateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private object GateJanitor {
+    private val dirs =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      dirs.forEach { d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d)
+        ()
+      }
+    }))
+    def track(f: java.io.File): Unit = { dirs.add(f); () }
   }
 }

@@ -467,9 +467,16 @@ class DedupSpec extends AnyFunSuite {
         "text", "mh_batch_empty", s"$path/e", nBuckets = 2)
       assert(MinHashStorage.checkBatch(spark, "mh_batch_empty", batch)
         .count() === 0L)
+      // the restart path must bootstrap too: an empty corpus has no
+      // parquet footers, so register reads the schema sidecars
+      MinHashStorage.register(spark, "mh_batch_empty_reg", s"$path/e",
+        nBuckets = 2)
+      assert(MinHashStorage.checkBatch(spark, "mh_batch_empty_reg", batch)
+        .count() === 0L)
     } finally Seq("mh_batch_spec", "mh_batch_spec_shingles",
       "mh_batch_spec_members", "mh_batch_empty", "mh_batch_empty_shingles",
-      "mh_batch_empty_members")
+      "mh_batch_empty_members", "mh_batch_empty_reg",
+      "mh_batch_empty_reg_shingles", "mh_batch_empty_reg_members")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
