@@ -180,6 +180,31 @@ object PipelineBench {
     }
   }
 
+  /** Generate-once AT-REST corpus under the cache root: on a
+    * fingerprint hit the bucketed tables are re-ATTACHED through the
+    * storage's `register` (the [[graft.core.BucketedCatalog]] restart
+    * path — at-rest layouts are cross-session artifacts in production,
+    * and rebuilding them per bench run would re-pay the write the
+    * at-rest stages exist to amortize); on a miss `write` builds them
+    * at the versioned dir and the marker records `fp`. Returns the
+    * hit flag.
+    */
+  private def cachedCorpus(name: String, fp: String)
+                          (write: String => Unit)
+                          (attach: String => Unit): Boolean = {
+    val dir = cacheRoot(preferShm = true).resolve(s"${name}_v$InputGenVersion")
+    val marker = dir.resolve("_GRAFT_OK")
+    val hit = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+    if (hit) attach(dir.toString)
+    else {
+      write(dir.toString)
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      ()
+    }
+    hit
+  }
+
   /** [[e2eInputs]] under the generate-once convention. Multi-output
     * (no single plan to fingerprint) — the marker carries the call
     * parameters; editing [[e2eInputs]] itself still requires an
@@ -600,7 +625,8 @@ object PipelineBench {
       val annVecs = spark.read.parquet(annPath)
       val ivfStore = new graft.similarity.IvfStore(spark,
         cacheRoot(preferShm = true).resolve(s"ann_ivf_v$InputGenVersion").toString)
-      val annIndex = ivfStore.latestRun("bench_ivf") match {
+      val ivfRun = ivfStore.latestRun("bench_ivf")
+      val annIndex = ivfRun match {
         case Some(run) => cacheHits += 1; ivfStore.load("bench_ivf", run)
         case None =>
           val idx = graft.similarity.Ann.trainIvf(annVecs, nlist = 64,
@@ -609,23 +635,39 @@ object PipelineBench {
             ivfStore.corpusFingerprint(annVecs))
           idx
       }
-      graft.similarity.VectorStorage.writeBucketed(annVecs, annIndex,
-        "bench_vec_at_rest", s"$outRoot/ann_vecs_bucketed", nBuckets = 32)
-      // 100k-image corpus for the phash pair: payloads generate-once,
-      // the at-rest hash tables written per run (setup, untimed — the
-      // one decode pass the layout exists to amortize)
+      // every at-rest corpus below is written ONCE under the cache root
+      // and re-ATTACHED on later runs (the register restart path) — the
+      // fingerprints are the GENERATOR plans (not the parquet scans,
+      // which are path-stable even when a generator regenerates) plus
+      // the layout parameters; the vector corpus additionally pins the
+      // IVF run whose cells it was bucketed by
+      if (cachedCorpus("vec_at_rest",
+          planFingerprint(annVectors(spark)) +
+            s":vec:32:ivf=${ivfRun.getOrElse("bench")}")(p =>
+          graft.similarity.VectorStorage.writeBucketed(annVecs, annIndex,
+            "bench_vec_at_rest", p, nBuckets = 32))(p =>
+          graft.similarity.VectorStorage.register(spark,
+            "bench_vec_at_rest", p, nBuckets = 32)))
+        cacheHits += 1
+      // 100k-image corpus for the phash pair: payloads generate-once;
+      // the at-rest hash tables hold the one decode pass the layout
+      // exists to amortize
       val (imgPath, hitImg) = cachedParquet("img_media")(imageMedia(spark))
       if (hitImg) cacheHits += 1
       val imgMedia100k = {
         import spark.implicits._
         spark.read.parquet(imgPath).as[graft.multimodal.Multimodal.MediaRow]
       }
-      graft.multimodal.ImageStorage.writeBucketed(
-        graft.multimodal.ImageHash.imageHashes(imgMedia100k),
-        "bench_img_at_rest", s"$outRoot/img_bucketed", nBuckets = 32)
+      if (cachedCorpus("img_at_rest",
+          planFingerprint(imageMedia(spark)) + ":img:3:32")(p =>
+          graft.multimodal.ImageStorage.writeBucketed(
+            graft.multimodal.ImageHash.imageHashes(imgMedia100k),
+            "bench_img_at_rest", p, nBuckets = 32))(p =>
+          graft.multimodal.ImageStorage.register(spark,
+            "bench_img_at_rest", p, nBuckets = 32)))
+        cacheHits += 1
       // 100k-clip audio corpus (payloads generate-once) + the at-rest
-      // fingerprint tables written per run via the fingerprint-agnostic
-      // ImageStorage — the one decode pass the layout amortizes
+      // fingerprint tables via the fingerprint-agnostic ImageStorage
       val (audioPath, hitAudio) = cachedParquet("audio_media")(
         audioMedia(spark))
       if (hitAudio) cacheHits += 1
@@ -633,38 +675,28 @@ object PipelineBench {
         import spark.implicits._
         spark.read.parquet(audioPath).as[graft.multimodal.Multimodal.MediaRow]
       }
-      graft.multimodal.ImageStorage.writeBucketed(
-        graft.multimodal.AudioHash.audioHashes(audioMedia100k),
-        "bench_audio_at_rest", s"$outRoot/audio_bucketed", nBuckets = 32,
-        fpCol = "afp")
+      if (cachedCorpus("audio_at_rest",
+          planFingerprint(audioMedia(spark)) + ":afp:3:32")(p =>
+          graft.multimodal.ImageStorage.writeBucketed(
+            graft.multimodal.AudioHash.audioHashes(audioMedia100k),
+            "bench_audio_at_rest", p, nBuckets = 32, fpCol = "afp"))(p =>
+          graft.multimodal.ImageStorage.register(spark,
+            "bench_audio_at_rest", p, nBuckets = 32)))
+        cacheHits += 1
       // 1M-doc text corpus (generate-once) + the at-rest banded minhash
-      // tables — written ONCE under the cache root and re-REGISTERED on
-      // later runs (MinHashStorage.register): the at-rest layout is a
-      // cross-session artifact in production, and re-shingling 1M docs
-      // per bench run would spend ~2 min of setup re-proving the write
-      // this pair exists to amortize. The marker carries the
-      // generator's plan fingerprint, so an edited corpus regenerates.
+      // tables — re-shingling 1M docs per run would spend ~1 min of
+      // setup re-proving the write the dedup pair exists to amortize
       val (dedupPath, hitDedup) = cachedParquet("dedup_docs")(
         dedupDocs(spark))
       if (hitDedup) cacheHits += 1
       val dedupDocs1M = spark.read.parquet(dedupPath)
-      val mhDir = cacheRoot(preferShm = true)
-        .resolve(s"mh_at_rest_v$InputGenVersion")
-      val mhMarker = mhDir.resolve("_GRAFT_OK")
-      // fingerprint the GENERATOR's plan, not the parquet scan — the
-      // scan plan is path-stable even when the generator regenerates
-      val mhFp = planFingerprint(dedupDocs(spark)) + ":mh:3:128:32:32"
-      if (java.nio.file.Files.exists(mhMarker) &&
-          new String(java.nio.file.Files.readAllBytes(mhMarker),
-            "UTF-8") == mhFp) {
-        graft.dedup.MinHashStorage.register(spark, "bench_mh_at_rest",
-          mhDir.toString, nBuckets = 32)
+      if (cachedCorpus("mh_at_rest",
+          planFingerprint(dedupDocs(spark)) + ":mh:3:128:32:32")(p =>
+          graft.dedup.MinHashStorage.writeBucketed(dedupDocs1M, "doc_id",
+            "text", "bench_mh_at_rest", p, nBuckets = 32))(p =>
+          graft.dedup.MinHashStorage.register(spark, "bench_mh_at_rest",
+            p, nBuckets = 32)))
         cacheHits += 1
-      } else {
-        graft.dedup.MinHashStorage.writeBucketed(dedupDocs1M, "doc_id",
-          "text", "bench_mh_at_rest", mhDir.toString, nBuckets = 32)
-        java.nio.file.Files.write(mhMarker, mhFp.getBytes("UTF-8"))
-      }
       val setupSec = (System.nanoTime() - setupT0) / 1e9
       emitSample("bench_setup_sec", setupSec, 0)
       emitSample("bench_setup_cache_hits", cacheHits.toDouble, 0)

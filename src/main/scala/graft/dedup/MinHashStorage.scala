@@ -95,18 +95,12 @@ object MinHashStorage {
     // schema from — and the empty corpus is exactly the bootstrap case
     // requireSameBands exists to serve
     val spark = docs.sparkSession
-    Seq("bands", "shingles", "members").foreach { sub =>
-      val df = spark.table(
-        if (sub == "bands") table
-        else if (sub == "shingles") shinglesTable(table)
-        else membersTable(table))
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$path/$sub", SchemaSidecar),
-        df.schema.toDDL.getBytes("UTF-8"))
-    }
+    graft.core.BucketedCatalog.writeSidecar(spark, table, s"$path/bands")
+    graft.core.BucketedCatalog.writeSidecar(spark, shinglesTable(table),
+      s"$path/shingles")
+    graft.core.BucketedCatalog.writeSidecar(spark, membersTable(table),
+      s"$path/members")
   }
-
-  private val SchemaSidecar = "_GRAFT_SCHEMA"
 
   def scan(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
@@ -126,29 +120,12 @@ object MinHashStorage {
   def register(spark: SparkSession, table: String, path: String,
                nBuckets: Int = 32): Unit = {
     validateIdentifier(table)
-    registerOne(spark, table, s"$path/bands", Seq("band", "bucket"), nBuckets)
-    registerOne(spark, shinglesTable(table), s"$path/shingles", Seq("doc"),
-      nBuckets)
-    registerOne(spark, membersTable(table), s"$path/members", Seq("ch"),
-      nBuckets)
-  }
-
-  private def registerOne(spark: SparkSession, table: String, path: String,
-                          bucketCols: Seq[String], nBuckets: Int): Unit = {
-    require(!path.contains("'"), s"path must not contain quotes: $path")
-    // the sidecar is authoritative (an empty corpus has no parquet
-    // footers to infer from); fall back to inference for corpora
-    // written before the sidecar existed
-    val sidecar = java.nio.file.Paths.get(path, SchemaSidecar)
-    val ddl =
-      if (java.nio.file.Files.exists(sidecar))
-        new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
-      else spark.read.parquet(path).schema.toDDL
-    val cols = bucketCols.mkString(", ")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"""CREATE TABLE $table ($ddl) USING PARQUET
-      CLUSTERED BY ($cols) SORTED BY ($cols) INTO $nBuckets BUCKETS
-      LOCATION '$path'""")
+    graft.core.BucketedCatalog.register(spark, table, s"$path/bands",
+      Seq("band", "bucket"), nBuckets)
+    graft.core.BucketedCatalog.register(spark, shinglesTable(table),
+      s"$path/shingles", Seq("doc"), nBuckets)
+    graft.core.BucketedCatalog.register(spark, membersTable(table),
+      s"$path/members", Seq("ch"), nBuckets)
   }
 
   /** The corpus-sized banded candidate self-join BEFORE its

@@ -115,6 +115,26 @@ object ImageStorage {
       .bucketBy(nBuckets, "fp")
       .sortBy("fp")
       .saveAsTable(membersTable(table))
+    // schema sidecars so [[register]] re-attaches even an empty corpus
+    val spark = hashes.sparkSession
+    graft.core.BucketedCatalog.writeSidecar(spark, table, s"$path/bands")
+    graft.core.BucketedCatalog.writeSidecar(spark, membersTable(table),
+      s"$path/members")
+  }
+
+  /** Re-attach a corpus previously written by [[writeBucketed]] at
+    * `path` in a fresh session — the [[graft.core.BucketedCatalog]]
+    * restart path (declared bucket specs over the external files, no
+    * re-decode, no rewrite). `nBuckets` must equal the write-time
+    * value.
+    */
+  def register(spark: SparkSession, table: String, path: String,
+               nBuckets: Int = 32): Unit = {
+    validateIdentifier(table)
+    graft.core.BucketedCatalog.register(spark, table, s"$path/bands",
+      Seq("chunk", "v"), nBuckets)
+    graft.core.BucketedCatalog.register(spark, membersTable(table),
+      s"$path/members", Seq("fp"), nBuckets)
   }
 
   def scan(spark: SparkSession, table: String): DataFrame =

@@ -66,6 +66,22 @@ object VectorStorage {
       .bucketBy(nBuckets, CellCol)
       .sortBy(CellCol)
       .saveAsTable(table)
+    // schema sidecar so [[register]] re-attaches even an empty corpus
+    graft.core.BucketedCatalog.writeSidecar(vectors.sparkSession, table,
+      path)
+  }
+
+  /** Re-attach a corpus previously written by [[writeBucketed]] at
+    * `path` in a fresh session — the [[graft.core.BucketedCatalog]]
+    * restart path (declared bucket spec over the external files, no
+    * re-quantize, no rewrite); pair with [[IvfStore]] for the index
+    * itself. `nBuckets` must equal the write-time value.
+    */
+  def register(spark: SparkSession, table: String, path: String,
+               nBuckets: Int = 32): Unit = {
+    validateIdentifier(table)
+    graft.core.BucketedCatalog.register(spark, table, path, Seq(CellCol),
+      nBuckets)
   }
 
   def scan(spark: SparkSession, table: String): DataFrame =

@@ -35,6 +35,30 @@ class ImageStorageSpec extends AnyFunSuite {
     }
   }
 
+  test("register re-attaches a written corpus; pairs and plan contract intact") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-imgreg").toString + "/imgs"
+    ImageStorage.writeBucketed(hashed, "img_reg_written", path,
+      maxHamming = 3, nBuckets = 4)
+    try {
+      val written = ImageStorage.pairs(spark, "img_reg_written")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      spark.sql("DROP TABLE IF EXISTS img_reg_written")
+      spark.sql("DROP TABLE IF EXISTS img_reg_written_members")
+      ImageStorage.register(spark, "img_reg_attached", path, nBuckets = 4)
+      val attached = ImageStorage.pairs(spark, "img_reg_attached")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(attached === written)
+      assert(attached.nonEmpty)
+      assert(graft.Explain.shuffleCount(
+          ImageStorage.candidatePlan(spark, "img_reg_attached", 3)) === 0,
+        "re-attached corpus must keep the banded candidate join " +
+          "exchange-free")
+    } finally Seq("img_reg_written", "img_reg_written_members",
+      "img_reg_attached", "img_reg_attached_members")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("at-rest pairs ≡ ad-hoc hammingPairs") {
     withTable("img_rest_pairs") {
       val atRest = ImageStorage.pairs(spark, "img_rest_pairs")

@@ -23,6 +23,27 @@ class VectorStorageSpec extends AnyFunSuite {
     try body finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("register re-attaches a written corpus with the cell bucketing intact") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vecreg").toString + "/vecs"
+    VectorStorage.writeBucketed(emb, index, "vec_reg_written", path,
+      nBuckets = 4)
+    try {
+      val written = VectorStorage.semDedup(spark, "vec_reg_written", 0.4)
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+      spark.sql("DROP TABLE IF EXISTS vec_reg_written")
+      VectorStorage.register(spark, "vec_reg_attached", path, nBuckets = 4)
+      val attached = VectorStorage.semDedup(spark, "vec_reg_attached", 0.4)
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+      assert(attached === written)
+      assert(attached.nonEmpty)
+      val pairs = VectorStorage.cellPairs(spark, "vec_reg_attached")
+      assert(graft.Explain.shuffleCount(pairs) === 0,
+        "re-attached corpus must keep the candidate join exchange-free")
+    } finally Seq("vec_reg_written", "vec_reg_attached")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("cell pairs: zero shuffle exchanges off the bucketed table") {
     withTable("vec_rest_plan") {
       val pairs = VectorStorage.cellPairs(spark, "vec_rest_plan")
