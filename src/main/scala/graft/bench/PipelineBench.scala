@@ -726,55 +726,6 @@ object PipelineBench {
         TimedStage("pm25_feature_gen_month", math.max(1, n),
                    cpuCompanion = true)(() =>
           fgMonthBody(spark, outRoot)),
-        // year-scale soak (396 days, ~13.1 M rows): the stage whose cost
-        // must scale linearly with months for the 80-month production
-        // backfill to stay inside BASELINE.md's envelope
-        TimedStage("pm25_feature_gen_year", 3, cpuCompanion = true)(() =>
-          generated.write.mode("overwrite").parquet(s"$outRoot/year_features")),
-        // the COMPOSED s01→s09 month pipeline — BASELINE.md's envelope
-        // is for this whole sequence (fetch+combine 24 h / 8 vCPU,
-        // run.yaml:17-52), so one number must price the composition,
-        // including every inter-stage write/read, not stages in
-        // isolation. Fresh storage root per repeat: stage writes are
-        // idempotent-skip, a reused root would time a no-op.
-        TimedStage("pm25_month_e2e", 2, cpuCompanion = true)(() => {
-          val runRoot = java.nio.file.Files.createTempDirectory(
-            java.nio.file.Paths.get(outRoot), "e2e-run").toString
-          try runMonthE2e(spark, e2eInPath, runRoot)
-          finally org.apache.commons.io.FileUtils
-            .deleteQuietly(new java.io.File(runRoot))
-        }),
-        // the same composition over Q1 2023 (3 months through the month
-        // loop): BASELINE's 80-month backfill envelope rests on the
-        // composition scaling LINEARLY in months, so the quarter must
-        // price ≈ 3× the month — the ratio is published and pinned below
-        TimedStage("pm25_quarter_e2e", 2, cpuCompanion = true)(() => {
-          val runRoot = java.nio.file.Files.createTempDirectory(
-            java.nio.file.Paths.get(outRoot), "e2e-runq").toString
-          try runMonthE2e(spark, e2eInQPath, runRoot,
-            months = quarterMonths)
-          finally org.apache.commons.io.FileUtils
-            .deleteQuietly(new java.io.File(runRoot))
-        }),
-        // the composed pipeline over ALL of 2023 (12 months through the
-        // month loop): BASELINE's envelope is an ~80-month backfill, so
-        // the composition must stay linear well past the quarter's 3
-        // points — the year/month ratio is published and pinned ≤ 13.5
-        // below (12 months of work + amortized per-run fixed cost).
-        // One repeat: the stage is ~8× the month e2e and the linearity
-        // pin (plus the cpu companion) diagnoses a contended sample.
-        // OPT-IN (SPARK_GRAFT_BENCH_YEAR=1): round 10's default sweep
-        // outgrew the driver envelope carrying this ~270 s stage; the
-        // quarter pin guards composition linearity in every sweep.
-        TimedStage("pm25_year_e2e", if (yearEnabled) 1 else 0,
-                   cpuCompanion = true)(() => {
-          val runRoot = java.nio.file.Files.createTempDirectory(
-            java.nio.file.Paths.get(outRoot), "e2e-runy").toString
-          try runMonthE2e(spark, e2eInYPath.get, runRoot,
-            months = yearMonths)
-          finally org.apache.commons.io.FileUtils
-            .deleteQuietly(new java.io.File(runRoot))
-        }),
         // eval-ops soaks: the round-9 eval family had no bench rows, so
         // a regression in the DECIMAL(38,0) rank lane or the decomposed
         // prefix sums would be invisible in-artifact. Grouped AUC over
@@ -921,7 +872,62 @@ object PipelineBench {
         // co-purchase LPA runs the identical code at 1/500 the size)
         TimedStage("graph_labelprop_1M_edges", 2, cpuCompanion = true)(() =>
           graft.graph.LabelProp.propagate(graphEdgesDf, "src", "dst",
-            rounds = 4).count()))
+            rounds = 4).count()),
+        // ---- the three LONG stages LAST (round-13 lesson): on a
+        // contended box they ate the whole stage budget ahead of ~20
+        // cheap stages — a budget cut should cost these 3 expensive
+        // values, not 21 cheap ones. The linearity pins below publish
+        // only when their stages ran, so a starved run simply omits
+        // them.
+        // year-scale soak (396 days, ~13.1 M rows): the stage whose cost
+        // must scale linearly with months for the 80-month production
+        // backfill to stay inside BASELINE.md's envelope
+        TimedStage("pm25_feature_gen_year", 3, cpuCompanion = true)(() =>
+          generated.write.mode("overwrite").parquet(s"$outRoot/year_features")),
+        // the COMPOSED s01→s09 month pipeline — BASELINE.md's envelope
+        // is for this whole sequence (fetch+combine 24 h / 8 vCPU,
+        // run.yaml:17-52), so one number must price the composition,
+        // including every inter-stage write/read, not stages in
+        // isolation. Fresh storage root per repeat: stage writes are
+        // idempotent-skip, a reused root would time a no-op.
+        TimedStage("pm25_month_e2e", 2, cpuCompanion = true)(() => {
+          val runRoot = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(outRoot), "e2e-run").toString
+          try runMonthE2e(spark, e2eInPath, runRoot)
+          finally org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(runRoot))
+        }),
+        // the same composition over Q1 2023 (3 months through the month
+        // loop): BASELINE's 80-month backfill envelope rests on the
+        // composition scaling LINEARLY in months, so the quarter must
+        // price ≈ 3× the month — the ratio is published and pinned below
+        TimedStage("pm25_quarter_e2e", 2, cpuCompanion = true)(() => {
+          val runRoot = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(outRoot), "e2e-runq").toString
+          try runMonthE2e(spark, e2eInQPath, runRoot,
+            months = quarterMonths)
+          finally org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(runRoot))
+        }),
+        // the composed pipeline over ALL of 2023 (12 months through the
+        // month loop): BASELINE's envelope is an ~80-month backfill, so
+        // the composition must stay linear well past the quarter's 3
+        // points — the year/month ratio is published and pinned ≤ 9
+        // below (12 months of work + amortized per-run fixed cost).
+        // One repeat: the stage is ~8× the month e2e and the linearity
+        // pin (plus the cpu companion) diagnoses a contended sample.
+        // OPT-IN (SPARK_GRAFT_BENCH_YEAR=1): round 10's default sweep
+        // outgrew the driver envelope carrying this ~270 s stage; the
+        // quarter pin guards composition linearity in every sweep.
+        TimedStage("pm25_year_e2e", if (yearEnabled) 1 else 0,
+                   cpuCompanion = true)(() => {
+          val runRoot = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(outRoot), "e2e-runy").toString
+          try runMonthE2e(spark, e2eInYPath.get, runRoot,
+            months = yearMonths)
+          finally org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(runRoot))
+        }))
 
       // SPARK_GRAFT_PIPELINE_ONLY=a,b,c runs just those stages — for
       // pricing a new stage without paying the full sweep. The

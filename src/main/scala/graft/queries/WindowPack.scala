@@ -502,6 +502,28 @@ object WindowPack extends QueryPack {
         .orderBy("src", "day", "metric")
     }),
 
+    // Trailing-window KS PER GROUP: the per-group support rule (a
+    // group's own values ∪ the shared ref — a value only another group
+    // observed must not fabricate rows) faces the oracle directly via
+    // per-group single-stream arms.
+    "w_rolling_ks_by_group" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("ts"), col("event_type"),
+          pmod(col("user_id"), lit(3L)).as("src"),
+          floor(col("value")).cast("long").as("v"))
+      graft.operators.Drift.rollingKs(
+          ev, "ts", "v",
+          ref = ev.filter(col("event_type") === "purchase")
+            .select(col("v")),
+          windowDays = 7, groupCols = Seq("src"))
+        .select(col("src"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("v"),
+          round(col("cdf_ref"), 6).as("cdf_ref"),
+          round(col("cdf_cur"), 6).as("cdf_cur"),
+          round(col("gap"), 6).as("gap"))
+        .orderBy("src", "day", "v")
+    }),
+
     // Trailing-window KS vs the pinned reference — the binning-free
     // companion of w_rolling_psi: exact integer prefix sums over the
     // global support, one CDF division pair per (day, v).
@@ -966,6 +988,23 @@ object WindowPack extends QueryPack {
       }
       (0 to 2).map(arm).mkString("", " UNION ALL ",
         " ORDER BY src, day, metric")
+    },
+
+    // per-group single-stream replays with the SAME (unfiltered)
+    // reference arm, tagged and UNION'd — the per-group support rule
+    // must be invisible in the result
+    "w_rolling_ks_by_group" -> {
+      def arm(g: Int): String =
+        s"""SELECT $g AS src, day, v, ROUND(cdf_ref, 6) AS cdf_ref,
+           ROUND(cdf_cur, 6) AS cdf_cur, ROUND(gap, 6) AS gap
+         FROM (${graft.operators.Drift.rollingKsOracleSql(
+          "SELECT ts, CAST(FLOOR(value) AS BIGINT) AS v FROM events" +
+            s" WHERE user_id % 3 = $g",
+          "SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events" +
+            " WHERE event_type = 'purchase'",
+          windowDays = 7)}) q$g"""
+      (0 to 2).map(arm).mkString("", " UNION ALL ",
+        " ORDER BY src, day, v")
     },
 
     "w_rolling_ks" ->
