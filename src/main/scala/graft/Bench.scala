@@ -228,9 +228,21 @@ object Bench {
       math.min(deadline, System.nanoTime() + (budgetSec * 0.5 * 1e9).toLong)
     val microRepCutoffSec = sys.env
       .getOrElse("SPARK_GRAFT_MICRO_REP_CUTOFF_SEC", "1.5").toDouble
+    // CHEAP-FIRST order (heavy families last, alphabetical within each
+    // class): on a degraded box the micro cap clips the END of the
+    // order, and with a plain alphabetical sort that was always the
+    // same ~40 cheap t_*/u*/w_* queries — a systematic blind spot.
+    // The heavy families (at-rest corpus writers, graph analytics,
+    // media decodes, end-to-end compositions) sort last instead: they
+    // cost 5–20 s each, and their core levers are separately priced by
+    // dedicated pipeline stages, so clipping them loses the least.
+    val heavyMicro = Seq("mm_", "dedup_", "g_", "corpus_", "a_bradley",
+      "a_frequent")
     val queryDefs =
       if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+        (if (heavyMicro.exists(name.startsWith)) 1 else 0, name)
+      }
     queryDefs.foreach { case (name, fn) =>
       if (System.nanoTime() >= microDeadline) skipped += name
       else {

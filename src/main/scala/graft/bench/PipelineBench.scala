@@ -327,11 +327,11 @@ object PipelineBench {
     */
   private val QuietCpuRef = Map(
     "pm25_combine_month_1M" -> 108.7, // min-folded, r12 full sweeps
-    "pm25_combine_month_1M_bucketed" -> 74.0, // min-folded, r12 full sweep
+    "pm25_combine_month_1M_bucketed" -> 71.7, // min-folded, r13 sweeps
     // min-folded with the round-11 local full sweep (contended box —
     // 13 stages self-flagged — but min-fold only absorbs LOWER values)
-    "pm25_combine_month_1M_disk" -> 120.6, // min-folded, r12 full sweep
-    "pm25_spatial_impute_month" -> 92.0,
+    "pm25_combine_month_1M_disk" -> 120.4, // min-folded, r13 sweeps
+    "pm25_spatial_impute_month" -> 89.5, // min-folded, r13 sweeps
     "pm25_feature_gen_month" -> 174.3, // min-folded, r12 filtered sweep
     "pm25_feature_gen_year" -> 1797.0, // QUIET-VERIFIED round 12: on a
     // window where the untouched k1 anchor ran BELOW its own quiet ref
@@ -374,7 +374,7 @@ object PipelineBench {
     // skew anchor quiet at 1.4 cpu-sec vs its 3.3 ref)
     "monitor_rolling_psi_10M" -> 7.9,
     "monitor_rolling_quantile_10M" -> 25.0,
-    "eval_spearman_10M" -> 94.0, // min-folded, r12 full sweep
+    "eval_spearman_10M" -> 79.8, // min-folded, r13 sweeps
     "ann_semdedup_100k_adhoc" -> 20.9, // min-folded, r12 full sweeps
     "ann_semdedup_100k_at_rest" -> 11.3,
     // first priced by a round-11 filtered local sweep
@@ -388,7 +388,9 @@ object PipelineBench {
     // ~30× cpu gap IS the at-rest lever: ad hoc re-decodes 100k PNGs
     // (ImageIO dominates) and re-shuffles the bands; at rest both are
     // storage properties.
-    "img_phash_100k_adhoc" -> 145.0, // min-folded, r12 full sweeps
+    "img_phash_100k_adhoc" -> 132.6, // min-folded, r13 sweeps (the r12
+    // verdict flagged the first publication as contended; three r13
+    // sweeps, downward-only)
     "img_phash_100k_at_rest" -> 9.6,
     // first priced by round-13 filtered local sweeps
     // (SPARK_GRAFT_PIPELINE_ONLY over the four new stages, 2
@@ -397,9 +399,9 @@ object PipelineBench {
     // decode era only (the earlier javax.sound figures measured the
     // provider-registry lock, not the engine).
     "dedup_minhash_1M_adhoc" -> 408.5,
-    "dedup_minhash_1M_at_rest" -> 246.7,
+    "dedup_minhash_1M_at_rest" -> 246.3, // min-folded, r13 sweeps
     "audio_fp_100k_adhoc" -> 30.3,
-    "audio_fp_100k_at_rest" -> 18.2)
+    "audio_fp_100k_at_rest" -> 15.2) // min-folded, r13 sweeps
 
   /** Quiet-box WALL reference for the untouched k1 tiled anchor — the
     * box-speed yardstick of the certification prefix. PROVENANCE: the
