@@ -333,11 +333,20 @@ object PipelineBench {
     "pm25_combine_month_1M_disk" -> 120.4, // min-folded, r13 sweeps
     "pm25_spatial_impute_month" -> 89.5, // min-folded, r13 sweeps
     "pm25_feature_gen_month" -> 174.3, // min-folded, r12 filtered sweep
-    "pm25_feature_gen_year" -> 1797.0, // QUIET-VERIFIED round 12: on a
-    // window where the untouched k1 anchor ran BELOW its own quiet ref
-    // (0.884 vs 0.91), fg_year measured 70.8 s wall / 1911.8 cpu-s,
-    // un-flagged - within noise of r9's quiet 65.2 s / 1908. The r11/r12
-    // full-sweep values (114-179 s) were environmental, not regression
+    // (still an upper bound for the round-13 prefix-window rewrite,
+    // which measured 198 cpu-s on a 1.3-1.5x-degraded box — refresh
+    // downward when a quiet window lands)
+    "pm25_feature_gen_year" -> 564.1, // RESET for the round-13 window
+    // rewrite (prefix rolling means + reversed-running backward fill):
+    // first publication by the r13 filtered sweep
+    // (SPARK_GRAFT_PIPELINE_ONLY=pm25_combine_month_1M,
+    // pm25_feature_gen_month,pm25_feature_gen_year — 564.06 cpu-s,
+    // un-flagged, on the box whose OLD-code baseline same day measured
+    // the old path at 328 cpu-s for fg_month vs its 174.3 quiet ref,
+    // i.e. this is an upper bound that min-folds tighter). The old-code
+    // quiet history (r9 1908, r12 quiet window 1911.8 — wall 70.8 s)
+    // is superseded: the rewrite removed the O(frame)/row sliding
+    // re-aggregation and the O(n^2) UnboundedFollowing fill frames
     "pm25_month_e2e" -> 450.0,
     "pm25_quarter_e2e" -> 820.9, // min-folded, r12 full sweep
     "pm25_spatial_impute_quarter" -> 166.0,
@@ -692,8 +701,12 @@ object PipelineBench {
         dedupDocs(spark))
       if (hitDedup) cacheHits += 1
       val dedupDocs1M = spark.read.parquet(dedupPath)
+      // ":mhk2:" — the round-13 MinHash kernel (one byte pass + hashLong
+      // mixes) changed signature values; a corpus banded by the old
+      // kernel cannot be probed by the new one, so the fingerprint tag
+      // evicts it (the MinHashKernel.signature contract note)
       if (cachedCorpus("mh_at_rest",
-          planFingerprint(dedupDocs(spark)) + ":mh:3:128:32:32")(p =>
+          planFingerprint(dedupDocs(spark)) + ":mhk2:3:128:32:32")(p =>
           graft.dedup.MinHashStorage.writeBucketed(dedupDocs1M, "doc_id",
             "text", "bench_mh_at_rest", p, nBuckets = 32))(p =>
           graft.dedup.MinHashStorage.register(spark, "bench_mh_at_rest",

