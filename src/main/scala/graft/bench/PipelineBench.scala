@@ -397,9 +397,14 @@ object PipelineBench {
     // ~30× cpu gap IS the at-rest lever: ad hoc re-decodes 100k PNGs
     // (ImageIO dominates) and re-shuffles the bands; at rest both are
     // storage properties.
-    "img_phash_100k_adhoc" -> 132.6, // min-folded, r13 sweeps (the r12
-    // verdict flagged the first publication as contended; three r13
-    // sweeps, downward-only)
+    "img_phash_100k_adhoc" -> 22.4, // RESET for the round-13 ImageIO
+    // memory-cache change (ImageIO.setUseCache(false) — the default
+    // file-backed stream cache created+deleted a temp file PER DECODE,
+    // which was ~83% of the stage's executor CPU): first publication
+    // by the r13 filtered sweep (22.35 cpu-s / 3.15 s wall, box cpu
+    // probe 0.26 — quiet window, un-flagged). Old-kernel history
+    // (132.6 min-folded) is superseded; decoded hashes are
+    // bit-identical so the at-rest corpus stands
     "img_phash_100k_at_rest" -> 9.6,
     // first priced by round-13 filtered local sweeps
     // (SPARK_GRAFT_PIPELINE_ONLY over the four new stages, 2

@@ -126,6 +126,7 @@ object ImageHash {
   def imageHashes(media: Dataset[Multimodal.MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      Multimodal.imageIoMemCache // decode scratch in memory, once per JVM
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.bytes))
@@ -239,6 +240,7 @@ object ImageHash {
     require(frameStep >= 1, s"frameStep must be >= 1: $frameStep")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      Multimodal.imageIoMemCache // decode scratch in memory, once per JVM
       rows.flatMap { r =>
         Mp4.sampleRanges(r.bytes).zipWithIndex
           .filter(_._2 % frameStep == 0)
