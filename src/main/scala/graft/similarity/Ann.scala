@@ -167,19 +167,27 @@ object Ann {
     resolveScored(scorePairs(pairs), checkpointDir)
 
   /** Rank-1 per query over scored `(query_id, neighbor_id, cos)`
-    * candidates, then the mutuality self-join. Rank-1 is one
-    * `min(struct(−cos, id))` aggregation (ties: higher cos, then
-    * smaller neighbor id). The struct buffer makes Spark plan it as
-    * SortAggregate — a DELIBERATE choice, measured at the 100k bench
-    * corpus: the partition-local sort of the compact 3-column rows
-    * costs 171 executor-cpu-sec where the k-bounded heap aggregator
-    * ([[graft.operators.Sampling.topKPerGroupSkewSafe]] at k = 1, no
-    * sort but one heap-object update per row) costs 403, and the old
-    * rank window over un-projected rows (two corpus-product exchanges
-    * carrying both dim-d vectors) ran >300 s wall. Both agg forms are
-    * map-side partial, so the exchange carries one row per query per
-    * partition either way — the sort never crosses the wire. The
-    * rank-1 frame is localCheckpointed before the self-join —
+    * candidates, then the mutuality self-join. Rank-1 is argmin by
+    * `(−cos, id)` (ties: higher cos, then smaller neighbor id), via
+    * [[graft.functions.expressions.ArgMinScoreIdAgg]] — a
+    * DeclarativeAggregate over a primitive `[sortable(−cos): long,
+    * id: long, raw −cos: double, seen]` buffer, so Spark plans a
+    * whole-stage-codegen HashAggregate with zero per-row allocation.
+    * The earlier `min(struct(−cos, id))` form's struct buffer forced
+    * SortAggregate, whose partition-local sort of the ~175M compact
+    * candidate rows was most of each mutual-NN pass: measured at the
+    * 100k bench corpus (min-of-5, r13), scoring alone 2.2 s,
+    * scoring+argmin 2.35 s, scoring+struct-min 9.4 s; a DECIMAL(38)
+    * packed `min_by` (12.5 s, per-row BigDecimal churn) and an
+    * ObjectHashAggregate argmin (lost whole-stage codegen) were
+    * measured and rejected this round, the k-bounded heap aggregator
+    * at k = 1 (403 cpu-s) and the rank window over un-projected rows
+    * (>300 s wall) in earlier rounds. Ordering equivalence — Spark
+    * double total order (−0.0 ≡ 0.0, NaN greatest) then id, with the
+    * WINNING ROW's raw score value evaluating out bit-for-bit — is
+    * pinned in AnnRank1Spec; both agg forms are map-side partial, so
+    * the exchange carries one row per query per partition either way.
+    * The rank-1 frame is localCheckpointed before the self-join —
     * Catalyst would otherwise re-execute the whole candidate scoring
     * (the expensive step) twice per action, the shared-subtree
     * re-execution the repo's iterative operators all guard against.
@@ -191,11 +199,12 @@ object Ann {
   private def resolveScored(scored: DataFrame,
                             checkpointDir: Option[String]): DataFrame = {
     val nn = new graft.core.Durable(checkpointDir).cut(scored
-      .select(col("query_id"),
-        struct((col("cos") * -1.0).as("negcos"), col("neighbor_id")).as("cand"))
-      .groupBy("query_id").agg(min(col("cand")).as("best"))
-      .select(col("query_id").as("ida"), col("best.neighbor_id").as("idb"),
-        (col("best.negcos") * -1.0).as("cos")))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("cos") * -1.0).as("negcos"))
+      .groupBy("query_id").agg(graft.functions.expressions.VectorExpressions
+        .argmin_score_id(col("negcos"), col("neighbor_id")).as("best"))
+      .select(col("query_id").as("ida"), col("best.id").as("idb"),
+        (col("best.score") * -1.0).as("cos")))
     nn.as("p").join(nn.as("q"),
         col("p.ida") === col("q.idb") && col("p.idb") === col("q.ida"))
       .filter(col("p.ida") < col("p.idb"))

@@ -131,13 +131,13 @@ object VectorStorage {
     * indexed corpus probes the home cell). Candidates are scored and
     * projected to `(query_id, neighbor_id, cos)` inside the
     * (exchange-free) candidate join's stage; rank-1 per query is one
-    * map-side-combining `min(struct(−cos, id))` aggregation — planned
-    * as SortAggregate (struct buffer), which the 100k bench measured
-    * FASTER than the heap aggregator at k = 1 (110 vs 417 cpu-sec:
-    * sorting compact 3-column rows beats per-row heap-object updates;
-    * see [[Ann]]'s resolveScored note) — so the only exchange after
-    * the candidate join carries one partial row per query per
-    * partition.
+    * map-side-combining [[graft.functions.expressions.ArgMinScoreIdAgg]]
+    * — a whole-stage-codegen HashAggregate over a primitive buffer
+    * (see [[Ann]]'s resolveScored note for the measured history: the
+    * aggregation now costs ~0.2 s above the scoring floor where the
+    * earlier struct-min SortAggregate cost ~7 s) — so the only
+    * exchange after the candidate join carries one partial row per
+    * query per partition.
     */
   def mutualNearestNeighbors(spark: SparkSession, table: String,
                              checkpointDir: Option[String] = None): DataFrame = {
@@ -169,11 +169,12 @@ object VectorStorage {
           .otherwise(Ann.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .as("cos"))
     scored
-      .select(col("query_id"),
-        struct((col("cos") * -1.0).as("negcos"), col("neighbor_id")).as("cand"))
-      .groupBy("query_id").agg(min(col("cand")).as("best"))
-      .select(col("query_id").as("ida"), col("best.neighbor_id").as("idb"),
-        (col("best.negcos") * -1.0).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("cos") * -1.0).as("negcos"))
+      .groupBy("query_id").agg(graft.functions.expressions.VectorExpressions
+        .argmin_score_id(col("negcos"), col("neighbor_id")).as("best"))
+      .select(col("query_id").as("ida"), col("best.id").as("idb"),
+        (col("best.score") * -1.0).as("cos"))
   }
 
   /** Incremental batch check — the vector twin of the text side's
