@@ -386,11 +386,13 @@ object PipelineBench {
     "eval_spearman_10M" -> 79.8, // min-folded, r13 sweeps
     "ann_semdedup_100k_adhoc" -> 20.9, // min-folded, r12 full sweeps
     "ann_semdedup_100k_at_rest" -> 11.3,
-    // first priced by a round-11 filtered local sweep
-    // (SPARK_GRAFT_PIPELINE_ONLY=ann_mnn_100k_adhoc,ann_mnn_100k_at_rest,
-    // 2 interleaved repeats) — upper bounds that min-fold tighter
-    "ann_mnn_100k_adhoc" -> 130.2,
-    "ann_mnn_100k_at_rest" -> 98.4,
+    // RESET for the round-13 rank-1 argmin rewrite (struct-min
+    // SortAggregate → primitive-buffer HashAggregate, new code era):
+    // quiet filtered sweep (PIPELINE_ONLY pair, box cpu probe 0.205,
+    // contended flags 0) measured 35.9 / 14.9 — the r11-era refs
+    // (130.2 / 98.4) priced the sort the aggregation no longer does
+    "ann_mnn_100k_adhoc" -> 35.9,
+    "ann_mnn_100k_at_rest" -> 14.9,
     // first priced by a round-12 filtered local sweep
     // (SPARK_GRAFT_PIPELINE_ONLY=img_phash_100k_adhoc,img_phash_100k_at_rest,
     // 2 interleaved repeats) — upper bounds that min-fold tighter. The

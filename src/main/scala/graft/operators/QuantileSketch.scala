@@ -400,6 +400,15 @@ object QuantileSketch {
         w.map(_.as("__w")).toSeq: _*)
       .groupBy(groupCols.map(col) :+ col("__v"): _*)
       .agg(w.map(_ => sum(col("__w"))).getOrElse(count(lit(1))).as("__n"))
+      // AQE coalesces the collapsed table's exchange to ONE partition
+      // (it is KB-sized), which would serialize the levels×depth
+      // salted-md5 cell expansion below — measured at the 10M-row
+      // bench: 8.2 s on the one task vs 0.5 s spread (the md5 is the
+      // oracle-replay contract, so the fix is parallelism, not a
+      // cheaper hash). Round-robin the sketch-sized rows back out;
+      // the extra exchange moves ≤ groups·2^levels tiny rows and the
+      // cell sums are partitioning-independent integer adds
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
     val dv = col("__v")
     val cellsCol = explode(array((for (l <- 0 until levels; i <- 0 until depth)
       yield struct(lit(l).as("lvl"), lit(i).as("i"),
