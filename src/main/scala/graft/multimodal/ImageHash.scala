@@ -349,6 +349,7 @@ object ImageHash {
     * high-quality table).
     */
   def jpegBytes(img: BufferedImage, quality: Float): Array[Byte] = {
+    Multimodal.imageIoMemCache // encode scratch in memory, once per JVM
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("jpeg").next()
     val p = writer.getDefaultWriteParam
@@ -430,6 +431,7 @@ object ImageHash {
       }
       y += 1
     }
+    Multimodal.imageIoMemCache // encode scratch in memory, once per JVM
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray

@@ -59,9 +59,12 @@ object Multimodal {
     * signature the audio lane's direct-RIFF rewrite removed). Decoded
     * output is bit-identical — only the scratch buffer moves off disk;
     * payloads here are KB-scale so the memory cache is strictly
-    * cheaper. Touch this val at the head of every decode closure (it
+    * cheaper. Touch this val at the head of every decode closure AND
+    * every ImageIO-backed ENCODER (the fixture synthesizers — r13: an
+    * encode-first query otherwise paid a FileCacheImageOutputStream
+    * temp file per frame before any decode path flipped the flag); it
     * runs once per JVM; executors in cluster mode load it on first
-    * task).
+    * task.
     */
   lazy val imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 
@@ -242,6 +245,7 @@ object Multimodal {
       }
       y += 1
     }
+    imageIoMemCache // encode scratch in memory (temp file per call otherwise)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
