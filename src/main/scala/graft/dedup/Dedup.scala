@@ -160,15 +160,31 @@ object Dedup {
         graft.functions.expressions.MinHashExpressions
           .minhash_bands(col("sh"), numHashes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // the id-pair table is CUT here (r13): it feeds the candidate-doc
+    // id list AND the verification join below — uncut, Catalyst would
+    // re-run the banded self-join + distinct once per consumer
     val candidates = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verification joins fetch the (small relative to candidates) sets back
+      .localCheckpoint()
+    // verification shingles: computed ONCE, for CANDIDATE docs only,
+    // and cut (r13) — the two verify joins each re-ran the full shingle
+    // projection over every representative before this (Catalyst shares
+    // no subtrees across join branches; measured at the 1M soak:
+    // operator min-of-3 63.8 → 28.1 s same-box, output identical).
+    // Candidate ids are banding participants by construction, so the
+    // nonempty-shingle filter is preserved by restriction.
+    val candIds = candidates.select(col("id_a").as("doc"))
+      .union(candidates.select(col("id_b").as("doc"))).distinct()
+    val candSh = repDocs(docs, idCol, textCol, repIds)
+      .join(candIds, Seq("doc"))
+      .select(col("doc"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .localCheckpoint()
     val repPairs = candidates
-      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(candSh.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(candSh.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
