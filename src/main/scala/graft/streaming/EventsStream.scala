@@ -866,13 +866,38 @@ object EventsStream {
     * query itself — the streaming-native incremental batch run (stateful
     * operators with processing-time timeouts never settle under
     * processAllAvailable, which would block forever).
+    *
+    * Queries that register processing-time timers (sessionize) never
+    * terminate even under AvailableNow — the engine keeps scheduling
+    * empty batches to fire the timers, so a plain
+    * `awaitTermination(300000)` burns the FULL five minutes per call
+    * (observed: epoch 1688 reached before the timeout; two such calls
+    * put the whole suite past the driver's budget and its kill left the
+    * in-flight state-store commit blocked in
+    * ChecksumCheckpointFileManager.awaitResult). Every data-driven
+    * emission is committed as soon as one batch runs with zero input
+    * rows, so detect that drained state from the progress stream and
+    * stop there; self-terminating queries exit the poll via !isActive
+    * and still surface their failure through awaitTermination.
     */
   def runToMemory(df: DataFrame, name: String,
                   mode: String = "append"): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(300000) finally q.stop()
+    try {
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      var drained = false
+      while (!drained && q.isActive && System.nanoTime() < deadline) {
+        val ps = q.recentProgress
+        drained = ps.exists(_.numInputRows > 0) &&
+          ps.lastOption.exists(_.numInputRows == 0)
+        if (!drained) Thread.sleep(20)
+      }
+      // propagate a failed query's exception; a timer-driven query that
+      // drained is still active and is stopped by the finally
+      if (!q.isActive) q.awaitTermination()
+    } finally q.stop()
     df.sparkSession.table(name)
   }
 }
