@@ -24,36 +24,64 @@ import org.apache.spark.sql.functions._
   */
 object Correlation {
 
-  /** Doubled midrank (2·cum_before + cnt + 1, an exact BIGINT) of
-    * `valueCol`, joined back onto every row as `outCol`.
+  /** Doubled midrank (2·cum_before + cnt + 1, an exact BIGINT) per
+    * DISTINCT value of `valueCol`: `(valueCol, __cnt, outCol)`.
     */
-  private def midrank2(df: DataFrame, valueCol: String,
-                       outCol: String): DataFrame = {
+  private def midrank2Ranks(df: DataFrame, valueCol: String,
+                            outCol: String): DataFrame = {
     val groups = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
     // decomposed prefix sum: the distinct-value frame is not provably
     // bounded (a raw continuous score's distinct frame ≈ the corpus),
     // so no single-task Window.orderBy — see [[graft.operators.PrefixSum]]
-    val ranked = graft.operators.PrefixSum.exclusive(
+    graft.operators.PrefixSum.exclusive(
         groups, Seq(col(valueCol)), col("__cnt"), "__cum")
-      .select(col(valueCol),
+      .select(col(valueCol), col("__cnt"),
         (col("__cum") * 2 + col("__cnt") + 1).as(outCol))
-    df.join(ranked, Seq(valueCol))
   }
 
-  /** One row: `(n, spearman)`; null x or y rows are excluded. */
+  /** One row: `(n, spearman)`; null x or y rows are excluded.
+    *
+    * Sufficient-statistics form (r14): the five rank sums are computed
+    * from the per-distinct-value frames instead of joining midranks
+    * back onto every row — rx depends only on x and ry only on y, so
+    * Σrx = Σₓ rx·cnt(x) and Σrx² = Σₓ rx²·cnt(x) come from the x-group
+    * frame, the y-moments from the y-group frame, and only the cross
+    * term needs the joint distribution: Σ rx·ry over rows =
+    * Σ_{(x,y)} rx·ry·cnt(x,y). The corpus is scanned three times
+    * (cheap, checkpointed) but never carried through a join or a wide
+    * decimal aggregation: all decimal arithmetic runs over the
+    * distinct-value/pair frames. Every sum is an exact DECIMAL(38,0)
+    * (addition is associative and commutative exactly), so the result
+    * is bit-identical to the per-row form — pinned in CorrelationSpec.
+    */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val rows = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).as("__x"), col(yCol).as("__y"))
       .localCheckpoint()
-    val withRanks = midrank2(midrank2(rows, "__x", "rx"), "__y", "ry")
     val d = "decimal(38,0)"
-    val sums = withRanks.agg(
-      count(lit(1)).as("n"),
-      sum(col("rx").cast(d)).as("sx"), sum(col("ry").cast(d)).as("sy"),
-      sum((col("rx") * col("ry")).cast(d)).as("sxy"),
-      sum((col("rx") * col("rx")).cast(d)).as("sxx"),
-      sum((col("ry") * col("ry")).cast(d)).as("syy"))
+    val rx = midrank2Ranks(rows, "__x", "rx")
+    val ry = midrank2Ranks(rows, "__y", "ry")
+    // per-side moments from the distinct-value frames (rank ≤ 2n+1 and
+    // rank² ≤ (2n+1)² fit a long up to n ≈ 1.5·10⁹; the cnt multiply is
+    // decimal). n = Σcnt — the same count the row-level agg produced,
+    // coalesced so an empty input still yields the single (0, null) row.
+    val xs = rx.agg(
+      coalesce(sum(col("__cnt")), lit(0L)).as("n"),
+      sum(col("rx").cast(d) * col("__cnt").cast(d)).as("sx"),
+      sum((col("rx") * col("rx")).cast(d) * col("__cnt").cast(d)).as("sxx"))
+    val ys = ry.agg(
+      sum(col("ry").cast(d) * col("__cnt").cast(d)).as("sy"),
+      sum((col("ry") * col("ry")).cast(d) * col("__cnt").cast(d)).as("syy"))
+    // cross moment over the joint (x, y) distribution; the rank frames
+    // are distinct-value-sized, so these joins never move the corpus
+    val xys = rows.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__cxy"))
+      .join(rx.select(col("__x"), col("rx")), Seq("__x"))
+      .join(ry.select(col("__y"), col("ry")), Seq("__y"))
+      .agg(sum((col("rx") * col("ry")).cast(d) * col("__cxy").cast(d))
+        .as("sxy"))
+    val sums = xs.crossJoin(ys).crossJoin(xys)
     val num = (col("n").cast(d) * col("sxy") - col("sx") * col("sy"))
       .cast("double")
     val vx = (col("n").cast(d) * col("sxx") - col("sx") * col("sx"))
